@@ -1,0 +1,299 @@
+"""Inverted-index build (SURVEY.md §2.3 A1–A7, §3.2).
+
+Pipeline (all DataFrame ops + Arrow-batched pandas functions, no per-row
+Python UDFs):
+
+1. ``assign_doc_ids`` — dense contiguous doc_ids (the reference assumes
+   contiguity, PageRanker.java:10) via range-partitioned sort +
+   ``zipWithIndex`` (one linear pass, no single-task bottleneck).
+2. doc stats — N, avgdl (needed for block-max BM25 bounds at encode time).
+3. ``mapInPandas`` partial build — per Arrow batch: tokenize (A1 tf, A2
+   positions ordinals in the filtered stream, A3 important flag = stemmed
+   token ∈ stemmed path/title token set, Indexer.java:385-415) and emit one
+   compressed partial posting row per (term, segment).
+4. hierarchical merge (A7) — ``groupBy(term, segment).applyInPandas``
+   concatenates disjoint partials in doc order and re-encodes with
+   block-max metadata.
+
+**Skew strategy (SURVEY.md §4 custom #1):** postings are segmented by
+doc-id range (``segment = doc_id >> seg_bits``). A hot term (``import``,
+``return`` — stopwords are intentionally kept in the index, Indexer.java:442)
+therefore materializes as MANY (term, segment) rows instead of one giant
+reducer value: the merge key space is salted *structurally* and
+deterministically by doc range, each reduce group is bounded by the number
+of Arrow batches overlapping one segment, and no executor ever holds a full
+hot-term posting list. Query-side the segments of a term are independent
+score partitions, so no re-merge is needed. df/cf statistics reduce via
+plain associative sums, which Spark partial-aggregates map-side.
+
+Posting segment binary layout (LEB128 varints, see functions/compress.py):
+
+    n_docs, doc_gaps[n], tf_packed[n] (tf<<1 | important), dl[n],
+    pos_gaps[sum(tf)]   # per-doc blocks of tf[i] entries, gap-coded
+
+Storing dl inside the posting costs ~1 byte/posting and removes the
+query-time join against a 10^12-row doc-length table — the scale-decisive
+trade.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
+                               LongType, StringType, StructField, StructType)
+
+from ..functions.analysis import PROFILES, tokenize_title
+from ..functions.compress import (decode_varints, delta_decode, delta_encode,
+                                  encode_varints)
+
+K1 = 1.2
+B = 0.75
+BLOCK_SIZE = 128  # docs per block-max block inside a segment
+
+PARTIAL_SCHEMA = StructType([
+    StructField("term", StringType()),
+    StructField("segment", LongType()),
+    StructField("n_docs", IntegerType()),
+    StructField("cf", LongType()),
+    StructField("bin", BinaryType()),
+])
+
+POSTING_SCHEMA = StructType([
+    StructField("term", StringType()),
+    StructField("segment", LongType()),
+    StructField("n_docs", IntegerType()),
+    StructField("cf", LongType()),
+    StructField("bin", BinaryType()),
+    StructField("block_first_doc", ArrayType(LongType())),
+    StructField("block_max_impact", ArrayType(DoubleType())),
+])
+
+
+def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Dense deterministic doc_id ordered by (repo, path).
+
+    repartitionByRange + sortWithinPartitions gives a total order without a
+    global single-partition sort; zipWithIndex assigns dense ids in one pass
+    (per-partition counts + cumulative offsets under the hood)."""
+    cols = df.columns
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(n, "repo", "path").sortWithinPartitions("repo", "path")
+    out_schema = StructType(
+        [StructField("doc_id", LongType(), False)] + list(ordered.schema.fields))
+    rdd = ordered.rdd.zipWithIndex().map(lambda ri: (ri[1], *ri[0]))
+    return df.sparkSession.createDataFrame(rdd, out_schema)
+
+
+def prepare_docs(corpus: DataFrame) -> DataFrame:
+    """Doc-store projection: sha256 invariant + doc_id if missing."""
+    df = corpus
+    if "doc_id" not in df.columns:
+        df = assign_doc_ids(df)
+    return df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+def doc_stats(docs_tok: DataFrame) -> dict:
+    row = docs_tok.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("n_tokens").alias("avgdl"),
+        F.sum("n_tokens").alias("total_tokens"),
+    ).collect()[0]
+    return {"n_docs": int(row["n_docs"]),
+            "avgdl": float(row["avgdl"] or 0.0),
+            "total_tokens": int(row["total_tokens"] or 0)}
+
+
+def _encode_partial(doc_ids: np.ndarray, tf_packed: np.ndarray,
+                    dls: np.ndarray, pos_flat: np.ndarray) -> bytes:
+    return b"".join([
+        encode_varints(np.array([doc_ids.size], dtype=np.uint64)),
+        encode_varints(delta_encode(doc_ids)),
+        encode_varints(tf_packed.astype(np.uint64)),
+        encode_varints(dls.astype(np.uint64)),
+        encode_varints(pos_flat.astype(np.uint64)),
+    ])
+
+
+def _decode_partial(buf: bytes):
+    hdr, off = decode_varints(buf, 0, 1)
+    n = int(hdr[0])
+    gaps, off = decode_varints(buf, off, n)
+    doc_ids = delta_decode(gaps)
+    tf_packed, off = decode_varints(buf, off, n)
+    dls, off = decode_varints(buf, off, n)
+    total_pos = int((tf_packed >> np.uint64(1)).sum())
+    pos_gaps, off = decode_varints(buf, off, total_pos)
+    return doc_ids, tf_packed.astype(np.int64), dls.astype(np.int64), pos_gaps
+
+
+def decode_segment(buf: bytes):
+    """Public decoder for query side → (doc_ids, tfs, important, dls, pos_gaps)."""
+    doc_ids, tf_packed, dls, pos_gaps = _decode_partial(buf)
+    return (doc_ids, tf_packed >> 1, (tf_packed & 1).astype(bool), dls, pos_gaps)
+
+
+def positions_of(tfs: np.ndarray, pos_gaps: np.ndarray) -> list[np.ndarray]:
+    """Expand the flat gap stream into per-doc absolute position arrays."""
+    out, start = [], 0
+    for tf in tfs:
+        out.append(delta_decode(pos_gaps[start:start + tf]))
+        start += int(tf)
+    return out
+
+
+def build_partials(docs: DataFrame, profile: str = "code",
+                   seg_bits: int = 16) -> tuple[DataFrame, DataFrame]:
+    """(docs_with_lengths, partial postings) via one mapInPandas pass.
+
+    Tokenization + counting + positions + important flag happen in a single
+    Arrow batch traversal (the reference's 10-thread per-doc loop,
+    Indexer.java:291, becomes one vectorized pass per partition)."""
+    tokenizer = PROFILES[profile]
+    seg_mask = np.int64((1 << seg_bits) - 1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc: dict[tuple[str, int], list] = {}
+            for doc_id, content, path in zip(pdf["doc_id"].to_numpy(),
+                                             pdf["content"], pdf["path"]):
+                toks = tokenizer(content) if isinstance(content, str) else []
+                dl = len(toks)
+                title_set = set(tokenize_title(path)) if isinstance(path, str) else set()
+                seg = int(doc_id) >> seg_bits
+                per_term: dict[str, list[int]] = {}
+                for pos, t in enumerate(toks):
+                    per_term.setdefault(t, []).append(pos)
+                for t, poss in per_term.items():
+                    acc.setdefault((t, seg), []).append(
+                        (int(doc_id), len(poss), t in title_set, dl, poss))
+            rows = []
+            for (t, seg), entries in acc.items():
+                entries.sort(key=lambda e: e[0])
+                doc_ids = np.array([e[0] for e in entries], dtype=np.int64)
+                tfs = np.array([e[1] for e in entries], dtype=np.int64)
+                imp = np.array([e[2] for e in entries], dtype=np.int64)
+                dls = np.array([e[3] for e in entries], dtype=np.int64)
+                pos_flat = (np.concatenate([delta_encode(np.array(e[4], dtype=np.int64))
+                                            for e in entries])
+                            if entries else np.zeros(0, dtype=np.uint64))
+                buf = _encode_partial(doc_ids, (tfs << 1) | imp, dls, pos_flat)
+                rows.append((t, seg, int(doc_ids.size), int(tfs.sum()), buf))
+            yield pd.DataFrame(rows, columns=[f.name for f in PARTIAL_SCHEMA.fields])
+
+    # compute n_tokens cheaply for stats (second tiny pass over content —
+    # kept separate so the partial-build output stays narrow)
+    from ..functions.analysis import spark_udfs
+    tok_udf = spark_udfs()[profile]
+    docs_tok = docs.withColumn("n_tokens", F.size(tok_udf(F.col("content"))))
+    partials = docs.select("doc_id", "content", "path").mapInPandas(
+        gen, schema=PARTIAL_SCHEMA)
+    return docs_tok, partials
+
+
+def merge_partials(partials: DataFrame, avgdl: float,
+                   n_buckets: int = 64) -> DataFrame:
+    """A7 hierarchical merge: disjoint doc-range partials → one compressed
+    row per (term, segment) with block-max BM25 impact bounds."""
+    avgdl = max(avgdl, 1e-9)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, seg = key
+        parts = [_decode_partial(b) for b in pdf["bin"]]
+        doc_ids = np.concatenate([p[0] for p in parts])
+        tf_packed = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        if doc_ids.size > 1 and (np.diff(doc_ids) <= 0).any():
+            # partials may interleave (arbitrary input partitioning) but a
+            # doc appears in exactly one partial — sort, then re-slice the
+            # per-doc position blocks into the new order
+            order = np.argsort(doc_ids, kind="stable")
+            if np.unique(doc_ids).size != doc_ids.size:
+                raise ValueError(
+                    f"duplicate doc_id in partials for term={term!r} seg={seg}")
+            tfs_all = (tf_packed >> 1).astype(np.int64)
+            starts = np.zeros(doc_ids.size, dtype=np.int64)
+            np.cumsum(tfs_all[:-1], out=starts[1:])
+            pos_gaps_cat = np.concatenate([p[3] for p in parts])
+            pos_gaps = np.concatenate(
+                [pos_gaps_cat[starts[i]:starts[i] + tfs_all[i]] for i in order]
+            ) if tfs_all.sum() else np.zeros(0, np.uint64)
+            doc_ids, tf_packed, dls = doc_ids[order], tf_packed[order], dls[order]
+        else:
+            pos_gaps = np.concatenate([p[3] for p in parts])
+        buf = _encode_partial(doc_ids, tf_packed, dls,
+                              pos_gaps.astype(np.uint64))
+        tfs = (tf_packed >> 1).astype(np.float64)
+        impact = tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
+        nblocks = (doc_ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
+        bfirst, bmax = [], []
+        for i in range(nblocks):
+            sl = slice(i * BLOCK_SIZE, (i + 1) * BLOCK_SIZE)
+            bfirst.append(int(doc_ids[sl][0]))
+            bmax.append(float(impact[sl].max()))
+        return pd.DataFrame([{
+            "term": term, "segment": int(seg), "n_docs": int(doc_ids.size),
+            "cf": int(tfs.sum()), "bin": buf,
+            "block_first_doc": bfirst, "block_max_impact": bmax,
+        }])
+
+    merged = partials.groupBy("term", "segment").applyInPandas(
+        merge, schema=POSTING_SCHEMA)
+    return merged.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+
+
+def term_stats(postings: DataFrame, n_docs: int) -> DataFrame:
+    """Dictionary + df/cf (A4/A5): plain associative sums over segments —
+    no get-or-create lock, no surrogate ids (SURVEY.md §4)."""
+    return (postings.groupBy("term")
+            .agg(F.sum("n_docs").alias("df"), F.sum("cf").alias("cf"))
+            .withColumn("idf_bm25",
+                        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                              / (F.col("df") + 0.5) + 1.0))
+            .withColumn("idf_ref", F.log(1.0 + F.lit(float(n_docs)) / F.col("df"))))
+
+
+def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
+                profile: str = "code", seg_bits: int = 16,
+                n_buckets: int = 64) -> dict:
+    """Full build → {docs,postings,terms,stats} parquet dirs under out_dir.
+
+    Returns the global stats dict. Postings are written partitioned by
+    `bucket` so a k-term query scans k/n_buckets of the files (partition
+    pruning stands in for the reference's MySQL hash index,
+    create_database.sql:47)."""
+    docs = prepare_docs(corpus)
+    docs_tok, partials = build_partials(docs, profile=profile, seg_bits=seg_bits)
+    docs_out = docs_tok.select("doc_id", "repo", "path", "commit", "lang",
+                               "content_sha256", "n_tokens")
+    docs_out.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+    docs_written = spark.read.parquet(os.path.join(out_dir, "docs"))
+    stats = doc_stats(docs_written)
+    postings = merge_partials(partials, avgdl=stats["avgdl"], n_buckets=n_buckets)
+    (postings.repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(out_dir, "postings")))
+    postings_w = spark.read.parquet(os.path.join(out_dir, "postings"))
+    terms = term_stats(postings_w, stats["n_docs"])
+    terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+    stats_row = dict(stats, avgdl=float(stats["avgdl"]), profile=profile,
+                     seg_bits=seg_bits, n_buckets=n_buckets, k1=K1, b=B)
+    spark.createDataFrame([stats_row]).coalesce(1).write.mode("overwrite") \
+        .json(os.path.join(out_dir, "stats"))
+    return stats_row
+
+
+def load_index(spark: SparkSession, out_dir: str) -> dict:
+    stats = spark.read.json(os.path.join(out_dir, "stats")).collect()[0].asDict()
+    return {
+        "docs": spark.read.parquet(os.path.join(out_dir, "docs")),
+        "postings": spark.read.parquet(os.path.join(out_dir, "postings")),
+        "terms": spark.read.parquet(os.path.join(out_dir, "terms")),
+        "stats": stats,
+    }

@@ -1,0 +1,36 @@
+"""SparkSession factory with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "spidey-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build a session with AQE, Arrow, and sane shuffle sizing.
+
+    In the sandbox this is local[N]; on a real cluster the same config rides
+    along spark-submit --py-files (master/resources come from the submitter).
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        cpus = "".join(c for c in master if c.isdigit()) or "32"
+        shuffle_partitions = max(32, int(cpus) if cpus.isdigit() else 32)
+    builder = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    return builder.getOrCreate()
