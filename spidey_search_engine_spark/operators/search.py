@@ -1,0 +1,286 @@
+"""Query-time scoring (SURVEY.md §2.4 Q1–Q10, §2.6).
+
+Two rankers over the same postings:
+
+* **BM25** (the north_star primary): k1=1.2, b=0.75,
+  ``idf = ln((N-df+0.5)/(df+0.5)+1)``, disjunctive top-k, with an optional
+  **block-max pruning** pass (see wand.py) that provably returns the
+  identical top-k.
+* **Reference-parity scorer**: per word per doc
+  ``tf·(1+ln tf)·ln(1+N/df)`` — the tf multiplier reproduces the
+  reference's one-row-per-occurrence join fan-out
+  (QueryResultsFetcher.java:232-242, SURVEY.md Q3 quirk); phrases score
+  ``(1+ln m)·ln(1+N/df_phrase)`` with m = adjacent-position match count
+  (QueryResultsFetcher.java:259-289); candidate selection and final
+  ordering follow the two-stage top-k (Q8) with documented `doc_id ASC`
+  tie-break.
+
+Plan shape: the q-term filter prunes postings partitions by `bucket`
+(Q1 — the MySQL hash-index analog), a pandas UDF decodes segments to
+(doc_id, tf, dl[, positions]) Arrow batches, scores are built-in column
+expressions (JVM/codegen), per-doc rollup is a hash agg, and the top-k is
+TakeOrderedAndProject — no driver-side per-row loops, no full-corpus pass
+beyond the q-term postings themselves.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BooleanType, DoubleType, IntegerType,
+                               LongType, StringType, StructField, StructType)
+
+from ..functions.analysis import analyze_query
+from .build import K1, B, decode_segment, positions_of
+
+EXPLODE_SCHEMA = StructType([
+    StructField("term", StringType()),
+    StructField("doc_id", LongType()),
+    StructField("tf", IntegerType()),
+    StructField("important", BooleanType()),
+    StructField("dl", IntegerType()),
+])
+
+EXPLODE_POS_SCHEMA = StructType(EXPLODE_SCHEMA.fields + [
+    StructField("positions", ArrayType(IntegerType())),
+])
+
+
+def query_term_postings(postings: DataFrame, terms: list[str],
+                        n_buckets: int, with_positions: bool = False) -> DataFrame:
+    """Q1 dictionary lookup: bucket partition-pruning + term filter, then
+    vectorized segment decode → posting rows."""
+    if not terms:
+        raise ValueError("empty analyzed query")
+    buckets = sorted({_bucket_of(t, n_buckets) for t in terms})
+    pruned = postings.filter(F.col("bucket").isin(buckets)
+                             & F.col("term").isin(list(set(terms))))
+    schema = EXPLODE_POS_SCHEMA if with_positions else EXPLODE_SCHEMA
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"term": [], "doc_id": [], "tf": [], "important": [], "dl": []}
+            if with_positions:
+                out["positions"] = []
+            for term, buf in zip(pdf["term"], pdf["bin"]):
+                doc_ids, tfs, imp, dls, pos_gaps = decode_segment(bytes(buf))
+                out["term"].append(np.repeat(term, doc_ids.size))
+                out["doc_id"].append(doc_ids)
+                out["tf"].append(tfs.astype(np.int32))
+                out["important"].append(imp)
+                out["dl"].append(dls.astype(np.int32))
+                if with_positions:
+                    out["positions"].extend(
+                        [p.astype(np.int32) for p in positions_of(tfs, pos_gaps)])
+            res = pd.DataFrame({
+                "term": np.concatenate(out["term"]) if out["term"] else [],
+                "doc_id": np.concatenate(out["doc_id"]) if out["doc_id"] else [],
+                "tf": np.concatenate(out["tf"]) if out["tf"] else [],
+                "important": np.concatenate(out["important"]) if out["important"] else [],
+                "dl": np.concatenate(out["dl"]) if out["dl"] else [],
+            })
+            if with_positions:
+                res["positions"] = out["positions"]
+            yield res
+
+    return pruned.select("term", "bin").mapInPandas(explode, schema=schema)
+
+
+def _bucket_of(term: str, n_buckets: int) -> int:
+    """Must equal F.pmod(F.xxhash64(term), n_buckets) — computed via the JVM
+    once per query (driver-side literal, k values)."""
+    # xxhash64 seed 42 is Spark's; avoid reimplementing: evaluate via Spark
+    # expression at planning time (cached per (term,n_buckets)).
+    key = (term, n_buckets)
+    cached = _bucket_cache.get(key)
+    if cached is None:
+        spark = SparkSession.getActiveSession()
+        cached = spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(term)), F.lit(n_buckets)).cast("int")
+        ).collect()[0][0]
+        _bucket_cache[key] = cached
+    return cached
+
+
+_bucket_cache: dict[tuple[str, int], int] = {}
+
+
+def bm25_scores(posting_rows: DataFrame, terms_df: DataFrame, avgdl: float,
+                query_terms: list[str]) -> DataFrame:
+    """Per-doc BM25 over decoded posting rows. Duplicate query terms weight
+    by multiplicity (bag semantics, matching the reference's repeated
+    OR-columns, QueryResultsFetcher.java:239-240)."""
+    weights = pd.Series(query_terms).value_counts()
+    wdf = posting_rows.sparkSession.createDataFrame(
+        [(t, int(c)) for t, c in weights.items()], "term string, w int")
+    tdim = terms_df.select("term", "idf_bm25")
+    scored = (posting_rows
+              .join(F.broadcast(tdim), "term")
+              .join(F.broadcast(wdf), "term")
+              .withColumn(
+                  "partial",
+                  F.col("w") * F.col("idf_bm25") * (F.col("tf") * (K1 + 1)) /
+                  (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl)))))
+    return scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+
+
+def bm25_topk(spark: SparkSession, index: dict, query: str, k: int = 10) -> DataFrame:
+    """Analyze → prune → decode → score → TakeOrderedAndProject top-k.
+    Ties break by doc_id ASC (documented deviation, SURVEY.md §7 risk 2)."""
+    q_terms, phrases = analyze_query(query)
+    for p in phrases:
+        q_terms.extend(p)  # BM25 mode treats phrase words as bag terms
+    if not q_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    rows = query_term_postings(index["postings"], q_terms,
+                               int(index["stats"]["n_buckets"]))
+    scores = bm25_scores(rows, index["terms"], float(index["stats"]["avgdl"]),
+                         q_terms)
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity ranker (Q3–Q9)
+# ---------------------------------------------------------------------------
+
+def parity_word_scores(posting_rows: DataFrame, terms_df: DataFrame,
+                       n_docs: int, query_terms: list[str]) -> DataFrame:
+    """Q3/Q4 words sub-scorer: Σ_w  tf·(1+ln tf)·ln(1+N/df) with the
+    occurrence-count multiplier quirk, + BIT_OR(important)."""
+    weights = pd.Series(query_terms).value_counts()
+    wdf = posting_rows.sparkSession.createDataFrame(
+        [(t, int(c)) for t, c in weights.items()], "term string, w int")
+    scored = (posting_rows
+              .join(F.broadcast(terms_df.select("term", "idf_ref")), "term")
+              .join(F.broadcast(wdf), "term")
+              .withColumn("partial",
+                          F.col("w") * F.col("tf") * (1 + F.log(F.col("tf")))
+                          * F.col("idf_ref")))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("partial").alias("relevance"),
+                 F.max(F.col("important").cast("int")).alias("important"),
+                 F.lit(0).alias("is_phrase")))
+
+
+def phrase_match_counts(posting_rows_pos: DataFrame, phrase: list[str]) -> DataFrame:
+    """Q5 positional adjacency: docs containing the exact phrase, with the
+    number m of adjacency matches. Implemented as posting-array intersection
+    inside one applyInPandas group per doc (positions already sorted)."""
+    k = len(phrase)
+    terms_in_phrase = list(dict.fromkeys(phrase))
+    sub = posting_rows_pos.filter(F.col("term").isin(terms_in_phrase))
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("m", LongType()),
+        StructField("important", BooleanType()),
+    ])
+
+    def match(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = int(key[0])
+        by_term = {t: (np.asarray(p, dtype=np.int64), bool(imp))
+                   for t, p, imp in zip(pdf["term"], pdf["positions"],
+                                        pdf["important"])}
+        if any(t not in by_term for t in phrase):
+            return pd.DataFrame(columns=["doc_id", "m", "important"]).astype(
+                {"doc_id": "int64", "m": "int64", "important": "bool"})
+        # positions where phrase starts: p0 ∈ pos[w0] with p0+i ∈ pos[wi] ∀i
+        starts = by_term[phrase[0]][0]
+        mask = np.ones(starts.shape, dtype=bool)
+        for i in range(1, k):
+            nxt = by_term[phrase[i]][0]
+            mask &= np.isin(starts + i, nxt)
+        m = int(mask.sum())
+        if m == 0:
+            return pd.DataFrame(columns=["doc_id", "m", "important"]).astype(
+                {"doc_id": "int64", "m": "int64", "important": "bool"})
+        # reference: important = AND over the phrase words (BIT_OR of the
+        # per-word AND at rollup, QueryResultsFetcher.java:275-288)
+        imp = all(by_term[t][1] for t in phrase)
+        return pd.DataFrame([{"doc_id": doc_id, "m": m, "important": imp}])
+
+    return sub.groupBy("doc_id").applyInPandas(match, schema=out_schema)
+
+
+def parity_phrase_scores(spark: SparkSession, index: dict, phrase: list[str],
+                         query_terms_all: list[str]) -> DataFrame:
+    """Q5 scorer: relevance = ln(1+N/df_phrase)·(1+ln m); df_phrase = #docs
+    with ≥1 match (computed exactly, two small jobs over q-term postings)."""
+    n_docs = int(index["stats"]["n_docs"])
+    rows = query_term_postings(index["postings"], phrase,
+                               int(index["stats"]["n_buckets"]),
+                               with_positions=True)
+    matches = phrase_match_counts(rows, phrase).cache()
+    df_phrase = matches.count()
+    if df_phrase == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, relevance double, important int, is_phrase int")
+    idf = float(np.log(1.0 + n_docs / df_phrase))
+    return matches.select(
+        "doc_id",
+        (F.lit(idf) * (1 + F.log(F.col("m")))).alias("relevance"),
+        F.col("important").cast("int").alias("important"),
+        F.lit(1).alias("is_phrase"))
+
+
+def parity_search(spark: SparkSession, index: dict, query: str,
+                  page: int = 1, page_size: int = 20,
+                  history: DataFrame | None = None,
+                  user_id: int | None = None) -> DataFrame:
+    """Full reference pipeline: words ∪ phrases → history left join →
+    two-stage top-k (Q6–Q9).
+
+    Stage 1 (candidate selection): ORDER BY in_history DESC, important DESC,
+    is_phrase DESC, relevance DESC LIMIT offset+page_size
+    (QueryResultsFetcher.java:198-205); Stage 2: re-order the chosen page by
+    relevance × page_rank under the same leading keys
+    (QueryResultsFetcher.java:175-186). doc_id ASC breaks ties in both
+    stages (documented deviation — MySQL order is unspecified)."""
+    q_terms, phrases = analyze_query(query)
+    parts: list[DataFrame] = []
+    if q_terms:
+        rows = query_term_postings(index["postings"], q_terms,
+                                   int(index["stats"]["n_buckets"]))
+        parts.append(parity_word_scores(rows, index["terms"],
+                                        int(index["stats"]["n_docs"]), q_terms))
+    for ph in phrases:
+        parts.append(parity_phrase_scores(spark, index, ph, q_terms))
+    if not parts:
+        return spark.createDataFrame(
+            [], "doc_id long, total_relevance double, score double")
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    rolled = union.groupBy("doc_id").agg(
+        F.sum("relevance").alias("total_relevance"),
+        F.max("important").alias("important"),
+        F.max("is_phrase").alias("is_phrase"))
+    if history is not None and user_id is not None:
+        h = history.filter(F.col("user_id") == user_id) \
+            .select("doc_id", F.lit(1).alias("in_history"))
+        rolled = rolled.join(F.broadcast(h), "doc_id", "left") \
+            .na.fill({"in_history": 0})
+    else:
+        rolled = rolled.withColumn("in_history", F.lit(0))
+    limit_n = page * page_size
+    stage1 = rolled.orderBy(
+        F.desc("in_history"), F.desc("important"), F.desc("is_phrase"),
+        F.desc("total_relevance"), F.asc("doc_id")).limit(limit_n)
+    extra = ["page_rank"] if "page_rank" in index["docs"].columns else []
+    docs_dim = index["docs"].select("doc_id", "repo", "path", *extra)
+    stage2 = stage1.join(F.broadcast(docs_dim), "doc_id", "left")
+    if "page_rank" in stage2.columns:
+        stage2 = stage2.withColumn(
+            "score", F.col("total_relevance") * F.coalesce(F.col("page_rank"), F.lit(1.0)))
+    else:
+        stage2 = stage2.withColumn("score", F.col("total_relevance"))
+    offset = (page - 1) * page_size
+    w = Window.orderBy(F.desc("in_history"), F.desc("important"),
+                       F.desc("is_phrase"), F.desc("score"), F.asc("doc_id"))
+    return (stage2.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") > offset) & (F.col("rn") <= limit_n))
+            .drop("rn"))

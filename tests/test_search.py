@@ -1,0 +1,112 @@
+"""BM25 / parity top-k rank equality vs the pure-Python oracle (SURVEY §5.4)
+and build invariants (§5.3, §5.5)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from tests.oracle import OracleIndex
+
+QUERIES = [
+    "merge sort",
+    "sorting algorithms",
+    "binary search",
+    "hash map lookup",
+    "import return",           # hot stopword-ish terms kept in index
+    "buildTreeNode",           # camelCase query identifier
+    "the import of a return",  # stopword-heavy
+    "nonexistentterm merge",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pdf):
+    docs = list(zip(range(len(corpus_pdf)), corpus_pdf["path"], corpus_pdf["content"]))
+    # doc_id assignment in the engine is row_number over (repo, path); build
+    # the oracle on the same ordering
+    ordered = corpus_pdf.sort_values(["repo", "path"]).reset_index(drop=True)
+    docs = list(zip(range(len(ordered)), ordered["path"], ordered["content"]))
+    return OracleIndex(docs, profile="code")
+
+
+def test_doc_ids_dense_and_sha_invariant(spark, index, corpus_pdf):
+    docs = index["docs"].toPandas().sort_values("doc_id").reset_index(drop=True)
+    n = len(corpus_pdf)
+    assert list(docs["doc_id"]) == list(range(n))  # dense contiguous
+    # per-row content sha256 equality vs the source table (input_hint)
+    import hashlib
+    src = corpus_pdf.sort_values(["repo", "path"]).reset_index(drop=True)
+    expected = [hashlib.sha256(c.encode()).hexdigest() for c in src["content"]]
+    assert list(docs["content_sha256"]) == expected
+
+
+def test_df_matches_oracle(index, oracle):
+    terms = {r["term"]: (r["df"], r["cf"]) for r in index["terms"].collect()}
+    assert set(terms) == set(oracle.df)
+    for t, (df, cf) in terms.items():
+        assert df == oracle.df[t], t
+        assert cf == sum(c.get(t, 0) for c in oracle.tf.values()), t
+
+
+def test_avgdl_matches_oracle(index, oracle):
+    assert index["stats"]["n_docs"] == oracle.n_docs
+    assert math.isclose(float(index["stats"]["avgdl"]), oracle.avgdl, rel_tol=1e-9)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_bm25_rank_identical(spark, index, oracle, query):
+    from spidey_search_engine_spark.operators.search import bm25_topk
+    got = [(r["doc_id"], r["score"]) for r in bm25_topk(spark, index, query, k=10).collect()]
+    exp = oracle.bm25_topk(query, k=10)
+    assert [d for d, _ in got] == [d for d, _ in exp], query
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert math.isclose(gs, es, rel_tol=1e-9), (query, gd)
+
+
+@pytest.mark.parametrize("query", [
+    "merge sort", "import return", '"merge sort"',
+    'tokenize "hash map" lookup', "sorting algorithms",
+])
+def test_parity_rank_identical(spark, index, oracle, query):
+    from spidey_search_engine_spark.operators.search import parity_search
+    got = parity_search(spark, index, query, page=1, page_size=20).collect()
+    exp = oracle.parity_search(query, page=1, page_size=20)
+    assert [r["doc_id"] for r in got] == [d for d, *_ in exp], query
+    for r, e in zip(got, exp):
+        assert math.isclose(r["total_relevance"], e[4], rel_tol=1e-9)
+        assert math.isclose(r["score"], e[5], rel_tol=1e-9)
+
+
+def test_merge_equivalence_partitions(spark, corpus_pdf, tmp_path):
+    """SURVEY §5.3: k-partition build == 1-partition build."""
+    from spidey_search_engine_spark.operators.build import build_index, load_index
+    sub = corpus_pdf.head(120)
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_index(spark, spark.createDataFrame(sub).repartition(1), a,
+                profile="code", seg_bits=6, n_buckets=4)
+    build_index(spark, spark.createDataFrame(sub).repartition(7), b,
+                profile="code", seg_bits=6, n_buckets=4)
+    ia, ib = load_index(spark, a), load_index(spark, b)
+    pa = {(r["term"], r["segment"]): bytes(r["bin"])
+          for r in ia["postings"].collect()}
+    pb = {(r["term"], r["segment"]): bytes(r["bin"])
+          for r in ib["postings"].collect()}
+    assert pa == pb  # byte-identical compressed postings
+
+
+def test_positions_roundtrip_through_index(spark, index, oracle):
+    """Positions stored in the index equal tokenizer ordinals."""
+    from spidey_search_engine_spark.operators.search import query_term_postings
+    rows = query_term_postings(index["postings"], ["merg"],
+                               int(index["stats"]["n_buckets"]),
+                               with_positions=True).collect()
+    assert rows
+    for r in rows[:50]:
+        exp = oracle.positions[r["doc_id"]].get("merg")
+        assert exp is not None
+        assert list(r["positions"]) == exp
+        assert r["tf"] == len(exp)
+        assert r["dl"] == oracle.dl[r["doc_id"]]
+        assert r["important"] == ("merg" in oracle.title_tokens[r["doc_id"]])
