@@ -71,6 +71,7 @@ POSTING_SCHEMA = StructType([
     StructField("cf", LongType()),
     StructField("bin", BinaryType()),
     StructField("block_first_doc", ArrayType(LongType())),
+    StructField("block_last_doc", ArrayType(LongType())),
     StructField("block_max_impact", ArrayType(DoubleType())),
 ])
 
@@ -231,15 +232,17 @@ def merge_partials(partials: DataFrame, avgdl: float,
         tfs = (tf_packed >> 1).astype(np.float64)
         impact = tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
         nblocks = (doc_ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
-        bfirst, bmax = [], []
+        bfirst, blast, bmax = [], [], []
         for i in range(nblocks):
             sl = slice(i * BLOCK_SIZE, (i + 1) * BLOCK_SIZE)
             bfirst.append(int(doc_ids[sl][0]))
+            blast.append(int(doc_ids[sl][-1]))
             bmax.append(float(impact[sl].max()))
         return pd.DataFrame([{
             "term": term, "segment": int(seg), "n_docs": int(doc_ids.size),
             "cf": int(tfs.sum()), "bin": buf,
-            "block_first_doc": bfirst, "block_max_impact": bmax,
+            "block_first_doc": bfirst, "block_last_doc": blast,
+            "block_max_impact": bmax,
         }])
 
     merged = partials.groupBy("term", "segment").applyInPandas(

@@ -1,0 +1,83 @@
+"""DataFrame PageRank (SURVEY.md §2.5 G1–G5).
+
+Reference semantics reproduced exactly (src/ranker/PageRanker.java):
+
+* column-stochastic weights 1/outdeg(src), self-loops dropped
+  (PageRanker.java:122-135; self-link exclusion also at Indexer.java:362),
+* power iteration ``r ← d·M·r + c`` with **c = 1 − d/N** per element — the
+  reference's operator-precedence quirk (PageRanker.java:70,76-90 computes
+  ``1.0 - dampingFactor / pagesCount``, NOT the textbook (1−d)/N); faithful
+  reproduction is required for parity-mode rank identity,
+* d = 0.85, init r = 1/N, stop when max|Δ| < 0.001 (PageRanker.java:18-19),
+* dangling pages contribute nothing (zero column — their mass is NOT
+  redistributed, matching the dense-matrix reference).
+
+The O(N²) dense matrix (the reference holds all of it in RAM) becomes an
+edge-join iteration: one shuffle per iteration on the edge list, ranks
+localCheckpoint()ed each round to cut lineage growth — the standard
+scale-out shape for 10^12-node graphs.
+
+A ``textbook`` mode (c = (1−d)/N) is provided for users who want the
+standard formulation; tests pin both against a numpy oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def pagerank(spark: SparkSession, edges: DataFrame, n_docs: int,
+             damping: float = 0.85, tol: float = 0.001,
+             max_iter: int = 100, mode: str = "reference",
+             all_doc_ids: DataFrame | None = None) -> DataFrame:
+    """edges: (src_doc_id, dst_doc_id). Returns (doc_id, page_rank).
+
+    mode='reference' uses the faithful c = 1 − d/N additive constant;
+    mode='textbook' uses c = (1−d)/N."""
+    if n_docs <= 0:
+        return spark.createDataFrame([], "doc_id long, page_rank double")
+    c = (1.0 - damping / n_docs) if mode == "reference" else \
+        ((1.0 - damping) / n_docs)
+
+    e = (edges.select(F.col("src_doc_id").alias("src"),
+                      F.col("dst_doc_id").alias("dst"))
+         .filter(F.col("src") != F.col("dst"))
+         .distinct())
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # weighted edges are loop-invariant: materialize once
+    ew = e.join(outdeg, "src").withColumn(
+        "w", F.lit(1.0) / F.col("outdeg")).select("src", "dst", "w")
+    ew = ew.repartition("dst").localCheckpoint()
+
+    if all_doc_ids is not None:
+        nodes = all_doc_ids.select(F.col("doc_id")).distinct()
+    else:
+        nodes = (e.select(F.col("src").alias("doc_id"))
+                 .union(e.select(F.col("dst").alias("doc_id"))).distinct())
+    nodes = nodes.localCheckpoint()
+
+    ranks = nodes.withColumn("r", F.lit(1.0 / n_docs))
+    for _ in range(max_iter):
+        contrib = (ew.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+                   .groupBy("dst").agg(F.sum(F.col("w") * F.col("r")).alias("mr")))
+        new_ranks = (nodes.join(contrib.withColumnRenamed("dst", "doc_id"),
+                                "doc_id", "left")
+                     .select("doc_id",
+                             (F.lit(damping) * F.coalesce(F.col("mr"), F.lit(0.0))
+                              + F.lit(c)).alias("r"))).localCheckpoint()
+        delta = (new_ranks.join(ranks.withColumnRenamed("r", "r0"), "doc_id")
+                 .agg(F.max(F.abs(F.col("r") - F.col("r0")))).collect()[0][0])
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks.withColumnRenamed("r", "page_rank")
+
+
+def with_page_rank(docs: DataFrame, ranks: DataFrame) -> DataFrame:
+    """G5 writeback: join ranks into the doc store (UPDATE page SET
+    page_rank..., PageRanker.java:92-103). Docs absent from the graph get
+    rank NULL→1/N-free default 0.0? — the reference seeds every page id into
+    the matrix, so absent means 'no doc'; we left-join and keep nulls as the
+    initial 1/N is only for graph members."""
+    return docs.join(ranks, "doc_id", "left")

@@ -1,0 +1,148 @@
+"""Block-max pruned BM25 top-k (SURVEY.md §4 custom #3).
+
+Classic block-max WAND is a document-at-a-time sequential algorithm; a
+bulk-synchronous engine prunes with the same *bound structure* in two
+distributed phases instead:
+
+Phase 1 (bounds, metadata only): per query, compute for each global
+doc-range ``UB = Σ_t w_t·idf_t·(k1+1)·max_impact_{t,b}`` from the
+``block_first_doc``/``block_max_impact`` arrays recorded at build (impact
+already folds each doc's dl in, so bounds are tight per 128-doc block). The
+posting binaries are never touched in this phase.
+
+Phase 2 (threshold + prune): exactly score ONLY the top-`probe_ranges`
+ranges by bound → threshold θ = k-th best exact score; every range with
+UB < θ cannot contain a top-k doc (each doc's score ≤ its range's UB → no
+false dismissals). Exactly score only surviving ranges — the range filter is
+pushed *into the segment scan and decode*, so pruned postings are neither
+shuffled nor decompressed. ``bm25_topk_pruned`` returns the IDENTICAL top-k
+as the exhaustive path — asserted for every test query (tests/test_wand.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analysis import analyze_query
+from .build import K1, decode_segment
+from .search import EXPLODE_SCHEMA, _bucket_of, bm25_scores
+
+
+def _pruned_meta(postings: DataFrame, terms: list[str], n_buckets: int) -> DataFrame:
+    buckets = sorted({_bucket_of(t, n_buckets) for t in terms})
+    return postings.filter(F.col("bucket").isin(buckets)
+                           & F.col("term").isin(list(set(terms))))
+
+
+def query_range_bounds(index: dict, q_terms: list[str],
+                       range_bits: int) -> DataFrame:
+    """Per doc-range score upper bounds from block metadata. Blocks slice the
+    POSTING LIST (128 entries), not doc space — a sparse term's block can
+    span many ranges, so its bound is charged to every range in
+    [first_doc>>rb, last_doc>>rb] (bounded by the segment's range count)."""
+    spark = SparkSession.getActiveSession()
+    n_buckets = int(index["stats"]["n_buckets"])
+    weights = pd.Series(q_terms).value_counts()
+    wdf = spark.createDataFrame([(t, int(c)) for t, c in weights.items()],
+                                "term string, w int")
+    tdim = index["terms"].select("term", "idf_bm25")
+    blocks = (_pruned_meta(index["postings"], q_terms, n_buckets)
+              .select("term",
+                      F.explode(F.arrays_zip("block_first_doc",
+                                             "block_last_doc",
+                                             "block_max_impact")).alias("z"))
+              .select("term", F.col("z.block_first_doc").alias("bfd"),
+                      F.col("z.block_last_doc").alias("bld"),
+                      F.col("z.block_max_impact").alias("max_impact"))
+              .join(F.broadcast(tdim), "term").join(F.broadcast(wdf), "term")
+              .withColumn("block_ub", F.col("w") * F.col("idf_bm25")
+                          * (K1 + 1) * F.col("max_impact")))
+    spans = blocks.select(
+        F.explode(F.sequence(F.shiftright("bfd", range_bits),
+                             F.shiftright("bld", range_bits))).alias("rng"),
+        "term", "block_ub")
+    return (spans.groupBy("rng", "term").agg(F.max("block_ub").alias("term_ub"))
+            .groupBy("rng").agg(F.sum("term_ub").alias("ub")))
+
+
+def query_term_postings_in_ranges(index: dict, q_terms: list[str],
+                                  ranges: list[int],
+                                  range_bits: int) -> DataFrame:
+    """Decode q-term postings restricted to the given doc-ranges. Segment
+    rows whose doc-span misses every range are skipped WITHOUT decoding;
+    inside surviving segments a vectorized mask drops out-of-range docs."""
+    n_buckets = int(index["stats"]["n_buckets"])
+    seg_bits = int(index["stats"]["seg_bits"])
+    pruned = _pruned_meta(index["postings"], q_terms, n_buckets)
+    spark = SparkSession.getActiveSession()
+    rng_set = set(int(r) for r in ranges)
+    rdf = F.broadcast(spark.createDataFrame([(int(r),) for r in rng_set],
+                                            "rng long"))
+    if seg_bits >= range_bits:
+        # ranges per segment: [seg << (seg_bits-range_bits), next)
+        shift = seg_bits - range_bits
+        cond = ((F.col("rng") >= F.shiftleft(F.col("segment"), shift)) &
+                (F.col("rng") < F.shiftleft(F.col("segment") + 1, shift)))
+    else:
+        shift = range_bits - seg_bits
+        cond = F.shiftright(F.col("segment"), shift) == F.col("rng")
+    surviving = pruned.join(rdf, cond, "left_semi")
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rngs = np.array(sorted(rng_set), dtype=np.int64)
+        for pdf in batches:
+            cols = {k: [] for k in ["term", "doc_id", "tf", "important", "dl"]}
+            for term, buf in zip(pdf["term"], pdf["bin"]):
+                doc_ids, tfs, imp, dls, _ = decode_segment(bytes(buf))
+                mask = np.isin(doc_ids >> range_bits, rngs)
+                if not mask.any():
+                    continue
+                cols["term"].append(np.repeat(term, int(mask.sum())))
+                cols["doc_id"].append(doc_ids[mask])
+                cols["tf"].append(tfs[mask].astype(np.int32))
+                cols["important"].append(imp[mask])
+                cols["dl"].append(dls[mask].astype(np.int32))
+            yield pd.DataFrame({k: (np.concatenate(v) if v else
+                                    np.array([], dtype=object if k == "term" else np.int64))
+                                for k, v in cols.items()})
+
+    return surviving.select("term", "segment", "bin").mapInPandas(
+        explode, schema=EXPLODE_SCHEMA)
+
+
+def bm25_topk_pruned(spark: SparkSession, index: dict, query: str,
+                     k: int = 10, range_bits: int = 10,
+                     probe_ranges: int = 32) -> DataFrame:
+    """Top-k BM25 with block-max range pruning; provably identical to
+    search.bm25_topk (no false dismissals)."""
+    q_terms, phrases = analyze_query(query)
+    for p in phrases:
+        q_terms.extend(p)
+    if not q_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    avgdl = float(index["stats"]["avgdl"])
+
+    bounds = query_range_bounds(index, q_terms, range_bits).cache()
+    probe = [int(r["rng"]) for r in
+             bounds.orderBy(F.desc("ub"), F.asc("rng"))
+             .limit(probe_ranges).collect()]
+    if not probe:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    probe_rows = query_term_postings_in_ranges(index, q_terms, probe, range_bits)
+    seed = (bm25_scores(probe_rows, index["terms"], avgdl, q_terms)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect())
+    theta = seed[-1]["score"] if len(seed) >= k else 0.0
+
+    surviving = [int(r["rng"]) for r in
+                 bounds.filter(F.col("ub") >= F.lit(float(theta))).collect()]
+    bounds.unpersist()
+    rows = query_term_postings_in_ranges(index, q_terms, surviving, range_bits)
+    return (bm25_scores(rows, index["terms"], avgdl, q_terms)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .select("doc_id", "score"))

@@ -1,0 +1,42 @@
+"""PageRank vs dense numpy oracle, incl. the reference 1−d/N quirk."""
+
+import numpy as np
+import pytest
+
+
+def _numpy_pagerank(edges, n, damping=0.85, tol=0.001, mode="reference",
+                    max_iter=100):
+    """Dense oracle mirroring PageRanker.java:105-135 exactly."""
+    edges = {(s, d) for s, d in edges if s != d}
+    M = np.zeros((n, n))
+    out = np.zeros(n, dtype=int)
+    for s, d in edges:
+        out[s] += 1
+    for s, d in edges:
+        M[d, s] = 1.0 / out[s]
+    c = (1.0 - damping / n) if mode == "reference" else (1.0 - damping) / n
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        r2 = damping * (M @ r) + c
+        if np.max(np.abs(r2 - r)) < tol:
+            r = r2
+            break
+        r = r2
+    return r
+
+
+EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 0), (4, 3), (1, 1), (2, 0)]
+N = 6  # node 5 is dangling AND unreferenced
+
+
+@pytest.mark.parametrize("mode", ["reference", "textbook"])
+def test_pagerank_matches_numpy(spark, mode):
+    from spidey_search_engine_spark.operators.pagerank import pagerank
+    edges = spark.createDataFrame(EDGES, "src_doc_id long, dst_doc_id long")
+    nodes = spark.createDataFrame([(i,) for i in range(N)], "doc_id long")
+    got = {r["doc_id"]: r["page_rank"] for r in
+           pagerank(spark, edges, N, mode=mode, all_doc_ids=nodes).collect()}
+    exp = _numpy_pagerank(EDGES, N, mode=mode)
+    assert set(got) == set(range(N))
+    for i in range(N):
+        assert abs(got[i] - exp[i]) < 1e-9, (mode, i, got[i], exp[i])
