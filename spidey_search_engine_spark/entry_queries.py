@@ -1,0 +1,538 @@
+"""Driver-contract query implementations (__spark_entry__.py backend).
+
+Each entry runs the REAL engine (index build → compressed postings → decode
+→ score) and is paired with an ANSI-SQL oracle in ORACLE_SQL that DuckDB
+runs on the same parquet — so the driver's correctness gate exercises
+build_partials/merge_partials/compress/query_term_postings/bm25, not a toy
+reimplementation.
+
+Because the DuckDB oracle has no Porter2 stemmer (fts extension can't load
+offline), these paired entries use the `simple` analyzer profile
+(lowercase + split on [^a-z0-9_]+) — stemming parity is covered by the
+pytest suite (tests/test_analysis.py, tests/test_search.py) and by the
+rows-only entries. All floats are rounded to 6 decimals AND cast to double
+on both sides; ties always break by doc_id/key ASC.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import build as B
+from .operators import search as S
+from .operators import wand as W
+from .operators.pagerank import pagerank
+from .sources.tables import documents_as_corpus, load_table
+
+# fixed query-term sets (present in the driver's synthetic documents table)
+QT = ["merge", "sort", "data", "fast", "scan"]
+PHRASE = ["key", "order"]
+
+_IDX_CACHE: dict[str, dict] = {}
+
+
+def entry_index(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (once per sf_dir) the simple-profile index over `documents`."""
+    key = os.path.abspath(sf_dir)
+    if key in _IDX_CACHE:
+        return _IDX_CACHE[key]
+    out = os.path.join("/tmp/spidey_entry_idx",
+                       key.strip("/").replace("/", "_"))
+    if not os.path.exists(os.path.join(out, "stats")):
+        corpus = documents_as_corpus(spark, sf_dir)
+        B.build_index(spark, corpus, out, profile="simple", seg_bits=8,
+                      n_buckets=8)
+    idx = B.load_index(spark, out)
+    _IDX_CACHE[key] = idx
+    return idx
+
+
+def _r(col, n: int = 6):
+    return F.round(col, n).cast("double")
+
+
+# --- index/search family ---------------------------------------------------
+
+def a1_term_freq(spark, sf_dir):
+    idx = entry_index(spark, sf_dir)
+    rows = S.query_term_postings(idx["postings"], QT, int(idx["stats"]["n_buckets"]))
+    return rows.select("term", "doc_id", F.col("tf").cast("long").alias("tf"))
+
+
+def a3_important_flag(spark, sf_dir):
+    idx = entry_index(spark, sf_dir)
+    rows = S.query_term_postings(idx["postings"], QT + ["doc"],
+                                 int(idx["stats"]["n_buckets"]))
+    return rows.select("term", "doc_id",
+                       F.col("important").cast("int").alias("important"))
+
+
+def a5_doc_freq(spark, sf_dir):
+    idx = entry_index(spark, sf_dir)
+    return idx["terms"].select("term", "df", "cf")
+
+
+def stats_global(spark, sf_dir):
+    idx = entry_index(spark, sf_dir)
+    return spark.createDataFrame(
+        [(int(idx["stats"]["n_docs"]), float(idx["stats"]["avgdl"]))],
+        "n_docs long, avgdl double").select(
+            "n_docs", _r(F.col("avgdl")).alias("avgdl_r"))
+
+
+def a2_positions(spark, sf_dir):
+    idx = entry_index(spark, sf_dir)
+    rows = S.query_term_postings(idx["postings"], ["merge"],
+                                 int(idx["stats"]["n_buckets"]),
+                                 with_positions=True)
+    return rows.select("doc_id", F.explode("positions").alias("pos")) \
+        .select("doc_id", F.col("pos").cast("long").alias("pos"))
+
+
+def bm25_topk_fixed(spark, sf_dir):
+    idx = entry_index(spark, sf_dir)
+    rows = S.query_term_postings(idx["postings"], QT, int(idx["stats"]["n_buckets"]))
+    scores = S.bm25_scores(rows, idx["terms"], float(idx["stats"]["avgdl"]), QT)
+    return (scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+            .select("doc_id", _r(F.col("score")).alias("score_r")))
+
+
+def bm25_pruned_topk(spark, sf_dir):
+    """Same oracle as bm25_topk_fixed — proves block-max pruning exactness
+    against an independent engine."""
+    idx = entry_index(spark, sf_dir)
+    bounds = W.query_range_bounds(idx, QT, 6)
+    probe = [int(r["rng"]) for r in
+             bounds.orderBy(F.desc("ub"), F.asc("rng")).limit(2).collect()]
+    rows_p = W.query_term_postings_in_ranges(idx, QT, probe, 6)
+    seed = (S.bm25_scores(rows_p, idx["terms"], float(idx["stats"]["avgdl"]), QT)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(20).collect())
+    theta = seed[-1]["score"] if len(seed) >= 20 else 0.0
+    surv = [int(r["rng"]) for r in
+            bounds.filter(F.col("ub") >= F.lit(float(theta))).collect()]
+    rows = W.query_term_postings_in_ranges(idx, QT, surv, 6)
+    scores = S.bm25_scores(rows, idx["terms"], float(idx["stats"]["avgdl"]), QT)
+    return (scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+            .select("doc_id", _r(F.col("score")).alias("score_r")))
+
+
+def parity_relevance_fixed(spark, sf_dir):
+    idx = entry_index(spark, sf_dir)
+    rows = S.query_term_postings(idx["postings"], QT, int(idx["stats"]["n_buckets"]))
+    scored = S.parity_word_scores(rows, idx["terms"],
+                                  int(idx["stats"]["n_docs"]), QT)
+    return scored.select("doc_id", _r(F.col("relevance")).alias("relevance_r"),
+                         "important")
+
+
+def phrase_match_fixed(spark, sf_dir):
+    idx = entry_index(spark, sf_dir)
+    rows = S.query_term_postings(idx["postings"], PHRASE,
+                                 int(idx["stats"]["n_buckets"]),
+                                 with_positions=True)
+    m = S.phrase_match_counts(rows, PHRASE)
+    return m.select("doc_id", "m")
+
+
+def two_stage_topk(spark, sf_dir):
+    """Q8 two-stage shape with a SQL-expressible static score (1000/n_chars
+    stands in for page_rank): stage-1 candidates by relevance, stage-2
+    reorder by relevance × static."""
+    idx = entry_index(spark, sf_dir)
+    rows = S.query_term_postings(idx["postings"], QT, int(idx["stats"]["n_buckets"]))
+    rel = S.parity_word_scores(rows, idx["terms"], int(idx["stats"]["n_docs"]), QT) \
+        .select("doc_id", "relevance")
+    stage1 = rel.orderBy(F.desc("relevance"), F.asc("doc_id")).limit(20)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    stage2 = (stage1.join(F.broadcast(docs), "doc_id")
+              .withColumn("score", F.col("relevance") * 1000.0 / F.col("n_chars")))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (stage2.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", _r(F.col("score")).alias("score_r"), "rank"))
+
+
+def snippet_first_match(spark, sf_dir):
+    """F11 snippet: ±2-token window around the FIRST 'merge' occurrence."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
+                    lambda x: x != F.lit(""))
+    d = d.select("doc_id", toks.alias("t")) \
+        .withColumn("p", F.array_position(F.col("t"), "merge")) \
+        .filter(F.col("p") > 0)
+    start = F.greatest(F.lit(1), F.col("p") - 2)
+    end = F.least(F.size("t"), F.col("p") + 2)
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice("t", start, end - start + 1), " ").alias("snippet"))
+
+
+# --- relational family (generic operators used inside the engine) ----------
+
+def tpch_q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(_r(F.sum("l_quantity")).alias("sum_qty"),
+                 _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+                 _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    ).alias("sum_disc_price"),
+                 F.count("*").alias("count_order")))
+
+
+def top_customers(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+           .groupBy("c_custkey", "c_name")
+           .agg(_r(F.sum("o_totalprice")).alias("revenue_r"),
+                F.count("*").alias("n_orders")))
+    return rev.orderBy(F.desc("revenue_r"), F.asc("c_custkey")).limit(10)
+
+
+def window_running_sum(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select("event_id", "user_id",
+                    _r(F.sum("value").over(w)).alias("running_r"))
+
+
+def pagerank_2iter(spark, sf_dir):
+    """G3 power iteration (2 fixed rounds, reference damping quirk) over a
+    deterministic graph derived from lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select((F.col("l_orderkey") % 50).alias("src_doc_id"),
+                      (F.col("l_partkey") % 50).alias("dst_doc_id"))
+    nodes = spark.range(50).select(F.col("id").alias("doc_id"))
+    ranks = pagerank(spark, edges, 50, mode="reference", tol=-1.0,
+                     max_iter=2, all_doc_ids=nodes)
+    return ranks.select("doc_id", _r(F.col("page_rank"), 9).alias("pr_r"))
+
+
+# --- training-data pipeline family ------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy(F.sha2(F.col("text"), 256).alias("content_sha"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keep_doc_id")))
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram token-shingle Jaccard over doc pairs (doc_id<60), pairs with
+    jaccard ≥ 0.05."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
+                    lambda x: x != F.lit(""))
+    d = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
+    sh = d.select("doc_id", F.explode(
+        F.transform(F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, 3)))
+    ).alias("shingle")).distinct()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (inter.join(ca, "doc_a").join(cb, "doc_b")
+           .withColumn("jaccard",
+                       F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+           .filter(F.col("jaccard") >= 0.05))
+    return jac.select("doc_a", "doc_b", _r(F.col("jaccard")).alias("jaccard_r"))
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-20 vs vec_id=0 (the exact baseline the LSH
+    path must recall-match)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")).collect()[0]["qv"]
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(F.zip_with(F.col("embedding"), qlit,
+                                 lambda a, b: a.cast("double") * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (norm(F.col("embedding")) * norm(qlit))
+    return (e.filter(F.col("vec_id") != 0)
+            .select("vec_id", _r(cos).alias("cos_r"), cos.alias("_c"))
+            .orderBy(F.desc("_c"), F.asc("vec_id")).limit(20)
+            .select("vec_id", "cos_r"))
+
+
+def text_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
+                    lambda x: x != F.lit(""))
+    alpha = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        _r(alpha / F.length("text")).alias("alpha_ratio_r"))
+
+
+def lang_markers(spark, sf_dir):
+    """n-gram-free language-ID heuristic: marker-word hit counts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
+                    lambda x: x != F.lit(""))
+    en = ["the", "and", "of", "to", "in", "is"]
+    es = ["el", "la", "de", "que", "y", "los"]
+    hits = lambda ws: F.size(F.filter(toks, lambda x: x.isin(ws))).cast("long")
+    return d.select("doc_id", hits(en).alias("en_hits"), hits(es).alias("es_hits"))
+
+
+def multimodal_meta(spark, sf_dir):
+    """Opaque-binary plumbing check: byte length + sha256 of the payload
+    column treated as binary (decode itself is stubbed, operators/multimodal)."""
+    d = load_table(spark, sf_dir, "documents")
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return d.select("doc_id",
+                    F.octet_length(bin_col).cast("long").alias("n_bytes"),
+                    F.sha2(bin_col, 256).alias("payload_sha"))
+
+
+QUERIES = {
+    "a1_term_freq": a1_term_freq,
+    "a2_positions": a2_positions,
+    "a3_important_flag": a3_important_flag,
+    "a5_doc_freq": a5_doc_freq,
+    "stats_global": stats_global,
+    "bm25_topk_fixed": bm25_topk_fixed,
+    "bm25_pruned_topk": bm25_pruned_topk,
+    "parity_relevance_fixed": parity_relevance_fixed,
+    "phrase_match_fixed": phrase_match_fixed,
+    "two_stage_topk": two_stage_topk,
+    "snippet_first_match": snippet_first_match,
+    "tpch_q1": tpch_q1,
+    "top_customers": top_customers,
+    "window_running_sum": window_running_sum,
+    "pagerank_2iter": pagerank_2iter,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "ann_cosine_topk": ann_cosine_topk,
+    "text_quality": text_quality,
+    "lang_markers": lang_markers,
+    "multimodal_meta": multimodal_meta,
+}
+
+_TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), "
+         "x -> x <> '')")
+_QT_SQL = "('merge'),('sort'),('data'),('fast'),('scan')"
+
+_BASE_CTES = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), occ AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+), tfc AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM occ GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, len(t)::BIGINT AS dl FROM toks
+), st AS (
+  SELECT count(*)::BIGINT AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tfc GROUP BY 1
+)"""
+
+ORACLE_SQL = {
+    "a1_term_freq": _BASE_CTES + f"""
+SELECT term, doc_id, tf FROM tfc WHERE term IN (VALUES {_QT_SQL})""",
+
+    "a2_positions": _BASE_CTES + """
+SELECT doc_id, pos::BIGINT AS pos FROM occ WHERE term = 'merge'""",
+
+    "a3_important_flag": _BASE_CTES + f"""
+SELECT term, doc_id,
+       CASE WHEN term = 'doc' OR term = CAST(doc_id AS VARCHAR)
+            THEN 1 ELSE 0 END AS important
+FROM tfc WHERE term IN (VALUES {_QT_SQL}) OR term = 'doc'""",
+
+    "a5_doc_freq": _BASE_CTES + """
+SELECT term, df, cf FROM dfreq""",
+
+    "stats_global": _BASE_CTES + """
+SELECT n AS n_docs, CAST(round(avgdl, 6) AS DOUBLE) AS avgdl_r FROM st""",
+
+    "bm25_topk_fixed": _BASE_CTES + f""",
+q(term) AS (VALUES {_QT_SQL}),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfc.doc_id
+)
+SELECT doc_id, CAST(round(s, 6) AS DOUBLE) AS score_r
+FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20""",
+
+    "parity_relevance_fixed": _BASE_CTES + f""",
+q(term) AS (VALUES {_QT_SQL})
+SELECT tfc.doc_id,
+       CAST(round(sum(tfc.tf * (1 + ln(tfc.tf)) * ln(1 + st.n / dfreq.df)), 6)
+            AS DOUBLE) AS relevance_r,
+       max(CASE WHEN tfc.term = 'doc'
+                 OR tfc.term = CAST(tfc.doc_id AS VARCHAR)
+            THEN 1 ELSE 0 END)::INT AS important
+FROM tfc JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN st
+GROUP BY tfc.doc_id""",
+
+    "phrase_match_fixed": _BASE_CTES + """
+SELECT a.doc_id, count(*)::BIGINT AS m
+FROM occ a JOIN occ b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'key' AND b.term = 'order'
+GROUP BY a.doc_id""",
+
+    "two_stage_topk": _BASE_CTES + f""",
+q(term) AS (VALUES {_QT_SQL}),
+rel AS (
+  SELECT tfc.doc_id,
+         sum(tfc.tf * (1 + ln(tfc.tf)) * ln(1 + st.n / dfreq.df)) AS relevance
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN st
+  GROUP BY tfc.doc_id
+),
+stage1 AS (
+  SELECT * FROM rel ORDER BY relevance DESC, doc_id ASC LIMIT 20
+),
+stage2 AS (
+  SELECT s.doc_id, s.relevance * 1000.0 / d.n_chars AS score
+  FROM stage1 s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS score_r,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM stage2""",
+
+    "snippet_first_match": _BASE_CTES + """
+SELECT doc_id,
+       array_to_string(
+         t[greatest(1, list_position(t, 'merge') - 2) :
+           least(len(t), list_position(t, 'merge') + 2)], ' ') AS snippet
+FROM toks WHERE list_position(t, 'merge') IS NOT NULL
+          AND list_position(t, 'merge') > 0""",
+
+    "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity), 6) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(l_extendedprice), 6) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 6) AS DOUBLE)
+         AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "top_customers": """
+SELECT c_custkey, c_name,
+       CAST(round(sum(o_totalprice), 6) AS DOUBLE) AS revenue_r,
+       count(*)::BIGINT AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue_r DESC, c_custkey ASC LIMIT 10""",
+
+    "window_running_sum": """
+SELECT event_id, user_id,
+       CAST(round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING), 6) AS DOUBLE)
+         AS running_r
+FROM events""",
+
+    "pagerank_2iter": """
+WITH e AS (
+  SELECT DISTINCT l_orderkey % 50 AS src, l_partkey % 50 AS dst
+  FROM lineitem WHERE l_orderkey % 50 <> l_partkey % 50
+), outdeg AS (
+  SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY 1
+), nodes AS (
+  SELECT range AS doc_id FROM range(50)
+), r0 AS (
+  SELECT doc_id, 1.0 / 50 AS r FROM nodes
+), it1 AS (
+  SELECT n.doc_id,
+         0.85 * coalesce(sum(r0.r / outdeg.od), 0) + (1.0 - 0.85 / 50) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.doc_id
+  LEFT JOIN outdeg ON outdeg.src = e.src
+  LEFT JOIN r0 ON r0.doc_id = e.src
+  GROUP BY n.doc_id
+), it2 AS (
+  SELECT n.doc_id,
+         0.85 * coalesce(sum(it1.r / outdeg.od), 0) + (1.0 - 0.85 / 50) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.doc_id
+  LEFT JOIN outdeg ON outdeg.src = e.src
+  LEFT JOIN it1 ON it1.doc_id = e.src
+  GROUP BY n.doc_id
+)
+SELECT doc_id, CAST(round(r, 9) AS DOUBLE) AS pr_r FROM it2""",
+
+    "dedup_exact": """
+SELECT sha256(text) AS content_sha, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1""",
+
+    "dedup_ngram_jaccard": _BASE_CTES + """, sh AS (
+  SELECT DISTINCT a.doc_id,
+         a.term || ' ' || b.term || ' ' || c.term AS shingle
+  FROM occ a
+  JOIN occ b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN occ c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  WHERE a.doc_id < 60
+), cnt AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(round(i * 1.0 / (ca.n + cb.n - i), 6) AS DOUBLE) AS jaccard_r
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.05""",
+
+    "ann_cosine_topk": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(round(list_cosine_similarity(embedding, q.qv), 6) AS DOUBLE)
+         AS cos_r
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(embedding, q.qv) DESC, vec_id ASC LIMIT 20""",
+
+    "text_quality": f"""
+WITH toks AS (
+  SELECT doc_id, text, {_TOKS} AS t FROM documents
+)
+SELECT doc_id, len(t)::BIGINT AS n_tokens,
+       CAST(round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                  * 1.0 / length(text), 6) AS DOUBLE) AS alpha_ratio_r
+FROM toks""",
+
+    "lang_markers": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+)
+SELECT doc_id,
+       len(list_filter(t, x -> x IN ('the','and','of','to','in','is')))::BIGINT
+         AS en_hits,
+       len(list_filter(t, x -> x IN ('el','la','de','que','y','los')))::BIGINT
+         AS es_hits
+FROM toks""",
+
+    "multimodal_meta": """
+SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+       sha256(text) AS payload_sha
+FROM documents""",
+}
+
+ORACLE_SQL["bm25_pruned_topk"] = ORACLE_SQL["bm25_topk_fixed"]
