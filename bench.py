@@ -1,0 +1,104 @@
+"""Benchmark harness (driver-run per round → BENCH_r{N}.json).
+
+Measures the two authoritative metrics from BASELINE.json:
+* index-build throughput (files/sec) — full code-profile build (tokenize →
+  partial postings → segment merge → compress → partitioned write) over the
+  `documents` table at $SPARK_GRAFT_SF_DIR,
+* BM25 top-10 query latency — exhaustive and block-max-pruned paths, plus
+  phrase/parity/relational/ANN headline queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "build_files_per_sec": ..., "bm25_p95_sec": ...}
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced separately
+by scripts/bench_scaling.py and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from spidey_search_engine_spark.operators.build import build_index, load_index
+    from spidey_search_engine_spark.operators.search import bm25_topk, parity_search
+    from spidey_search_engine_spark.operators.wand import bm25_topk_pruned
+    from spidey_search_engine_spark.session import get_spark
+    from spidey_search_engine_spark.sources.tables import documents_as_corpus
+    from spidey_search_engine_spark import entry_queries as EQ
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 4)
+        return out
+
+    idx_dir = "/tmp/spidey_bench_idx"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    corpus = documents_as_corpus(spark, sf_dir)
+    n_docs = corpus.count()  # outside the timed region (scan warm-up)
+    timed("build_index", lambda: build_index(
+        spark, corpus, idx_dir, profile="code", seg_bits=10, n_buckets=32))
+    index = load_index(spark, idx_dir)
+
+    bm25_queries = {
+        "bm25_q1": "merge sort table",
+        "bm25_q2": "fast data scan filter",
+        "bm25_q3": "hash join group window",
+        "bm25_q4": "query row batch value",
+        "bm25_q5": "customer line order key",
+    }
+    lat: list[float] = []
+    for name, q in bm25_queries.items():
+        t0 = time.monotonic()
+        bm25_topk(spark, index, q, k=10).collect()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 4)
+        lat.append(dt)
+    for name, q in list(bm25_queries.items())[:2]:
+        timed(name + "_pruned",
+              lambda q=q: bm25_topk_pruned(spark, index, q, k=10).collect())
+    timed("parity_two_stage",
+          lambda: parity_search(spark, index, 'fast "merge sort" scan').collect())
+
+    timed("tpch_q1", lambda: EQ.tpch_q1(spark, sf_dir).collect())
+    timed("ann_cosine_topk", lambda: EQ.ann_cosine_topk(spark, sf_dir).collect())
+    timed("window_running_sum",
+          lambda: EQ.window_running_sum(spark, sf_dir).count())
+    timed("dedup_exact", lambda: EQ.dedup_exact(spark, sf_dir).count())
+
+    lat.sort()
+    p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))] if lat else 0.0
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "index-build + BM25/parity/relational suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "n_docs_indexed": n_docs,
+        "build_files_per_sec": round(n_docs / timings["build_index"], 2),
+        "bm25_p95_sec": round(p95, 4),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
