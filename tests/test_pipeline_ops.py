@@ -1,0 +1,192 @@
+"""Training-data pipeline operators: dedup, ANN, text stats, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Corpus with planted exact + near duplicates."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest to find some food for winter")
+    near = base.replace("winter", "summer")          # high jaccard
+    near2 = base.replace("quick", "slow").replace("lazy", "busy")
+    other = ("completely different text about spark dataframes shuffles "
+             "partitions joins aggregations and columnar parquet readers "
+             "running on large clusters with many executors")
+    rows = [(0, base), (1, base), (2, near), (3, near2), (4, other),
+            (5, other + " extended with a few more words here")]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_exact_dedup(spark, dup_docs):
+    from spidey_search_engine_spark.operators.dedup import exact_dedup
+    out = {r["id"]: r["keep"] for r in exact_dedup(dup_docs).collect()}
+    assert out[0] is True and out[1] is False  # same sha → keep lowest id
+    assert all(out[i] for i in (2, 3, 4, 5))
+
+
+def test_minhash_lsh_finds_near_dups(spark, dup_docs):
+    from spidey_search_engine_spark.operators.dedup import minhash_lsh_dedup
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_dedup(dup_docs, num_hashes=32, bands=16,
+                                        threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
+    assert not any({a, b} == {0, 4} for a, b in pairs)
+
+
+def test_lsh_candidates_superset_check(spark, dup_docs):
+    """LSH+verify results ⊆ exact jaccard results at same threshold, and
+    identical-docs pairs are always found (sig equality is deterministic)."""
+    from spidey_search_engine_spark.operators.dedup import (jaccard_pairs,
+                                                            minhash_lsh_dedup,
+                                                            shingles_df)
+    sh = shingles_df(dup_docs)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             jaccard_pairs(sh, None, 0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           minhash_lsh_dedup(dup_docs, threshold=0.5).collect()}
+    assert lsh <= exact
+    assert (0, 1) in lsh
+
+
+def test_simhash_near_pairs(spark, dup_docs):
+    from spidey_search_engine_spark.operators.dedup import (
+        simhash_fingerprints, simhash_near_pairs)
+    fp = simhash_fingerprints(dup_docs)
+    vals = {r["id"]: r["simhash"] for r in fp.collect()}
+    assert vals[0] == vals[1]  # identical text → identical fingerprint
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_pairs(fp, hamming_max=8).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs  # one-token change → small hamming distance
+    assert not any({a, b} == {0, 4} for a, b in pairs)
+
+
+def test_simhash_matches_numpy_oracle(spark, dup_docs):
+    """Column-algebra simhash == straightforward numpy implementation."""
+    from spidey_search_engine_spark.operators.dedup import simhash_fingerprints
+    import pandas as pd
+    got = {r["id"]: r["simhash"] for r in
+           simhash_fingerprints(dup_docs).collect()}
+    pdf = dup_docs.toPandas()
+    sp = spark
+    for _, row in pdf.iterrows():
+        toks = [t for t in __import__("re").split(
+            r"[^a-z0-9_]+", row["content"].lower()) if t]
+        from collections import Counter
+        tf = Counter(toks)
+        # xxhash64 must match Spark's — fetch via Spark for the oracle
+        hs = {t: h for t, h in
+              sp.createDataFrame([(t,) for t in tf], "tok string")
+              .select("tok", F.xxhash64("tok").alias("h")).collect()}
+        acc = np.zeros(64)
+        for t, c in tf.items():
+            h = np.int64(hs[t])
+            for i in range(64):
+                bit = (int(h) >> i) & 1
+                acc[i] += c * (1 if bit else -1)
+        val = 0
+        for i in range(64):
+            if acc[i] > 0:
+                val |= (1 << i)
+        # interpret as signed 64-bit like Spark's long
+        if val >= (1 << 63):
+            val -= (1 << 64)
+        assert got[row["doc_id"]] == val
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.Generator(np.random.PCG64(3))
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + rng.standard_normal(16).astype(np.float32) * 0.01
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    return (spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+            vecs)
+
+
+def test_brute_force_cosine_matches_numpy(spark, emb_df):
+    from spidey_search_engine_spark.operators.similarity import \
+        brute_force_cosine_topk
+    df, vecs = emb_df
+    q = vecs[3].astype(np.float64)
+    got = [(r["id"], r["cos"]) for r in
+           brute_force_cosine_topk(df, q, k=5).collect()]
+    v = vecs.astype(np.float64)
+    cos = (v @ q) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
+    order = sorted(range(60), key=lambda i: (-cos[i], i))[:5]
+    assert [i for i, _ in got] == order
+    for (gid, gcos), i in zip(got, order):
+        assert abs(gcos - cos[i]) < 1e-9
+
+
+def test_ann_lsh_finds_planted_neighbor(spark, emb_df):
+    from spidey_search_engine_spark.operators.similarity import ann_topk_lsh
+    df, vecs = emb_df
+    got = [r["id"] for r in
+           ann_topk_lsh(df, vecs[3].astype(float), dim=16, k=3,
+                        n_bits=6, probe_hamming=1).collect()]
+    assert got[0] == 3        # the vector itself
+    assert 7 in got[:2]       # the planted near-duplicate shares the bucket
+
+
+def test_embedding_cosine_dedup(spark, emb_df):
+    from spidey_search_engine_spark.operators.similarity import \
+        embedding_cosine_dedup_pairs
+    df, vecs = emb_df
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_cosine_dedup_pairs(df, dim=16, threshold=0.99,
+                                          n_bits=4).collect()}
+    assert (3, 7) in pairs
+
+
+def test_textstats(spark):
+    from spidey_search_engine_spark.functions.textstats import (
+        with_bpe_token_estimate, with_fingerprint, with_lang_id,
+        with_quality_score, with_token_count)
+    rows = [
+        (0, "the quick brown fox is in the barn and it is warm"),
+        (1, "el perro corre por la calle y los gatos duermen en un sofa"),
+        (2, "x!!! ??? ###"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    tc = {r["doc_id"]: r["n_tokens"] for r in with_token_count(df).collect()}
+    assert tc[0] == 12 and tc[2] == 1
+    lang = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(df).collect()}
+    assert lang[0] == "en" and lang[1] == "es" and lang[2] == "und"
+    q = {r["doc_id"]: r["quality_score"] for r in
+         with_quality_score(df).collect()}
+    assert q[0] > q[2]
+    bpe = {r["doc_id"]: r["n_bpe_est"] for r in
+           with_bpe_token_estimate(df).collect()}
+    assert bpe[2] >= 7  # punctuation chars count as subword units
+    fp = with_fingerprint(df).collect()
+    assert all(r["fingerprint"] is not None for r in fp)
+    # fingerprint is whitespace-normalization stable
+    df2 = spark.createDataFrame(
+        [(0, "the   quick Brown fox is in the barn and it is warm")],
+        "doc_id long, content string")
+    assert (with_fingerprint(df2).collect()[0]["fingerprint"]
+            == [r for r in fp if r["doc_id"] == 0][0]["fingerprint"])
+
+
+def test_multimodal_plumbing(spark):
+    from spidey_search_engine_spark.operators.multimodal import (
+        frame_sample_plan, image_features, text_as_binary)
+    rows = [(i, f"payload-{i}-" + "z" * (i * 500)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bin_df = text_as_binary(df)
+    feats = image_features(bin_df, fake=True).collect()
+    assert len(feats) == 5
+    for r in feats:
+        assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+        assert 16 <= r["width"] < 80 and len(r["feature"]) == 8
+    # strict mode raises (the stub is honest about the missing codec)
+    with pytest.raises(Exception):
+        image_features(bin_df, fake=False).collect()
+    frames = frame_sample_plan(bin_df, every_n=1).groupBy("doc_id").count()
+    got = {r["doc_id"]: r["count"] for r in frames.collect()}
+    assert got[4] > got[0] >= 1
