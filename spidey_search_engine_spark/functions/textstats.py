@@ -41,8 +41,9 @@ def with_bpe_token_estimate(df: DataFrame, text_col: str = "content",
                             out: str = "n_bpe_est") -> DataFrame:
     """BPE-ish subword count estimate: split on whitespace AND intra-word
     transitions (letter/digit/punct boundaries, camelCase humps), the
-    classic GPT-2-style pre-tokenizer shape, via one regexp count."""
-    pat = r"[A-Z]?[a-z]+|[A-Z]+(?![a-z])|[0-9]{1,3}|[^A-Za-z0-9\s]"
+    classic GPT-2-style pre-tokenizer shape, via one regexp count. The
+    pattern is lookahead-free so RE2-based oracles (DuckDB) can mirror it."""
+    pat = r"[A-Z]?[a-z]+|[A-Z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
     return df.withColumn(
         out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
         .cast("long"))

@@ -1,0 +1,124 @@
+"""Resumable index build with per-chunk lineage + metrics (SURVEY.md §4
+custom #5; north_rule: "resumable from checkpoint with per-partition lineage
+and metrics tables").
+
+The doc-id space is split into contiguous CHUNKS (each a whole number of
+posting segments, so no (term, segment) row ever spans chunks). Each chunk
+builds and commits independently:
+
+    out_dir/
+      docs/                    # doc store, written once
+      postings/chunk=<c>/...   # per-chunk partitioned postings (atomic dir)
+      lineage/                 # one parquet row per finished chunk:
+                               # (build_id, chunk, n_docs, n_postings_rows,
+                               #  wall_sec, finished_at)
+      terms/, stats/           # published after all chunks are done
+
+Resume = anti-join the chunk list against the lineage table and build only
+the missing chunks; a crashed run leaves at most one unfinished chunk dir,
+which is overwritten on retry (postings for chunk c are written with
+mode=overwrite into their own directory → idempotent). This mirrors the
+reference's batch-of-500 + commit-thread design (Indexer.java:29,656-663)
+with Spark-native atomicity instead of MySQL transactions.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.build import (build_partials, doc_stats, merge_partials,
+                               prepare_docs, term_stats)
+
+
+def _done_chunks(spark: SparkSession, out_dir: str) -> set[int]:
+    path = os.path.join(out_dir, "lineage")
+    try:
+        return {int(r["chunk"]) for r in
+                spark.read.parquet(path).select("chunk").distinct().collect()}
+    except Exception:
+        return set()
+
+
+def build_index_resumable(spark: SparkSession, corpus: DataFrame,
+                          out_dir: str, profile: str = "code",
+                          seg_bits: int = 10, chunk_segments: int = 16,
+                          n_buckets: int = 32,
+                          fail_after_chunks: int | None = None) -> dict:
+    """Chunked, resumable build. `fail_after_chunks` injects a crash after
+    N chunks (test hook for the resume invariant).
+
+    Returns the published stats dict."""
+    build_id = uuid.uuid4().hex[:12]
+    docs_path = os.path.join(out_dir, "docs")
+    if not os.path.exists(docs_path):
+        docs = prepare_docs(corpus)
+        docs_tok, _ = build_partials(docs, profile=profile, seg_bits=seg_bits)
+        docs_tok.select("doc_id", "repo", "path", "commit", "lang",
+                        "content_sha256", "n_tokens") \
+            .write.mode("overwrite").parquet(docs_path + ".tmp")
+        os.rename(docs_path + ".tmp", docs_path)
+    docs_w = spark.read.parquet(docs_path)
+    stats = doc_stats(docs_w)
+    n_docs = stats["n_docs"]
+
+    chunk_docs = chunk_segments << seg_bits
+    n_chunks = (n_docs + chunk_docs - 1) // chunk_docs
+    done = _done_chunks(spark, out_dir)
+    skipped = sorted(done)
+
+    # corpus must carry doc_id for chunk slicing; re-derive deterministically
+    docs_full = prepare_docs(corpus)
+    built = 0
+    for c in range(n_chunks):
+        if c in done:
+            continue
+        lo, hi = c * chunk_docs, min((c + 1) * chunk_docs, n_docs)
+        t0 = time.monotonic()
+        chunk = docs_full.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        _, partials = build_partials(chunk, profile=profile, seg_bits=seg_bits)
+        postings = merge_partials(partials, avgdl=stats["avgdl"],
+                                  n_buckets=n_buckets)
+        chunk_dir = os.path.join(out_dir, "postings", f"chunk={c}")
+        postings.repartition("bucket").write.mode("overwrite") \
+            .partitionBy("bucket").parquet(chunk_dir)
+        n_rows = spark.read.parquet(chunk_dir).count()
+        lineage_row = spark.createDataFrame(
+            [(build_id, c, hi - lo, n_rows,
+              round(time.monotonic() - t0, 3), time.time())],
+            "build_id string, chunk int, n_docs long, n_postings_rows long, "
+            "wall_sec double, finished_at double")
+        lineage_row.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+        built += 1
+        if fail_after_chunks is not None and built >= fail_after_chunks:
+            raise RuntimeError(f"injected failure after {built} chunks")
+
+    # publish: global dictionary + stats over all chunks
+    postings_all = spark.read.option("basePath", os.path.join(out_dir, "postings")) \
+        .parquet(os.path.join(out_dir, "postings"))
+    terms = term_stats(postings_all, n_docs)
+    terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+    stats_row = dict(stats, profile=profile, seg_bits=seg_bits,
+                     n_buckets=n_buckets, k1=1.2, b=0.75,
+                     build_id=build_id, n_chunks=n_chunks,
+                     skipped_chunks=len(skipped))
+    spark.createDataFrame([stats_row]).coalesce(1).write.mode("overwrite") \
+        .json(os.path.join(out_dir, "stats"))
+    return stats_row
+
+
+def load_index_resumable(spark: SparkSession, out_dir: str) -> dict:
+    stats = spark.read.json(os.path.join(out_dir, "stats")).collect()[0].asDict()
+    return {
+        "docs": spark.read.parquet(os.path.join(out_dir, "docs")),
+        "postings": spark.read.option(
+            "basePath", os.path.join(out_dir, "postings"))
+        .parquet(os.path.join(out_dir, "postings")),
+        "terms": spark.read.parquet(os.path.join(out_dir, "terms")),
+        "stats": stats,
+        "lineage": spark.read.parquet(os.path.join(out_dir, "lineage")),
+    }
