@@ -1,0 +1,89 @@
+"""Incremental index append via Structured Streaming.
+
+The reference "recrawls" in batch loops (Crawler.java:308-414) and re-indexes
+changed pages (Indexer.java:788-808); the Spark-native equivalent is a
+stream of new/changed docs appended to the index incrementally:
+
+    readStream(docs source) → foreachBatch:
+        micro-batch  = one build chunk (same core as plans/lineage.py)
+        postings     → out_dir/postings/chunk=stream_<epoch>/
+        lineage row  → out_dir/lineage
+
+Requirements at scale: incoming docs carry pre-assigned doc_ids (id
+assignment is an upstream concern in a streaming world — a dense global
+row_number is not streamable); doc ranges of distinct batches must be
+disjoint for segment-level isolation, which holds when ids are
+monotonically assigned by the producer. Stats/terms are republished after
+the stream stops (or periodically) — BM25 idf/avgdl drift within an epoch
+is the standard trade-off of incremental indexing.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.build import (build_partials, doc_stats, merge_partials,
+                               term_stats)
+
+
+def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
+                        out_dir: str, avgdl_hint: float,
+                        profile: str = "code", seg_bits: int = 10,
+                        n_buckets: int = 32, checkpoint: str | None = None):
+    """Start a foreachBatch stream appending per-batch postings chunks.
+
+    docs_stream must provide (doc_id, repo, path, commit, lang, content).
+    avgdl_hint seeds the block-max impact bounds (recomputed exactly at
+    publish). Returns the StreamingQuery."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        t0 = time.monotonic()
+        docs = batch_df.withColumn("content_sha256",
+                                   F.sha2(F.col("content"), 256))
+        docs_tok, partials = build_partials(docs, profile=profile,
+                                            seg_bits=seg_bits)
+        postings = merge_partials(partials, avgdl=avgdl_hint,
+                                  n_buckets=n_buckets)
+        chunk_dir = os.path.join(out_dir, "postings",
+                                 f"chunk=stream_{batch_id}")
+        postings.repartition("bucket").write.mode("overwrite") \
+            .partitionBy("bucket").parquet(chunk_dir)
+        docs_tok.select("doc_id", "repo", "path", "commit", "lang",
+                        "content_sha256", "n_tokens") \
+            .write.mode("append").parquet(os.path.join(out_dir, "docs"))
+        n_rows = batch_df.sparkSession.read.parquet(chunk_dir).count()
+        batch_df.sparkSession.createDataFrame(
+            [(f"stream_{batch_id}", int(batch_id), docs.count(), n_rows,
+              round(time.monotonic() - t0, 3), time.time())],
+            "build_id string, chunk int, n_docs long, n_postings_rows long, "
+            "wall_sec double, finished_at double") \
+            .write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+
+    writer = docs_stream.writeStream.foreachBatch(process) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def publish_index(spark: SparkSession, out_dir: str, profile: str = "code",
+                  seg_bits: int = 10, n_buckets: int = 32) -> dict:
+    """Recompute exact terms/stats over all appended chunks."""
+    docs_w = spark.read.parquet(os.path.join(out_dir, "docs"))
+    stats = doc_stats(docs_w)
+    postings_all = spark.read.option(
+        "basePath", os.path.join(out_dir, "postings")) \
+        .parquet(os.path.join(out_dir, "postings"))
+    terms = term_stats(postings_all, stats["n_docs"])
+    terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+    stats_row = dict(stats, profile=profile, seg_bits=seg_bits,
+                     n_buckets=n_buckets, k1=1.2, b=0.75)
+    spark.createDataFrame([stats_row]).coalesce(1).write.mode("overwrite") \
+        .json(os.path.join(out_dir, "stats"))
+    return stats_row
