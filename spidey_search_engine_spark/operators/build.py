@@ -77,18 +77,38 @@ POSTING_SCHEMA = StructType([
 
 
 def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Dense deterministic doc_id ordered by (repo, path).
+    """Dense deterministic doc_id ordered by (repo, path), fully JVM-side.
 
-    repartitionByRange + sortWithinPartitions gives a total order without a
-    global single-partition sort; zipWithIndex assigns dense ids in one pass
-    (per-partition counts + cumulative offsets under the hood)."""
-    cols = df.columns
+    zipWithIndex-style two-pass without the RDD→Python round-trip (pickling
+    every content row through Python is the classic scale killer):
+    range-partition + local sort gives the total order; pass 1 collects only
+    per-partition row counts (32 longs); pass 2 adds the broadcast partition
+    offset to a within-partition row_number. No global single-task sort."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ordered = df.repartitionByRange(n, "repo", "path").sortWithinPartitions("repo", "path")
-    out_schema = StructType(
-        [StructField("doc_id", LongType(), False)] + list(ordered.schema.fields))
-    rdd = ordered.rdd.zipWithIndex().map(lambda ri: (ri[1], *ri[0]))
-    return df.sparkSession.createDataFrame(rdd, out_schema)
+    ordered = (df.repartitionByRange(n, "repo", "path")
+               .sortWithinPartitions("repo", "path")
+               .withColumn("_pid", F.spark_partition_id()))
+    ordered = ordered.localCheckpoint()  # pin partitioning across both passes
+    counts = {r["_pid"]: r["cnt"] for r in
+              ordered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    odf = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long")
+    # monotonically_increasing_id = (partition << 33) | local row seq; rows
+    # are already locally sorted (pre-checkpoint), so subtracting the
+    # partition base yields the in-partition ordinal — a NARROW op, no
+    # second shuffle over the content bytes.
+    out = (ordered.withColumn("_mid", F.monotonically_increasing_id())
+           .join(F.broadcast(odf), "_pid")
+           .withColumn("doc_id",
+                       F.col("_off") + F.col("_mid")
+                       - F.shiftleft(F.col("_pid").cast("long"), 33))
+           .drop("_pid", "_off", "_mid"))
+    return out.select("doc_id", *df.columns)
 
 
 def prepare_docs(corpus: DataFrame) -> DataFrame:
@@ -148,15 +168,21 @@ def positions_of(tfs: np.ndarray, pos_gaps: np.ndarray) -> list[np.ndarray]:
     return out
 
 
-def build_partials(docs: DataFrame, profile: str = "code",
-                   seg_bits: int = 16) -> tuple[DataFrame, DataFrame]:
-    """(docs_with_lengths, partial postings) via one mapInPandas pass.
+# sentinel pseudo-term carrying per-doc lengths inside the partials stream
+# (F1 tokens can never contain "\x00": it is outside every token charset)
+DOCLEN_TERM = "\x00doclen"
 
-    Tokenization + counting + positions + important flag happen in a single
-    Arrow batch traversal (the reference's 10-thread per-doc loop,
-    Indexer.java:291, becomes one vectorized pass per partition)."""
+
+def build_partials(docs: DataFrame, profile: str = "code",
+                   seg_bits: int = 16) -> DataFrame:
+    """Partial postings via ONE mapInPandas pass (the only pass that touches
+    `content`). Tokenization + tf + positions + important flag + doc length
+    happen in a single Arrow batch traversal (the reference's 10-thread
+    per-doc loop, Indexer.java:291, becomes one vectorized pass per
+    partition). Per-doc lengths ride along as postings of the DOCLEN_TERM
+    sentinel (tf=1, dl=doc length) so no second tokenization pass is needed
+    for the stats table."""
     tokenizer = PROFILES[profile]
-    seg_mask = np.int64((1 << seg_bits) - 1)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -173,6 +199,8 @@ def build_partials(docs: DataFrame, profile: str = "code",
                 for t, poss in per_term.items():
                     acc.setdefault((t, seg), []).append(
                         (int(doc_id), len(poss), t in title_set, dl, poss))
+                acc.setdefault((DOCLEN_TERM, seg), []).append(
+                    (int(doc_id), 1, False, dl, [0]))
             rows = []
             for (t, seg), entries in acc.items():
                 entries.sort(key=lambda e: e[0])
@@ -187,14 +215,27 @@ def build_partials(docs: DataFrame, profile: str = "code",
                 rows.append((t, seg, int(doc_ids.size), int(tfs.sum()), buf))
             yield pd.DataFrame(rows, columns=[f.name for f in PARTIAL_SCHEMA.fields])
 
-    # compute n_tokens cheaply for stats (second tiny pass over content —
-    # kept separate so the partial-build output stays narrow)
-    from ..functions.analysis import spark_udfs
-    tok_udf = spark_udfs()[profile]
-    docs_tok = docs.withColumn("n_tokens", F.size(tok_udf(F.col("content"))))
-    partials = docs.select("doc_id", "content", "path").mapInPandas(
+    return docs.select("doc_id", "content", "path").mapInPandas(
         gen, schema=PARTIAL_SCHEMA)
-    return docs_tok, partials
+
+
+def doc_lengths(partials: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) decoded from the DOCLEN_TERM sentinel partials."""
+    sent = partials.filter(F.col("term") == DOCLEN_TERM)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, lens = [], []
+            for buf in pdf["bin"]:
+                doc_ids, _tfp, dls, _pg = _decode_partial(bytes(buf))
+                ids.append(doc_ids)
+                lens.append(dls)
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(ids) if ids else np.array([], np.int64),
+                "n_tokens": np.concatenate(lens) if lens else np.array([], np.int64),
+            })
+
+    return sent.select("bin").mapInPandas(decode, "doc_id long, n_tokens long")
 
 
 def merge_partials(partials: DataFrame, avgdl: float,
@@ -272,16 +313,21 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     pruning stands in for the reference's MySQL hash index,
     create_database.sql:47)."""
     docs = prepare_docs(corpus)
-    docs_tok, partials = build_partials(docs, profile=profile, seg_bits=seg_bits)
-    docs_out = docs_tok.select("doc_id", "repo", "path", "commit", "lang",
-                               "content_sha256", "n_tokens")
+    partials = build_partials(docs, profile=profile, seg_bits=seg_bits)
+    partials.persist()  # ONE tokenization pass feeds doclens AND postings
+    docs_out = (docs.drop("content")
+                .join(doc_lengths(partials), "doc_id")
+                .select("doc_id", "repo", "path", "commit", "lang",
+                        "content_sha256", "n_tokens"))
     docs_out.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
     docs_written = spark.read.parquet(os.path.join(out_dir, "docs"))
     stats = doc_stats(docs_written)
-    postings = merge_partials(partials, avgdl=stats["avgdl"], n_buckets=n_buckets)
+    postings = merge_partials(partials.filter(F.col("term") != DOCLEN_TERM),
+                              avgdl=stats["avgdl"], n_buckets=n_buckets)
     (postings.repartition("bucket")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(out_dir, "postings")))
+    partials.unpersist()
     postings_w = spark.read.parquet(os.path.join(out_dir, "postings"))
     terms = term_stats(postings_w, stats["n_docs"])
     terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))

@@ -31,8 +31,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.build import (build_partials, doc_stats, merge_partials,
-                               prepare_docs, term_stats)
+from ..operators.build import (DOCLEN_TERM, build_partials, doc_lengths,
+                               doc_stats, merge_partials, prepare_docs,
+                               term_stats)
 
 
 def _done_chunks(spark: SparkSession, out_dir: str) -> set[int]:
@@ -57,10 +58,11 @@ def build_index_resumable(spark: SparkSession, corpus: DataFrame,
     docs_path = os.path.join(out_dir, "docs")
     if not os.path.exists(docs_path):
         docs = prepare_docs(corpus)
-        docs_tok, _ = build_partials(docs, profile=profile, seg_bits=seg_bits)
-        docs_tok.select("doc_id", "repo", "path", "commit", "lang",
-                        "content_sha256", "n_tokens") \
-            .write.mode("overwrite").parquet(docs_path + ".tmp")
+        partials0 = build_partials(docs, profile=profile, seg_bits=seg_bits)
+        (docs.drop("content").join(doc_lengths(partials0), "doc_id")
+         .select("doc_id", "repo", "path", "commit", "lang",
+                 "content_sha256", "n_tokens")
+         .write.mode("overwrite").parquet(docs_path + ".tmp"))
         os.rename(docs_path + ".tmp", docs_path)
     docs_w = spark.read.parquet(docs_path)
     stats = doc_stats(docs_w)
@@ -80,7 +82,8 @@ def build_index_resumable(spark: SparkSession, corpus: DataFrame,
         lo, hi = c * chunk_docs, min((c + 1) * chunk_docs, n_docs)
         t0 = time.monotonic()
         chunk = docs_full.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        _, partials = build_partials(chunk, profile=profile, seg_bits=seg_bits)
+        partials = build_partials(chunk, profile=profile, seg_bits=seg_bits) \
+            .filter(F.col("term") != DOCLEN_TERM)
         postings = merge_partials(partials, avgdl=stats["avgdl"],
                                   n_buckets=n_buckets)
         chunk_dir = os.path.join(out_dir, "postings", f"chunk={c}")

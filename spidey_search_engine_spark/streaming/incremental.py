@@ -26,8 +26,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.build import (build_partials, doc_stats, merge_partials,
-                               term_stats)
+from ..operators.build import (DOCLEN_TERM, build_partials, doc_lengths,
+                               doc_stats, merge_partials, term_stats)
 
 
 def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
@@ -46,17 +46,20 @@ def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
         t0 = time.monotonic()
         docs = batch_df.withColumn("content_sha256",
                                    F.sha2(F.col("content"), 256))
-        docs_tok, partials = build_partials(docs, profile=profile,
-                                            seg_bits=seg_bits)
-        postings = merge_partials(partials, avgdl=avgdl_hint,
-                                  n_buckets=n_buckets)
+        partials = build_partials(docs, profile=profile, seg_bits=seg_bits)
+        partials.persist()
+        postings = merge_partials(
+            partials.filter(F.col("term") != DOCLEN_TERM),
+            avgdl=avgdl_hint, n_buckets=n_buckets)
         chunk_dir = os.path.join(out_dir, "postings",
                                  f"chunk=stream_{batch_id}")
         postings.repartition("bucket").write.mode("overwrite") \
             .partitionBy("bucket").parquet(chunk_dir)
-        docs_tok.select("doc_id", "repo", "path", "commit", "lang",
-                        "content_sha256", "n_tokens") \
-            .write.mode("append").parquet(os.path.join(out_dir, "docs"))
+        (docs.drop("content").join(doc_lengths(partials), "doc_id")
+         .select("doc_id", "repo", "path", "commit", "lang",
+                 "content_sha256", "n_tokens")
+         .write.mode("append").parquet(os.path.join(out_dir, "docs")))
+        partials.unpersist()
         n_rows = batch_df.sparkSession.read.parquet(chunk_dir).count()
         batch_df.sparkSession.createDataFrame(
             [(f"stream_{batch_id}", int(batch_id), docs.count(), n_rows,
