@@ -11,9 +11,10 @@ Python UDFs):
    positions ordinals in the filtered stream, A3 important flag = stemmed
    token ∈ stemmed path/title token set, Indexer.java:385-415) and emit one
    compressed partial posting row per (term, segment).
-4. hierarchical merge (A7) — ``groupBy(term, segment).applyInPandas``
-   concatenates disjoint partials in doc order and re-encodes with
-   block-max metadata.
+4. hierarchical merge (A7) — one shuffle keyed (bucket, salted term) +
+   local sort, then a streaming ``mapInPandas`` merging consecutive equal
+   (term, segment) keys and re-encoding with block-max metadata (see
+   merge_partials for why not groupBy.applyInPandas).
 
 **Skew strategy (SURVEY.md §4 custom #1):** postings are segmented by
 doc-id range (``segment = doc_id >> seg_bits``). A hot term (``import``,
@@ -238,56 +239,94 @@ def doc_lengths(partials: DataFrame) -> DataFrame:
     return sent.select("bin").mapInPandas(decode, "doc_id long, n_tokens long")
 
 
-def merge_partials(partials: DataFrame, avgdl: float,
-                   n_buckets: int = 64) -> DataFrame:
+def _merge_group(term: str, seg: int, bins: list, avgdl: float) -> tuple:
+    """Merge the decoded partials of ONE (term, segment) group → output row
+    tuple matching POSTING_SCHEMA (sans bucket)."""
+    parts = [_decode_partial(bytes(b)) for b in bins]
+    doc_ids = np.concatenate([p[0] for p in parts])
+    tf_packed = np.concatenate([p[1] for p in parts])
+    dls = np.concatenate([p[2] for p in parts])
+    if doc_ids.size > 1 and (np.diff(doc_ids) <= 0).any():
+        # partials may interleave (arbitrary input partitioning) but a doc
+        # appears in exactly one partial — sort, then re-slice the per-doc
+        # position blocks into the new order
+        order = np.argsort(doc_ids, kind="stable")
+        if np.unique(doc_ids).size != doc_ids.size:
+            raise ValueError(
+                f"duplicate doc_id in partials for term={term!r} seg={seg}")
+        tfs_all = (tf_packed >> 1).astype(np.int64)
+        starts = np.zeros(doc_ids.size, dtype=np.int64)
+        np.cumsum(tfs_all[:-1], out=starts[1:])
+        pos_gaps_cat = np.concatenate([p[3] for p in parts])
+        pos_gaps = np.concatenate(
+            [pos_gaps_cat[starts[i]:starts[i] + tfs_all[i]] for i in order]
+        ) if tfs_all.sum() else np.zeros(0, np.uint64)
+        doc_ids, tf_packed, dls = doc_ids[order], tf_packed[order], dls[order]
+    else:
+        pos_gaps = np.concatenate([p[3] for p in parts])
+    buf = _encode_partial(doc_ids, tf_packed, dls, pos_gaps.astype(np.uint64))
+    tfs = (tf_packed >> 1).astype(np.float64)
+    impact = tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
+    nblocks = (doc_ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
+    bfirst, blast, bmax = [], [], []
+    for i in range(nblocks):
+        sl = slice(i * BLOCK_SIZE, (i + 1) * BLOCK_SIZE)
+        bfirst.append(int(doc_ids[sl][0]))
+        blast.append(int(doc_ids[sl][-1]))
+        bmax.append(float(impact[sl].max()))
+    return (term, int(seg), int(doc_ids.size), int(tfs.sum()), buf,
+            bfirst, blast, bmax)
+
+
+def merge_partials(partials: DataFrame, avgdl: float, n_buckets: int = 64,
+                   salt_factor: int = 8) -> DataFrame:
     """A7 hierarchical merge: disjoint doc-range partials → one compressed
-    row per (term, segment) with block-max BM25 impact bounds."""
+    row per (term, segment) with block-max BM25 impact bounds.
+
+    Physical shape: ONE shuffle keyed (bucket, salt(term)) + local sort by
+    (term, segment), then a streaming mapInPandas that merges consecutive
+    equal keys — NOT groupBy.applyInPandas, whose per-group pandas-DataFrame
+    overhead dominates wall time when the group count is large (hundreds of
+    thousands of tiny (term,segment) groups is the normal case). The salt
+    spreads each bucket over `salt_factor` reducers for merge parallelism
+    while keeping the final write partitionBy(bucket) shuffle-free, and the
+    sort makes written files term-ordered → parquet row-group min/max
+    skipping on query-term filters."""
     avgdl = max(avgdl, 1e-9)
+    out_cols = [f.name for f in POSTING_SCHEMA.fields]
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, seg = key
-        parts = [_decode_partial(b) for b in pdf["bin"]]
-        doc_ids = np.concatenate([p[0] for p in parts])
-        tf_packed = np.concatenate([p[1] for p in parts])
-        dls = np.concatenate([p[2] for p in parts])
-        if doc_ids.size > 1 and (np.diff(doc_ids) <= 0).any():
-            # partials may interleave (arbitrary input partitioning) but a
-            # doc appears in exactly one partial — sort, then re-slice the
-            # per-doc position blocks into the new order
-            order = np.argsort(doc_ids, kind="stable")
-            if np.unique(doc_ids).size != doc_ids.size:
-                raise ValueError(
-                    f"duplicate doc_id in partials for term={term!r} seg={seg}")
-            tfs_all = (tf_packed >> 1).astype(np.int64)
-            starts = np.zeros(doc_ids.size, dtype=np.int64)
-            np.cumsum(tfs_all[:-1], out=starts[1:])
-            pos_gaps_cat = np.concatenate([p[3] for p in parts])
-            pos_gaps = np.concatenate(
-                [pos_gaps_cat[starts[i]:starts[i] + tfs_all[i]] for i in order]
-            ) if tfs_all.sum() else np.zeros(0, np.uint64)
-            doc_ids, tf_packed, dls = doc_ids[order], tf_packed[order], dls[order]
-        else:
-            pos_gaps = np.concatenate([p[3] for p in parts])
-        buf = _encode_partial(doc_ids, tf_packed, dls,
-                              pos_gaps.astype(np.uint64))
-        tfs = (tf_packed >> 1).astype(np.float64)
-        impact = tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
-        nblocks = (doc_ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
-        bfirst, blast, bmax = [], [], []
-        for i in range(nblocks):
-            sl = slice(i * BLOCK_SIZE, (i + 1) * BLOCK_SIZE)
-            bfirst.append(int(doc_ids[sl][0]))
-            blast.append(int(doc_ids[sl][-1]))
-            bmax.append(float(impact[sl].max()))
-        return pd.DataFrame([{
-            "term": term, "segment": int(seg), "n_docs": int(doc_ids.size),
-            "cf": int(tfs.sum()), "bin": buf,
-            "block_first_doc": bfirst, "block_last_doc": blast,
-            "block_max_impact": bmax,
-        }])
+    def merge_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur: tuple | None = None
+        bins: list = []
+        rows: list = []
 
-    merged = partials.groupBy("term", "segment").applyInPandas(
-        merge, schema=POSTING_SCHEMA)
+        def flush():
+            if cur is not None:
+                rows.append(_merge_group(cur[0], cur[1], bins, avgdl))
+
+        for pdf in batches:
+            for term, seg, b in zip(pdf["term"], pdf["segment"], pdf["bin"]):
+                k = (term, seg)
+                if k != cur:
+                    flush()
+                    cur, bins = k, []
+                bins.append(b)
+            if len(rows) >= 2000:
+                yield pd.DataFrame(rows, columns=out_cols)
+                rows = []
+        flush()
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    with_bucket = partials.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    ).withColumn(
+        "_salt", F.pmod(F.xxhash64("term", F.lit(1)), F.lit(salt_factor)))
+    shuffled = (with_bucket.repartition("bucket", "_salt")
+                .sortWithinPartitions("term", "segment"))
+    merged = shuffled.select("term", "segment", "bin", "bucket").mapInPandas(
+        merge_stream, schema=POSTING_SCHEMA)
+    # bucket is re-derived (constant per term) so the write needs no shuffle
     return merged.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
 
@@ -324,8 +363,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     stats = doc_stats(docs_written)
     postings = merge_partials(partials.filter(F.col("term") != DOCLEN_TERM),
                               avgdl=stats["avgdl"], n_buckets=n_buckets)
-    (postings.repartition("bucket")
-     .write.mode("overwrite").partitionBy("bucket")
+    # merge output is already (bucket,salt)-partitioned and term-sorted:
+    # partitionBy(bucket) write needs no further shuffle
+    (postings.write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(out_dir, "postings")))
     partials.unpersist()
     postings_w = spark.read.parquet(os.path.join(out_dir, "postings"))

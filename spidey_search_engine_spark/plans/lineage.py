@@ -87,8 +87,8 @@ def build_index_resumable(spark: SparkSession, corpus: DataFrame,
         postings = merge_partials(partials, avgdl=stats["avgdl"],
                                   n_buckets=n_buckets)
         chunk_dir = os.path.join(out_dir, "postings", f"chunk={c}")
-        postings.repartition("bucket").write.mode("overwrite") \
-            .partitionBy("bucket").parquet(chunk_dir)
+        (postings.write.mode("overwrite")
+         .partitionBy("bucket").parquet(chunk_dir))
         n_rows = spark.read.parquet(chunk_dir).count()
         lineage_row = spark.createDataFrame(
             [(build_id, c, hi - lo, n_rows,

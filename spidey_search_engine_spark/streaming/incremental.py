@@ -53,8 +53,8 @@ def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
             avgdl=avgdl_hint, n_buckets=n_buckets)
         chunk_dir = os.path.join(out_dir, "postings",
                                  f"chunk=stream_{batch_id}")
-        postings.repartition("bucket").write.mode("overwrite") \
-            .partitionBy("bucket").parquet(chunk_dir)
+        (postings.write.mode("overwrite")
+         .partitionBy("bucket").parquet(chunk_dir))
         (docs.drop("content").join(doc_lengths(partials), "doc_id")
          .select("doc_id", "repo", "path", "commit", "lang",
                  "content_sha256", "n_tokens")
