@@ -536,3 +536,193 @@ FROM documents""",
 }
 
 ORACLE_SQL["bm25_pruned_topk"] = ORACLE_SQL["bm25_topk_fixed"]
+
+
+# --- additional operator coverage (round 1 extension) -----------------------
+
+def q11_or_match(spark, sf_dir):
+    """Q11 image-search-style OR scorer: #matched query terms per doc, no tf
+    (QueryResultsFetcher.java:326-349)."""
+    idx = entry_index(spark, sf_dir)
+    rows = S.query_term_postings(idx["postings"], QT,
+                                 int(idx["stats"]["n_buckets"]))
+    return (rows.groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("hits"))
+            .orderBy(F.desc("hits"), F.asc("doc_id")).limit(20))
+
+
+def q12_prefix_search(spark, sf_dir):
+    """Q12 suggestion prefix search (QueryRepository.java:14-15) over the
+    part-name dimension (the testdata analog of the `queries` table)."""
+    p = load_table(spark, sf_dir, "part")
+    return (p.filter(F.col("p_name").startswith("a"))
+            .select("p_partkey", "p_name")
+            .orderBy("p_name", "p_partkey").limit(5))
+
+
+def q7_history_join(spark, sf_dir):
+    """Q7 personalization left join: history derived from events
+    (user_id=7, doc_id = event_id mod 500), BIT_OR-style in_history flag."""
+    idx = entry_index(spark, sf_dir)
+    rows = S.query_term_postings(idx["postings"], QT,
+                                 int(idx["stats"]["n_buckets"]))
+    rel = S.parity_word_scores(rows, idx["terms"],
+                               int(idx["stats"]["n_docs"]), QT) \
+        .select("doc_id", "relevance")
+    ev = load_table(spark, sf_dir, "events")
+    hist = (ev.filter(F.col("user_id") == 7)
+            .select((F.col("event_id") % 500).alias("doc_id"))
+            .distinct().withColumn("in_history", F.lit(1)))
+    out = (rel.join(F.broadcast(hist), "doc_id", "left")
+           .na.fill({"in_history": 0}))
+    return (out.orderBy(F.desc("in_history"), F.desc("relevance"),
+                        F.asc("doc_id")).limit(20)
+            .select("doc_id", _r(F.col("relevance")).alias("relevance_r"),
+                    "in_history"))
+
+
+def quality_features(spark, sf_dir):
+    from .functions.textstats import with_quality_score
+    d = load_table(spark, sf_dir, "documents") \
+        .withColumnRenamed("text", "content")
+    q = with_quality_score(d)
+    return q.select("doc_id", "n_tokens",
+                    _r(F.col("alpha_ratio")).alias("alpha_ratio_r"),
+                    _r(F.col("punct_ratio")).alias("punct_ratio_r"),
+                    _r(F.col("stopword_ratio")).alias("stopword_ratio_r"))
+
+
+def lang_id_pred(spark, sf_dir):
+    from .functions.textstats import with_lang_id
+    d = load_table(spark, sf_dir, "documents") \
+        .withColumnRenamed("text", "content")
+    return with_lang_id(d).select("doc_id", "lang_pred")
+
+
+def bpe_token_estimate(spark, sf_dir):
+    from .functions.textstats import with_bpe_token_estimate
+    d = load_table(spark, sf_dir, "documents") \
+        .withColumnRenamed("text", "content")
+    return with_bpe_token_estimate(d).select("doc_id", "n_bpe_est")
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    """rows-only: near-dup pairs via MinHash-LSH + exact-Jaccard verify
+    (xxhash64 signatures are not reproducible in the DuckDB oracle; the
+    LSH⊆exact containment is pytest-verified instead)."""
+    from .operators.dedup import minhash_lsh_dedup
+    d = load_table(spark, sf_dir, "documents") \
+        .withColumnRenamed("text", "content")
+    return minhash_lsh_dedup(d, threshold=0.3).select(
+        "id_a", "id_b", _r(F.col("jaccard")).alias("jaccard_r"))
+
+
+def simhash_pairs(spark, sf_dir):
+    """rows-only: SimHash fingerprints + pigeonhole near-pair search."""
+    from .operators.dedup import simhash_fingerprints, simhash_near_pairs
+    d = load_table(spark, sf_dir, "documents") \
+        .withColumnRenamed("text", "content")
+    return simhash_near_pairs(simhash_fingerprints(d), hamming_max=8)
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """rows-only: RHP-LSH approximate top-k (bucketed candidates, exact
+    rescoring); exactness vs brute force is pytest-verified on planted
+    neighbors."""
+    from .operators.similarity import ann_topk_lsh
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    dim = len(q)
+    return (ann_topk_lsh(e.filter(F.col("vec_id") != 0), [float(x) for x in q],
+                         dim=dim, k=20, n_bits=6, probe_hamming=2)
+            .select("id", _r(F.col("cos")).alias("cos_r")))
+
+
+def doc_fingerprint(spark, sf_dir):
+    """rows-only: winnowing-style min-hash fingerprint per doc."""
+    from .functions.textstats import with_fingerprint
+    d = load_table(spark, sf_dir, "documents") \
+        .withColumnRenamed("text", "content")
+    return with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+QUERIES.update({
+    "q11_or_match": q11_or_match,
+    "q12_prefix_search": q12_prefix_search,
+    "q7_history_join": q7_history_join,
+    "quality_features": quality_features,
+    "lang_id_pred": lang_id_pred,
+    "bpe_token_estimate": bpe_token_estimate,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_pairs": simhash_pairs,
+    "ann_lsh_topk": ann_lsh_topk,
+    "doc_fingerprint": doc_fingerprint,
+})
+
+ORACLE_SQL.update({
+    "q11_or_match": _BASE_CTES + f"""
+SELECT doc_id, count(DISTINCT term)::BIGINT AS hits
+FROM tfc WHERE term IN (VALUES {_QT_SQL})
+GROUP BY doc_id ORDER BY hits DESC, doc_id ASC LIMIT 20""",
+
+    "q12_prefix_search": """
+SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'a%'
+ORDER BY p_name, p_partkey LIMIT 5""",
+
+    "q7_history_join": _BASE_CTES + f""",
+q(term) AS (VALUES {_QT_SQL}),
+rel AS (
+  SELECT tfc.doc_id,
+         sum(tfc.tf * (1 + ln(tfc.tf)) * ln(1 + st.n / dfreq.df)) AS relevance
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN st
+  GROUP BY tfc.doc_id
+),
+hist AS (
+  SELECT DISTINCT event_id % 500 AS doc_id, 1 AS in_history
+  FROM events WHERE user_id = 7
+)
+SELECT r.doc_id, CAST(round(r.relevance, 6) AS DOUBLE) AS relevance_r,
+       coalesce(h.in_history, 0)::INT AS in_history
+FROM rel r LEFT JOIN hist h USING (doc_id)
+ORDER BY in_history DESC, r.relevance DESC, r.doc_id ASC LIMIT 20""",
+
+    "quality_features": f"""
+WITH toks AS (
+  SELECT doc_id, text, {_TOKS} AS t FROM documents
+)
+SELECT doc_id, len(t)::BIGINT AS n_tokens,
+  CAST(round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+             * 1.0 / greatest(length(text), 1), 6) AS DOUBLE) AS alpha_ratio_r,
+  CAST(round(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+             * 1.0 / greatest(length(text), 1), 6) AS DOUBLE) AS punct_ratio_r,
+  CAST(round(len(list_filter(t, x -> x IN
+             ('the','and','of','to','in','is','that','for','it','with')))
+             * 1.0 / greatest(len(t), 1), 6) AS DOUBLE) AS stopword_ratio_r
+FROM toks""",
+
+    "lang_id_pred": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), hits AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> x IN ('the','and','of','to','in','is','that','for','it','with'))) AS h_en,
+    len(list_filter(t, x -> x IN ('el','la','de','que','y','los','en','un','una','por'))) AS h_es,
+    len(list_filter(t, x -> x IN ('le','la','de','et','les','des','un','une','est','dans'))) AS h_fr,
+    len(list_filter(t, x -> x IN ('der','die','und','das','von','zu','mit','den','ist','ein'))) AS h_de
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_en,h_es,h_fr,h_de) <= 0 THEN 'und'
+       WHEN h_en = greatest(h_en,h_es,h_fr,h_de) THEN 'en'
+       WHEN h_es = greatest(h_en,h_es,h_fr,h_de) THEN 'es'
+       WHEN h_fr = greatest(h_en,h_es,h_fr,h_de) THEN 'fr'
+       ELSE 'de' END AS lang_pred
+FROM hits""",
+
+    "bpe_token_estimate": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Z]?[a-z]+|[A-Z]+|[0-9]{1,3}|[^A-Za-z0-9\s]'))::BIGINT
+         AS n_bpe_est
+FROM documents""",
+})

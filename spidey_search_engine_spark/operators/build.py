@@ -353,24 +353,26 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     create_database.sql:47)."""
     docs = prepare_docs(corpus)
     partials = build_partials(docs, profile=profile, seg_bits=seg_bits)
-    partials.persist()  # ONE tokenization pass feeds doclens AND postings
+    partials.persist()  # ONE tokenization pass feeds everything below
+    doclens = doc_lengths(partials)
+    stats = doc_stats(doclens)  # small agg over cached partials, no re-read
     docs_out = (docs.drop("content")
-                .join(doc_lengths(partials), "doc_id")
+                .join(doclens, "doc_id")
                 .select("doc_id", "repo", "path", "commit", "lang",
                         "content_sha256", "n_tokens"))
     docs_out.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
-    docs_written = spark.read.parquet(os.path.join(out_dir, "docs"))
-    stats = doc_stats(docs_written)
     postings = merge_partials(partials.filter(F.col("term") != DOCLEN_TERM),
                               avgdl=stats["avgdl"], n_buckets=n_buckets)
     # merge output is already (bucket,salt)-partitioned and term-sorted:
     # partitionBy(bucket) write needs no further shuffle
     (postings.write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(out_dir, "postings")))
-    partials.unpersist()
-    postings_w = spark.read.parquet(os.path.join(out_dir, "postings"))
-    terms = term_stats(postings_w, stats["n_docs"])
+    # df/cf sums over partials ≡ sums over merged postings (docs are
+    # disjoint across partials) — avoids a full postings read-back
+    terms = term_stats(partials.filter(F.col("term") != DOCLEN_TERM),
+                       stats["n_docs"])
     terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+    partials.unpersist()
     stats_row = dict(stats, avgdl=float(stats["avgdl"]), profile=profile,
                      seg_bits=seg_bits, n_buckets=n_buckets, k1=K1, b=B)
     spark.createDataFrame([stats_row]).coalesce(1).write.mode("overwrite") \

@@ -106,17 +106,24 @@ def generate_corpus_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
 
-def generate_corpus_df(spark, n_docs: int, seed: int = 42, partitions: int = 32):
+def generate_corpus_df(spark, n_docs: int, seed: int = 42, partitions: int = 32,
+                       with_doc_id: bool = False):
     """Distributed generation: each partition generates its id-range with a
     per-doc seeded RNG (identical rows regardless of partitioning) via
-    mapInPandas — scales to any n_docs without driver materialization."""
+    mapInPandas — scales to any n_docs without driver materialization.
+    with_doc_id=True adds the dense doc_id (= generation index) so builds
+    can skip assign_doc_ids; rows then arrive doc-range partitioned, the
+    layout the segment build wants."""
     from pyspark.sql.types import StructType, StructField, StringType, LongType
 
-    schema = StructType([
+    fields = [
         StructField("repo", StringType()), StructField("path", StringType()),
         StructField("commit", StringType()), StructField("lang", StringType()),
         StructField("content", StringType()),
-    ])
+    ]
+    if with_doc_id:
+        fields = [StructField("doc_id", LongType())] + fields
+    schema = StructType(fields)
 
     def gen(iterator):
         for pdf in iterator:
@@ -128,8 +135,8 @@ def generate_corpus_df(spark, n_docs: int, seed: int = 42, partitions: int = 32)
                     lang = LANGS[i % len(LANGS)]
                     path = f"src/mod{i % 11}/File{i}.{lang}"
                     commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
-                    out_rows.append((repo, path, commit, lang,
-                                     _doc_content(rng, i, lang)))
+                    row = (repo, path, commit, lang, _doc_content(rng, i, lang))
+                    out_rows.append((i, *row) if with_doc_id else row)
                 yield pd.DataFrame(out_rows, columns=schema.fieldNames())
 
     step = max(1, n_docs // partitions)
