@@ -185,6 +185,8 @@ def build_partials(docs: DataFrame, profile: str = "code",
     for the stats table."""
     tokenizer = PROFILES[profile]
 
+    from itertools import chain
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             acc: dict[tuple[str, int], list] = {}
@@ -194,14 +196,24 @@ def build_partials(docs: DataFrame, profile: str = "code",
                 dl = len(toks)
                 title_set = set(tokenize_title(path)) if isinstance(path, str) else set()
                 seg = int(doc_id) >> seg_bits
+                # positions stored as GAPS at append time (first absolute):
+                # tiny per-list numpy delta_encode calls were the profiled
+                # hot spot; a dict of [last_pos, gap, gap, ...] is ~10× less
                 per_term: dict[str, list[int]] = {}
                 for pos, t in enumerate(toks):
-                    per_term.setdefault(t, []).append(pos)
-                for t, poss in per_term.items():
+                    e = per_term.get(t)
+                    if e is None:
+                        per_term[t] = [pos, pos]  # [last_pos, first_gap...]
+                    else:
+                        e.append(pos - e[0])
+                        e[0] = pos
+                did = int(doc_id)
+                for t, e in per_term.items():
+                    gaps = e[1:]
                     acc.setdefault((t, seg), []).append(
-                        (int(doc_id), len(poss), t in title_set, dl, poss))
+                        (did, len(gaps), t in title_set, dl, gaps))
                 acc.setdefault((DOCLEN_TERM, seg), []).append(
-                    (int(doc_id), 1, False, dl, [0]))
+                    (did, 1, False, dl, [0]))
             rows = []
             for (t, seg), entries in acc.items():
                 entries.sort(key=lambda e: e[0])
@@ -209,11 +221,12 @@ def build_partials(docs: DataFrame, profile: str = "code",
                 tfs = np.array([e[1] for e in entries], dtype=np.int64)
                 imp = np.array([e[2] for e in entries], dtype=np.int64)
                 dls = np.array([e[3] for e in entries], dtype=np.int64)
-                pos_flat = (np.concatenate([delta_encode(np.array(e[4], dtype=np.int64))
-                                            for e in entries])
-                            if entries else np.zeros(0, dtype=np.uint64))
+                total_pos = int(tfs.sum())
+                pos_flat = np.fromiter(
+                    chain.from_iterable(e[4] for e in entries),
+                    dtype=np.uint64, count=total_pos)
                 buf = _encode_partial(doc_ids, (tfs << 1) | imp, dls, pos_flat)
-                rows.append((t, seg, int(doc_ids.size), int(tfs.sum()), buf))
+                rows.append((t, seg, int(doc_ids.size), total_pos, buf))
             yield pd.DataFrame(rows, columns=[f.name for f in PARTIAL_SCHEMA.fields])
 
     return docs.select("doc_id", "content", "path").mapInPandas(
