@@ -335,7 +335,13 @@ def merge_partials(partials: DataFrame, avgdl: float, n_buckets: int = 64,
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     ).withColumn(
         "_salt", F.pmod(F.xxhash64("term", F.lit(1)), F.lit(salt_factor)))
-    shuffled = (with_bucket.repartition("bucket", "_salt")
+    # RANGE partition on (bucket, salt): output partition count — and hence
+    # the partitionBy(bucket) file count and commit-rename cost — is fixed
+    # at n_buckets·salt_factor regardless of cluster size, and nearly every
+    # task holds a single bucket value (hash repartition would mix buckets
+    # per task and multiply small files by the core count)
+    shuffled = (with_bucket
+                .repartitionByRange(n_buckets * salt_factor, "bucket", "_salt")
                 .sortWithinPartitions("term", "segment"))
     merged = shuffled.select("term", "segment", "bin", "bucket").mapInPandas(
         merge_stream, schema=POSTING_SCHEMA)
