@@ -555,7 +555,7 @@ def q12_prefix_search(spark, sf_dir):
     """Q12 suggestion prefix search (QueryRepository.java:14-15) over the
     part-name dimension (the testdata analog of the `queries` table)."""
     p = load_table(spark, sf_dir, "part")
-    return (p.filter(F.col("p_name").startswith("a"))
+    return (p.filter(F.col("p_name").startswith("s"))
             .select("p_partkey", "p_name")
             .orderBy("p_name", "p_partkey").limit(5))
 
@@ -646,7 +646,73 @@ def doc_fingerprint(spark, sf_dir):
     return with_fingerprint(d).select("doc_id", "fingerprint")
 
 
+# --- maintenance family (A8 / Q13 / F8 / F10) -------------------------------
+
+def f8_url_normalize(spark, sf_dir):
+    """F8 URL normalization (Crawler.java:282-306) over URLs synthesized
+    from the documents table."""
+    from .operators.maintenance import normalize_url
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(F.lit("HTTPS:////Example.COM//"), F.col("source"),
+                   F.lit("///doc//"), F.col("doc_id").cast("string"),
+                   F.lit("/"))
+    return d.select("doc_id", normalize_url(raw).alias("url_norm"))
+
+
+def f10_date_state(spark, sf_dir):
+    """F10 RFC-1123 round-trip + freshness state (Indexer.java:788-808)
+    over crawl/index times derived from events."""
+    from .operators.maintenance import index_state, to_rfc1123
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    crawled = to_rfc1123(F.date_trunc("second", F.col("ts")))
+    indexed_ts = F.when(F.col("event_id") % 5 == 0, F.lit(None)) \
+        .otherwise(F.date_trunc("second",
+                                F.col("ts") + F.make_interval(
+                                    days=F.col("event_id") % 3 - 1)))
+    indexed = to_rfc1123(indexed_ts)
+    d = e.select("event_id", crawled.alias("crawled_time"),
+                 indexed.alias("indexed_time"))
+    return d.withColumn("state", index_state(F.col("crawled_time"),
+                                             F.col("indexed_time")))
+
+
+def q13_history_upsert(spark, sf_dir):
+    """Q13 history upsert (ApiController.java:60-77): existing counts from
+    even events, new visits from odd events, merged."""
+    from .operators.maintenance import upsert_history
+    e = load_table(spark, sf_dir, "events")
+    base = (e.filter(F.col("event_id") % 2 == 0)
+            .groupBy("user_id", (F.col("event_id") % 40).alias("doc_id"))
+            .agg(F.count("*").cast("int").alias("times")))
+    visits = (e.filter(F.col("event_id") % 2 == 1)
+              .select("user_id", (F.col("event_id") % 40).alias("doc_id")))
+    out = upsert_history(base, visits)
+    return out.select("user_id", F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("times").cast("long").alias("times"))
+
+
+def a8_df_after_delete(spark, sf_dir):
+    """A8 delete-docs maintenance: drop docs ≡0 (mod 7) from the built
+    postings (segment-pruned decode/re-encode), then report per-term df for
+    the query terms — checked against a from-scratch SQL recount."""
+    from .operators.maintenance import delete_docs_postings
+    idx = entry_index(spark, sf_dir)
+    victims = [int(r["doc_id"]) for r in
+               idx["docs"].filter(F.col("doc_id") % 7 == 0)
+               .select("doc_id").collect()]
+    cleaned = delete_docs_postings(idx["postings"], victims,
+                                   float(idx["stats"]["avgdl"]),
+                                   int(idx["stats"]["seg_bits"]))
+    return (cleaned.filter(F.col("term").isin(QT))
+            .groupBy("term").agg(F.sum("n_docs").alias("df"),
+                                 F.sum("cf").alias("cf")))
+
+
 QUERIES.update({
+    "f8_url_normalize": f8_url_normalize,
+    "f10_date_state": f10_date_state,
+    "q13_history_upsert": q13_history_upsert,
+    "a8_df_after_delete": a8_df_after_delete,
     "q11_or_match": q11_or_match,
     "q12_prefix_search": q12_prefix_search,
     "q7_history_join": q7_history_join,
@@ -660,13 +726,70 @@ QUERIES.update({
 })
 
 ORACLE_SQL.update({
+    "f8_url_normalize": """
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS:////Example.COM//' || source || '///doc//'
+           || CAST(doc_id AS VARCHAR) || '/' AS url
+  FROM documents
+), c AS (
+  SELECT doc_id, regexp_replace(url, '/{2,}', '/', 'g') AS u FROM raw
+), s AS (
+  SELECT doc_id, CASE WHEN u LIKE 'http:/%' THEN substring(u, 7)
+                      WHEN u LIKE 'https:/%' THEN substring(u, 8)
+                      ELSE u END AS u2 FROM c
+), f AS (SELECT doc_id, 'http://' || u2 AS u3 FROM s)
+SELECT doc_id,
+       lower(CASE WHEN u3 LIKE '%/' THEN substring(u3, 1, length(u3) - 1)
+                  ELSE u3 END) AS url_norm
+FROM f""",
+
+    "f10_date_state": """
+WITH e AS (
+  SELECT event_id, date_trunc('second', ts) AS cts,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE date_trunc('second',
+                              ts + to_days((event_id % 3 - 1)::INT)) END AS its
+  FROM events WHERE event_id < 200
+)
+SELECT event_id,
+       strftime(cts, '%a, %d %b %Y %H:%M:%S GMT') AS crawled_time,
+       strftime(its, '%a, %d %b %Y %H:%M:%S GMT') AS indexed_time,
+       CASE WHEN its IS NULL THEN 'INDEX'
+            WHEN its < cts THEN 'REINDEX'
+            ELSE 'SKIP' END AS state
+FROM e""",
+
+    "q13_history_upsert": """
+WITH base AS (
+  SELECT user_id, event_id % 40 AS doc_id, count(*)::BIGINT AS times
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
+), inc AS (
+  SELECT user_id, event_id % 40 AS doc_id, count(*)::BIGINT AS inc
+  FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2
+)
+SELECT user_id, doc_id::BIGINT AS doc_id,
+       (coalesce(b.times, 0) + coalesce(i.inc, 0))::BIGINT AS times
+FROM base b FULL OUTER JOIN inc i USING (user_id, doc_id)""",
+
+    "a8_df_after_delete": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 7 <> 0
+), tfc AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), agg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+  FROM tfc GROUP BY 1
+)
+SELECT term, df, cf FROM agg WHERE term IN (VALUES {_QT_SQL})""",
+
     "q11_or_match": _BASE_CTES + f"""
 SELECT doc_id, count(DISTINCT term)::BIGINT AS hits
 FROM tfc WHERE term IN (VALUES {_QT_SQL})
 GROUP BY doc_id ORDER BY hits DESC, doc_id ASC LIMIT 20""",
 
     "q12_prefix_search": """
-SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'a%'
+SELECT p_partkey, p_name FROM part WHERE p_name LIKE 's%'
 ORDER BY p_name, p_partkey LIMIT 5""",
 
     "q7_history_join": _BASE_CTES + f""",

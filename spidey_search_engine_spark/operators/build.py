@@ -363,16 +363,21 @@ def term_stats(postings: DataFrame, n_docs: int) -> DataFrame:
 
 def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                 profile: str = "code", seg_bits: int = 16,
-                n_buckets: int = 64) -> dict:
+                n_buckets: int = 64, salt_factor: int = 8) -> dict:
     """Full build → {docs,postings,terms,stats} parquet dirs under out_dir.
 
     Returns the global stats dict. Postings are written partitioned by
     `bucket` so a k-term query scans k/n_buckets of the files (partition
     pruning stands in for the reference's MySQL hash index,
     create_database.sql:47)."""
+    from pyspark import StorageLevel
+
     docs = prepare_docs(corpus)
     partials = build_partials(docs, profile=profile, seg_bits=seg_bits)
-    partials.persist()  # ONE tokenization pass feeds everything below
+    # DISK_ONLY: partial rows are already-compressed binary; caching them on
+    # heap just adds GC pressure under 32 concurrent tasks (measured slower),
+    # and the OS page cache makes the re-read effectively free locally
+    partials.persist(StorageLevel.DISK_ONLY)  # ONE tokenization pass feeds all below
     doclens = doc_lengths(partials)
     stats = doc_stats(doclens)  # small agg over cached partials, no re-read
     docs_out = (docs.drop("content")
@@ -381,7 +386,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                         "content_sha256", "n_tokens"))
     docs_out.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
     postings = merge_partials(partials.filter(F.col("term") != DOCLEN_TERM),
-                              avgdl=stats["avgdl"], n_buckets=n_buckets)
+                              avgdl=stats["avgdl"], n_buckets=n_buckets,
+                              salt_factor=salt_factor)
     # merge output is already (bucket,salt)-partitioned and term-sorted:
     # partitionBy(bucket) write needs no further shuffle
     (postings.write.mode("overwrite").partitionBy("bucket")
@@ -394,9 +400,27 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     partials.unpersist()
     stats_row = dict(stats, avgdl=float(stats["avgdl"]), profile=profile,
                      seg_bits=seg_bits, n_buckets=n_buckets, k1=K1, b=B)
-    spark.createDataFrame([stats_row]).coalesce(1).write.mode("overwrite") \
-        .json(os.path.join(out_dir, "stats"))
+    write_stats_json(spark, out_dir, stats_row)
     return stats_row
+
+
+def write_stats_json(spark: SparkSession, out_dir: str, stats_row: dict) -> None:
+    """Publish the one-row stats table. Driver-side file write for plain
+    paths (a Spark 1-row json write measures ~5s of fixed overhead per
+    build); remote URIs (hdfs://, s3://...) go through the Spark writer.
+    Layout is spark.read.json-readable either way."""
+    stats_dir = os.path.join(out_dir, "stats")
+    if "://" in out_dir:
+        spark.createDataFrame([stats_row]).coalesce(1) \
+            .write.mode("overwrite").json(stats_dir)
+    else:
+        import json as _json
+        import shutil as _shutil
+        if os.path.isdir(stats_dir):
+            _shutil.rmtree(stats_dir)
+        os.makedirs(stats_dir, exist_ok=True)
+        with open(os.path.join(stats_dir, "part-00000.json"), "w") as f:
+            f.write(_json.dumps(stats_row) + "\n")
 
 
 def load_index(spark: SparkSession, out_dir: str) -> dict:

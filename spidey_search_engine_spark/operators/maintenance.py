@@ -1,0 +1,237 @@
+"""Index maintenance (SURVEY.md §2.3 A8, §2.4 Q13, §2.2 F8/F10).
+
+The reference maintains its index in place: on re-index of a changed page it
+deletes that page's postings/positions/connections, decrements df, and
+re-inserts (Indexer.java:502-525, 650-654); crawl freshness is decided by
+round-tripping RFC-1123 date strings (Indexer.java:788-808, Crawler.java:59);
+URLs are normalized before dedup (Crawler.java:282-306); the serving side
+upserts user history counts (ApiController.java:60-77).
+
+Spark-native shapes:
+
+* A8 delete/re-index — postings are segmented by doc-id range, so removing
+  or replacing docs touches ONLY the segments whose [first_doc, last_doc]
+  ranges intersect the victim set; every other row passes through without
+  being decoded (at 10^12 files that is the difference between rewriting a
+  few MB and rewriting the index). df/cf/stats are recomputed from the
+  surviving postings with plain associative aggregates.
+* Q13 upsert — a full-outer DataFrame merge, times = old + new visit count.
+* F8/F10 — pure column-expression chains (JVM-side, codegen'd, no UDF).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.types import IntegerType, StructField, StructType
+from pyspark.sql import functions as F
+
+from .build import (BLOCK_SIZE, DOCLEN_TERM, K1, B, POSTING_SCHEMA,
+                    _decode_partial, _encode_partial, build_partials,
+                    merge_partials, term_stats)
+
+# ---------------------------------------------------------------------------
+# F8 — URL normalization (Crawler.java:282-306), as a column expression
+# ---------------------------------------------------------------------------
+
+
+def normalize_url(url: Column) -> Column:
+    """Exact reference chain: collapse runs of 2+ slashes to one, strip an
+    existing http:/ or https:/ scheme prefix (post-collapse), force http://,
+    drop one trailing slash, lowercase everything. One Catalyst expression
+    tree, whole-stage-codegen'd — no UDF."""
+    c = F.regexp_replace(url, "/{2,}", "/")
+    stripped = (F.when(c.startswith("http:/"), c.substr(F.lit(7), F.length(c)))
+                .when(c.startswith("https:/"), c.substr(F.lit(8), F.length(c)))
+                .otherwise(c))
+    forced = F.concat(F.lit("http://"), stripped)
+    no_trail = (F.when(forced.endswith("/"),
+                       forced.substr(F.lit(1), F.length(forced) - 1))
+                .otherwise(forced))
+    return F.lower(no_trail)
+
+
+def with_normalized_url(df: DataFrame, url_col: str = "url",
+                        out_col: str = "url_norm") -> DataFrame:
+    return df.withColumn(out_col, normalize_url(F.col(url_col)))
+
+
+# ---------------------------------------------------------------------------
+# F10 — RFC-1123 date round-trip + freshness state (Indexer.java:771-817)
+# ---------------------------------------------------------------------------
+
+RFC1123 = "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
+
+
+def to_rfc1123(ts: Column) -> Column:
+    """Format a timestamp the way the reference stores crawl/index times
+    (Crawler.java:59: "E, dd MMM yyyy HH:mm:ss z" in GMT)."""
+    return F.date_format(F.to_utc_timestamp(ts, "UTC"), RFC1123)
+
+
+def parse_rfc1123(s: Column) -> Column:
+    # Spark >= 3.0 refuses day-of-week in *parse* patterns
+    # (INCONSISTENT_BEHAVIOR_CROSS_VERSION); "EEE, " is redundant for the
+    # instant, so strip the 5-char prefix and parse the rest
+    return F.to_timestamp(F.substring(s, 6, 1 << 20),
+                          "dd MMM yyyy HH:mm:ss 'GMT'")
+
+
+def index_state(crawled: Column, indexed: Column) -> Column:
+    """Reference freshness decision (Indexer.java:788-808): never indexed →
+    INDEX; indexed before last crawl → REINDEX; else SKIP. Inputs are the
+    stored RFC-1123 strings."""
+    c, i = parse_rfc1123(crawled), parse_rfc1123(indexed)
+    return (F.when(i.isNull(), F.lit("INDEX"))
+            .when(i < c, F.lit("REINDEX"))
+            .otherwise(F.lit("SKIP")))
+
+
+# ---------------------------------------------------------------------------
+# Q13 — history upsert (ApiController.java:60-77)
+# ---------------------------------------------------------------------------
+
+
+def upsert_history(history: DataFrame, visits: DataFrame) -> DataFrame:
+    """INSERT IGNORE + times += 1 per new visit, as one outer merge.
+
+    history: (user_id, doc_id, times); visits: (user_id, doc_id) one row per
+    click. Serving-side tables are tiny — but the merge is still expressed
+    as a keyed aggregate + full-outer join so it holds at any size."""
+    inc = visits.groupBy("user_id", "doc_id").agg(F.count("*").alias("_inc"))
+    return (history.join(inc, ["user_id", "doc_id"], "full_outer")
+            .select("user_id", "doc_id",
+                    (F.coalesce(F.col("times"), F.lit(0))
+                     + F.coalesce(F.col("_inc"), F.lit(0))).alias("times")))
+
+
+# ---------------------------------------------------------------------------
+# A8 — delete / re-index docs against an existing postings table
+# ---------------------------------------------------------------------------
+
+
+def _reencode_without(buf: bytes, victims: set, avgdl: float):
+    """Decode one segment, drop victim docs, re-encode + fresh block-max.
+    Returns None if the segment becomes empty."""
+    doc_ids, tf_packed, dls, pos_gaps = _decode_partial(buf)
+    keep = np.array([d not in victims for d in doc_ids], dtype=bool)
+    if keep.all():
+        return "unchanged"
+    if not keep.any():
+        return None
+    tfs_all = (tf_packed >> 1).astype(np.int64)
+    starts = np.zeros(doc_ids.size, dtype=np.int64)
+    np.cumsum(tfs_all[:-1], out=starts[1:])
+    pos_parts = [pos_gaps[starts[i]:starts[i] + tfs_all[i]]
+                 for i in np.flatnonzero(keep)]
+    pos_new = (np.concatenate(pos_parts) if pos_parts
+               else np.zeros(0, np.uint64))
+    doc_ids, tf_packed, dls = doc_ids[keep], tf_packed[keep], dls[keep]
+    buf2 = _encode_partial(doc_ids, tf_packed, dls, pos_new.astype(np.uint64))
+    tfs = (tf_packed >> 1).astype(np.float64)
+    impact = tfs / (tfs + K1 * (1 - B + B * dls / max(avgdl, 1e-9)))
+    nblocks = (doc_ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
+    bfirst, blast, bmax = [], [], []
+    for i in range(nblocks):
+        sl = slice(i * BLOCK_SIZE, (i + 1) * BLOCK_SIZE)
+        bfirst.append(int(doc_ids[sl][0]))
+        blast.append(int(doc_ids[sl][-1]))
+        bmax.append(float(impact[sl].max()))
+    return (int(doc_ids.size), int(tfs.sum()), buf2, bfirst, blast, bmax)
+
+
+def delete_docs_postings(postings: DataFrame, doc_ids: list[int],
+                         avgdl: float, seg_bits: int) -> DataFrame:
+    """Remove a (small) set of docs from the postings table.
+
+    Only rows whose segment contains a victim doc are decoded; the rest
+    stream through untouched — the filter is on the `segment` column, so at
+    scale Catalyst prunes with parquet min/max stats and the overwhelming
+    majority of the index is never read into Python."""
+    victim_segs = sorted({int(d) >> seg_bits for d in doc_ids})
+    victims = set(int(d) for d in doc_ids)
+    untouched = postings.filter(~F.col("segment").isin(victim_segs))
+    affected = postings.filter(F.col("segment").isin(victim_segs))
+    out_cols = [f.name for f in POSTING_SCHEMA.fields] + ["bucket"]
+
+    def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                res = _reencode_without(bytes(r.bin), victims, avgdl)
+                if res is None:
+                    continue
+                if res == "unchanged":
+                    rows.append((r.term, r.segment, r.n_docs, r.cf, r.bin,
+                                 list(r.block_first_doc),
+                                 list(r.block_last_doc),
+                                 list(r.block_max_impact), r.bucket))
+                else:
+                    n, cf, buf, bf, bl, bm = res
+                    rows.append((r.term, r.segment, n, cf, buf, bf, bl, bm,
+                                 r.bucket))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    schema = StructType(list(POSTING_SCHEMA.fields)
+                        + [StructField("bucket", IntegerType())])
+    rewritten = affected.select(*out_cols).mapInPandas(rewrite, schema=schema)
+    return untouched.select(*out_cols).unionByName(rewritten)
+
+
+def reindex_docs(spark: SparkSession, postings: DataFrame,
+                 changed_docs: DataFrame, avgdl: float, seg_bits: int,
+                 n_buckets: int, profile: str = "code") -> DataFrame:
+    """A8 full shape: replace the postings of `changed_docs` (docs whose
+    content changed) inside an existing postings table.
+
+    delete (segment-pruned rewrite) → build fresh partials for just the
+    changed docs → merge → union. Segments are doc-range-disjoint, so the
+    union stays per-(term, segment) unique."""
+    ids = [int(r["doc_id"]) for r in changed_docs.select("doc_id").collect()]
+    cleaned = delete_docs_postings(postings, ids, avgdl, seg_bits)
+    fresh_parts = build_partials(changed_docs, profile=profile,
+                                 seg_bits=seg_bits) \
+        .filter(F.col("term") != DOCLEN_TERM)
+    fresh = merge_partials(fresh_parts, avgdl=avgdl, n_buckets=n_buckets)
+    out_cols = [f.name for f in POSTING_SCHEMA.fields] + ["bucket"]
+    both = cleaned.select(*out_cols).unionByName(fresh.select(*out_cols))
+    # a changed doc stays in its segment, so its old and new postings can
+    # share a (term, segment) key → re-merge those pairs' binaries
+    return _remerge_duplicate_keys(both, avgdl)
+
+
+def _remerge_duplicate_keys(postings: DataFrame, avgdl: float) -> DataFrame:
+    from .build import _merge_group
+    out_cols = [f.name for f in POSTING_SCHEMA.fields] + ["bucket"]
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for (term, seg, bucket), grp in pdf.groupby(
+                    ["term", "segment", "bucket"], sort=False):
+                if len(grp) == 1:
+                    r = grp.iloc[0]
+                    rows.append((term, seg, int(r["n_docs"]), int(r["cf"]),
+                                 r["bin"], list(r["block_first_doc"]),
+                                 list(r["block_last_doc"]),
+                                 list(r["block_max_impact"]), int(bucket)))
+                else:
+                    merged = _merge_group(term, int(seg),
+                                          [bytes(b) for b in grp["bin"]],
+                                          avgdl)
+                    rows.append(merged + (int(bucket),))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    schema = StructType(list(POSTING_SCHEMA.fields)
+                        + [StructField("bucket", IntegerType())])
+    return (postings.repartition("term", "segment")
+            .select(*out_cols).mapInPandas(merge, schema=schema))
+
+
+def refresh_term_stats(postings: DataFrame, n_docs: int) -> DataFrame:
+    """df/cf/idf recompute after maintenance (Indexer.java:650-654's
+    decrement, done exactly instead of incrementally)."""
+    return term_stats(postings, n_docs)

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..operators.build import (DOCLEN_TERM, build_partials, doc_lengths,
                                doc_stats, merge_partials, prepare_docs,
-                               term_stats)
+                               term_stats, write_stats_json)
 
 
 def _done_chunks(spark: SparkSession, out_dir: str) -> set[int]:
@@ -109,8 +109,7 @@ def build_index_resumable(spark: SparkSession, corpus: DataFrame,
                      n_buckets=n_buckets, k1=1.2, b=0.75,
                      build_id=build_id, n_chunks=n_chunks,
                      skipped_chunks=len(skipped))
-    spark.createDataFrame([stats_row]).coalesce(1).write.mode("overwrite") \
-        .json(os.path.join(out_dir, "stats"))
+    write_stats_json(spark, out_dir, stats_row)
     return stats_row
 
 

@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.build import (DOCLEN_TERM, build_partials, doc_lengths,
-                               doc_stats, merge_partials, term_stats)
+                               doc_stats, merge_partials, term_stats,
+                               write_stats_json)
 
 
 def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
@@ -87,6 +88,5 @@ def publish_index(spark: SparkSession, out_dir: str, profile: str = "code",
     terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
     stats_row = dict(stats, profile=profile, seg_bits=seg_bits,
                      n_buckets=n_buckets, k1=1.2, b=0.75)
-    spark.createDataFrame([stats_row]).coalesce(1).write.mode("overwrite") \
-        .json(os.path.join(out_dir, "stats"))
+    write_stats_json(spark, out_dir, stats_row)
     return stats_row

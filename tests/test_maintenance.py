@@ -1,0 +1,141 @@
+"""A8 delete/re-index, Q13 upsert, F8 URL normalize, F10 date round-trip.
+
+The A8 invariant is the strong one: deleting docs from a built index (or
+replacing changed docs) must produce byte-identical postings to a fresh
+build over the corresponding corpus."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _postings_map(df):
+    rows = df.select("term", "segment", "n_docs", "cf", "bin").collect()
+    return {(r["term"], r["segment"]): (r["n_docs"], r["cf"], bytes(r["bin"]))
+            for r in rows}
+
+
+def test_delete_docs_equals_fresh_build(spark, corpus_pdf, tmp_path):
+    from spidey_search_engine_spark.operators.build import build_index, load_index
+    from spidey_search_engine_spark.operators.maintenance import (
+        delete_docs_postings, refresh_term_stats)
+
+    out_full = str(tmp_path / "full")
+    corpus = spark.createDataFrame(corpus_pdf).repartition(4)
+    build_index(spark, corpus, out_full, profile="code", seg_bits=6,
+                n_buckets=4)
+    idx = load_index(spark, out_full)
+    victims = [int(r["doc_id"]) for r in
+               idx["docs"].filter(F.col("doc_id") % 7 == 0)
+               .select("doc_id").collect()]
+
+    cleaned = delete_docs_postings(idx["postings"], victims,
+                                   float(idx["stats"]["avgdl"]), seg_bits=6)
+
+    # fresh build over the corpus minus the victims, with SAME doc_ids —
+    # prepare_docs assigns by (repo,path) order so drop after assignment
+    from spidey_search_engine_spark.operators.build import (
+        DOCLEN_TERM, build_partials, merge_partials, prepare_docs)
+    docs = prepare_docs(spark.createDataFrame(corpus_pdf).repartition(4))
+    kept = docs.filter(~F.col("doc_id").isin(victims))
+    fresh_parts = build_partials(kept, profile="code", seg_bits=6) \
+        .filter(F.col("term") != DOCLEN_TERM)
+    fresh = merge_partials(fresh_parts, avgdl=float(idx["stats"]["avgdl"]),
+                           n_buckets=4)
+
+    assert _postings_map(cleaned) == _postings_map(fresh)
+
+    # df reflects deletions exactly
+    stats = refresh_term_stats(
+        cleaned, int(idx["stats"]["n_docs"]) - len(victims))
+    df_after = {r["term"]: r["df"] for r in stats.collect()}
+    df_fresh = {r["term"]: r["n"] for r in
+                fresh.groupBy("term").agg(F.sum("n_docs").alias("n")).collect()}
+    assert df_after == df_fresh
+
+
+def test_reindex_changed_docs_equals_fresh_build(spark, corpus_pdf, tmp_path):
+    from spidey_search_engine_spark.operators.build import (
+        build_index, load_index, prepare_docs)
+    from spidey_search_engine_spark.operators.maintenance import reindex_docs
+
+    corpus = spark.createDataFrame(corpus_pdf).repartition(4)
+    out_full = str(tmp_path / "orig")
+    build_index(spark, corpus, out_full, profile="code", seg_bits=6,
+                n_buckets=4)
+    idx = load_index(spark, out_full)
+
+    # change the content of docs ≡ 3 (mod 11)
+    changed_pdf = corpus_pdf.copy()
+    mask = changed_pdf.index % 11 == 3
+    changed_pdf.loc[mask, "content"] = (
+        changed_pdf.loc[mask, "content"] + "\nupdated_marker_token = 1\n")
+    new_corpus = spark.createDataFrame(changed_pdf).repartition(4)
+    new_docs = prepare_docs(new_corpus)
+
+    changed_ids = [int(r["doc_id"]) for r in
+                   new_docs.join(idx["docs"].select("doc_id", "content_sha256")
+                                 .withColumnRenamed("content_sha256", "old_sha"),
+                                 "doc_id")
+                   .filter(F.col("content_sha256") != F.col("old_sha"))
+                   .select("doc_id").collect()]
+    assert changed_ids
+
+    changed_docs = new_docs.filter(F.col("doc_id").isin(changed_ids))
+    updated = reindex_docs(spark, idx["postings"], changed_docs,
+                           avgdl=float(idx["stats"]["avgdl"]), seg_bits=6,
+                           n_buckets=4, profile="code")
+
+    out_fresh = str(tmp_path / "fresh")
+    build_index(spark, new_corpus, out_fresh, profile="code", seg_bits=6,
+                n_buckets=4)
+    fresh = load_index(spark, out_fresh)
+    # avgdl drifts on re-index until publish (documented trade-off), so
+    # compare the decoded postings, not block-max bytes
+    assert _postings_map(updated) == _postings_map(fresh["postings"])
+
+
+def test_upsert_history(spark):
+    from spidey_search_engine_spark.operators.maintenance import upsert_history
+    hist = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 1), (2, 10, 5)],
+        "user_id int, doc_id int, times int")
+    visits = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 12), (3, 99)], "user_id int, doc_id int")
+    out = {(r["user_id"], r["doc_id"]): r["times"]
+           for r in upsert_history(hist, visits).collect()}
+    assert out == {(1, 10): 5, (1, 11): 1, (2, 10): 5, (1, 12): 1, (3, 99): 1}
+
+
+@pytest.mark.parametrize("raw,expected", [
+    ("http:////wWw.Fb.cOm////", "http://www.fb.com"),
+    ("https://Example.COM/a//b///c/", "http://example.com/a/b/c"),
+    ("www.plain.org/path", "http://www.plain.org/path"),
+    ("http://already.ok", "http://already.ok"),
+])
+def test_normalize_url_reference_cases(spark, raw, expected):
+    from spidey_search_engine_spark.operators.maintenance import with_normalized_url
+    df = spark.createDataFrame([(raw,)], "url string")
+    assert with_normalized_url(df).collect()[0]["url_norm"] == expected
+
+
+def test_rfc1123_round_trip_and_state(spark):
+    from spidey_search_engine_spark.operators.maintenance import (
+        index_state, parse_rfc1123, to_rfc1123)
+    df = spark.createDataFrame(
+        [("2024-03-05 10:00:00", "2024-03-04 09:00:00"),   # indexed < crawled
+         ("2024-03-05 10:00:00", "2024-03-06 09:00:00"),   # indexed fresh
+         ("2024-03-05 10:00:00", None)],                    # never indexed
+        "crawled string, indexed string") \
+        .select(to_rfc1123(F.col("crawled").cast("timestamp")).alias("c"),
+                to_rfc1123(F.col("indexed").cast("timestamp")).alias("i"))
+    row = df.collect()[0]
+    assert row["c"] == "Tue, 05 Mar 2024 10:00:00 GMT"
+    rt = df.select(parse_rfc1123(F.col("c")).cast("string").alias("back")) \
+        .collect()[0]["back"]
+    assert rt == "2024-03-05 10:00:00"
+    states = [r["s"] for r in
+              df.select(index_state(F.col("c"), F.col("i")).alias("s")).collect()]
+    assert states == ["REINDEX", "SKIP", "INDEX"]
