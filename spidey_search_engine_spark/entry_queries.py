@@ -148,7 +148,8 @@ def two_stage_topk(spark, sf_dir):
         .select("doc_id", "relevance")
     stage1 = rel.orderBy(F.desc("relevance"), F.asc("doc_id")).limit(20)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    stage2 = (stage1.join(F.broadcast(docs), "doc_id")
+    # broadcast the 20-row candidate set into the doc-dim scan, not vice versa
+    stage2 = (docs.join(F.broadcast(stage1), "doc_id")
               .withColumn("score", F.col("relevance") * 1000.0 / F.col("n_chars")))
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (stage2.withColumn("rank", F.row_number().over(w))
@@ -701,7 +702,6 @@ def a8_df_after_delete(spark, sf_dir):
                idx["docs"].filter(F.col("doc_id") % 7 == 0)
                .select("doc_id").collect()]
     cleaned = delete_docs_postings(idx["postings"], victims,
-                                   float(idx["stats"]["avgdl"]),
                                    int(idx["stats"]["seg_bits"]))
     return (cleaned.filter(F.col("term").isin(QT))
             .groupBy("term").agg(F.sum("n_docs").alias("df"),

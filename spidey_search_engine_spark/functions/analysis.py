@@ -202,6 +202,86 @@ def analyze_query(text: str) -> tuple[list[str], list[list[str]]]:
     return words, phrases
 
 
+class TokenIdEncoder:
+    """Worker-local analyzed-token interner: text → np.int64 token-id array.
+
+    The per-token hot path is ONE dict hit on the raw token (the whole
+    analysis chain — identifier split, truncate, lowercase, Porter2 — is
+    memoized as a tuple of interned ids) + a C-level list.extend. Everything
+    downstream of this (tf, positions, grouping) runs as numpy kernels over
+    the id arrays in build_partials, so no per-token python survives
+    anywhere in the build. Code corpora repeat identifiers constantly, so
+    the memo hit rate → 1 (same argument as _CODE_MEMO above).
+
+    Ids are assigned per worker process; they never leave the worker —
+    partial rows carry term STRINGS (via ``term_of``), so cross-worker
+    agreement is never needed.
+    """
+
+    _MAX_MEMO = 1_000_000
+
+    def __init__(self, profile: str = "code"):
+        if profile == "code":
+            self._split = _INDEX_SPLIT
+            self._pre = None
+            self._analyze = lambda raw: [
+                _stem_token(p, 30) for p in split_identifier(raw)]
+        elif profile == "body":
+            self._split = _INDEX_SPLIT
+            self._pre = None
+            self._analyze = lambda raw: [_stem_token(raw, 30)]
+        elif profile == "simple":
+            self._split = _QUERY_SPLIT
+            self._pre = str.lower
+            self._analyze = lambda raw: [raw]
+        else:
+            raise ValueError(f"no id-encoder for profile {profile!r}")
+        self.vocab: dict[str, int] = {}
+        self.rev: list[str] = []
+        self._memo: dict[str, tuple[int, ...]] = {}
+
+    def _intern(self, term: str) -> int:
+        tid = self.vocab.get(term)
+        if tid is None:
+            tid = len(self.rev)
+            self.vocab[term] = tid
+            self.rev.append(term)
+        return tid
+
+    def _ids_of_raw(self, raw: str) -> tuple[int, ...]:
+        got = self._memo.get(raw)
+        if got is None:
+            got = tuple(self._intern(t) for t in self._analyze(raw) if t)
+            if len(self._memo) < self._MAX_MEMO:
+                self._memo[raw] = got
+        return got
+
+    def encode(self, text: str):
+        """text → np.int64 array of analyzed-token ids (position order)."""
+        import numpy as np
+        if not isinstance(text, str) or not text:
+            return np.empty(0, dtype=np.int64)
+        if self._pre is not None:
+            text = self._pre(text)
+        out: list[int] = []
+        ext = out.extend
+        memo_get = self._memo.get
+        ids_of = self._ids_of_raw
+        for raw in self._split.split(text):
+            if raw:
+                got = memo_get(raw)
+                ext(got if got is not None else ids_of(raw))
+        return np.array(out, dtype=np.int64)
+
+    def encode_terms(self, terms: Iterable[str]):
+        """Analyzed token strings → id array (for title/important sets)."""
+        import numpy as np
+        return np.array([self._intern(t) for t in terms], dtype=np.int64)
+
+    def term_of(self, tid: int) -> str:
+        return self.rev[tid]
+
+
 def spark_udfs():
     """Vectorized pandas UDF factory (imported lazily so pure-Python tests
     don't need a JVM). Returns {profile: pandas_udf} each mapping a string

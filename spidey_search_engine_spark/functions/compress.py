@@ -30,17 +30,18 @@ import numpy as np
 _MASKS = None
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, vectorized.
+def encode_varints_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array, vectorized; also return the per-value
+    byte length array (int64) so callers can slice the stream at arbitrary
+    value boundaries without re-encoding (used by the batched row encoder in
+    operators/build.py).
 
     Builds the byte stream by computing, per value, its 7-bit groups as
     parallel byte planes, then compacting with a boolean mask — O(n·maxlen)
     numpy ops, no Python loop over values."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # number of 7-bit groups per value (at least 1)
-    nbits = np.zeros(v.shape, dtype=np.int64)
+        return b"", np.zeros(0, dtype=np.int64)
     tmp = v.copy()
     # max 10 groups for 64-bit
     lengths = np.ones(v.shape, dtype=np.int64)
@@ -62,7 +63,13 @@ def encode_varints(values: np.ndarray) -> bytes:
         shifted >>= np.uint64(7)
     buf = out[valid]
     assert buf.size == total
-    return buf.tobytes()
+    return buf.tobytes(), lengths
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized (see
+    encode_varints_with_lengths)."""
+    return encode_varints_with_lengths(values)[0]
 
 
 def decode_varints(buf: bytes | bytearray | memoryview, offset: int = 0,

@@ -51,7 +51,8 @@ from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
 
 from ..functions.analysis import PROFILES, tokenize_title
 from ..functions.compress import (decode_varints, delta_decode, delta_encode,
-                                  encode_varints)
+                                  encode_varints,
+                                  encode_varints_with_lengths)
 
 K1 = 1.2
 B = 0.75
@@ -73,7 +74,15 @@ POSTING_SCHEMA = StructType([
     StructField("bin", BinaryType()),
     StructField("block_first_doc", ArrayType(LongType())),
     StructField("block_last_doc", ArrayType(LongType())),
-    StructField("block_max_impact", ArrayType(DoubleType())),
+    # avgdl-independent block-max metadata: the BM25 impact upper bound
+    # max tf/(tf+k1(1-b+b·dl/avgdl)) is reconstructed at QUERY time from
+    # (max_tf, min_dl) — f is increasing in tf and decreasing in dl, so
+    # f(max_tf, min_dl) ≥ max f(tf_i, dl_i). Storing tf/dl instead of a
+    # baked impact keeps the build single-pass (no global-avgdl barrier
+    # before the merge) and keeps bounds valid under incremental appends
+    # that drift avgdl.
+    StructField("block_max_tf", ArrayType(LongType())),
+    StructField("block_min_dl", ArrayType(LongType())),
 ])
 
 
@@ -174,60 +183,166 @@ def positions_of(tfs: np.ndarray, pos_gaps: np.ndarray) -> list[np.ndarray]:
 DOCLEN_TERM = "\x00doclen"
 
 
+# per-worker-process token-id encoders (python workers are reused across
+# tasks, so vocab/memo survive and the memo hit rate → 1)
+_ENCODERS: dict[str, "object"] = {}
+
+
+def _encoder_for(profile: str):
+    from ..functions.analysis import TokenIdEncoder
+    enc = _ENCODERS.get(profile)
+    if enc is None:
+        enc = _ENCODERS[profile] = TokenIdEncoder(profile)
+    return enc
+
+
+def _partials_from_batch(pdf: pd.DataFrame, enc, seg_bits: int) -> list:
+    """Vectorized partial-posting kernel for one Arrow batch.
+
+    Per-token python is ONE memo-dict hit inside enc.encode(); everything
+    after runs as numpy: a single stable argsort of (term_id, doc) keys
+    yields tf (run lengths), positions (already gap-codable in place),
+    per-run doc/dl arrays, and (term, segment) row boundaries — the
+    allocation-heavy per-token dict/list churn of the naive build is what
+    capped multi-worker scaling (DRAM pressure), not arithmetic."""
+    doc_ids_in = pdf["doc_id"].to_numpy()
+    if doc_ids_in.size == 0:
+        return []
+    order_docs = np.argsort(doc_ids_in, kind="stable")
+    contents = pdf["content"].to_numpy()
+    paths = pdf["path"].to_numpy()
+
+    tok_arrays = []
+    dls = np.empty(doc_ids_in.size, dtype=np.int64)
+    title_keys = []
+    doc_ids = doc_ids_in[order_docs].astype(np.int64)
+    for i, j in enumerate(order_docs):
+        ids = enc.encode(contents[j])
+        tok_arrays.append(ids)
+        dls[i] = ids.size
+        p = paths[j]
+        if isinstance(p, str) and p:
+            tids = enc.encode_terms(tokenize_title(p))
+            if tids.size:
+                title_keys.append((np.unique(tids) << np.int64(21))
+                                  | np.int64(i))
+    rows: list = []
+
+    # --- doclen sentinel rows: one per doc-id segment ---------------------
+    segs_doc = doc_ids >> seg_bits
+    seg_bounds = np.flatnonzero(np.r_[True, segs_doc[1:] != segs_doc[:-1]])
+    seg_ends = np.r_[seg_bounds[1:], segs_doc.size]
+    for s, e in zip(seg_bounds, seg_ends):
+        n = e - s
+        buf = _encode_partial(doc_ids[s:e],
+                              np.full(n, 2, dtype=np.int64),  # tf=1, imp=0
+                              dls[s:e], np.zeros(n, dtype=np.uint64))
+        rows.append((DOCLEN_TERM, int(segs_doc[s]), int(n), int(n), buf))
+
+    n_tok = int(dls.sum())
+    if n_tok == 0:
+        return rows
+
+    T = np.concatenate(tok_arrays)
+    # positions = ordinals within each doc's filtered stream
+    starts = np.zeros(dls.size, dtype=np.int64)
+    np.cumsum(dls[:-1], out=starts[1:])
+    P = np.arange(n_tok, dtype=np.int64) - np.repeat(starts, dls)
+    D = np.repeat(np.arange(dls.size, dtype=np.int64), dls)
+
+    key = (T << np.int64(21)) | D          # doc index fits 21 bits per batch
+    order = np.argsort(key, kind="stable")  # position order kept within runs
+    sK = key[order]
+    sP = P[order]
+
+    run_start = np.flatnonzero(np.r_[True, sK[1:] != sK[:-1]])
+    run_end = np.r_[run_start[1:], sK.size]
+    tf = run_end - run_start
+    run_tid = sK[run_start] >> np.int64(21)
+    run_d = sK[run_start] & np.int64((1 << 21) - 1)
+    run_doc = doc_ids[run_d]
+    run_dl = dls[run_d]
+
+    # in-place gap coding: first position absolute, then deltas (the exact
+    # layout _encode_partial expects per posting)
+    pg = sP.copy()
+    pg[1:] -= sP[:-1]
+    pg[run_start] = sP[run_start]
+
+    # important flag: (tid, doc) membership in the title-token key set
+    if title_keys:
+        tkeys = np.sort(np.concatenate(title_keys))
+        pos = np.searchsorted(tkeys, sK[run_start])
+        pos_c = np.minimum(pos, tkeys.size - 1)
+        imp = (pos < tkeys.size) & (tkeys[pos_c] == sK[run_start])
+        imp = imp.astype(np.int64)
+    else:
+        imp = np.zeros(run_tid.size, dtype=np.int64)
+    tf_packed = (tf << 1) | imp
+
+    # (term, segment) partial-row boundaries over the run stream
+    run_seg = run_doc >> seg_bits
+    row_start = np.flatnonzero(
+        np.r_[True, (run_tid[1:] != run_tid[:-1])
+              | (run_seg[1:] != run_seg[:-1])])
+    row_end = np.r_[row_start[1:], run_tid.size]
+    row_n = row_end - row_start
+
+    # each section is varint-encoded ONCE for the whole batch; per-row
+    # binaries are byte-slices of the five section streams (the per-row
+    # encode_varints dispatch was ~40% of kernel time)
+    doc_gaps = run_doc.copy()
+    doc_gaps[1:] -= run_doc[:-1]
+    doc_gaps[row_start] = run_doc[row_start]  # first doc absolute per row
+
+    def _section(vals, bounds_idx):
+        buf, lens = encode_varints_with_lengths(vals.astype(np.uint64))
+        cum = np.zeros(lens.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=cum[1:])
+        return buf, cum[bounds_idx]
+
+    row_tok_start = run_start[row_start]
+    row_tok_end = run_end[row_end - 1]
+    bufH, offH = _section(row_n, np.arange(row_n.size + 1, dtype=np.int64))
+    bufG, cumG = _section(doc_gaps, np.r_[row_start, run_tid.size])
+    bufT, cumT = _section(tf_packed, np.r_[row_start, run_tid.size])
+    bufD, cumD = _section(run_dl, np.r_[row_start, run_tid.size])
+    bufP, lensP = encode_varints_with_lengths(pg.astype(np.uint64))
+    cumP_full = np.zeros(lensP.size + 1, dtype=np.int64)
+    np.cumsum(lensP, out=cumP_full[1:])
+
+    term_of = enc.term_of
+    cf_rows = row_tok_end - row_tok_start
+    for r in range(row_n.size):
+        rs = row_start[r]
+        buf = b"".join((
+            bufH[offH[r]:offH[r + 1]],
+            bufG[cumG[r]:cumG[r + 1]],
+            bufT[cumT[r]:cumT[r + 1]],
+            bufD[cumD[r]:cumD[r + 1]],
+            bufP[cumP_full[row_tok_start[r]]:cumP_full[row_tok_end[r]]],
+        ))
+        rows.append((term_of(int(run_tid[rs])), int(run_seg[rs]),
+                     int(row_n[r]), int(cf_rows[r]), buf))
+    return rows
+
+
 def build_partials(docs: DataFrame, profile: str = "code",
                    seg_bits: int = 16) -> DataFrame:
     """Partial postings via ONE mapInPandas pass (the only pass that touches
     `content`). Tokenization + tf + positions + important flag + doc length
     happen in a single Arrow batch traversal (the reference's 10-thread
-    per-doc loop, Indexer.java:291, becomes one vectorized pass per
-    partition). Per-doc lengths ride along as postings of the DOCLEN_TERM
-    sentinel (tf=1, dl=doc length) so no second tokenization pass is needed
-    for the stats table."""
-    tokenizer = PROFILES[profile]
-
-    from itertools import chain
+    per-doc loop, Indexer.java:291, becomes one vectorized argsort kernel
+    per batch — see _partials_from_batch). Per-doc lengths ride along as
+    postings of the DOCLEN_TERM sentinel (tf=1, dl=doc length) so no second
+    tokenization pass is needed for the stats table."""
+    cols = [f.name for f in PARTIAL_SCHEMA.fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = _encoder_for(profile)
         for pdf in batches:
-            acc: dict[tuple[str, int], list] = {}
-            for doc_id, content, path in zip(pdf["doc_id"].to_numpy(),
-                                             pdf["content"], pdf["path"]):
-                toks = tokenizer(content) if isinstance(content, str) else []
-                dl = len(toks)
-                title_set = set(tokenize_title(path)) if isinstance(path, str) else set()
-                seg = int(doc_id) >> seg_bits
-                # positions stored as GAPS at append time (first absolute):
-                # tiny per-list numpy delta_encode calls were the profiled
-                # hot spot; a dict of [last_pos, gap, gap, ...] is ~10× less
-                per_term: dict[str, list[int]] = {}
-                for pos, t in enumerate(toks):
-                    e = per_term.get(t)
-                    if e is None:
-                        per_term[t] = [pos, pos]  # [last_pos, first_gap...]
-                    else:
-                        e.append(pos - e[0])
-                        e[0] = pos
-                did = int(doc_id)
-                for t, e in per_term.items():
-                    gaps = e[1:]
-                    acc.setdefault((t, seg), []).append(
-                        (did, len(gaps), t in title_set, dl, gaps))
-                acc.setdefault((DOCLEN_TERM, seg), []).append(
-                    (did, 1, False, dl, [0]))
-            rows = []
-            for (t, seg), entries in acc.items():
-                entries.sort(key=lambda e: e[0])
-                doc_ids = np.array([e[0] for e in entries], dtype=np.int64)
-                tfs = np.array([e[1] for e in entries], dtype=np.int64)
-                imp = np.array([e[2] for e in entries], dtype=np.int64)
-                dls = np.array([e[3] for e in entries], dtype=np.int64)
-                total_pos = int(tfs.sum())
-                pos_flat = np.fromiter(
-                    chain.from_iterable(e[4] for e in entries),
-                    dtype=np.uint64, count=total_pos)
-                buf = _encode_partial(doc_ids, (tfs << 1) | imp, dls, pos_flat)
-                rows.append((t, seg, int(doc_ids.size), total_pos, buf))
-            yield pd.DataFrame(rows, columns=[f.name for f in PARTIAL_SCHEMA.fields])
+            yield pd.DataFrame(
+                _partials_from_batch(pdf, enc, seg_bits), columns=cols)
 
     return docs.select("doc_id", "content", "path").mapInPandas(
         gen, schema=PARTIAL_SCHEMA)
@@ -252,60 +367,100 @@ def doc_lengths(partials: DataFrame) -> DataFrame:
     return sent.select("bin").mapInPandas(decode, "doc_id long, n_tokens long")
 
 
-def _merge_group(term: str, seg: int, bins: list, avgdl: float) -> tuple:
-    """Merge the decoded partials of ONE (term, segment) group → output row
-    tuple matching POSTING_SCHEMA (sans bucket)."""
-    parts = [_decode_partial(bytes(b)) for b in bins]
-    doc_ids = np.concatenate([p[0] for p in parts])
-    tf_packed = np.concatenate([p[1] for p in parts])
-    dls = np.concatenate([p[2] for p in parts])
-    if doc_ids.size > 1 and (np.diff(doc_ids) <= 0).any():
-        # partials may interleave (arbitrary input partitioning) but a doc
-        # appears in exactly one partial — sort, then re-slice the per-doc
-        # position blocks into the new order
-        order = np.argsort(doc_ids, kind="stable")
-        if np.unique(doc_ids).size != doc_ids.size:
-            raise ValueError(
-                f"duplicate doc_id in partials for term={term!r} seg={seg}")
-        tfs_all = (tf_packed >> 1).astype(np.int64)
-        starts = np.zeros(doc_ids.size, dtype=np.int64)
-        np.cumsum(tfs_all[:-1], out=starts[1:])
-        pos_gaps_cat = np.concatenate([p[3] for p in parts])
-        pos_gaps = np.concatenate(
-            [pos_gaps_cat[starts[i]:starts[i] + tfs_all[i]] for i in order]
-        ) if tfs_all.sum() else np.zeros(0, np.uint64)
-        doc_ids, tf_packed, dls = doc_ids[order], tf_packed[order], dls[order]
-    else:
-        pos_gaps = np.concatenate([p[3] for p in parts])
-    buf = _encode_partial(doc_ids, tf_packed, dls, pos_gaps.astype(np.uint64))
-    tfs = (tf_packed >> 1).astype(np.float64)
-    impact = tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
+def _block_meta(doc_ids: np.ndarray, tf_packed: np.ndarray,
+                dls: np.ndarray):
+    tfs = (tf_packed >> 1).astype(np.int64)
     nblocks = (doc_ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
-    bfirst, blast, bmax = [], [], []
+    bfirst, blast, bmaxtf, bmindl = [], [], [], []
     for i in range(nblocks):
         sl = slice(i * BLOCK_SIZE, (i + 1) * BLOCK_SIZE)
         bfirst.append(int(doc_ids[sl][0]))
         blast.append(int(doc_ids[sl][-1]))
-        bmax.append(float(impact[sl].max()))
-    return (term, int(seg), int(doc_ids.size), int(tfs.sum()), buf,
-            bfirst, blast, bmax)
+        bmaxtf.append(int(tfs[sl].max()))
+        bmindl.append(int(dls[sl].min()))
+    return bfirst, blast, bmaxtf, bmindl, int(tfs.sum())
 
 
-def merge_partials(partials: DataFrame, avgdl: float, n_buckets: int = 64,
-                   salt_factor: int = 8) -> DataFrame:
+def _merge_group(term: str, seg: int, bins: list) -> tuple:
+    """Merge the partials of ONE (term, segment) group → output row tuple
+    matching POSTING_SCHEMA (sans bucket).
+
+    Fast path (the normal case — a doc-range-partitioned corpus makes
+    partials cover disjoint contiguous doc ranges): the position-gap
+    section, which is the bulk of every partial's bytes, is merged by RAW
+    BYTE-SLICE CONCATENATION, never decoded — per-doc position blocks are
+    order-independent, so sorting parts by first doc and re-encoding only
+    the three n-sized sections (gaps/tf/dl, needed anyway for block-max
+    metadata) yields byte-identical output to a full decode/re-encode.
+    Interleaved doc ranges (hash-partitioned input) fall back to the full
+    decode + stable-argsort path."""
+    parts = []
+    for b in bins:
+        b = bytes(b)
+        hdr, off = decode_varints(b, 0, 1)
+        n = int(hdr[0])
+        gaps, off = decode_varints(b, off, n)
+        doc_ids_p = delta_decode(gaps)
+        tf_packed_p, off = decode_varints(b, off, n)
+        dls_p, off = decode_varints(b, off, n)
+        parts.append((doc_ids_p, tf_packed_p, dls_p, b, off))
+    parts.sort(key=lambda p: int(p[0][0]) if p[0].size else -1)
+    doc_ids = np.concatenate([p[0] for p in parts])
+    tf_packed = np.concatenate([p[1] for p in parts])
+    dls = np.concatenate([p[2] for p in parts])
+    if doc_ids.size > 1 and (np.diff(doc_ids) <= 0).any():
+        # interleaved ranges: decode the position streams and permute
+        if np.unique(doc_ids).size != doc_ids.size:
+            raise ValueError(
+                f"duplicate doc_id in partials for term={term!r} seg={seg}")
+        order = np.argsort(doc_ids, kind="stable")
+        tfs_all = (tf_packed >> np.uint64(1)).astype(np.int64)
+        starts = np.zeros(doc_ids.size, dtype=np.int64)
+        np.cumsum(tfs_all[:-1], out=starts[1:])
+        pos_gaps_cat = np.concatenate([
+            decode_varints(p[3], p[4],
+                           int((p[1] >> np.uint64(1)).sum()))[0]
+            for p in parts])
+        pos_gaps = np.concatenate(
+            [pos_gaps_cat[starts[i]:starts[i] + tfs_all[i]] for i in order]
+        ) if tfs_all.sum() else np.zeros(0, np.uint64)
+        doc_ids, tf_packed, dls = doc_ids[order], tf_packed[order], dls[order]
+        buf = _encode_partial(doc_ids, tf_packed, dls,
+                              pos_gaps.astype(np.uint64))
+    else:
+        buf = b"".join(
+            [encode_varints(np.array([doc_ids.size], dtype=np.uint64)),
+             encode_varints(delta_encode(doc_ids)),
+             encode_varints(tf_packed.astype(np.uint64)),
+             encode_varints(dls.astype(np.uint64))]
+            + [p[3][p[4]:] for p in parts])  # raw position bytes, in order
+    dls_i = dls.astype(np.int64)
+    bfirst, blast, bmaxtf, bmindl, cf = _block_meta(doc_ids, tf_packed, dls_i)
+    return (term, int(seg), int(doc_ids.size), cf, buf,
+            bfirst, blast, bmaxtf, bmindl)
+
+
+def merge_partials(partials: DataFrame, n_buckets: int = 64,
+                   salt_factor: int = 8,
+                   doclen_bucket: int | None = None) -> DataFrame:
     """A7 hierarchical merge: disjoint doc-range partials → one compressed
-    row per (term, segment) with block-max BM25 impact bounds.
+    row per (term, segment) with avgdl-independent block-max metadata.
 
-    Physical shape: ONE shuffle keyed (bucket, salt(term)) + local sort by
-    (term, segment), then a streaming mapInPandas that merges consecutive
-    equal keys — NOT groupBy.applyInPandas, whose per-group pandas-DataFrame
-    overhead dominates wall time when the group count is large (hundreds of
-    thousands of tiny (term,segment) groups is the normal case). The salt
-    spreads each bucket over `salt_factor` reducers for merge parallelism
-    while keeping the final write partitionBy(bucket) shuffle-free, and the
-    sort makes written files term-ordered → parquet row-group min/max
-    skipping on query-term filters."""
-    avgdl = max(avgdl, 1e-9)
+    Physical shape: ONE shuffle keyed (bucket, salt(term, segment)) + local
+    sort by (term, segment), then a streaming mapInPandas that merges
+    consecutive equal keys — NOT groupBy.applyInPandas, whose per-group
+    pandas-DataFrame overhead dominates wall time when the group count is
+    large (hundreds of thousands of tiny (term,segment) groups is the
+    normal case). Salting over (term, SEGMENT) — not term alone — spreads a
+    hot term's segments across `salt_factor` reducers (a per-term salt
+    would put every segment of `import` on one reducer), while each
+    (term, segment) group still lands whole on exactly one reducer. The
+    final write stays partitionBy(bucket)-shuffle-free and files are
+    term-sorted → parquet row-group min/max skipping on query-term filters.
+
+    If ``doclen_bucket`` is set, DOCLEN_TERM sentinel rows flow through the
+    same merge and are assigned that bucket (one partition dir holding the
+    doc-length table; query-side bucket pruning never reads it)."""
     out_cols = [f.name for f in POSTING_SCHEMA.fields]
 
     def merge_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -315,7 +470,7 @@ def merge_partials(partials: DataFrame, avgdl: float, n_buckets: int = 64,
 
         def flush():
             if cur is not None:
-                rows.append(_merge_group(cur[0], cur[1], bins, avgdl))
+                rows.append(_merge_group(cur[0], cur[1], bins))
 
         for pdf in batches:
             for term, seg, b in zip(pdf["term"], pdf["segment"], pdf["bin"]):
@@ -331,23 +486,27 @@ def merge_partials(partials: DataFrame, avgdl: float, n_buckets: int = 64,
         if rows:
             yield pd.DataFrame(rows, columns=out_cols)
 
-    with_bucket = partials.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-    ).withColumn(
-        "_salt", F.pmod(F.xxhash64("term", F.lit(1)), F.lit(salt_factor)))
-    # RANGE partition on (bucket, salt): output partition count — and hence
-    # the partitionBy(bucket) file count and commit-rename cost — is fixed
-    # at n_buckets·salt_factor regardless of cluster size, and nearly every
-    # task holds a single bucket value (hash repartition would mix buckets
-    # per task and multiply small files by the core count)
+    bucket_expr = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    if doclen_bucket is not None:
+        bucket_expr = F.when(F.col("term") == DOCLEN_TERM,
+                             F.lit(int(doclen_bucket))).otherwise(bucket_expr)
+    with_bucket = partials.withColumn("bucket", bucket_expr).withColumn(
+        "_salt", F.pmod(F.xxhash64("term", "segment"), F.lit(salt_factor)))
+    # HASH partition on (bucket, salt) with an EXPLICIT partition count:
+    # - explicit count → core-count-independent decomposition and no AQE
+    #   byte-based coalescing (which would collapse merge parallelism);
+    # - hash (not range) → no sampling pass over the input, which matters
+    #   because in the fused build the input lineage is the full tokenize —
+    #   a range-exchange sample would re-tokenize the corpus.
     shuffled = (with_bucket
-                .repartitionByRange(n_buckets * salt_factor, "bucket", "_salt")
+                .repartition(n_buckets * salt_factor, "bucket", "_salt")
                 .sortWithinPartitions("term", "segment"))
     merged = shuffled.select("term", "segment", "bin", "bucket").mapInPandas(
         merge_stream, schema=POSTING_SCHEMA)
-    # bucket is re-derived (constant per term) so the write needs no shuffle
-    return merged.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    # bucket is re-derived (deterministic per term) so the partitionBy
+    # write needs no further shuffle; a reduce task holding several buckets
+    # simply writes one file per bucket dir
+    return merged.withColumn("bucket", bucket_expr)
 
 
 def term_stats(postings: DataFrame, n_docs: int) -> DataFrame:
@@ -366,38 +525,65 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                 n_buckets: int = 64, salt_factor: int = 8) -> dict:
     """Full build → {docs,postings,terms,stats} parquet dirs under out_dir.
 
+    SINGLE-LINEAGE shape: tokenize → shuffle → merge → write is ONE job —
+    no persist of the intermediate partials, no stats barrier before the
+    merge (block metadata is avgdl-independent), and the content bytes are
+    read exactly once. Doc lengths ride through the same shuffle as
+    DOCLEN_TERM sentinel rows landing in their own bucket partition
+    (bucket=n_buckets); stats/terms/docs publish by reading back the
+    compressed postings (two orders of magnitude smaller than the corpus),
+    with docs and terms written from concurrent driver threads.
+
     Returns the global stats dict. Postings are written partitioned by
     `bucket` so a k-term query scans k/n_buckets of the files (partition
     pruning stands in for the reference's MySQL hash index,
-    create_database.sql:47)."""
-    from pyspark import StorageLevel
+    create_database.sql:47); query-side bucket sets never include the
+    sentinel bucket."""
+    import threading
 
     docs = prepare_docs(corpus)
     partials = build_partials(docs, profile=profile, seg_bits=seg_bits)
-    # DISK_ONLY: partial rows are already-compressed binary; caching them on
-    # heap just adds GC pressure under 32 concurrent tasks (measured slower),
-    # and the OS page cache makes the re-read effectively free locally
-    partials.persist(StorageLevel.DISK_ONLY)  # ONE tokenization pass feeds all below
-    doclens = doc_lengths(partials)
-    stats = doc_stats(doclens)  # small agg over cached partials, no re-read
-    docs_out = (docs.drop("content")
-                .join(doclens, "doc_id")
-                .select("doc_id", "repo", "path", "commit", "lang",
-                        "content_sha256", "n_tokens"))
-    docs_out.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
-    postings = merge_partials(partials.filter(F.col("term") != DOCLEN_TERM),
-                              avgdl=stats["avgdl"], n_buckets=n_buckets,
-                              salt_factor=salt_factor)
-    # merge output is already (bucket,salt)-partitioned and term-sorted:
-    # partitionBy(bucket) write needs no further shuffle
+    postings = merge_partials(partials, n_buckets=n_buckets,
+                              salt_factor=salt_factor,
+                              doclen_bucket=n_buckets)
+    postings_dir = os.path.join(out_dir, "postings")
     (postings.write.mode("overwrite").partitionBy("bucket")
-     .parquet(os.path.join(out_dir, "postings")))
-    # df/cf sums over partials ≡ sums over merged postings (docs are
-    # disjoint across partials) — avoids a full postings read-back
-    terms = term_stats(partials.filter(F.col("term") != DOCLEN_TERM),
-                       stats["n_docs"])
-    terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
-    partials.unpersist()
+     .parquet(postings_dir))
+
+    postings_w = spark.read.option("basePath", postings_dir) \
+        .parquet(postings_dir)
+    doclens = doc_lengths(
+        postings_w.filter(F.col("bucket") == n_buckets))
+    stats = doc_stats(doclens)
+
+    def _docs_job():
+        (docs.drop("content")
+         .join(doclens, "doc_id")
+         .select("doc_id", "repo", "path", "commit", "lang",
+                 "content_sha256", "n_tokens")
+         .write.mode("overwrite").parquet(os.path.join(out_dir, "docs")))
+
+    def _terms_job():
+        terms = term_stats(postings_w.filter(F.col("bucket") != n_buckets),
+                           stats["n_docs"])
+        terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+
+    errors: list[BaseException] = []
+
+    def _run(fn):
+        try:
+            fn()
+        except BaseException as e:  # re-raised on the caller thread below
+            errors.append(e)
+
+    threads = [threading.Thread(target=_run, args=(fn,), daemon=True)
+               for fn in (_docs_job, _terms_job)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
     stats_row = dict(stats, avgdl=float(stats["avgdl"]), profile=profile,
                      seg_bits=seg_bits, n_buckets=n_buckets, k1=K1, b=B)
     write_stats_json(spark, out_dir, stats_row)
@@ -425,9 +611,14 @@ def write_stats_json(spark: SparkSession, out_dir: str, stats_row: dict) -> None
 
 def load_index(spark: SparkSession, out_dir: str) -> dict:
     stats = spark.read.json(os.path.join(out_dir, "stats")).collect()[0].asDict()
+    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+    if "n_buckets" in stats:
+        # bucket == n_buckets is the DOCLEN sentinel partition (doc-length
+        # table); partition-prune it out of the query-facing postings view
+        postings = postings.filter(F.col("bucket") < int(stats["n_buckets"]))
     return {
         "docs": spark.read.parquet(os.path.join(out_dir, "docs")),
-        "postings": spark.read.parquet(os.path.join(out_dir, "postings")),
+        "postings": postings,
         "terms": spark.read.parquet(os.path.join(out_dir, "terms")),
         "stats": stats,
     }

@@ -113,7 +113,7 @@ def upsert_history(history: DataFrame, visits: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _reencode_without(buf: bytes, victims: set, avgdl: float):
+def _reencode_without(buf: bytes, victims: set):
     """Decode one segment, drop victim docs, re-encode + fresh block-max.
     Returns None if the segment becomes empty."""
     doc_ids, tf_packed, dls, pos_gaps = _decode_partial(buf)
@@ -131,20 +131,14 @@ def _reencode_without(buf: bytes, victims: set, avgdl: float):
                else np.zeros(0, np.uint64))
     doc_ids, tf_packed, dls = doc_ids[keep], tf_packed[keep], dls[keep]
     buf2 = _encode_partial(doc_ids, tf_packed, dls, pos_new.astype(np.uint64))
-    tfs = (tf_packed >> 1).astype(np.float64)
-    impact = tfs / (tfs + K1 * (1 - B + B * dls / max(avgdl, 1e-9)))
-    nblocks = (doc_ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
-    bfirst, blast, bmax = [], [], []
-    for i in range(nblocks):
-        sl = slice(i * BLOCK_SIZE, (i + 1) * BLOCK_SIZE)
-        bfirst.append(int(doc_ids[sl][0]))
-        blast.append(int(doc_ids[sl][-1]))
-        bmax.append(float(impact[sl].max()))
-    return (int(doc_ids.size), int(tfs.sum()), buf2, bfirst, blast, bmax)
+    from .build import _block_meta
+    bfirst, blast, bmaxtf, bmindl, cf = _block_meta(
+        doc_ids, tf_packed.astype(np.int64), dls.astype(np.int64))
+    return (int(doc_ids.size), cf, buf2, bfirst, blast, bmaxtf, bmindl)
 
 
 def delete_docs_postings(postings: DataFrame, doc_ids: list[int],
-                         avgdl: float, seg_bits: int) -> DataFrame:
+                         seg_bits: int) -> DataFrame:
     """Remove a (small) set of docs from the postings table.
 
     Only rows whose segment contains a victim doc are decoded; the rest
@@ -161,18 +155,19 @@ def delete_docs_postings(postings: DataFrame, doc_ids: list[int],
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                res = _reencode_without(bytes(r.bin), victims, avgdl)
+                res = _reencode_without(bytes(r.bin), victims)
                 if res is None:
                     continue
                 if res == "unchanged":
                     rows.append((r.term, r.segment, r.n_docs, r.cf, r.bin,
                                  list(r.block_first_doc),
                                  list(r.block_last_doc),
-                                 list(r.block_max_impact), r.bucket))
+                                 list(r.block_max_tf),
+                                 list(r.block_min_dl), r.bucket))
                 else:
-                    n, cf, buf, bf, bl, bm = res
-                    rows.append((r.term, r.segment, n, cf, buf, bf, bl, bm,
-                                 r.bucket))
+                    n, cf, buf, bf, bl, bmt, bmd = res
+                    rows.append((r.term, r.segment, n, cf, buf, bf, bl,
+                                 bmt, bmd, r.bucket))
             yield pd.DataFrame(rows, columns=out_cols)
 
     schema = StructType(list(POSTING_SCHEMA.fields)
@@ -182,7 +177,7 @@ def delete_docs_postings(postings: DataFrame, doc_ids: list[int],
 
 
 def reindex_docs(spark: SparkSession, postings: DataFrame,
-                 changed_docs: DataFrame, avgdl: float, seg_bits: int,
+                 changed_docs: DataFrame, seg_bits: int,
                  n_buckets: int, profile: str = "code") -> DataFrame:
     """A8 full shape: replace the postings of `changed_docs` (docs whose
     content changed) inside an existing postings table.
@@ -191,19 +186,19 @@ def reindex_docs(spark: SparkSession, postings: DataFrame,
     changed docs → merge → union. Segments are doc-range-disjoint, so the
     union stays per-(term, segment) unique."""
     ids = [int(r["doc_id"]) for r in changed_docs.select("doc_id").collect()]
-    cleaned = delete_docs_postings(postings, ids, avgdl, seg_bits)
+    cleaned = delete_docs_postings(postings, ids, seg_bits)
     fresh_parts = build_partials(changed_docs, profile=profile,
                                  seg_bits=seg_bits) \
         .filter(F.col("term") != DOCLEN_TERM)
-    fresh = merge_partials(fresh_parts, avgdl=avgdl, n_buckets=n_buckets)
+    fresh = merge_partials(fresh_parts, n_buckets=n_buckets)
     out_cols = [f.name for f in POSTING_SCHEMA.fields] + ["bucket"]
     both = cleaned.select(*out_cols).unionByName(fresh.select(*out_cols))
     # a changed doc stays in its segment, so its old and new postings can
     # share a (term, segment) key → re-merge those pairs' binaries
-    return _remerge_duplicate_keys(both, avgdl)
+    return _remerge_duplicate_keys(both)
 
 
-def _remerge_duplicate_keys(postings: DataFrame, avgdl: float) -> DataFrame:
+def _remerge_duplicate_keys(postings: DataFrame) -> DataFrame:
     from .build import _merge_group
     out_cols = [f.name for f in POSTING_SCHEMA.fields] + ["bucket"]
 
@@ -217,11 +212,11 @@ def _remerge_duplicate_keys(postings: DataFrame, avgdl: float) -> DataFrame:
                     rows.append((term, seg, int(r["n_docs"]), int(r["cf"]),
                                  r["bin"], list(r["block_first_doc"]),
                                  list(r["block_last_doc"]),
-                                 list(r["block_max_impact"]), int(bucket)))
+                                 list(r["block_max_tf"]),
+                                 list(r["block_min_dl"]), int(bucket)))
                 else:
                     merged = _merge_group(term, int(seg),
-                                          [bytes(b) for b in grp["bin"]],
-                                          avgdl)
+                                          [bytes(b) for b in grp["bin"]])
                     rows.append(merged + (int(bucket),))
             yield pd.DataFrame(rows, columns=out_cols)
 

@@ -117,7 +117,11 @@ def bm25_scores(posting_rows: DataFrame, terms_df: DataFrame, avgdl: float,
     weights = pd.Series(query_terms).value_counts()
     wdf = posting_rows.sparkSession.createDataFrame(
         [(t, int(c)) for t, c in weights.items()], "term string, w int")
-    tdim = terms_df.select("term", "idf_bm25")
+    # filter the dictionary to the k query terms BEFORE broadcasting — the
+    # unfiltered terms table is vocabulary-sized (10^8+ rows at corpus
+    # scale), and the isin filter is pushed into its parquet scan
+    tdim = terms_df.filter(
+        F.col("term").isin(list(set(query_terms)))).select("term", "idf_bm25")
     scored = (posting_rows
               .join(F.broadcast(tdim), "term")
               .join(F.broadcast(wdf), "term")
@@ -155,7 +159,9 @@ def parity_word_scores(posting_rows: DataFrame, terms_df: DataFrame,
     wdf = posting_rows.sparkSession.createDataFrame(
         [(t, int(c)) for t, c in weights.items()], "term string, w int")
     scored = (posting_rows
-              .join(F.broadcast(terms_df.select("term", "idf_ref")), "term")
+              .join(F.broadcast(  # dictionary filtered to the k query terms
+                  terms_df.filter(F.col("term").isin(list(set(query_terms))))
+                  .select("term", "idf_ref")), "term")
               .join(F.broadcast(wdf), "term")
               .withColumn("partial",
                           F.col("w") * F.col("tf") * (1 + F.log(F.col("tf")))
@@ -272,7 +278,10 @@ def parity_search(spark: SparkSession, index: dict, query: str,
         F.desc("total_relevance"), F.asc("doc_id")).limit(limit_n)
     extra = ["page_rank"] if "page_rank" in index["docs"].columns else []
     docs_dim = index["docs"].select("doc_id", "repo", "path", *extra)
-    stage2 = stage1.join(F.broadcast(docs_dim), "doc_id", "left")
+    # broadcast the ≤ page·20-row candidate set INTO the doc-store scan
+    # (right-outer keeps every candidate); broadcasting docs_dim would ship
+    # the whole 10^12-row doc table
+    stage2 = docs_dim.join(F.broadcast(stage1), "doc_id", "right")
     if "page_rank" in stage2.columns:
         stage2 = stage2.withColumn(
             "score", F.col("total_relevance") * F.coalesce(F.col("page_rank"), F.lit(1.0)))

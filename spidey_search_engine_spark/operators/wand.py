@@ -5,10 +5,12 @@ bulk-synchronous engine prunes with the same *bound structure* in two
 distributed phases instead:
 
 Phase 1 (bounds, metadata only): per query, compute for each global
-doc-range ``UB = Σ_t w_t·idf_t·(k1+1)·max_impact_{t,b}`` from the
-``block_first_doc``/``block_max_impact`` arrays recorded at build (impact
-already folds each doc's dl in, so bounds are tight per 128-doc block). The
-posting binaries are never touched in this phase.
+doc-range ``UB = Σ_t w_t·idf_t·(k1+1)·f(max_tf, min_dl)`` from the
+``block_first_doc``/``block_max_tf``/``block_min_dl`` arrays recorded at
+build, where f is the BM25 impact (monotone ↑ in tf, ↓ in dl, so
+f(max_tf, min_dl) bounds every doc in a 128-entry block; avgdl enters only
+here, at query time). The posting binaries are never touched in this
+phase.
 
 Phase 2 (threshold + prune): exactly score ONLY the top-`probe_ranges`
 ranges by bound → threshold θ = k-th best exact score; every range with
@@ -29,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.analysis import analyze_query
-from .build import K1, decode_segment
+from .build import B, K1, decode_segment
 from .search import EXPLODE_SCHEMA, _bucket_of, bm25_scores
 
 
@@ -50,18 +52,28 @@ def query_range_bounds(index: dict, q_terms: list[str],
     weights = pd.Series(q_terms).value_counts()
     wdf = spark.createDataFrame([(t, int(c)) for t, c in weights.items()],
                                 "term string, w int")
-    tdim = index["terms"].select("term", "idf_bm25")
+    tdim = index["terms"].filter(
+        F.col("term").isin(list(set(q_terms)))).select("term", "idf_bm25")
+    # impact upper bound reconstructed from avgdl-independent block stats:
+    # tf/(tf+k1(1-b+b·dl/avgdl)) is increasing in tf, decreasing in dl, so
+    # f(max_tf, min_dl) bounds every doc in the block (build.POSTING_SCHEMA)
+    avgdl = max(float(index["stats"]["avgdl"]), 1e-9)
+    impact_ub = (F.col("max_tf")
+                 / (F.col("max_tf")
+                    + K1 * (1 - B + B * F.col("min_dl") / F.lit(avgdl))))
     blocks = (_pruned_meta(index["postings"], q_terms, n_buckets)
               .select("term",
                       F.explode(F.arrays_zip("block_first_doc",
                                              "block_last_doc",
-                                             "block_max_impact")).alias("z"))
+                                             "block_max_tf",
+                                             "block_min_dl")).alias("z"))
               .select("term", F.col("z.block_first_doc").alias("bfd"),
                       F.col("z.block_last_doc").alias("bld"),
-                      F.col("z.block_max_impact").alias("max_impact"))
+                      F.col("z.block_max_tf").cast("double").alias("max_tf"),
+                      F.col("z.block_min_dl").cast("double").alias("min_dl"))
               .join(F.broadcast(tdim), "term").join(F.broadcast(wdf), "term")
               .withColumn("block_ub", F.col("w") * F.col("idf_bm25")
-                          * (K1 + 1) * F.col("max_impact")))
+                          * (K1 + 1) * impact_ub))
     spans = blocks.select(
         F.explode(F.sequence(F.shiftright("bfd", range_bits),
                              F.shiftright("bld", range_bits))).alias("rng"),

@@ -84,8 +84,7 @@ def build_index_resumable(spark: SparkSession, corpus: DataFrame,
         chunk = docs_full.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
         partials = build_partials(chunk, profile=profile, seg_bits=seg_bits) \
             .filter(F.col("term") != DOCLEN_TERM)
-        postings = merge_partials(partials, avgdl=stats["avgdl"],
-                                  n_buckets=n_buckets)
+        postings = merge_partials(partials, n_buckets=n_buckets)
         chunk_dir = os.path.join(out_dir, "postings", f"chunk={c}")
         (postings.write.mode("overwrite")
          .partitionBy("bucket").parquet(chunk_dir))

@@ -66,7 +66,19 @@ def _identifier(rng: np.random.Generator, style: str) -> str:
     return f"{v}_{n1}_{n2}"
 
 
-def _doc_content(rng: np.random.Generator, doc_idx: int, lang: str) -> str:
+def link_targets(doc_idx: int, n_docs: int) -> list[int]:
+    """Deterministic cross-doc import targets of doc `doc_idx` (S7 link
+    graph analog for code: `import` statements referencing other files).
+    Self-references are generated occasionally ON PURPOSE — the extractor
+    must drop them (Indexer.java:357 excludes self-links)."""
+    if n_docs <= 1:
+        return []
+    k = doc_idx % 4
+    return [(doc_idx * 7 + 31 * j + 1) % n_docs for j in range(k)]
+
+
+def _doc_content(rng: np.random.Generator, doc_idx: int, lang: str,
+                 n_docs: int = 0) -> str:
     n_tokens = int(rng.integers(50, 201))
     style = "snake" if lang in ("py", "c") else "camel"
     parts: list[str] = []
@@ -77,6 +89,8 @@ def _doc_content(rng: np.random.Generator, doc_idx: int, lang: str) -> str:
         parts.append("// تعليق " + _ARABIC_TOKENS[doc_idx % len(_ARABIC_TOKENS)])
     if doc_idx % 97 == 0:
         parts.append(_LONG_TOKEN + " = 1;")
+    for t in link_targets(doc_idx, n_docs):
+        parts.append(f"import mod{t % 11}.file{t}")
     while sum(len(p.split()) for p in parts) < n_tokens:
         r = rng.random()
         if r < 0.35:
@@ -101,7 +115,7 @@ def generate_corpus_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
         lang = LANGS[i % len(LANGS)]
         path = f"src/mod{i % 11}/File{i}.{lang}"
         commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
-        content = _doc_content(rng, i, lang)
+        content = _doc_content(rng, i, lang, n_docs)
         rows.append((repo, path, commit, lang, content))
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
@@ -135,7 +149,8 @@ def generate_corpus_df(spark, n_docs: int, seed: int = 42, partitions: int = 32,
                     lang = LANGS[i % len(LANGS)]
                     path = f"src/mod{i % 11}/File{i}.{lang}"
                     commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
-                    row = (repo, path, commit, lang, _doc_content(rng, i, lang))
+                    row = (repo, path, commit, lang,
+                           _doc_content(rng, i, lang, n_docs))
                     out_rows.append((i, *row) if with_doc_id else row)
                 yield pd.DataFrame(out_rows, columns=schema.fieldNames())
 

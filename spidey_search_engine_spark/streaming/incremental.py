@@ -32,14 +32,15 @@ from ..operators.build import (DOCLEN_TERM, build_partials, doc_lengths,
 
 
 def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
-                        out_dir: str, avgdl_hint: float,
+                        out_dir: str,
                         profile: str = "code", seg_bits: int = 10,
                         n_buckets: int = 32, checkpoint: str | None = None):
     """Start a foreachBatch stream appending per-batch postings chunks.
 
     docs_stream must provide (doc_id, repo, path, commit, lang, content).
-    avgdl_hint seeds the block-max impact bounds (recomputed exactly at
-    publish). Returns the StreamingQuery."""
+    Block-max metadata is avgdl-independent (max_tf/min_dl), so appended
+    chunks stay valid as corpus-wide avgdl drifts. Returns the
+    StreamingQuery."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -51,7 +52,7 @@ def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
         partials.persist()
         postings = merge_partials(
             partials.filter(F.col("term") != DOCLEN_TERM),
-            avgdl=avgdl_hint, n_buckets=n_buckets)
+            n_buckets=n_buckets)
         chunk_dir = os.path.join(out_dir, "postings",
                                  f"chunk=stream_{batch_id}")
         (postings.write.mode("overwrite")

@@ -31,8 +31,7 @@ def test_delete_docs_equals_fresh_build(spark, corpus_pdf, tmp_path):
                idx["docs"].filter(F.col("doc_id") % 7 == 0)
                .select("doc_id").collect()]
 
-    cleaned = delete_docs_postings(idx["postings"], victims,
-                                   float(idx["stats"]["avgdl"]), seg_bits=6)
+    cleaned = delete_docs_postings(idx["postings"], victims, seg_bits=6)
 
     # fresh build over the corpus minus the victims, with SAME doc_ids —
     # prepare_docs assigns by (repo,path) order so drop after assignment
@@ -42,8 +41,7 @@ def test_delete_docs_equals_fresh_build(spark, corpus_pdf, tmp_path):
     kept = docs.filter(~F.col("doc_id").isin(victims))
     fresh_parts = build_partials(kept, profile="code", seg_bits=6) \
         .filter(F.col("term") != DOCLEN_TERM)
-    fresh = merge_partials(fresh_parts, avgdl=float(idx["stats"]["avgdl"]),
-                           n_buckets=4)
+    fresh = merge_partials(fresh_parts, n_buckets=4)
 
     assert _postings_map(cleaned) == _postings_map(fresh)
 
@@ -84,16 +82,13 @@ def test_reindex_changed_docs_equals_fresh_build(spark, corpus_pdf, tmp_path):
     assert changed_ids
 
     changed_docs = new_docs.filter(F.col("doc_id").isin(changed_ids))
-    updated = reindex_docs(spark, idx["postings"], changed_docs,
-                           avgdl=float(idx["stats"]["avgdl"]), seg_bits=6,
+    updated = reindex_docs(spark, idx["postings"], changed_docs, seg_bits=6,
                            n_buckets=4, profile="code")
 
     out_fresh = str(tmp_path / "fresh")
     build_index(spark, new_corpus, out_fresh, profile="code", seg_bits=6,
                 n_buckets=4)
     fresh = load_index(spark, out_fresh)
-    # avgdl drifts on re-index until publish (documented trade-off), so
-    # compare the decoded postings, not block-max bytes
     assert _postings_map(updated) == _postings_map(fresh["postings"])
 
 

@@ -36,7 +36,7 @@ def test_stream_append_equals_batch(spark, corpus_pdf, tmp_path):
     out_dir = str(tmp_path / "streamed")
     stream = (spark.readStream.schema(docs.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
-    q = append_index_stream(spark, stream, out_dir, avgdl_hint=avgdl,
+    q = append_index_stream(spark, stream, out_dir,
                             profile="code", seg_bits=6, n_buckets=8,
                             checkpoint=str(tmp_path / "ckpt"))
     q.awaitTermination(120)
