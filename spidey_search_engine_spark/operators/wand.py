@@ -139,21 +139,24 @@ def bm25_topk_pruned(spark: SparkSession, index: dict, query: str,
         return spark.createDataFrame([], "doc_id long, score double")
     avgdl = float(index["stats"]["avgdl"])
 
-    bounds = query_range_bounds(index, q_terms, range_bits).cache()
-    probe = [int(r["rng"]) for r in
-             bounds.orderBy(F.desc("ub"), F.asc("rng"))
-             .limit(probe_ranges).collect()]
-    if not probe:
+    brows = query_range_bounds(index, q_terms, range_bits).collect()
+    if not brows:
         return spark.createDataFrame([], "doc_id long, score double")
+    if len(brows) <= probe_ranges:
+        # pruning is vacuous: probing would already score every range, so
+        # the extra bound/threshold jobs are pure overhead — run exhaustive
+        # (identical result by construction)
+        from .search import bm25_topk as _exhaustive
+        return _exhaustive(spark, index, query, k=k)
+    brows.sort(key=lambda r: (-r["ub"], r["rng"]))
+    probe = [int(r["rng"]) for r in brows[:probe_ranges]]
 
     probe_rows = query_term_postings_in_ranges(index, q_terms, probe, range_bits)
     seed = (bm25_scores(probe_rows, index["terms"], avgdl, q_terms)
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect())
     theta = seed[-1]["score"] if len(seed) >= k else 0.0
 
-    surviving = [int(r["rng"]) for r in
-                 bounds.filter(F.col("ub") >= F.lit(float(theta))).collect()]
-    bounds.unpersist()
+    surviving = [int(r["rng"]) for r in brows if r["ub"] >= theta]
     rows = query_term_postings_in_ranges(index, q_terms, surviving, range_bits)
     return (bm25_scores(rows, index["terms"], avgdl, q_terms)
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
