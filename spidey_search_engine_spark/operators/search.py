@@ -90,45 +90,69 @@ def query_term_postings(postings: DataFrame, terms: list[str],
     return pruned.select("term", "bin").mapInPandas(explode, schema=schema)
 
 
-def _bucket_of(term: str, n_buckets: int) -> int:
-    """Must equal F.pmod(F.xxhash64(term), n_buckets) — computed via the JVM
-    once per query (driver-side literal, k values)."""
-    # xxhash64 seed 42 is Spark's; avoid reimplementing: evaluate via Spark
-    # expression at planning time (cached per (term,n_buckets)).
-    key = (term, n_buckets)
-    cached = _bucket_cache.get(key)
-    if cached is None:
+def _buckets_of(terms: list[str], n_buckets: int) -> dict[str, int]:
+    """term → bucket for all query terms, one tiny JVM evaluation for the
+    uncached ones (must equal F.pmod(F.xxhash64(term), n_buckets) — Spark's
+    seeded xxhash64 is not worth reimplementing in python)."""
+    missing = [t for t in set(terms) if (t, n_buckets) not in _bucket_cache]
+    if missing:
         spark = SparkSession.getActiveSession()
-        cached = spark.range(1).select(
-            F.pmod(F.xxhash64(F.lit(term)), F.lit(n_buckets)).cast("int")
-        ).collect()[0][0]
-        _bucket_cache[key] = cached
-    return cached
+        row = spark.range(1).select(*[
+            F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).cast("int")
+            .alias(f"b{i}") for i, t in enumerate(missing)]).collect()[0]
+        for i, t in enumerate(missing):
+            _bucket_cache[(t, n_buckets)] = int(row[i])
+    return {t: _bucket_cache[(t, n_buckets)] for t in set(terms)}
+
+
+def _bucket_of(term: str, n_buckets: int) -> int:
+    return _buckets_of([term], n_buckets)[term]
 
 
 _bucket_cache: dict[tuple[str, int], int] = {}
+
+
+def _term_weight_map(values: dict[str, float]):
+    """term → double literal map expression (no join, no broadcast
+    exchange: k query terms become a constant in the scoring stage)."""
+    from itertools import chain
+    pairs = list(chain.from_iterable(
+        (F.lit(t), F.lit(float(v))) for t, v in values.items()))
+    return F.create_map(*pairs)
+
+
+def query_idf(terms_df: DataFrame, query_terms: list[str],
+              col: str = "idf_bm25") -> dict[str, float]:
+    """Q1 dictionary lookup, literally: fetch the k query terms' idf rows
+    (filter pushed into the terms parquet scan). Terms absent from the
+    dictionary (df=0) are dropped — they contribute no score."""
+    rows = terms_df.filter(
+        F.col("term").isin(list(set(query_terms)))).select("term", col).collect()
+    return {r["term"]: float(r[col]) for r in rows}
 
 
 def bm25_scores(posting_rows: DataFrame, terms_df: DataFrame, avgdl: float,
                 query_terms: list[str]) -> DataFrame:
     """Per-doc BM25 over decoded posting rows. Duplicate query terms weight
     by multiplicity (bag semantics, matching the reference's repeated
-    OR-columns, QueryResultsFetcher.java:239-240)."""
+    OR-columns, QueryResultsFetcher.java:239-240).
+
+    The k-term dictionary lookup happens driver-side first (Q1 — one tiny
+    pushdown scan of `terms`); idf×weight then enters the scoring stage as
+    a literal map, so the scoring plan is ONE job with no broadcast
+    exchanges."""
     weights = pd.Series(query_terms).value_counts()
-    wdf = posting_rows.sparkSession.createDataFrame(
-        [(t, int(c)) for t, c in weights.items()], "term string, w int")
-    # filter the dictionary to the k query terms BEFORE broadcasting — the
-    # unfiltered terms table is vocabulary-sized (10^8+ rows at corpus
-    # scale), and the isin filter is pushed into its parquet scan
-    tdim = terms_df.filter(
-        F.col("term").isin(list(set(query_terms)))).select("term", "idf_bm25")
-    scored = (posting_rows
-              .join(F.broadcast(tdim), "term")
-              .join(F.broadcast(wdf), "term")
-              .withColumn(
-                  "partial",
-                  F.col("w") * F.col("idf_bm25") * (F.col("tf") * (K1 + 1)) /
-                  (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl)))))
+    idf = query_idf(terms_df, query_terms, "idf_bm25")
+    iw = {t: idf[t] * float(weights[t]) for t in idf}
+    if not iw:
+        return (posting_rows.sparkSession
+                .createDataFrame([], "doc_id long, score double"))
+    m = _term_weight_map(iw)
+    scored = posting_rows.withColumn(
+        "partial",
+        m[F.col("term")] * (F.col("tf") * (K1 + 1)) /
+        (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl)))
+    ).filter(F.col("partial").isNotNull())
     return scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
 
 
@@ -156,16 +180,16 @@ def parity_word_scores(posting_rows: DataFrame, terms_df: DataFrame,
     """Q3/Q4 words sub-scorer: Σ_w  tf·(1+ln tf)·ln(1+N/df) with the
     occurrence-count multiplier quirk, + BIT_OR(important)."""
     weights = pd.Series(query_terms).value_counts()
-    wdf = posting_rows.sparkSession.createDataFrame(
-        [(t, int(c)) for t, c in weights.items()], "term string, w int")
-    scored = (posting_rows
-              .join(F.broadcast(  # dictionary filtered to the k query terms
-                  terms_df.filter(F.col("term").isin(list(set(query_terms))))
-                  .select("term", "idf_ref")), "term")
-              .join(F.broadcast(wdf), "term")
-              .withColumn("partial",
-                          F.col("w") * F.col("tf") * (1 + F.log(F.col("tf")))
-                          * F.col("idf_ref")))
+    idf = query_idf(terms_df, query_terms, "idf_ref")
+    iw = {t: idf[t] * float(weights[t]) for t in idf}
+    if not iw:
+        return (posting_rows.sparkSession.createDataFrame(
+            [], "doc_id long, relevance double, important int, is_phrase int"))
+    m = _term_weight_map(iw)
+    scored = posting_rows.withColumn(
+        "partial",
+        m[F.col("term")] * F.col("tf") * (1 + F.log(F.col("tf")))
+    ).filter(F.col("partial").isNotNull())
     return (scored.groupBy("doc_id")
             .agg(F.sum("partial").alias("relevance"),
                  F.max(F.col("important").cast("int")).alias("important"),

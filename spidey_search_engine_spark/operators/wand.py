@@ -47,13 +47,16 @@ def query_range_bounds(index: dict, q_terms: list[str],
     POSTING LIST (128 entries), not doc space — a sparse term's block can
     span many ranges, so its bound is charged to every range in
     [first_doc>>rb, last_doc>>rb] (bounded by the segment's range count)."""
-    spark = SparkSession.getActiveSession()
+    from .search import _term_weight_map, query_idf
+
     n_buckets = int(index["stats"]["n_buckets"])
     weights = pd.Series(q_terms).value_counts()
-    wdf = spark.createDataFrame([(t, int(c)) for t, c in weights.items()],
-                                "term string, w int")
-    tdim = index["terms"].filter(
-        F.col("term").isin(list(set(q_terms)))).select("term", "idf_bm25")
+    idf = query_idf(index["terms"], q_terms, "idf_bm25")
+    iw = {t: idf[t] * float(weights[t]) for t in idf}
+    if not iw:
+        spark = SparkSession.getActiveSession()
+        return spark.createDataFrame([], "rng long, ub double")
+    m = _term_weight_map(iw)
     # impact upper bound reconstructed from avgdl-independent block stats:
     # tf/(tf+k1(1-b+b·dl/avgdl)) is increasing in tf, decreasing in dl, so
     # f(max_tf, min_dl) bounds every doc in the block (build.POSTING_SCHEMA)
@@ -71,9 +74,8 @@ def query_range_bounds(index: dict, q_terms: list[str],
                       F.col("z.block_last_doc").alias("bld"),
                       F.col("z.block_max_tf").cast("double").alias("max_tf"),
                       F.col("z.block_min_dl").cast("double").alias("min_dl"))
-              .join(F.broadcast(tdim), "term").join(F.broadcast(wdf), "term")
-              .withColumn("block_ub", F.col("w") * F.col("idf_bm25")
-                          * (K1 + 1) * impact_ub))
+              .withColumn("block_ub", m[F.col("term")] * (K1 + 1) * impact_ub)
+              .filter(F.col("block_ub").isNotNull()))
     spans = blocks.select(
         F.explode(F.sequence(F.shiftright("bfd", range_bits),
                              F.shiftright("bld", range_bits))).alias("rng"),
