@@ -1,0 +1,94 @@
+"""Property tests: the vectorized partial-build kernel is byte-identical to
+a naive per-token reference implementation, for arbitrary content."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _naive_partials(pdf: pd.DataFrame, tokenizer, title_tokenizer,
+                    seg_bits: int):
+    """Straight-line reimplementation of A1–A3 + doclen sentinel (the
+    pre-vectorization algorithm), used as the oracle."""
+    from itertools import chain
+
+    from spidey_search_engine_spark.operators.build import (DOCLEN_TERM,
+                                                            _encode_partial)
+    acc: dict = {}
+    for doc_id, content, path in zip(pdf["doc_id"], pdf["content"],
+                                     pdf["path"]):
+        toks = tokenizer(content) if isinstance(content, str) else []
+        dl = len(toks)
+        title_set = set(title_tokenizer(path)) if isinstance(path, str) else set()
+        seg = int(doc_id) >> seg_bits
+        per_term: dict = {}
+        for pos, t in enumerate(toks):
+            e = per_term.get(t)
+            if e is None:
+                per_term[t] = [pos, pos]
+            else:
+                e.append(pos - e[0])
+                e[0] = pos
+        did = int(doc_id)
+        for t, e in per_term.items():
+            acc.setdefault((t, seg), []).append(
+                (did, len(e) - 1, t in title_set, dl, e[1:]))
+        acc.setdefault((DOCLEN_TERM, seg), []).append((did, 1, False, dl, [0]))
+    rows = {}
+    for (t, seg), entries in acc.items():
+        entries.sort(key=lambda e: e[0])
+        doc_ids = np.array([e[0] for e in entries], dtype=np.int64)
+        tfs = np.array([e[1] for e in entries], dtype=np.int64)
+        imp = np.array([e[2] for e in entries], dtype=np.int64)
+        dls = np.array([e[3] for e in entries], dtype=np.int64)
+        total = int(tfs.sum())
+        pos_flat = np.fromiter(chain.from_iterable(e[4] for e in entries),
+                               dtype=np.uint64, count=total)
+        rows[(t, seg)] = (int(doc_ids.size), total,
+                          _encode_partial(doc_ids, (tfs << 1) | imp, dls,
+                                          pos_flat))
+    return rows
+
+
+_chunk = st.sampled_from(
+    list("abcXYZ019_ .,;()؀ۿ؁\n\t/\\-=+\"'") + ["fooBar", "do_re ", "import "])
+_content = st.lists(_chunk, max_size=60).map("".join)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1 << 20), _content,
+                          st.text(max_size=20)),
+                min_size=0, max_size=12, unique_by=lambda x: x[0]))
+def test_kernel_matches_naive_on_random_docs(rows):
+    from spidey_search_engine_spark.functions.analysis import (PROFILES,
+                                                               tokenize_title)
+    from spidey_search_engine_spark.operators.build import (
+        _encoder_for, _partials_from_batch)
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "content", "path"])
+    expected = _naive_partials(pdf, PROFILES["code"], tokenize_title,
+                               seg_bits=7)
+    enc = _encoder_for("code")
+    got = {(t, s): (n, cf, b)
+           for t, s, n, cf, b in _partials_from_batch(pdf, enc, 7)}
+    assert got == expected
+
+
+def test_kernel_simple_profile_matches_naive():
+    from spidey_search_engine_spark.functions.analysis import (PROFILES,
+                                                               tokenize_title)
+    from spidey_search_engine_spark.operators.build import (
+        _encoder_for, _partials_from_batch)
+    from spidey_search_engine_spark.sources.corpus import generate_corpus_pdf
+
+    pdf = generate_corpus_pdf(150, seed=77)
+    pdf["doc_id"] = np.arange(150)[::-1].copy()  # reverse order on purpose
+    expected = _naive_partials(pdf, PROFILES["simple"], tokenize_title,
+                               seg_bits=5)
+    enc = _encoder_for("simple")
+    got = {(t, s): (n, cf, b)
+           for t, s, n, cf, b in _partials_from_batch(pdf, enc, 5)}
+    assert got == expected
