@@ -83,7 +83,7 @@ corpus = (spark.read.parquet(corpus_path)
           .localCheckpoint())
 n = corpus.count()  # materialize outside the timed region
 t0 = time.monotonic()
-build_index(spark, corpus, out, profile="code", seg_bits=12, n_buckets=32,
+build_index(spark, corpus, out, profile="code", seg_bits=14, n_buckets=32,
             salt_factor=4)
 dt = time.monotonic() - t0
 spark.stop()

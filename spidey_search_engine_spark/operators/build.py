@@ -178,9 +178,37 @@ def positions_of(tfs: np.ndarray, pos_gaps: np.ndarray) -> list[np.ndarray]:
     return out
 
 
-# sentinel pseudo-term carrying per-doc lengths inside the partials stream
-# (F1 tokens can never contain "\x00": it is outside every token charset)
+# sentinel pseudo-terms carrying per-doc metadata inside the partials
+# stream ("\x00" is outside every token charset, so no collision with real
+# terms). DOCLEN rows reuse the partial layout (dl in the dl section);
+# DOCSHA rows carry [n][doc gaps][32n raw sha256 digest bytes] so the docs
+# table publish never has to re-read + re-hash the corpus content.
 DOCLEN_TERM = "\x00doclen"
+DOCSHA_TERM = "\x00docsha"
+SENTINEL_PREFIX = "\x00"
+
+
+def is_sentinel(term_col):
+    return term_col.startswith(SENTINEL_PREFIX)
+
+
+def _encode_sha_block(doc_ids: np.ndarray, digests: bytes) -> bytes:
+    return b"".join([
+        encode_varints(np.array([doc_ids.size], dtype=np.uint64)),
+        encode_varints(delta_encode(doc_ids)),
+        digests,
+    ])
+
+
+def _decode_sha_block(buf: bytes):
+    hdr, off = decode_varints(buf, 0, 1)
+    n = int(hdr[0])
+    gaps, off = decode_varints(buf, off, n)
+    doc_ids = delta_decode(gaps)
+    payload = buf[off:]
+    if len(payload) != 32 * n:
+        raise ValueError("docsha payload length mismatch")
+    return doc_ids, payload
 
 
 # per-worker-process token-id encoders (python workers are reused across
@@ -212,14 +240,22 @@ def _partials_from_batch(pdf: pd.DataFrame, enc, seg_bits: int) -> list:
     contents = pdf["content"].to_numpy()
     paths = pdf["path"].to_numpy()
 
+    import hashlib
+
     tok_arrays = []
     dls = np.empty(doc_ids_in.size, dtype=np.int64)
     title_keys = []
+    shas = []
     doc_ids = doc_ids_in[order_docs].astype(np.int64)
     for i, j in enumerate(order_docs):
-        ids = enc.encode(contents[j])
+        c = contents[j]
+        ids = enc.encode(c)
         tok_arrays.append(ids)
         dls[i] = ids.size
+        # sha256 over utf-8 bytes ≡ F.sha2(content, 256); missing content
+        # hashes as the empty string (the corpus contract is non-null)
+        shas.append(hashlib.sha256(
+            c.encode() if isinstance(c, str) else b"").digest())
         p = paths[j]
         if isinstance(p, str) and p:
             tids = enc.encode_terms(tokenize_title(p))
@@ -228,7 +264,7 @@ def _partials_from_batch(pdf: pd.DataFrame, enc, seg_bits: int) -> list:
                                   | np.int64(i))
     rows: list = []
 
-    # --- doclen sentinel rows: one per doc-id segment ---------------------
+    # --- doclen + docsha sentinel rows: one each per doc-id segment -------
     segs_doc = doc_ids >> seg_bits
     seg_bounds = np.flatnonzero(np.r_[True, segs_doc[1:] != segs_doc[:-1]])
     seg_ends = np.r_[seg_bounds[1:], segs_doc.size]
@@ -238,6 +274,8 @@ def _partials_from_batch(pdf: pd.DataFrame, enc, seg_bits: int) -> list:
                               np.full(n, 2, dtype=np.int64),  # tf=1, imp=0
                               dls[s:e], np.zeros(n, dtype=np.uint64))
         rows.append((DOCLEN_TERM, int(segs_doc[s]), int(n), int(n), buf))
+        sha_buf = _encode_sha_block(doc_ids[s:e], b"".join(shas[s:e]))
+        rows.append((DOCSHA_TERM, int(segs_doc[s]), int(n), 0, sha_buf))
 
     n_tok = int(dls.sum())
     if n_tok == 0:
@@ -348,6 +386,29 @@ def build_partials(docs: DataFrame, profile: str = "code",
         gen, schema=PARTIAL_SCHEMA)
 
 
+def doc_shas(partials: DataFrame) -> DataFrame:
+    """(doc_id, content_sha256 hex) decoded from DOCSHA sentinel rows —
+    the per-row invariant column without a second pass over content."""
+    sent = partials.filter(F.col("term") == DOCSHA_TERM)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hexes = [], []
+            for buf in pdf["bin"]:
+                doc_ids, payload = _decode_sha_block(bytes(buf))
+                ids.append(doc_ids)
+                hexes.extend(payload[i * 32:(i + 1) * 32].hex()
+                             for i in range(doc_ids.size))
+            yield pd.DataFrame({
+                "doc_id": (np.concatenate(ids) if ids
+                           else np.array([], np.int64)),
+                "content_sha256": hexes,
+            })
+
+    return sent.select("bin").mapInPandas(
+        decode, "doc_id long, content_sha256 string")
+
+
 def doc_lengths(partials: DataFrame) -> DataFrame:
     """(doc_id, n_tokens) decoded from the DOCLEN_TERM sentinel partials."""
     sent = partials.filter(F.col("term") == DOCLEN_TERM)
@@ -393,7 +454,20 @@ def _merge_group(term: str, seg: int, bins: list) -> tuple:
     the three n-sized sections (gaps/tf/dl, needed anyway for block-max
     metadata) yields byte-identical output to a full decode/re-encode.
     Interleaved doc ranges (hash-partitioned input) fall back to the full
-    decode + stable-argsort path."""
+    decode + stable-argsort path. DOCSHA sentinel rows use their own fixed
+    32-byte-payload layout and merge by row permutation."""
+    if term == DOCSHA_TERM:
+        sparts = [_decode_sha_block(bytes(b)) for b in bins]
+        sparts.sort(key=lambda p: int(p[0][0]) if p[0].size else -1)
+        doc_ids = np.concatenate([p[0] for p in sparts])
+        payload = b"".join(p[1] for p in sparts)
+        if doc_ids.size > 1 and (np.diff(doc_ids) <= 0).any():
+            order = np.argsort(doc_ids, kind="stable")
+            mat = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 32)
+            payload = mat[order].tobytes()
+            doc_ids = doc_ids[order]
+        buf = _encode_sha_block(doc_ids, payload)
+        return (term, int(seg), int(doc_ids.size), 0, buf, [], [], [], [])
     parts = []
     for b in bins:
         b = bytes(b)
@@ -488,7 +562,7 @@ def merge_partials(partials: DataFrame, n_buckets: int = 64,
 
     bucket_expr = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     if doclen_bucket is not None:
-        bucket_expr = F.when(F.col("term") == DOCLEN_TERM,
+        bucket_expr = F.when(F.col("term").startswith(SENTINEL_PREFIX),
                              F.lit(int(doclen_bucket))).otherwise(bucket_expr)
     with_bucket = partials.withColumn("bucket", bucket_expr).withColumn(
         "_salt", F.pmod(F.xxhash64("term", "segment"), F.lit(salt_factor)))
@@ -552,13 +626,17 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
 
     postings_w = spark.read.option("basePath", postings_dir) \
         .parquet(postings_dir)
-    doclens = doc_lengths(
-        postings_w.filter(F.col("bucket") == n_buckets))
+    sentinels = postings_w.filter(F.col("bucket") == n_buckets)
+    doclens = doc_lengths(sentinels)
     stats = doc_stats(doclens)
 
     def _docs_job():
-        (docs.drop("content")
+        # content is NEVER re-read here: doc_id/meta columns prune to a
+        # content-free corpus scan, n_tokens and the sha256 invariant both
+        # arrive decoded from the sentinel partitions
+        (docs.select("doc_id", "repo", "path", "commit", "lang")
          .join(doclens, "doc_id")
+         .join(doc_shas(sentinels), "doc_id")
          .select("doc_id", "repo", "path", "commit", "lang",
                  "content_sha256", "n_tokens")
          .write.mode("overwrite").parquet(os.path.join(out_dir, "docs")))

@@ -30,6 +30,7 @@ from pyspark.sql.types import IntegerType, StructField, StructType
 from pyspark.sql import functions as F
 
 from .build import (BLOCK_SIZE, DOCLEN_TERM, K1, B, POSTING_SCHEMA,
+                    SENTINEL_PREFIX,
                     _decode_partial, _encode_partial, build_partials,
                     merge_partials, term_stats)
 
@@ -189,7 +190,7 @@ def reindex_docs(spark: SparkSession, postings: DataFrame,
     cleaned = delete_docs_postings(postings, ids, seg_bits)
     fresh_parts = build_partials(changed_docs, profile=profile,
                                  seg_bits=seg_bits) \
-        .filter(F.col("term") != DOCLEN_TERM)
+        .filter(~F.col("term").startswith(SENTINEL_PREFIX))
     fresh = merge_partials(fresh_parts, n_buckets=n_buckets)
     out_cols = [f.name for f in POSTING_SCHEMA.fields] + ["bucket"]
     both = cleaned.select(*out_cols).unionByName(fresh.select(*out_cols))

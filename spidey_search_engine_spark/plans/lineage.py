@@ -31,7 +31,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.build import (DOCLEN_TERM, build_partials, doc_lengths,
+from ..operators.build import (DOCLEN_TERM, SENTINEL_PREFIX,
+                               build_partials, doc_lengths,
                                doc_stats, merge_partials, prepare_docs,
                                term_stats, write_stats_json)
 
@@ -83,7 +84,7 @@ def build_index_resumable(spark: SparkSession, corpus: DataFrame,
         t0 = time.monotonic()
         chunk = docs_full.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
         partials = build_partials(chunk, profile=profile, seg_bits=seg_bits) \
-            .filter(F.col("term") != DOCLEN_TERM)
+            .filter(~F.col("term").startswith(SENTINEL_PREFIX))
         postings = merge_partials(partials, n_buckets=n_buckets)
         chunk_dir = os.path.join(out_dir, "postings", f"chunk={c}")
         (postings.write.mode("overwrite")

@@ -26,7 +26,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.build import (DOCLEN_TERM, build_partials, doc_lengths,
+from ..operators.build import (DOCLEN_TERM, SENTINEL_PREFIX,
+                               build_partials, doc_lengths,
                                doc_stats, merge_partials, term_stats,
                                write_stats_json)
 
@@ -51,7 +52,7 @@ def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
         partials = build_partials(docs, profile=profile, seg_bits=seg_bits)
         partials.persist()
         postings = merge_partials(
-            partials.filter(F.col("term") != DOCLEN_TERM),
+            partials.filter(~F.col("term").startswith(SENTINEL_PREFIX)),
             n_buckets=n_buckets)
         chunk_dir = os.path.join(out_dir, "postings",
                                  f"chunk=stream_{batch_id}")

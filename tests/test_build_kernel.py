@@ -13,13 +13,19 @@ def _naive_partials(pdf: pd.DataFrame, tokenizer, title_tokenizer,
                     seg_bits: int):
     """Straight-line reimplementation of A1–A3 + doclen sentinel (the
     pre-vectorization algorithm), used as the oracle."""
+    import hashlib
     from itertools import chain
 
-    from spidey_search_engine_spark.operators.build import (DOCLEN_TERM,
-                                                            _encode_partial)
+    from spidey_search_engine_spark.operators.build import (
+        DOCLEN_TERM, DOCSHA_TERM, _encode_partial, _encode_sha_block)
     acc: dict = {}
+    sha_acc: dict = {}
     for doc_id, content, path in zip(pdf["doc_id"], pdf["content"],
                                      pdf["path"]):
+        sha_acc.setdefault(int(doc_id) >> seg_bits, []).append(
+            (int(doc_id), hashlib.sha256(
+                content.encode() if isinstance(content, str) else b""
+            ).digest()))
         toks = tokenizer(content) if isinstance(content, str) else []
         dl = len(toks)
         title_set = set(title_tokenizer(path)) if isinstance(path, str) else set()
@@ -50,6 +56,12 @@ def _naive_partials(pdf: pd.DataFrame, tokenizer, title_tokenizer,
         rows[(t, seg)] = (int(doc_ids.size), total,
                           _encode_partial(doc_ids, (tfs << 1) | imp, dls,
                                           pos_flat))
+    for seg, entries in sha_acc.items():
+        entries.sort()
+        ids = np.array([d for d, _ in entries], dtype=np.int64)
+        rows[(DOCSHA_TERM, seg)] = (
+            ids.size, 0,
+            _encode_sha_block(ids, b"".join(h for _, h in entries)))
     return rows
 
 

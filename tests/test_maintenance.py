@@ -36,11 +36,11 @@ def test_delete_docs_equals_fresh_build(spark, corpus_pdf, tmp_path):
     # fresh build over the corpus minus the victims, with SAME doc_ids —
     # prepare_docs assigns by (repo,path) order so drop after assignment
     from spidey_search_engine_spark.operators.build import (
-        DOCLEN_TERM, build_partials, merge_partials, prepare_docs)
+        SENTINEL_PREFIX, build_partials, merge_partials, prepare_docs)
     docs = prepare_docs(spark.createDataFrame(corpus_pdf).repartition(4))
     kept = docs.filter(~F.col("doc_id").isin(victims))
     fresh_parts = build_partials(kept, profile="code", seg_bits=6) \
-        .filter(F.col("term") != DOCLEN_TERM)
+        .filter(~F.col("term").startswith(SENTINEL_PREFIX))
     fresh = merge_partials(fresh_parts, n_buckets=4)
 
     assert _postings_map(cleaned) == _postings_map(fresh)
