@@ -756,7 +756,7 @@ SELECT event_id,
        strftime(cts, '%a, %d %b %Y %H:%M:%S GMT') AS crawled_time,
        strftime(its, '%a, %d %b %Y %H:%M:%S GMT') AS indexed_time,
        CASE WHEN its IS NULL THEN 'INDEX'
-            WHEN its < cts THEN 'REINDEX'
+            WHEN its <= cts THEN 'REINDEX'
             ELSE 'SKIP' END AS state
 FROM e""",
 

@@ -234,8 +234,30 @@ class TokenIdEncoder:
             self._split = _QUERY_SPLIT
             self._pre = str.lower
             self._analyze = lambda raw: [raw]
+        elif profile == "title":
+            # lowercase→truncate 500→stem; Arabic passthrough
+            # (Indexer.java:396-400 — order differs from body's 30-truncate)
+            self._split = _INDEX_SPLIT
+            self._pre = None
+            self._analyze = lambda raw: (
+                [raw] if _ARABIC.search(raw)
+                else [_stemmer(raw.lower()[:500])])
+        elif profile == "code_raw":
+            # unstemmed snippet stream (Indexer.java:426-435)
+            self._split = _INDEX_SPLIT
+            self._pre = None
+            self._analyze = split_identifier
+        elif profile == "query":
+            # raw-pre-lowercase stopword check (Stemmer.java:41), then
+            # lowercase→truncate 500→stem
+            self._split = _QUERY_SPLIT
+            self._pre = None
+            self._analyze = lambda raw: (
+                [] if raw in STOPWORDS_EN
+                else [_stemmer(raw.lower()[:500])])
         else:
-            raise ValueError(f"no id-encoder for profile {profile!r}")
+            raise ValueError(f"no id-encoder for profile {profile!r}"
+                             f" (known: {sorted(PROFILES)})")
         self.vocab: dict[str, int] = {}
         self.rev: list[str] = []
         self._memo: dict[str, tuple[int, ...]] = {}

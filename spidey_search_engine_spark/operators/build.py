@@ -236,6 +236,15 @@ def _partials_from_batch(pdf: pd.DataFrame, enc, seg_bits: int) -> list:
     doc_ids_in = pdf["doc_id"].to_numpy()
     if doc_ids_in.size == 0:
         return []
+    if doc_ids_in.size >= (1 << 21):
+        # the packed (term_id << 21 | doc_ordinal) sort keys below assume
+        # < 2^21 rows per Arrow batch; the batch size is user-configurable
+        # (spark.sql.execution.arrow.maxRecordsPerBatch, 0 = unlimited), so
+        # a misconfigured session must fail loudly, not corrupt keys
+        raise ValueError(
+            f"Arrow batch of {doc_ids_in.size} rows exceeds the 2^21-row "
+            "limit of the packed sort keys; lower "
+            "spark.sql.execution.arrow.maxRecordsPerBatch (default 10000)")
     order_docs = np.argsort(doc_ids_in, kind="stable")
     contents = pdf["content"].to_numpy()
     paths = pdf["path"].to_numpy()

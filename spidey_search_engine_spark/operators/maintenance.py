@@ -83,11 +83,13 @@ def parse_rfc1123(s: Column) -> Column:
 
 def index_state(crawled: Column, indexed: Column) -> Column:
     """Reference freshness decision (Indexer.java:788-808): never indexed →
-    INDEX; indexed before last crawl → REINDEX; else SKIP. Inputs are the
-    stored RFC-1123 strings."""
+    INDEX; SKIP only when indexed STRICTLY AFTER last crawl
+    (Indexer.java:797 ``indexed > crawled → SKIP``), so equality — common
+    with second-truncated timestamps — re-indexes. Inputs are the stored
+    RFC-1123 strings."""
     c, i = parse_rfc1123(crawled), parse_rfc1123(indexed)
     return (F.when(i.isNull(), F.lit("INDEX"))
-            .when(i < c, F.lit("REINDEX"))
+            .when(i <= c, F.lit("REINDEX"))
             .otherwise(F.lit("SKIP")))
 
 
@@ -138,6 +140,22 @@ def _reencode_without(buf: bytes, victims: set):
     return (int(doc_ids.size), cf, buf2, bfirst, blast, bmaxtf, bmindl)
 
 
+def _reencode_sha_without(buf: bytes, victims: set):
+    """DOCSHA sentinel rows carry their own fixed 32-byte-payload layout
+    (build._encode_sha_block) — re-encode dropping victim docs."""
+    from .build import _decode_sha_block, _encode_sha_block
+    doc_ids, payload = _decode_sha_block(buf)
+    keep = np.array([d not in victims for d in doc_ids], dtype=bool)
+    if keep.all():
+        return "unchanged"
+    if not keep.any():
+        return None
+    mat = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 32)
+    doc_ids = doc_ids[keep]
+    buf2 = _encode_sha_block(doc_ids, mat[keep].tobytes())
+    return (int(doc_ids.size), 0, buf2, [], [], [], [])
+
+
 def delete_docs_postings(postings: DataFrame, doc_ids: list[int],
                          seg_bits: int) -> DataFrame:
     """Remove a (small) set of docs from the postings table.
@@ -145,18 +163,31 @@ def delete_docs_postings(postings: DataFrame, doc_ids: list[int],
     Only rows whose segment contains a victim doc are decoded; the rest
     stream through untouched — the filter is on the `segment` column, so at
     scale Catalyst prunes with parquet min/max stats and the overwhelming
-    majority of the index is never read into Python."""
+    majority of the index is never read into Python.
+
+    Sentinel rows are handled by layout: DOCLEN rows share the partial
+    layout (victims' dl entries drop with the normal path); DOCSHA rows use
+    their own 32-byte-payload layout and get their own re-encode — so the
+    function accepts either the query-facing postings view (sentinel bucket
+    pruned out by load_index) or the full on-disk table. NOTE: global stats
+    (n_docs/avgdl) and the docs table are derived artifacts — republish
+    them after a delete (doc_lengths + doc_stats over the rewritten
+    sentinels, refresh_term_stats for df/cf), as build_index does."""
     victim_segs = sorted({int(d) >> seg_bits for d in doc_ids})
     victims = set(int(d) for d in doc_ids)
     untouched = postings.filter(~F.col("segment").isin(victim_segs))
     affected = postings.filter(F.col("segment").isin(victim_segs))
     out_cols = [f.name for f in POSTING_SCHEMA.fields] + ["bucket"]
+    from .build import DOCSHA_TERM
 
     def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                res = _reencode_without(bytes(r.bin), victims)
+                if r.term == DOCSHA_TERM:
+                    res = _reencode_sha_without(bytes(r.bin), victims)
+                else:
+                    res = _reencode_without(bytes(r.bin), victims)
                 if res is None:
                     continue
                 if res == "unchanged":
@@ -200,30 +231,54 @@ def reindex_docs(spark: SparkSession, postings: DataFrame,
 
 
 def _remerge_duplicate_keys(postings: DataFrame) -> DataFrame:
+    """Collapse duplicate (term, segment) rows (old-kept + freshly-rebuilt
+    postings of a changed doc's segment) back to one row per key.
+
+    repartition co-locates a key's rows on one partition, but mapInPandas
+    slices each partition into ~10k-row Arrow batches — a key straddling a
+    batch boundary must NOT pass through unmerged, so rows are additionally
+    sortWithinPartitions'd (duplicates become adjacent) and the current
+    group is carried ACROSS batch boundaries, exactly like
+    build.merge_partials' merge_stream."""
     from .build import _merge_group
     out_cols = [f.name for f in POSTING_SCHEMA.fields] + ["bucket"]
 
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur: tuple | None = None      # (term, segment, bucket)
+        grp_rows: list[tuple] = []    # full row tuples of the current key
+        rows: list[tuple] = []
+
+        def flush():
+            if cur is None:
+                return
+            if len(grp_rows) == 1:
+                rows.append(grp_rows[0])
+            else:
+                merged = _merge_group(cur[0], int(cur[1]),
+                                      [bytes(r[4]) for r in grp_rows])
+                rows.append(merged + (int(cur[2]),))
+
         for pdf in batches:
-            rows = []
-            for (term, seg, bucket), grp in pdf.groupby(
-                    ["term", "segment", "bucket"], sort=False):
-                if len(grp) == 1:
-                    r = grp.iloc[0]
-                    rows.append((term, seg, int(r["n_docs"]), int(r["cf"]),
-                                 r["bin"], list(r["block_first_doc"]),
-                                 list(r["block_last_doc"]),
-                                 list(r["block_max_tf"]),
-                                 list(r["block_min_dl"]), int(bucket)))
-                else:
-                    merged = _merge_group(term, int(seg),
-                                          [bytes(b) for b in grp["bin"]])
-                    rows.append(merged + (int(bucket),))
+            for r in pdf.itertuples(index=False):
+                k = (r.term, r.segment, r.bucket)
+                if k != cur:
+                    flush()
+                    cur, grp_rows = k, []
+                grp_rows.append((r.term, r.segment, int(r.n_docs), int(r.cf),
+                                 r.bin, list(r.block_first_doc),
+                                 list(r.block_last_doc), list(r.block_max_tf),
+                                 list(r.block_min_dl), int(r.bucket)))
+            if len(rows) >= 2000:
+                yield pd.DataFrame(rows, columns=out_cols)
+                rows = []
+        flush()
+        if rows:
             yield pd.DataFrame(rows, columns=out_cols)
 
     schema = StructType(list(POSTING_SCHEMA.fields)
                         + [StructField("bucket", IntegerType())])
     return (postings.repartition("term", "segment")
+            .sortWithinPartitions("term", "segment")
             .select(*out_cols).mapInPandas(merge, schema=schema))
 
 

@@ -101,3 +101,26 @@ def test_analyze_query_phrases():
 def test_simple_profile_matches_duckdb_semantics():
     assert tokenize_simple("Hello, World_2!") == ["hello", "world_2"]
     assert tokenize_simple("") == []
+
+
+def test_token_id_encoder_matches_profiles_all():
+    """Every PROFILES entry must have a working TokenIdEncoder config whose
+    decoded id stream equals the plain profile tokenizer (build_partials
+    routes all builds through the encoder)."""
+    from spidey_search_engine_spark.functions.analysis import (
+        PROFILES, TokenIdEncoder)
+
+    samples = [
+        "def parseJSON(x): return HTTPServer2.handle_request(x)",
+        "The quick brown fox and the lazy dog",
+        "camelCaseToken snake_case_token UPPER lower123 " + "Z" * 600,
+        "مرحبا world_Test",
+        "",
+    ]
+    for profile in PROFILES:
+        enc = TokenIdEncoder(profile)
+        fn = PROFILES[profile]
+        for text in samples:
+            ids = enc.encode(text)
+            got = [enc.term_of(int(i)) for i in ids]
+            assert got == [t for t in fn(text) if t], (profile, text)

@@ -122,7 +122,8 @@ def test_rfc1123_round_trip_and_state(spark):
     df = spark.createDataFrame(
         [("2024-03-05 10:00:00", "2024-03-04 09:00:00"),   # indexed < crawled
          ("2024-03-05 10:00:00", "2024-03-06 09:00:00"),   # indexed fresh
-         ("2024-03-05 10:00:00", None)],                    # never indexed
+         ("2024-03-05 10:00:00", None),                     # never indexed
+         ("2024-03-05 10:00:00", "2024-03-05 10:00:00")],   # equal → REINDEX
         "crawled string, indexed string") \
         .select(to_rfc1123(F.col("crawled").cast("timestamp")).alias("c"),
                 to_rfc1123(F.col("indexed").cast("timestamp")).alias("i"))
@@ -133,4 +134,59 @@ def test_rfc1123_round_trip_and_state(spark):
     assert rt == "2024-03-05 10:00:00"
     states = [r["s"] for r in
               df.select(index_state(F.col("c"), F.col("i")).alias("s")).collect()]
-    assert states == ["REINDEX", "SKIP", "INDEX"]
+    # equality re-indexes: the reference SKIPs only on indexed > crawled
+    # (Indexer.java:797), and second-truncated timestamps tie often
+    assert states == ["REINDEX", "SKIP", "INDEX", "REINDEX"]
+
+
+def test_remerge_duplicate_keys_across_batch_boundary(spark, corpus_pdf):
+    """A duplicate (term, segment) pair must merge even when its two rows
+    land in different Arrow batches (maxRecordsPerBatch=1 forces that for
+    EVERY pair)."""
+    from spidey_search_engine_spark.operators.build import (
+        SENTINEL_PREFIX, build_partials, merge_partials, prepare_docs)
+    from spidey_search_engine_spark.operators.maintenance import (
+        _remerge_duplicate_keys)
+
+    docs = prepare_docs(spark.createDataFrame(corpus_pdf.head(40)))
+    a = docs.filter(F.col("doc_id") < 20)
+    b = docs.filter(F.col("doc_id") >= 20)
+    # seg_bits=10 → every doc in segment 0 → shared terms duplicate keys
+    pa = build_partials(a, profile="code", seg_bits=10) \
+        .filter(~F.col("term").startswith(SENTINEL_PREFIX))
+    pb = build_partials(b, profile="code", seg_bits=10) \
+        .filter(~F.col("term").startswith(SENTINEL_PREFIX))
+    both = merge_partials(pa, n_buckets=4).unionByName(
+        merge_partials(pb, n_buckets=4))
+    combined = merge_partials(pa.unionByName(pb), n_buckets=4)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try:
+        out = _remerge_duplicate_keys(both)
+        assert _postings_map(out) == _postings_map(combined)
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_delete_docs_handles_sentinel_rows(spark, corpus_pdf, tmp_path):
+    """delete_docs_postings over the FULL on-disk table (sentinel bucket
+    included): DOCLEN/DOCSHA rows for victim docs must be rewritten so the
+    republished doc-length/sha tables exclude the victims."""
+    from spidey_search_engine_spark.operators.build import (
+        build_index, doc_lengths, doc_shas)
+    from spidey_search_engine_spark.operators.maintenance import (
+        delete_docs_postings)
+    import os
+
+    out = str(tmp_path / "full_sent")
+    corpus = spark.createDataFrame(corpus_pdf.head(60)).repartition(4)
+    build_index(spark, corpus, out, profile="code", seg_bits=4, n_buckets=4)
+    raw = spark.read.parquet(os.path.join(out, "postings"))  # all buckets
+    victims = [0, 7, 14, 21]
+    cleaned = delete_docs_postings(raw, victims, seg_bits=4)
+    sent = cleaned.filter(F.col("bucket") == 4)
+    kept_len_ids = {r["doc_id"] for r in doc_lengths(sent).collect()}
+    kept_sha_ids = {r["doc_id"] for r in doc_shas(sent).collect()}
+    assert kept_len_ids == kept_sha_ids == set(range(60)) - set(victims)
