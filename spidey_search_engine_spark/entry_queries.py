@@ -103,21 +103,13 @@ def bm25_topk_fixed(spark, sf_dir):
 
 def bm25_pruned_topk(spark, sf_dir):
     """Same oracle as bm25_topk_fixed — proves block-max pruning exactness
-    against an independent engine."""
+    against an independent engine. Runs the production pruned path: bounded
+    probe collect, θ, surviving ranges as a DataFrame semi-joined into the
+    segment scan (never materialized driver-side)."""
     idx = entry_index(spark, sf_dir)
-    bounds = W.query_range_bounds(idx, QT, 6)
-    probe = [int(r["rng"]) for r in
-             bounds.orderBy(F.desc("ub"), F.asc("rng")).limit(2).collect()]
-    rows_p = W.query_term_postings_in_ranges(idx, QT, probe, 6)
-    seed = (S.bm25_scores(rows_p, idx["terms"], float(idx["stats"]["avgdl"]), QT)
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(20).collect())
-    theta = seed[-1]["score"] if len(seed) >= 20 else 0.0
-    surv = [int(r["rng"]) for r in
-            bounds.filter(F.col("ub") >= F.lit(float(theta))).collect()]
-    rows = W.query_term_postings_in_ranges(idx, QT, surv, 6)
-    scores = S.bm25_scores(rows, idx["terms"], float(idx["stats"]["avgdl"]), QT)
-    return (scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
-            .select("doc_id", _r(F.col("score")).alias("score_r")))
+    out = W.bm25_topk_pruned_terms(spark, idx, QT, k=20, range_bits=6,
+                                   probe_ranges=2)
+    return out.select("doc_id", _r(F.col("score")).alias("score_r"))
 
 
 def parity_relevance_fixed(spark, sf_dir):

@@ -15,10 +15,28 @@ phase.
 Phase 2 (threshold + prune): exactly score ONLY the top-`probe_ranges`
 ranges by bound → threshold θ = k-th best exact score; every range with
 UB < θ cannot contain a top-k doc (each doc's score ≤ its range's UB → no
-false dismissals). Exactly score only surviving ranges — the range filter is
-pushed *into the segment scan and decode*, so pruned postings are neither
-shuffled nor decompressed. ``bm25_topk_pruned`` returns the IDENTICAL top-k
-as the exhaustive path — asserted for every test query (tests/test_wand.py).
+false dismissals). Exactly score only surviving ranges.
+
+**The bound table never lands on the driver.** A hot term (`import` —
+stopwords stay in the index) touches every doc range: n_docs/2^range_bits
+rows, ~10⁹ at the 10¹²-file north star. So:
+
+* the probe set comes from ``orderBy(ub).limit(probe_ranges+1)`` — a
+  bounded collect of ≤ probe_ranges+1 rows (the +1 row only detects
+  whether pruning is vacuous);
+* surviving ranges stay a DataFrame (``bounds.filter(ub >= θ)``) and reach
+  the segment scan through an EQUI left-semi join on the derived segment id
+  (ranges map to segments by a constant shift — no non-equi/broadcast-
+  nested-loop join);
+* the intra-segment doc mask (ranges are finer than segments) is a bounded
+  refinement: surviving rngs are collected only up to ``max_mask_ranges``;
+  past that cap the kernel scores every doc of surviving segments — a
+  SUPERSET of the surviving ranges, which keeps the top-k exact (extra
+  exactly-scored docs can never displace a true top-k doc, and no doc is
+  ever skipped whose range survived).
+
+``bm25_topk_pruned`` returns the IDENTICAL top-k as the exhaustive path —
+asserted for every test query (tests/test_wand.py).
 """
 
 from __future__ import annotations
@@ -84,43 +102,66 @@ def query_range_bounds(index: dict, q_terms: list[str],
             .groupBy("rng").agg(F.sum("term_ub").alias("ub")))
 
 
+def _segments_of_ranges(ranges_df: DataFrame, seg_bits: int,
+                        range_bits: int) -> DataFrame:
+    """Distinct segment ids covered by a set of doc-ranges — a constant
+    shift (seg_bits ≥ range_bits: many ranges per segment) or a bounded
+    2^(range_bits-seg_bits)-way sequence explode (coarse ranges)."""
+    if seg_bits >= range_bits:
+        seg = F.shiftright(F.col("rng"), seg_bits - range_bits)
+        return ranges_df.select(seg.alias("segment")).distinct()
+    d = range_bits - seg_bits
+    return (ranges_df.select(F.explode(F.sequence(
+        F.shiftleft(F.col("rng"), d),
+        F.shiftleft(F.col("rng") + 1, d) - 1)).alias("segment"))
+        .distinct())
+
+
 def query_term_postings_in_ranges(index: dict, q_terms: list[str],
-                                  ranges: list[int],
-                                  range_bits: int) -> DataFrame:
-    """Decode q-term postings restricted to the given doc-ranges. Segment
-    rows whose doc-span misses every range are skipped WITHOUT decoding;
-    inside surviving segments a vectorized mask drops out-of-range docs."""
+                                  ranges, range_bits: int,
+                                  max_mask_ranges: int = 1 << 16) -> DataFrame:
+    """Decode q-term postings restricted to the given doc-ranges.
+
+    ``ranges`` is a list[int] (probe path — tiny by construction) or a
+    DataFrame with column ``rng`` (surviving set — potentially huge, never
+    collected). Segment rows whose doc-span misses every range are skipped
+    WITHOUT decoding via an equi left-semi join on the derived segment id;
+    inside surviving segments a vectorized mask drops out-of-range docs —
+    the mask rng set is driver-bounded at ``max_mask_ranges`` and simply
+    omitted past the cap (correctness unaffected: see module docstring)."""
     n_buckets = int(index["stats"]["n_buckets"])
     seg_bits = int(index["stats"]["seg_bits"])
     pruned = _pruned_meta(index["postings"], q_terms, n_buckets)
     spark = SparkSession.getActiveSession()
-    rng_set = set(int(r) for r in ranges)
-    rdf = F.broadcast(spark.createDataFrame([(int(r),) for r in rng_set],
-                                            "rng long"))
-    if seg_bits >= range_bits:
-        # ranges per segment: [seg << (seg_bits-range_bits), next)
-        shift = seg_bits - range_bits
-        cond = ((F.col("rng") >= F.shiftleft(F.col("segment"), shift)) &
-                (F.col("rng") < F.shiftleft(F.col("segment") + 1, shift)))
+    if isinstance(ranges, DataFrame):
+        rdf = ranges.select("rng")
+        mask_rows = rdf.limit(max_mask_ranges + 1).collect()
+        rng_mask = (sorted(int(r["rng"]) for r in mask_rows)
+                    if len(mask_rows) <= max_mask_ranges else None)
     else:
-        shift = range_bits - seg_bits
-        cond = F.shiftright(F.col("segment"), shift) == F.col("rng")
-    surviving = pruned.join(rdf, cond, "left_semi")
+        rng_mask = sorted({int(r) for r in ranges})
+        rdf = spark.createDataFrame([(r,) for r in rng_mask], "rng long")
+    segs = _segments_of_ranges(rdf, seg_bits, range_bits)
+    surviving = pruned.join(F.broadcast(segs), "segment", "left_semi")
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rngs = np.array(sorted(rng_set), dtype=np.int64)
+        rngs = (np.array(rng_mask, dtype=np.int64)
+                if rng_mask is not None else None)
         for pdf in batches:
             cols = {k: [] for k in ["term", "doc_id", "tf", "important", "dl"]}
             for term, buf in zip(pdf["term"], pdf["bin"]):
                 doc_ids, tfs, imp, dls, _ = decode_segment(bytes(buf))
-                mask = np.isin(doc_ids >> range_bits, rngs)
-                if not mask.any():
-                    continue
-                cols["term"].append(np.repeat(term, int(mask.sum())))
-                cols["doc_id"].append(doc_ids[mask])
-                cols["tf"].append(tfs[mask].astype(np.int32))
-                cols["important"].append(imp[mask])
-                cols["dl"].append(dls[mask].astype(np.int32))
+                if rngs is not None:
+                    mask = np.isin(doc_ids >> range_bits, rngs)
+                    if not mask.any():
+                        continue
+                    doc_ids, tfs = doc_ids[mask], tfs[mask]
+                    imp, dls = imp[mask], dls[mask]
+                cols["term"].append(np.repeat(term, doc_ids.size))
+                cols["doc_id"].append(doc_ids)
+                cols["tf"].append(tfs.astype(np.int32))
+                cols["important"].append(imp)
+                cols["dl"].append(dls.astype(np.int32))
             yield pd.DataFrame({k: (np.concatenate(v) if v else
                                     np.array([], dtype=object if k == "term" else np.int64))
                                 for k, v in cols.items()})
@@ -129,37 +170,56 @@ def query_term_postings_in_ranges(index: dict, q_terms: list[str],
         explode, schema=EXPLODE_SCHEMA)
 
 
+def bm25_topk_pruned_terms(spark: SparkSession, index: dict,
+                           q_terms: list[str], k: int = 10,
+                           range_bits: int = 10, probe_ranges: int = 32,
+                           max_mask_ranges: int = 1 << 16) -> DataFrame:
+    """Pruned top-k over already-analyzed terms; identical to the exhaustive
+    scorer by construction."""
+    if not q_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    avgdl = float(index["stats"]["avgdl"])
+    bounds = query_range_bounds(index, q_terms, range_bits)
+
+    # bounded collect: probe_ranges+1 rows decide vacuity AND give the probe
+    probe_rows = (bounds.orderBy(F.desc("ub"), F.asc("rng"))
+                  .limit(probe_ranges + 1).collect())
+    if not probe_rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    if len(probe_rows) <= probe_ranges:
+        # pruning is vacuous: probing would already score every range, so
+        # the extra bound/threshold jobs are pure overhead — run exhaustive
+        # (identical result by construction)
+        from .search import bm25_scores as _scores
+        from .search import query_term_postings as _qtp
+        rows = _qtp(index["postings"], q_terms, int(index["stats"]["n_buckets"]))
+        return (_scores(rows, index["terms"], avgdl, q_terms)
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                .select("doc_id", "score"))
+    probe = [int(r["rng"]) for r in probe_rows[:probe_ranges]]
+
+    probe_rows_df = query_term_postings_in_ranges(index, q_terms, probe,
+                                                  range_bits)
+    seed = (bm25_scores(probe_rows_df, index["terms"], avgdl, q_terms)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect())
+    theta = seed[-1]["score"] if len(seed) >= k else 0.0
+
+    surviving = bounds.filter(F.col("ub") >= F.lit(float(theta)))
+    rows = query_term_postings_in_ranges(index, q_terms, surviving,
+                                         range_bits, max_mask_ranges)
+    return (bm25_scores(rows, index["terms"], avgdl, q_terms)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .select("doc_id", "score"))
+
+
 def bm25_topk_pruned(spark: SparkSession, index: dict, query: str,
                      k: int = 10, range_bits: int = 10,
-                     probe_ranges: int = 32) -> DataFrame:
+                     probe_ranges: int = 32,
+                     max_mask_ranges: int = 1 << 16) -> DataFrame:
     """Top-k BM25 with block-max range pruning; provably identical to
     search.bm25_topk (no false dismissals)."""
     q_terms, phrases = analyze_query(query)
     for p in phrases:
         q_terms.extend(p)
-    if not q_terms:
-        return spark.createDataFrame([], "doc_id long, score double")
-    avgdl = float(index["stats"]["avgdl"])
-
-    brows = query_range_bounds(index, q_terms, range_bits).collect()
-    if not brows:
-        return spark.createDataFrame([], "doc_id long, score double")
-    if len(brows) <= probe_ranges:
-        # pruning is vacuous: probing would already score every range, so
-        # the extra bound/threshold jobs are pure overhead — run exhaustive
-        # (identical result by construction)
-        from .search import bm25_topk as _exhaustive
-        return _exhaustive(spark, index, query, k=k)
-    brows.sort(key=lambda r: (-r["ub"], r["rng"]))
-    probe = [int(r["rng"]) for r in brows[:probe_ranges]]
-
-    probe_rows = query_term_postings_in_ranges(index, q_terms, probe, range_bits)
-    seed = (bm25_scores(probe_rows, index["terms"], avgdl, q_terms)
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect())
-    theta = seed[-1]["score"] if len(seed) >= k else 0.0
-
-    surviving = [int(r["rng"]) for r in brows if r["ub"] >= theta]
-    rows = query_term_postings_in_ranges(index, q_terms, surviving, range_bits)
-    return (bm25_scores(rows, index["terms"], avgdl, q_terms)
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-            .select("doc_id", "score"))
+    return bm25_topk_pruned_terms(spark, index, q_terms, k, range_bits,
+                                  probe_ranges, max_mask_ranges)

@@ -42,3 +42,35 @@ def test_bounds_are_sound(spark, index):
         rng = r["doc_id"] >> range_bits
         assert rng in bounds
         assert r["score"] <= bounds[rng] + 1e-9
+
+
+@pytest.mark.parametrize("max_mask", [1 << 16, 0])
+def test_pruned_many_ranges_no_driver_materialization(spark, index, max_mask):
+    """range_bits=0 → one range per doc (400 ranges ≫ probe_ranges): the
+    surviving set flows as a DataFrame semi-join. max_mask=0 disables the
+    intra-segment refinement entirely (the superset path every query takes
+    once surviving ranges exceed the driver cap) — top-k must be identical
+    either way."""
+    from spidey_search_engine_spark.operators.search import bm25_topk
+    from spidey_search_engine_spark.operators.wand import bm25_topk_pruned
+    q = "merge sort hash parse"
+    exact = [(r["doc_id"], round(r["score"], 9)) for r in
+             bm25_topk(spark, index, q, k=10).collect()]
+    pruned = [(r["doc_id"], round(r["score"], 9)) for r in
+              bm25_topk_pruned(spark, index, q, k=10, range_bits=0,
+                               probe_ranges=4, max_mask_ranges=max_mask)
+              .collect()]
+    assert pruned == exact
+
+
+def test_pruned_coarse_ranges(spark, index):
+    """range_bits > seg_bits (coarse ranges spanning multiple segments):
+    the rng→segment mapping explodes a bounded sequence; results identical."""
+    from spidey_search_engine_spark.operators.search import bm25_topk
+    from spidey_search_engine_spark.operators.wand import bm25_topk_pruned
+    q = "merge sort table scan"
+    exact = [r["doc_id"] for r in bm25_topk(spark, index, q, k=10).collect()]
+    pruned = [r["doc_id"] for r in
+              bm25_topk_pruned(spark, index, q, k=10, range_bits=9,
+                               probe_ranges=1).collect()]
+    assert pruned == exact
