@@ -8,28 +8,43 @@ duplicate pairs or keep/drop decisions. Scale design notes per operator:
 * minhash_lsh — shingles → k minhashes → b bands → band-bucket self-join.
   The join key (band_id, band_hash) is uniform by construction, so the
   self-join is shuffle-balanced; candidate pairs are verified with exact
-  Jaccard (two-column exploded intersection, no driver collect).
-* simhash — 64-bit weighted-token fingerprint; near-dups = fingerprints
-  within `hamming_max` bits, found by pigeonhole banding (split the 64 bits
-  into hamming_max+1 chunks; any pair within distance must share one exact
-  chunk → equi-join per chunk, then exact Hamming verify).
+  Jaccard computed CANDIDATE-FIRST (pair list → per-pair shingle
+  intersection join) — never via a full shingle self-join, which a hot
+  shingle (boilerplate license header) would turn quadratic.
+* simhash — 64-bit weighted-token fingerprint built in a SINGLE streaming
+  pass (tokenize+tf in one Arrow kernel, token hash JVM-side, 64 counters
+  accumulated in numpy per doc — no 64× row explode, one shuffle on id);
+  near-dups = fingerprints within `hamming_max` bits, found by pigeonhole
+  banding (split the bits into hamming_max+1 chunks; any pair within
+  distance must share one exact chunk → equi-join per chunk, then exact
+  Hamming verify).
 * ngram_jaccard — exact pairwise Jaccard via shingle inverted join;
   quadratic in docs sharing a shingle, intended for verification/small sets
-  (minhash_lsh is the scale path; this is its oracle).
+  (minhash_lsh is the scale path; this is its oracle). `max_shingle_df`
+  optionally drops ubiquitous shingles before the self-join.
 * embedding_cosine_dedup — cosine ≥ τ pairs via the similarity module's
   LSH bucketing (see similarity.py).
 
-MinHash uses 64-bit multiply-shift hashing of xxhash64(shingle) — all
-JVM-side (F.xxhash64), no Python in the hot path.
+Hashing: the production path uses JVM-side ``F.xxhash64``; every operator
+accepts a ``hash_expr`` Column-builder so the DuckDB correctness oracle can
+run the SAME LSH math with the SQL-expressible polynomial hash
+(functions/hashing.py).
 """
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+from typing import Callable, Iterator
+
 import numpy as np
-from pyspark.sql import DataFrame, Window
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _MERSENNE = (1 << 61) - 1
+
+HashExpr = Callable[[Column], Column]
 
 
 def tokens_col(text_col: str = "content"):
@@ -58,18 +73,18 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 32,
-                       seed: int = 7) -> DataFrame:
+                       seed: int = 7,
+                       hash_expr: HashExpr | None = None) -> DataFrame:
     """(id, sig: array<long>) — k permutation minima over shingle hashes.
 
-    h_i(x) = (a_i·x + b_i) mod M61 over x = xxhash64(shingle) mod (2^31−1);
+    h_i(x) = (a_i·x + b_i) mod M61 over x = hash(shingle) mod (2^31−1);
     a_i, b_i < 2^31 keep a·x < 2^62 — no long overflow under ANSI mode. The
     agg is one groupBy(id) with k min() columns → map-side combine, one
-    shuffle."""
-    rng = np.random.Generator(np.random.PCG64(seed))
-    m31 = (1 << 31) - 1
-    a = rng.integers(1, m31, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, m31, size=num_hashes, dtype=np.int64)
-    x = F.pmod(F.xxhash64("shingle"), F.lit(m31))
+    shuffle. `hash_expr` defaults to JVM xxhash64; the oracle profile
+    injects the polynomial hash so DuckDB runs identical math."""
+    a, b = minhash_coeffs(num_hashes, seed)
+    base = (hash_expr or F.xxhash64)(F.col("shingle"))
+    x = F.pmod(base, F.lit((1 << 31) - 1))
     mins = [F.min(F.pmod(x * F.lit(int(a[i])) + F.lit(int(b[i])),
                          F.lit(_MERSENNE))).alias(f"h{i}")
             for i in range(num_hashes)]
@@ -78,17 +93,31 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 32,
                       .alias("sig"))
 
 
+def minhash_coeffs(num_hashes: int, seed: int = 7):
+    """The (a_i, b_i) permutation coefficients — exposed so the SQL oracle
+    can inline the exact same constants."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    m31 = (1 << 31) - 1
+    a = rng.integers(1, m31, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, m31, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
-                        num_hashes: int = 32) -> DataFrame:
+                        num_hashes: int = 32,
+                        band_hash_expr: HashExpr | None = None) -> DataFrame:
     """Band the signature and self-join on (band, band_hash) → (id_a, id_b)."""
     rows_per_band = num_hashes // bands
+    if band_hash_expr is None:
+        def band_hash_expr(c):
+            return F.hash(c)
     banded = sig.select(
         "id",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda bnd: F.struct(
                 bnd.alias("band"),
-                F.hash(F.concat_ws(
+                band_hash_expr(F.concat_ws(
                     ",", F.transform(
                         F.slice("sig", bnd * rows_per_band + 1, rows_per_band),
                         lambda v: v.cast("string")))).alias("bh")))
@@ -103,17 +132,37 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
 
 
 def jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None,
-                  threshold: float = 0.0) -> DataFrame:
-    """Exact Jaccard for given candidate pairs (or all co-shingled pairs)."""
+                  threshold: float = 0.0,
+                  max_shingle_df: int | None = None) -> DataFrame:
+    """Exact Jaccard for given candidate pairs (or all co-shingled pairs).
+
+    With `pairs`, intersections are computed CANDIDATE-FIRST: the pair list
+    joins to id_a's shingles, then equi-joins (id_b, shingle) — cost is
+    linear in Σ|shingles(id_a)| over candidate pairs, so one hot shingle
+    shared by every doc cannot trigger a quadratic self-join (round-1
+    review finding). Without `pairs` the full inverted self-join runs
+    (verification/small-set mode); `max_shingle_df` drops shingles hotter
+    than the cap first (documented approximation for that mode only)."""
     counts = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-             .agg(F.count("*").alias("inter")))
     if pairs is not None:
-        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+        a = sh.select(F.col("id").alias("id_a"), "shingle")
+        b = sh.select(F.col("id").alias("id_b"), "shingle")
+        inter = (pairs.join(a, "id_a")
+                 .join(b, ["id_b", "shingle"])
+                 .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    else:
+        sh_j = sh
+        if max_shingle_df is not None:
+            hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+                   .filter(F.col("_df") > max_shingle_df).select("shingle"))
+            sh_j = sh.join(hot, "shingle", "left_anti")
+        a = sh_j.alias("a")
+        b = sh_j.alias("b")
+        inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                        & (F.col("a.id") < F.col("b.id")))
+                 .groupBy(F.col("a.id").alias("id_a"),
+                          F.col("b.id").alias("id_b"))
+                 .agg(F.count("*").alias("inter")))
     jac = (inter
            .join(counts.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
            .join(counts.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
@@ -126,36 +175,109 @@ def jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None,
 def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "content", n: int = 3,
                       num_hashes: int = 32, bands: int = 8,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7, seed: int = 7,
+                      hash_expr: HashExpr | None = None,
+                      band_hash_expr: HashExpr | None = None) -> DataFrame:
     """Scale path: LSH candidates → exact-Jaccard verify → near-dup pairs."""
     sh = shingles_df(df, id_col, text_col, n)
-    sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands, num_hashes)
+    sig = minhash_signatures(sh, num_hashes, seed, hash_expr)
+    cand = lsh_candidate_pairs(sig, bands, num_hashes, band_hash_expr)
     return jaccard_pairs(sh, cand, threshold)
 
 
+# ---------------------------------------------------------------------------
+# SimHash — single-pass fingerprints + pigeonhole near-pair search
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"[^a-z0-9_]+")  # must equal tokens_col's pattern
+
+
+def _doc_token_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(id, content) → (id, tok, tf) rows, one Arrow kernel, NO shuffle and
+    no explode — each doc's tokens live in its own input row already."""
+    for pdf in batches:
+        ids, toks, tfs = [], [], []
+        for i, text in zip(pdf["id"], pdf["content"]):
+            if not isinstance(text, str) or not text:
+                continue
+            c = Counter(t for t in _TOKEN_RE.split(text.lower()) if t)
+            ids.extend([i] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        yield pd.DataFrame({"id": np.asarray(ids, dtype=np.int64),
+                            "tok": toks,
+                            "tf": np.asarray(tfs, dtype=np.int64)})
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
-                         text_col: str = "content") -> DataFrame:
-    """64-bit SimHash over tf-weighted token hashes — pure column algebra:
-    explode tokens → per (id, bit) weighted majority via sign of
-    Σ tf·(bit?1:-1) → assemble bits with a 64-term sum (JVM-side)."""
-    t = tokens_col(text_col)
-    tf = (df.select(F.col(id_col).alias("id"), F.explode(t).alias("tok"))
-          .groupBy("id", "tok").agg(F.count("*").alias("tf"))
-          .withColumn("h", F.xxhash64("tok")))
-    # column-valued shift amounts need SQL form (F.shiftleft takes int only)
-    bits = tf.select(
-        "id", "tf",
-        F.explode(F.expr(
-            "transform(sequence(0, 63), i -> struct(i as bit, "
-            "cast(shiftrightunsigned(h, i) & 1 as int) as v))")).alias("z")
-    ).select("id", "tf", "z.bit", "z.v")
-    acc = (bits.groupBy("id", "bit")
-           .agg(F.sum(F.col("tf") * (F.col("v") * 2 - 1)).alias("s")))
-    return (acc.groupBy("id")
-            .agg(F.sum(F.expr(
-                "case when s > 0 then shiftleft(1L, cast(bit as int)) "
-                "else 0L end")).alias("simhash")))
+                         text_col: str = "content",
+                         hash_expr: HashExpr | None = None) -> DataFrame:
+    """64-bit SimHash over tf-weighted token hashes, in a single pass:
+
+    1. one mapInPandas kernel turns each doc row into (id, tok, tf) rows —
+       tf is per-doc so no shuffle is needed to count it;
+    2. the token hash is a JVM column expression (xxhash64 by default);
+    3. repartition(id) + sortWithinPartitions + a streaming mapInPandas
+       accumulates the 64 weighted-bit counters in numpy and emits one
+       fingerprint per doc, carrying the open group across Arrow batches.
+
+    vs the round-1 version this removes a 64× row explode and two extra
+    shuffles on the biggest table of a training-data pipeline; fingerprints
+    are bit-identical (pinned by tests/test_pipeline_ops.py numpy oracle)."""
+    tf = (df.select(F.col(id_col).alias("id"),
+                    F.col(text_col).alias("content"))
+          .mapInPandas(_doc_token_tf, "id long, tok string, tf long"))
+    hashed = tf.withColumn("h", (hash_expr or F.xxhash64)(F.col("tok"))) \
+        .select("id", "h", "tf")
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def accumulate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_id = None
+        cur_vec = None  # np.int64[64] weighted-bit counters
+        out_ids: list[int] = []
+        out_fp: list[int] = []
+
+        def flush():
+            if cur_id is None:
+                return
+            fp = 0
+            for i in np.flatnonzero(cur_vec > 0):
+                fp |= 1 << int(i)
+            if fp >= 1 << 63:  # two's-complement like Spark's long sum
+                fp -= 1 << 64
+            out_ids.append(int(cur_id))
+            out_fp.append(fp)
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if ids.size == 0:
+                continue
+            hs = pdf["h"].to_numpy().astype(np.int64).view(np.uint64)
+            tfs = pdf["tf"].to_numpy().astype(np.int64)
+            signs = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
+            weighted = signs * tfs[:, None]
+            starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            sums = np.add.reduceat(weighted, starts, axis=0)
+            first_id = ids[starts[0]]
+            g = 0
+            if cur_id is not None and first_id == cur_id:
+                cur_vec += sums[0]
+                g = 1
+            for k in range(g, starts.size):
+                flush()
+                cur_id, cur_vec = ids[starts[k]], sums[k].copy()
+            if len(out_ids) >= 4096:
+                yield pd.DataFrame({"id": np.asarray(out_ids, np.int64),
+                                    "simhash": np.asarray(out_fp, np.int64)})
+                out_ids, out_fp = [], []
+        flush()
+        if out_ids:
+            yield pd.DataFrame({"id": np.asarray(out_ids, np.int64),
+                                "simhash": np.asarray(out_fp, np.int64)})
+
+    return (hashed.repartition("id").sortWithinPartitions("id")
+            .mapInPandas(accumulate, "id long, simhash long"))
 
 
 def simhash_near_pairs(fp: DataFrame, hamming_max: int = 3) -> DataFrame:

@@ -190,3 +190,73 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample_plan(bin_df, every_n=1).groupBy("doc_id").count()
     got = {r["doc_id"]: r["count"] for r in frames.collect()}
     assert got[4] > got[0] >= 1
+
+
+def test_jaccard_candidate_first_matches_full_join(spark, dup_docs):
+    """The candidate-first intersection path must equal the full self-join
+    path restricted to the same pairs — including with a hot shingle shared
+    by EVERY doc (the case that turned the old join order quadratic)."""
+    from spidey_search_engine_spark.operators.dedup import (jaccard_pairs,
+                                                            shingles_df)
+    hot = dup_docs.select(
+        "doc_id",
+        F.concat(F.lit("common license header boilerplate text here "),
+                 F.col("content")).alias("content"))
+    sh = shingles_df(hot)
+    full = {(r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+            for r in jaccard_pairs(sh, None, 0.0).collect()}
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(a + 1, 6)],
+        "id_a long, id_b long")
+    cand = {(r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+            for r in jaccard_pairs(sh, pairs, 0.0).collect()}
+    assert cand == {k: v for k, v in full.items() if k in cand}
+    assert set(cand) == {k for k in full}  # hot prefix co-shingles all pairs
+
+
+def test_jaccard_max_shingle_df_cap(spark, dup_docs):
+    from spidey_search_engine_spark.operators.dedup import (jaccard_pairs,
+                                                            shingles_df)
+    sh = shingles_df(dup_docs)
+    # cap=1 drops every shared shingle → no pairs survive
+    assert jaccard_pairs(sh, None, 0.0, max_shingle_df=1).count() == 0
+
+
+def test_simhash_polyhash_profile_matches_sql_math(spark, dup_docs):
+    """hash_expr injection: fingerprints with the polynomial hash equal a
+    straightforward python reimplementation of the same definition."""
+    from spidey_search_engine_spark.functions.hashing import (M1, M2, P1, P2,
+                                                              poly_hash64)
+    from spidey_search_engine_spark.operators.dedup import simhash_fingerprints
+    import re as _re
+    from collections import Counter
+
+    got = {r["id"]: r["simhash"] for r in
+           simhash_fingerprints(dup_docs, hash_expr=poly_hash64).collect()}
+
+    def poly(s, m, p):
+        acc = 0
+        for ch in s:
+            acc = (acc * m + ord(ch)) % p
+        return acc
+
+    for row in dup_docs.collect():
+        tf = Counter(t for t in _re.split(r"[^a-z0-9_]+",
+                                          row["content"].lower()) if t)
+        acc = np.zeros(64, dtype=np.int64)
+        for t, c in tf.items():
+            h = poly(t, M1, P1) | ((poly(t, M2, P2) & ((1 << 31) - 1)) << 32)
+            for i in range(64):
+                acc[i] += c * (1 if (h >> i) & 1 else -1)
+        val = sum(1 << i for i in range(64) if acc[i] > 0)
+        assert got[row["doc_id"]] == val
+
+
+def test_minhash_polyhash_profile_still_finds_dups(spark, dup_docs):
+    from spidey_search_engine_spark.functions.hashing import poly_hash
+    from spidey_search_engine_spark.operators.dedup import minhash_lsh_dedup
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_dedup(dup_docs, num_hashes=8, bands=4,
+                                        threshold=0.5, hash_expr=poly_hash,
+                                        band_hash_expr=poly_hash).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
