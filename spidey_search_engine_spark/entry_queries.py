@@ -214,32 +214,59 @@ def dedup_exact(spark, sf_dir):
                  F.min("doc_id").alias("keep_doc_id")))
 
 
+def _planted_docs(spark, sf_dir):
+    """Deterministic near/exact-duplicate-planted corpus derived from the
+    documents table — both engines rebuild it identically, so the dedup
+    oracles compare NON-EMPTY pair sets (the round-1 ngram entry matched on
+    0 vs 0 rows, proving nothing)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (d.filter(F.col("doc_id") < 20)
+            .select((F.col("doc_id") + 10000).alias("doc_id"),
+                    F.concat(F.col("text"),
+                             F.lit(" near duplicate suffix tokens appended"))
+                    .alias("text")))
+    exact = (d.filter(F.col("doc_id") < 10)
+             .select((F.col("doc_id") + 20000).alias("doc_id"), "text"))
+    return (d.filter(F.col("doc_id") < 60)
+            .unionByName(near).unionByName(exact))
+
+
+_PLANTED_SQL_BODY = """planted AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 10000, text || ' near duplicate suffix tokens appended'
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 10
+)"""
+
+# tokens + distinct 3-gram shingles over the planted corpus (DuckDB form of
+# dedup.shingles_df: same split regex, same slice/concat, same >=3 filter)
+_SHINGLE_SQL = """toks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM planted
+), sh AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT id, unnest(list_transform(range(len(t) - 2),
+                      i -> array_to_string(t[i+1:i+3], ' '))) AS shingle
+    FROM toks WHERE len(t) >= 3)
+)"""
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
-    """3-gram token-shingle Jaccard over doc pairs (doc_id<60), pairs with
-    jaccard ≥ 0.05."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
-                    lambda x: x != F.lit(""))
-    d = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
-    sh = d.select("doc_id", F.explode(
-        F.transform(F.sequence(F.lit(0), F.size("t") - 3),
-                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, 3)))
-    ).alias("shingle")).distinct()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("inter")))
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = (inter.join(ca, "doc_a").join(cb, "doc_b")
-           .withColumn("jaccard",
-                       F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
-           .filter(F.col("jaccard") >= 0.05))
-    return jac.select("doc_a", "doc_b", _r(F.col("jaccard")).alias("jaccard_r"))
+    """3-gram token-shingle Jaccard over the duplicate-planted corpus,
+    pairs with jaccard ≥ 0.05 — exercises the engine's shingles_df +
+    jaccard_pairs operators and is guaranteed non-vacuous (the planted
+    exact copies alone yield jaccard-1.0 pairs)."""
+    from .operators.dedup import jaccard_pairs, shingles_df
+    d = _planted_docs(spark, sf_dir).withColumnRenamed("text", "content")
+    sh = shingles_df(d)
+    jac = jaccard_pairs(sh, None, threshold=0.05)
+    return jac.select(F.col("id_a").alias("doc_a"),
+                      F.col("id_b").alias("doc_b"),
+                      _r(F.col("jaccard")).alias("jaccard_r"))
 
 
 def ann_cosine_topk(spark, sf_dir):
@@ -473,25 +500,21 @@ SELECT sha256(text) AS content_sha, count(*)::BIGINT AS n_docs,
        min(doc_id) AS keep_doc_id
 FROM documents GROUP BY 1""",
 
-    "dedup_ngram_jaccard": _BASE_CTES + """, sh AS (
-  SELECT DISTINCT a.doc_id,
-         a.term || ' ' || b.term || ' ' || c.term AS shingle
-  FROM occ a
-  JOIN occ b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-  JOIN occ c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-  WHERE a.doc_id < 60
-), cnt AS (
-  SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1
+    "dedup_ngram_jaccard": f"""
+WITH {_PLANTED_SQL_BODY},
+{_SHINGLE_SQL}
+, cnt AS (
+  SELECT id, count(*)::BIGINT AS n FROM sh GROUP BY 1
 ), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
        CAST(round(i * 1.0 / (ca.n + cb.n - i), 6) AS DOUBLE) AS jaccard_r
 FROM inter
-JOIN cnt ca ON ca.doc_id = doc_a
-JOIN cnt cb ON cb.doc_id = doc_b
+JOIN cnt ca ON ca.id = doc_a
+JOIN cnt cb ON cb.id = doc_b
 WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.05""",
 
     "ann_cosine_topk": """
@@ -600,28 +623,35 @@ def bpe_token_estimate(spark, sf_dir):
 
 
 def minhash_lsh_pairs(spark, sf_dir):
-    """rows-only: near-dup pairs via MinHash-LSH + exact-Jaccard verify
-    (xxhash64 signatures are not reproducible in the DuckDB oracle; the
-    LSH⊆exact containment is pytest-verified instead)."""
+    """MinHash-LSH near-dup pairs + exact-Jaccard verify, oracle-paired:
+    the SQL-expressible polynomial hash (functions/hashing.py) is injected
+    on BOTH sides so DuckDB runs the identical LSH math (signatures,
+    banding, candidate join, verify). 8 hashes × 4 bands over the planted
+    corpus; the planted exact copies guarantee non-empty output."""
+    from .functions.hashing import poly_hash
     from .operators.dedup import minhash_lsh_dedup
-    d = load_table(spark, sf_dir, "documents") \
-        .withColumnRenamed("text", "content")
-    return minhash_lsh_dedup(d, threshold=0.3).select(
+    d = _planted_docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return minhash_lsh_dedup(d, num_hashes=8, bands=4, threshold=0.2,
+                             hash_expr=poly_hash,
+                             band_hash_expr=poly_hash).select(
         "id_a", "id_b", _r(F.col("jaccard")).alias("jaccard_r"))
 
 
 def simhash_pairs(spark, sf_dir):
-    """rows-only: SimHash fingerprints + pigeonhole near-pair search."""
+    """SimHash fingerprints (single-pass kernel) + pigeonhole near-pair
+    search, oracle-paired via the injected 63-bit polynomial token hash."""
+    from .functions.hashing import poly_hash64
     from .operators.dedup import simhash_fingerprints, simhash_near_pairs
-    d = load_table(spark, sf_dir, "documents") \
-        .withColumnRenamed("text", "content")
-    return simhash_near_pairs(simhash_fingerprints(d), hamming_max=8)
+    d = _planted_docs(spark, sf_dir).withColumnRenamed("text", "content")
+    fp = simhash_fingerprints(d, hash_expr=poly_hash64)
+    return simhash_near_pairs(fp, hamming_max=8)
 
 
 def ann_lsh_topk(spark, sf_dir):
-    """rows-only: RHP-LSH approximate top-k (bucketed candidates, exact
-    rescoring); exactness vs brute force is pytest-verified on planted
-    neighbors."""
+    """RHP-LSH approximate top-k (bucketed candidates + exact rescoring),
+    oracle-paired: the DuckDB oracle inlines the SAME seeded hyperplanes as
+    literals and reproduces bucket assignment, Hamming-2 multiprobe and the
+    exact cosine rescore."""
     from .operators.similarity import ann_topk_lsh
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
@@ -632,11 +662,25 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 def doc_fingerprint(spark, sf_dir):
-    """rows-only: winnowing-style min-hash fingerprint per doc."""
+    """Winnowing-style min-hash fingerprint per doc, oracle-paired via the
+    injected polynomial gram hash."""
+    from .functions.hashing import poly_hash
     from .functions.textstats import with_fingerprint
     d = load_table(spark, sf_dir, "documents") \
         .withColumnRenamed("text", "content")
-    return with_fingerprint(d).select("doc_id", "fingerprint")
+    return with_fingerprint(d, hash_expr=poly_hash) \
+        .select("doc_id", "fingerprint")
+
+
+def a6_binary_postings(spark, sf_dir):
+    """A6/S8 analog: the tf/position-free binary postings table — the
+    reference keeps a parallel `word_image(word, image_id)` index
+    (create_database.sql:100-124); here it materializes as (term, doc_id)
+    decoded from the compressed index (doc-id section only; the Q11
+    OR-scorer runs over this shape)."""
+    from .operators.search import binary_postings
+    idx = entry_index(spark, sf_dir)
+    return binary_postings(idx["postings"])
 
 
 # --- maintenance family (A8 / Q13 / F8 / F10) -------------------------------
@@ -841,3 +885,145 @@ SELECT doc_id,
          AS n_bpe_est
 FROM documents""",
 })
+
+
+# --- round-2: DuckDB oracles for the LSH/hash family --------------------------
+# The production operators hash with JVM xxhash64; these oracle profiles
+# inject the SQL-expressible polynomial hash (functions/hashing.py) on BOTH
+# sides, so DuckDB runs the *identical* LSH math — signatures, banding,
+# candidate joins, verification — and the driver's value-hash gate covers
+# the whole pipeline, not just row counts.
+
+def _build_lsh_oracles() -> dict[str, str]:
+    import numpy as _np
+
+    from .functions.hashing import duck_poly, duck_poly64
+    from .operators.dedup import _MERSENNE, minhash_coeffs
+    from .operators.similarity import _planes
+
+    m31 = (1 << 31) - 1
+    a, b = minhash_coeffs(8, seed=7)
+
+    mins = ",\n  ".join(
+        f"min((x * {int(a[i])} + {int(b[i])}) % {_MERSENNE}) AS h{i}"
+        for i in range(8))
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT id, {bnd} AS band, "
+        + duck_poly(f"(h{2*bnd}::VARCHAR || ',' || h{2*bnd+1}::VARCHAR)")
+        + " AS bh FROM sig"
+        for bnd in range(4))
+
+    minhash_sql = f"""
+WITH {_PLANTED_SQL_BODY},
+{_SHINGLE_SQL},
+xs AS (
+  SELECT id, {duck_poly('shingle')} % {m31} AS x FROM sh
+), sig AS (
+  SELECT id,
+  {mins}
+  FROM xs GROUP BY id
+), banded AS (
+{bands}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+), cnt AS (
+  SELECT id, count(*)::BIGINT AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*)::BIGINT AS i
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(round(i * 1.0 / (ca.n + cb.n - i), 6) AS DOUBLE) AS jaccard_r
+FROM inter
+JOIN cnt ca ON ca.id = id_a
+JOIN cnt cb ON cb.id = id_b
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2"""
+
+    simhash_sql = f"""
+WITH {_PLANTED_SQL_BODY},
+toks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM planted
+), tf AS (
+  SELECT id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT id, unnest(t) AS tok FROM toks) GROUP BY 1, 2
+), hashed AS (
+  SELECT id, tf, {duck_poly64('tok')} AS h FROM tf
+), bits AS (
+  SELECT id, bb.b AS bit, sum(tf * (2 * ((h >> bb.b) & 1) - 1)) AS s
+  FROM hashed, (SELECT unnest(range(64)) AS b) bb GROUP BY 1, 2
+), fp AS (
+  SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+         AS simhash
+  FROM bits GROUP BY 1
+), chunks AS (
+  SELECT id, simhash, cc.c AS chunk, (simhash >> (cc.c * 7)) & 127 AS ch
+  FROM fp, (SELECT unnest(range(9)) AS c) cc
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.ch = b.ch AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 8"""
+
+    planes = _planes(64, 6, seed=5)  # same seed/shape as ann_lsh_topk
+
+    def _plane_lit(col: int) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in planes[:, col]) + "]"
+
+    def _bucket_expr(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, {_plane_lit(bit)}) > 0 "
+            f"THEN {1 << bit} ELSE 0 END)"
+            for bit in range(6))
+
+    ann_sql = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = 0
+), qb AS (
+  SELECT {_bucket_expr('qv')} AS b FROM q
+), sig AS (
+  SELECT vec_id, {_bucket_expr('v')} AS b FROM e WHERE vec_id <> 0
+), cand AS (
+  SELECT s.vec_id FROM sig s, qb
+  WHERE bit_count(xor(s.b::BIGINT, qb.b::BIGINT)) <= 2
+)
+SELECT e.vec_id AS id,
+       CAST(round(list_cosine_similarity(e.v, q.qv), 6) AS DOUBLE) AS cos_r
+FROM e JOIN cand USING (vec_id), q
+ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id ASC LIMIT 20"""
+
+    gram = "array_to_string(t[i+1:i+5], ' ')"
+    fingerprint_sql = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(range(greatest(len(t) - 5, 0) + 1),
+                i -> {duck_poly(gram)})) AS fingerprint
+FROM toks"""
+
+    return {
+        "minhash_lsh_pairs": minhash_sql,
+        "simhash_pairs": simhash_sql,
+        "ann_lsh_topk": ann_sql,
+        "doc_fingerprint": fingerprint_sql,
+    }
+
+
+QUERIES["a6_binary_postings"] = a6_binary_postings
+
+ORACLE_SQL.update(_build_lsh_oracles())
+ORACLE_SQL["a6_binary_postings"] = _BASE_CTES + """
+SELECT term, doc_id FROM tfc"""

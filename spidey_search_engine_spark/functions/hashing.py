@@ -45,11 +45,14 @@ def poly_hash64(col: Column) -> Column:
 
 
 def duck_poly(expr: str, mult: int = M1, p: int = P1) -> str:
-    """DuckDB SQL form of H(s; mult, p) over the SQL expression `expr`."""
+    """DuckDB SQL form of H(s; mult, p) over the SQL expression `expr`.
+    Lambda vars are prefixed `pc_` so the expression can itself sit inside
+    an outer DuckDB lambda (e.g. hashing each n-gram of a list_transform)
+    without variable capture."""
     return (f"list_reduce(list_prepend(0::BIGINT, "
             f"list_transform(range(length({expr})), "
-            f"i -> ascii(substring({expr}, i+1, 1))::BIGINT)), "
-            f"(acc, c) -> (acc * {mult} + c) % {p})")
+            f"pc_i -> ascii(substring({expr}, pc_i+1, 1))::BIGINT)), "
+            f"(pc_acc, pc_c) -> (pc_acc * {mult} + pc_c) % {p})")
 
 
 def duck_poly64(expr: str) -> str:

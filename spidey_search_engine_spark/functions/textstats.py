@@ -96,14 +96,17 @@ def with_lang_id(df: DataFrame, text_col: str = "content",
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "content",
-                     out: str = "fingerprint", window: int = 5) -> DataFrame:
-    """Winnowing-style document fingerprint: min xxhash64 over token
+                     out: str = "fingerprint", window: int = 5,
+                     hash_expr=None) -> DataFrame:
+    """Winnowing-style document fingerprint: min hash over token
     `window`-grams (a 1-permutation MinHash — stable under whitespace
-    normalization, cheap enough to compute inline)."""
+    normalization, cheap enough to compute inline). `hash_expr` defaults to
+    JVM xxhash64; the oracle profile injects the SQL-expressible polynomial
+    hash (functions/hashing.py) so DuckDB verifies the same math."""
+    h = hash_expr or F.xxhash64
     toks = _tokens(F.col(text_col))
     grams = F.transform(F.sequence(F.lit(0), F.greatest(F.size(toks) - window,
                                                         F.lit(0))),
-                        lambda i: F.xxhash64(F.concat_ws(" ",
-                                                         F.slice(toks, i + 1,
-                                                                 window))))
+                        lambda i: h(F.concat_ws(" ",
+                                                F.slice(toks, i + 1, window))))
     return df.withColumn(out, F.array_min(grams))

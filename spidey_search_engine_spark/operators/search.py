@@ -90,6 +90,37 @@ def query_term_postings(postings: DataFrame, terms: list[str],
     return pruned.select("term", "bin").mapInPandas(explode, schema=schema)
 
 
+def binary_postings(postings: DataFrame) -> DataFrame:
+    """A6 binary (tf/position-free) postings table: (term, doc_id) decoded
+    from the compressed index — the reference's `word_image` parallel index
+    shape (create_database.sql:100-124). Only the doc-gap section of each
+    segment is decoded; tf/dl/positions bytes are skipped. Writing this
+    DataFrame partitioned by bucket materializes the image-style index; the
+    Q11 OR-scorer (countDistinct term per doc) runs over it unchanged."""
+    from ..functions.compress import decode_varints, delta_decode
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms_out, ids_out = [], []
+            for term, buf in zip(pdf["term"], pdf["bin"]):
+                b = bytes(buf)
+                hdr, off = decode_varints(b, 0, 1)
+                n = int(hdr[0])
+                gaps, _ = decode_varints(b, off, n)
+                doc_ids = delta_decode(gaps)
+                terms_out.append(np.repeat(term, n))
+                ids_out.append(doc_ids.astype(np.int64))
+            yield pd.DataFrame({
+                "term": (np.concatenate(terms_out) if terms_out
+                         else np.array([], dtype=object)),
+                "doc_id": (np.concatenate(ids_out) if ids_out
+                           else np.array([], dtype=np.int64)),
+            })
+
+    return postings.select("term", "bin").mapInPandas(
+        explode, "term string, doc_id long")
+
+
 def _buckets_of(terms: list[str], n_buckets: int) -> dict[str, int]:
     """term → bucket for all query terms, one tiny JVM evaluation for the
     uncached ones (must equal F.pmod(F.xxhash64(term), n_buckets) — Spark's
