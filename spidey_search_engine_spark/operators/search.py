@@ -153,17 +153,25 @@ def _term_weight_map(values: dict[str, float]):
 
 
 def query_idf(terms_df: DataFrame, query_terms: list[str],
-              col: str = "idf_bm25") -> dict[str, float]:
+              col: str = "idf_bm25",
+              cache: dict[str, dict[str, float]] | None = None) -> dict[str, float]:
     """Q1 dictionary lookup, literally: fetch the k query terms' idf rows
     (filter pushed into the terms parquet scan). Terms absent from the
-    dictionary (df=0) are dropped — they contribute no score."""
+    dictionary (df=0) are dropped — they contribute no score.
+
+    With a preloaded `cache` ({col: {term: idf}}, see Searcher) the lookup
+    is a dict hit and the query plans exactly ONE Spark job."""
+    if cache is not None and col in cache:
+        c = cache[col]
+        return {t: c[t] for t in set(query_terms) if t in c}
     rows = terms_df.filter(
         F.col("term").isin(list(set(query_terms)))).select("term", col).collect()
     return {r["term"]: float(r[col]) for r in rows}
 
 
 def bm25_scores(posting_rows: DataFrame, terms_df: DataFrame, avgdl: float,
-                query_terms: list[str]) -> DataFrame:
+                query_terms: list[str],
+                idf_cache: dict | None = None) -> DataFrame:
     """Per-doc BM25 over decoded posting rows. Duplicate query terms weight
     by multiplicity (bag semantics, matching the reference's repeated
     OR-columns, QueryResultsFetcher.java:239-240).
@@ -173,7 +181,7 @@ def bm25_scores(posting_rows: DataFrame, terms_df: DataFrame, avgdl: float,
     a literal map, so the scoring plan is ONE job with no broadcast
     exchanges."""
     weights = pd.Series(query_terms).value_counts()
-    idf = query_idf(terms_df, query_terms, "idf_bm25")
+    idf = query_idf(terms_df, query_terms, "idf_bm25", idf_cache)
     iw = {t: idf[t] * float(weights[t]) for t in idf}
     if not iw:
         return (posting_rows.sparkSession
@@ -198,8 +206,82 @@ def bm25_topk(spark: SparkSession, index: dict, query: str, k: int = 10) -> Data
     rows = query_term_postings(index["postings"], q_terms,
                                int(index["stats"]["n_buckets"]))
     scores = bm25_scores(rows, index["terms"], float(index["stats"]["avgdl"]),
-                         q_terms)
+                         q_terms, index.get("idf_cache"))
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+class Searcher:
+    """Warm serving wrapper — amortizes per-query fixed costs across a query
+    stream, the shape a real serving tier runs (the reference serves from a
+    warm MySQL buffer pool; BASELINE.md's <500 ms anchor is that steady
+    state, not a cold per-query Spark job against fresh parquet listings).
+
+    What it warms:
+    * the dictionary (`terms`) is cached in executor memory — the per-query
+      k-term idf lookup becomes an InMemoryTableScan instead of a parquet
+      listing + scan;
+    * optionally the postings table is cached the same way (`cache_postings`;
+      at sandbox scale the whole table fits — at 10^12 files you would
+      cache AFTER a hot-bucket filter instead, which Spark's lazy
+      per-partition materialization supports with the same code path);
+    * global stats floats and the term→bucket hash cache are primed once.
+
+    Queries still run as ordinary jobs over the SAME operators
+    (bm25_topk / bm25_topk_pruned / parity_search) — nothing is
+    re-implemented for serving."""
+
+    def __init__(self, spark: SparkSession, index: dict,
+                 cache_postings: bool = True, preload_dict: bool = True,
+                 coalesce_to: int | None = None):
+        self.spark = spark
+        self.index = dict(index)
+        self.index["terms"] = index["terms"].cache()
+        if cache_postings:
+            p = index["postings"]
+            if coalesce_to:
+                # a query touches k terms' segments — far less than the
+                # build's write parallelism. Fewer, larger cached partitions
+                # cut per-query task-scheduling overhead (measured ~0.2 s of
+                # the warm p95 at sf0.1 came from ~40 near-empty tasks);
+                # size coalesce_to ≈ cores the serving tier wants per query.
+                p = p.coalesce(coalesce_to)
+            self.index["postings"] = p.cache()
+            self.index["postings"].count()
+        if preload_dict:
+            # one pass over the dictionary loads idf values AND term→bucket
+            # (the reference's always-resident MySQL dictionary). The k-term
+            # lookup becomes a dict hit → each BM25 query plans exactly ONE
+            # Spark job. At 10^12-file scale the vocabulary is sharded
+            # across serving nodes instead of collected whole; preload only
+            # the df>threshold head there and fall back to the pushdown
+            # lookup for the tail (preload_dict=False path).
+            n_buckets = int(self.index["stats"]["n_buckets"])
+            rows = (self.index["terms"]
+                    .select("term", "idf_bm25", "idf_ref",
+                            F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                            .cast("int").alias("bucket")).collect())
+            self.index["idf_cache"] = {
+                "idf_bm25": {r["term"]: float(r["idf_bm25"]) for r in rows},
+                "idf_ref": {r["term"]: float(r["idf_ref"]) for r in rows},
+            }
+            for r in rows:
+                _bucket_cache[(r["term"], n_buckets)] = int(r["bucket"])
+        else:
+            self.index["terms"].count()
+
+    def bm25(self, query: str, k: int = 10) -> DataFrame:
+        return bm25_topk(self.spark, self.index, query, k)
+
+    def bm25_pruned(self, query: str, k: int = 10, **kw) -> DataFrame:
+        from .wand import bm25_topk_pruned
+        return bm25_topk_pruned(self.spark, self.index, query, k, **kw)
+
+    def parity(self, query: str, **kw) -> DataFrame:
+        return parity_search(self.spark, self.index, query, **kw)
+
+    def close(self) -> None:
+        self.index["terms"].unpersist()
+        self.index["postings"].unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -207,11 +289,12 @@ def bm25_topk(spark: SparkSession, index: dict, query: str, k: int = 10) -> Data
 # ---------------------------------------------------------------------------
 
 def parity_word_scores(posting_rows: DataFrame, terms_df: DataFrame,
-                       n_docs: int, query_terms: list[str]) -> DataFrame:
+                       n_docs: int, query_terms: list[str],
+                       idf_cache: dict | None = None) -> DataFrame:
     """Q3/Q4 words sub-scorer: Σ_w  tf·(1+ln tf)·ln(1+N/df) with the
     occurrence-count multiplier quirk, + BIT_OR(important)."""
     weights = pd.Series(query_terms).value_counts()
-    idf = query_idf(terms_df, query_terms, "idf_ref")
+    idf = query_idf(terms_df, query_terms, "idf_ref", idf_cache)
     iw = {t: idf[t] * float(weights[t]) for t in idf}
     if not iw:
         return (posting_rows.sparkSession.createDataFrame(
@@ -229,11 +312,20 @@ def parity_word_scores(posting_rows: DataFrame, terms_df: DataFrame,
 
 def phrase_match_counts(posting_rows_pos: DataFrame, phrase: list[str]) -> DataFrame:
     """Q5 positional adjacency: docs containing the exact phrase, with the
-    number m of adjacency matches. Implemented as posting-array intersection
-    inside one applyInPandas group per doc (positions already sorted)."""
+    number m of adjacency matches (positions where p0 ∈ pos[w0] and
+    p0+i ∈ pos[wi] ∀i).
+
+    Physical shape: repartition(doc_id) + sortWithinPartitions + ONE
+    streaming mapInPandas that carries the open doc's per-term position
+    arrays across Arrow batch boundaries — NOT groupBy.applyInPandas, whose
+    per-group pandas-DataFrame overhead dominates when candidate docs are
+    many tiny groups (same argument, and measured 4.5× win, as
+    build.merge_partials — round-1 review finding #5). The carry state is
+    ≤ len(phrase) small arrays."""
     k = len(phrase)
     terms_in_phrase = list(dict.fromkeys(phrase))
-    sub = posting_rows_pos.filter(F.col("term").isin(terms_in_phrase))
+    sub = posting_rows_pos.filter(F.col("term").isin(terms_in_phrase)) \
+        .select("doc_id", "term", "positions", "important")
 
     out_schema = StructType([
         StructField("doc_id", LongType()),
@@ -241,30 +333,49 @@ def phrase_match_counts(posting_rows_pos: DataFrame, phrase: list[str]) -> DataF
         StructField("important", BooleanType()),
     ])
 
-    def match(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        doc_id = int(key[0])
-        by_term = {t: (np.asarray(p, dtype=np.int64), bool(imp))
-                   for t, p, imp in zip(pdf["term"], pdf["positions"],
-                                        pdf["important"])}
-        if any(t not in by_term for t in phrase):
-            return pd.DataFrame(columns=["doc_id", "m", "important"]).astype(
-                {"doc_id": "int64", "m": "int64", "important": "bool"})
-        # positions where phrase starts: p0 ∈ pos[w0] with p0+i ∈ pos[wi] ∀i
-        starts = by_term[phrase[0]][0]
-        mask = np.ones(starts.shape, dtype=bool)
-        for i in range(1, k):
-            nxt = by_term[phrase[i]][0]
-            mask &= np.isin(starts + i, nxt)
-        m = int(mask.sum())
-        if m == 0:
-            return pd.DataFrame(columns=["doc_id", "m", "important"]).astype(
-                {"doc_id": "int64", "m": "int64", "important": "bool"})
-        # reference: important = AND over the phrase words (BIT_OR of the
-        # per-word AND at rollup, QueryResultsFetcher.java:275-288)
-        imp = all(by_term[t][1] for t in phrase)
-        return pd.DataFrame([{"doc_id": doc_id, "m": m, "important": imp}])
+    def match_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_doc = None
+        by_term: dict[str, tuple[np.ndarray, bool]] = {}
+        out_doc: list[int] = []
+        out_m: list[int] = []
+        out_imp: list[bool] = []
 
-    return sub.groupBy("doc_id").applyInPandas(match, schema=out_schema)
+        def flush():
+            if cur_doc is None or any(t not in by_term for t in phrase):
+                return
+            starts = by_term[phrase[0]][0]
+            mask = np.ones(starts.shape, dtype=bool)
+            for i in range(1, k):
+                mask &= np.isin(starts + i, by_term[phrase[i]][0])
+            m = int(mask.sum())
+            if m == 0:
+                return
+            # reference: important = AND over the phrase words (BIT_OR of
+            # the per-word AND at rollup, QueryResultsFetcher.java:275-288)
+            out_doc.append(int(cur_doc))
+            out_m.append(m)
+            out_imp.append(all(by_term[t][1] for t in phrase))
+
+        for pdf in batches:
+            for d, t, p, imp in zip(pdf["doc_id"], pdf["term"],
+                                    pdf["positions"], pdf["important"]):
+                if d != cur_doc:
+                    flush()
+                    cur_doc, by_term = d, {}
+                by_term[t] = (np.asarray(p, dtype=np.int64), bool(imp))
+            if len(out_doc) >= 4096:
+                yield pd.DataFrame({"doc_id": np.asarray(out_doc, np.int64),
+                                    "m": np.asarray(out_m, np.int64),
+                                    "important": out_imp})
+                out_doc, out_m, out_imp = [], [], []
+        flush()
+        if out_doc:
+            yield pd.DataFrame({"doc_id": np.asarray(out_doc, np.int64),
+                                "m": np.asarray(out_m, np.int64),
+                                "important": out_imp})
+
+    return (sub.repartition("doc_id").sortWithinPartitions("doc_id")
+            .mapInPandas(match_stream, schema=out_schema))
 
 
 def parity_phrase_scores(spark: SparkSession, index: dict, phrase: list[str],
@@ -307,7 +418,8 @@ def parity_search(spark: SparkSession, index: dict, query: str,
         rows = query_term_postings(index["postings"], q_terms,
                                    int(index["stats"]["n_buckets"]))
         parts.append(parity_word_scores(rows, index["terms"],
-                                        int(index["stats"]["n_docs"]), q_terms))
+                                        int(index["stats"]["n_docs"]), q_terms,
+                                        index.get("idf_cache")))
     for ph in phrases:
         parts.append(parity_phrase_scores(spark, index, ph, q_terms))
     if not parts:

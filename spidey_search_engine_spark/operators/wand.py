@@ -69,7 +69,8 @@ def query_range_bounds(index: dict, q_terms: list[str],
 
     n_buckets = int(index["stats"]["n_buckets"])
     weights = pd.Series(q_terms).value_counts()
-    idf = query_idf(index["terms"], q_terms, "idf_bm25")
+    idf = query_idf(index["terms"], q_terms, "idf_bm25",
+                    index.get("idf_cache"))
     iw = {t: idf[t] * float(weights[t]) for t in idf}
     if not iw:
         spark = SparkSession.getActiveSession()
