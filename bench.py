@@ -116,12 +116,12 @@ def main() -> None:
     # per-job costs dominate build_files_per_sec there. The 600k-doc
     # two-parallelism run (scripts/bench_scaling.py, BENCH_SCALING.json)
     # is the throughput/scaling evidence; surface its headline numbers.
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "BENCH_SCALING.json")
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
+    def _scaling_summary(path: str) -> dict | None:
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
             sc = json.load(f)
-        out["scaling"] = {
+        return {
             "pair": sc.get("pair"),
             "n_docs": sc.get("n_docs"),
             "files_per_sec_low": sc.get("low", {}).get("files_per_sec"),
@@ -133,6 +133,16 @@ def main() -> None:
             "contention_corrected_efficiency":
                 sc.get("contention_corrected_efficiency"),
         }
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sc = _scaling_summary(os.path.join(here, "BENCH_SCALING.json"))
+    if sc:
+        out["scaling"] = sc
+    # the harder one-box stress pair (4->16 shares more DRAM/LLC), reported
+    # alongside per the round-1 methodology notes in BASELINE.md
+    sc_stress = _scaling_summary(os.path.join(here, "BENCH_SCALING_4_16.json"))
+    if sc_stress:
+        out["scaling_stress_4_16"] = sc_stress
     print(json.dumps(out))
     spark.stop()
 

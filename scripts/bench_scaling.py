@@ -192,7 +192,10 @@ def main() -> None:
                            "of the engine")},
               "timestamp": time.time()}
     print(json.dumps(result))
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    default_out = ("BENCH_SCALING.json" if lo_cpus == 2
+                   else f"BENCH_SCALING_{lo_cpus}_{hi_cpus}.json")
+    out_name = os.environ.get("SPARK_GRAFT_SCALE_OUT", default_out)
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(result, f, indent=2)
 
 

@@ -661,6 +661,23 @@ def ann_lsh_topk(spark, sf_dir):
             .select("id", _r(F.col("cos")).alias("cos_r")))
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate top-k (coarse quantizer → probe n_probe nearest
+    inverted lists → exact rescore), oracle-paired: the deterministic
+    sampled-centroid quantizer (centroids = vectors 1..32) keeps assignment
+    and probing SQL-expressible, so DuckDB reproduces the whole path."""
+    from .operators.similarity import ivf_topk
+    import numpy as np
+    e = load_table(spark, sf_dir, "embeddings")
+    head = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in e.filter(F.col("vec_id") <= 32).collect()}
+    q = head[0]
+    centroids = np.array([head[i] for i in range(1, 33)], dtype=np.float64)
+    return (ivf_topk(e.filter(F.col("vec_id") != 0), centroids, q,
+                     k=20, n_probe=4)
+            .select("id", _r(F.col("cos")).alias("cos_r")))
+
+
 def doc_fingerprint(spark, sf_dir):
     """Winnowing-style min-hash fingerprint per doc, oracle-paired via the
     injected polynomial gram hash."""
@@ -1027,3 +1044,28 @@ QUERIES["a6_binary_postings"] = a6_binary_postings
 ORACLE_SQL.update(_build_lsh_oracles())
 ORACLE_SQL["a6_binary_postings"] = _BASE_CTES + """
 SELECT term, doc_id FROM tfc"""
+
+
+QUERIES["ann_ivf_topk"] = ann_ivf_topk
+
+ORACLE_SQL["ann_ivf_topk"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = 0
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 32
+), probes AS (
+  SELECT cid FROM cent, q ORDER BY list_distance(cv, qv), cid LIMIT 4
+), asg AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_distance(v, cv), cid) AS rn
+  FROM e, cent WHERE vec_id <> 0
+), cand AS (
+  SELECT a.vec_id FROM asg a JOIN probes p ON a.cid = p.cid WHERE a.rn = 1
+)
+SELECT e.vec_id AS id,
+       CAST(round(list_cosine_similarity(e.v, q.qv), 6) AS DOUBLE) AS cos_r
+FROM e JOIN cand USING (vec_id), q
+ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id ASC LIMIT 20"""

@@ -102,6 +102,53 @@ def ann_topk_lsh(emb: DataFrame, query_vec: Sequence[float], dim: int,
     return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_assignments(emb: DataFrame, centroids: np.ndarray,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster) — IVF coarse quantizer assignment: nearest centroid by
+    squared euclidean distance, ties to the lowest centroid index.
+
+    One (B×dim)·(dim×C) matmul per Arrow batch (||v−c||² expands to
+    ||v||² − 2v·c + ||c||², and ||v||² is constant per row so argmin needs
+    only −2v·c + ||c||²). Centroids ship in the UDF closure — the
+    broadcastable small side. Writing the assigned table partitioned by
+    `cluster` makes query-time probing partition-prunable (classic IVF
+    inverted lists). Centroid *training* is pluggable; the deterministic
+    default used by the entry is sampled-centroids (the first C vectors),
+    which keeps the quantizer SQL-expressible for the DuckDB oracle."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    c_norm2 = (cent * cent).sum(axis=1)
+
+    @F.pandas_udf(IntegerType())
+    def cluster_of(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        scores = -2.0 * (mat @ cent.T) + c_norm2[None, :]
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    return emb.select(F.col(id_col).alias("id"),
+                      cluster_of(F.col(vec_col)).alias("cluster"))
+
+
+def ivf_topk(emb: DataFrame, centroids: np.ndarray,
+             query_vec: Sequence[float], k: int = 10, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             assignments: DataFrame | None = None) -> DataFrame:
+    """IVF-flat approximate top-k: probe the `n_probe` clusters whose
+    centroids are nearest the query, exact-rescore only their members.
+    `assignments` may be a pre-materialized (id, cluster) table (the
+    on-disk inverted-list layout); otherwise it is derived inline."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
+    asg = assignments if assignments is not None \
+        else ivf_assignments(emb, cent, id_col, vec_col)
+    cand_ids = asg.filter(F.col("cluster").isin(probes)).select("id")
+    cand = emb.join(cand_ids.withColumnRenamed("id", id_col), id_col,
+                    "left_semi")
+    return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def embedding_cosine_dedup_pairs(emb: DataFrame, dim: int,
                                  threshold: float = 0.95, n_bits: int = 8,
                                  seed: int = 5, id_col: str = "vec_id",

@@ -260,3 +260,28 @@ def test_minhash_polyhash_profile_still_finds_dups(spark, dup_docs):
                                         threshold=0.5, hash_expr=poly_hash,
                                         band_hash_expr=poly_hash).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+
+
+def test_ivf_topk_planted_neighbor(spark, emb_df):
+    """IVF-flat with sampled centroids: the planted near-duplicate of
+    vector 3 must appear in the probed top-k, and candidates must be the
+    union of the probed clusters only."""
+    from spidey_search_engine_spark.operators.similarity import (
+        brute_force_cosine_topk, ivf_assignments, ivf_topk)
+    df, vecs = emb_df
+    centroids = vecs[:8].astype(np.float64)
+    q = vecs[3].astype(np.float64)
+    got = [r["id"] for r in ivf_topk(df, centroids, q, k=5, n_probe=3).collect()]
+    assert 3 in got and 7 in got  # vec 7 is the planted neighbor of 3
+
+    # with n_probe = all clusters, IVF == brute force exactly
+    full = [r["id"] for r in ivf_topk(df, centroids, q, k=10, n_probe=8).collect()]
+    exact = [r["id"] for r in brute_force_cosine_topk(df, q, k=10).collect()]
+    assert full == exact
+
+    # assignment: every vector lands in its numpy-argmin cluster
+    asg = {r["id"]: r["cluster"] for r in ivf_assignments(df, centroids).collect()}
+    v = vecs.astype(np.float64)
+    d2 = ((v[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    for i in range(60):
+        assert asg[i] == int(np.argmin(d2[i]))
