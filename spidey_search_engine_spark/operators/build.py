@@ -525,7 +525,8 @@ def _merge_group(term: str, seg: int, bins: list) -> tuple:
 
 def merge_partials(partials: DataFrame, n_buckets: int = 64,
                    salt_factor: int = 8,
-                   doclen_bucket: int | None = None) -> DataFrame:
+                   doclen_bucket: int | None = None,
+                   vectorized: bool = True) -> DataFrame:
     """A7 hierarchical merge: disjoint doc-range partials → one compressed
     row per (term, segment) with avgdl-independent block-max metadata.
 
@@ -543,8 +544,18 @@ def merge_partials(partials: DataFrame, n_buckets: int = 64,
 
     If ``doclen_bucket`` is set, DOCLEN_TERM sentinel rows flow through the
     same merge and are assigned that bucket (one partition dir holding the
-    doc-length table; query-side bucket pruning never reads it)."""
+    doc-length table; query-side bucket pruning never reads it).
+
+    ``vectorized=True`` (default) runs the whole-batch numpy merge kernel
+    (operators/merge_vec.py — one varint decode pass per Arrow batch,
+    reduceat block metadata, batch-level section encode); the legacy
+    per-row/per-group stream below is kept as the reference implementation
+    and fallback, byte-identical by test."""
     out_cols = [f.name for f in POSTING_SCHEMA.fields]
+
+    def merge_stream_vec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .merge_vec import merge_stream_vectorized
+        yield from merge_stream_vectorized(batches, out_cols, _merge_group)
 
     def merge_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cur: tuple | None = None
@@ -585,7 +596,8 @@ def merge_partials(partials: DataFrame, n_buckets: int = 64,
                 .repartition(n_buckets * salt_factor, "bucket", "_salt")
                 .sortWithinPartitions("term", "segment"))
     merged = shuffled.select("term", "segment", "bin", "bucket").mapInPandas(
-        merge_stream, schema=POSTING_SCHEMA)
+        merge_stream_vec if vectorized else merge_stream,
+        schema=POSTING_SCHEMA)
     # bucket is re-derived (deterministic per term) so the partitionBy
     # write needs no further shuffle; a reduce task holding several buckets
     # simply writes one file per bucket dir

@@ -104,3 +104,40 @@ def test_kernel_simple_profile_matches_naive():
     got = {(t, s): (n, cf, b)
            for t, s, n, cf, b in _partials_from_batch(pdf, enc, 5)}
     assert got == expected
+
+
+def test_vectorized_merge_equals_legacy(spark, corpus_pdf):
+    """The whole-batch numpy merge kernel must produce BYTE-identical rows
+    (bins + block metadata + counts) to the legacy per-group stream, with
+    sentinels included and with a batch size small enough to force
+    cross-batch group carries."""
+    from pyspark.sql import functions as F
+    from spidey_search_engine_spark.operators.build import (build_partials,
+                                                            merge_partials,
+                                                            prepare_docs)
+
+    docs = prepare_docs(spark.createDataFrame(corpus_pdf.head(120))
+                        .repartition(6))
+    parts = build_partials(docs, profile="code", seg_bits=4)
+
+    def snap(df):
+        rows = df.collect()
+        return sorted(
+            (r["term"], r["segment"], r["n_docs"], r["cf"], bytes(r["bin"]),
+             tuple(r["block_first_doc"]), tuple(r["block_last_doc"]),
+             tuple(r["block_max_tf"]), tuple(r["block_min_dl"]), r["bucket"])
+            for r in rows)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        for batch in ("10000", "3"):
+            spark.conf.set(key, batch)
+            vec = snap(merge_partials(parts, n_buckets=4, doclen_bucket=4,
+                                      vectorized=True))
+            leg = snap(merge_partials(parts, n_buckets=4, doclen_bucket=4,
+                                      vectorized=False))
+            assert vec == leg
+            assert len(vec) > 0
+    finally:
+        spark.conf.set(key, old)
