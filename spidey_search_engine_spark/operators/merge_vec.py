@@ -9,10 +9,13 @@ numpy-dispatch overhead, not in byte work.
 This kernel processes one Arrow batch of partial rows in whole-batch numpy
 passes:
 
-1. concatenate every row's binary into ONE buffer and varint-decode it in
-   a single vectorized pass (terminator scan + byte-plane accumulation) —
-   position gaps are decoded too and simply discarded; their RAW bytes are
-   carried through untouched exactly like the legacy fast path;
+1. concatenate every row's binary into ONE buffer, locate every varint
+   with a single terminator scan, then decode VALUES only at the
+   header/gaps/tf/dl value indices (subset byte-plane gathers) — the
+   position-gap section, the bulk of every buffer, is never decoded; its
+   RAW bytes are carried through untouched exactly like the legacy fast
+   path (a first draft decoded positions too and was SLOWER than the
+   legacy loop: 153M wasted value-decodes per 600k-doc build);
 2. recover each row's section layout from the known row byte offsets
    (first value = n, then n gaps / n tf / n dl, remainder = raw positions);
 3. order rows by (group, first_doc) with one lexsort, rebuild doc_ids with
@@ -53,9 +56,12 @@ def _ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
             + np.repeat(starts - np.r_[0, cc[:-1]], counts))
 
 
-def _decode_all(big: np.ndarray):
-    """Vectorized varint decode of one concatenated buffer →
-    (values uint64, end_byte_index int64 per value)."""
+def _varint_bounds(big: np.ndarray):
+    """One terminator scan over the concatenated buffer → per-value
+    (start_byte, length, end_byte) arrays. Values are NOT decoded here —
+    the position-gap section is the bulk of every buffer and the merge
+    never needs its values (raw bytes pass through), so decoding is done
+    lazily per value-index subset by ``_decode_at``."""
     is_last = (big & 0x80) == 0
     ends = np.flatnonzero(is_last)
     n = ends.size
@@ -64,13 +70,23 @@ def _decode_all(big: np.ndarray):
         starts[0] = 0
         starts[1:] = ends[:-1] + 1
     vlens = ends - starts + 1
-    values = np.zeros(n, dtype=np.uint64)
-    maxlen = int(vlens.max()) if n else 0
-    for i in range(maxlen):
-        take = vlens > i
-        values[take] |= ((big[starts[take] + i].astype(np.uint64)
+    return starts, vlens, ends
+
+
+def _decode_at(big: np.ndarray, starts: np.ndarray, vlens: np.ndarray,
+               idx: np.ndarray) -> np.ndarray:
+    """Decode ONLY the varints at value indices `idx` (vectorized
+    byte-plane accumulation over the subset)."""
+    if idx.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    s = starts[idx]
+    l = vlens[idx]
+    values = np.zeros(idx.size, dtype=np.uint64)
+    for i in range(int(l.max())):
+        take = l > i
+        values[take] |= ((big[s[take] + i].astype(np.uint64)
                           & np.uint64(0x7F)) << np.uint64(7 * i))
-    return values, ends
+    return values
 
 
 def merge_batch_vectorized(terms: np.ndarray, segs: np.ndarray,
@@ -120,13 +136,14 @@ def merge_batch_vectorized(terms: np.ndarray, segs: np.ndarray,
     row_start = np.zeros(nrows + 1, dtype=np.int64)
     np.cumsum(lens, out=row_start[1:])
     big = np.frombuffer(b"".join(bins), dtype=np.uint8)
-    V, ends = _decode_all(big)
+    v_starts, v_lens, ends = _varint_bounds(big)
 
     row_first_v = np.searchsorted(ends, row_start[:-1])
-    n_r = V[row_first_v].astype(np.int64)
+    n_r = _decode_at(big, v_starts, v_lens, row_first_v).astype(np.int64)
     if (n_r <= 0).any():
         raise ValueError("partial row with zero postings")
-    first_doc_r = V[row_first_v + 1].astype(np.int64)
+    first_doc_r = _decode_at(big, v_starts, v_lens,
+                             row_first_v + 1).astype(np.int64)
 
     new_grp = np.ones(nrows, dtype=bool)
     new_grp[1:] = (terms[1:] != terms[:-1]) | (segs[1:] != segs[:-1])
@@ -138,9 +155,11 @@ def merge_batch_vectorized(terms: np.ndarray, segs: np.ndarray,
 
     cc = np.cumsum(o_counts)
     part_starts = np.r_[0, cc[:-1]]
-    gaps_all = V[_ranges(o_base, o_counts)]
-    tf_all = V[_ranges(o_base + o_counts, o_counts)]
-    dl_all = V[_ranges(o_base + 2 * o_counts, o_counts)]
+    gaps_all = _decode_at(big, v_starts, v_lens, _ranges(o_base, o_counts))
+    tf_all = _decode_at(big, v_starts, v_lens,
+                        _ranges(o_base + o_counts, o_counts))
+    dl_all = _decode_at(big, v_starts, v_lens,
+                        _ranges(o_base + 2 * o_counts, o_counts))
 
     c = np.cumsum(gaps_all.astype(np.int64))
     adjust = c[part_starts] - gaps_all[part_starts].astype(np.int64)
