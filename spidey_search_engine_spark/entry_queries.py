@@ -1069,3 +1069,47 @@ SELECT e.vec_id AS id,
        CAST(round(list_cosine_similarity(e.v, q.qv), 6) AS DOUBLE) AS cos_r
 FROM e JOIN cand USING (vec_id), q
 ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id ASC LIMIT 20"""
+
+
+def q14_user_create(spark, sf_dir):
+    """Q14 user create (ApiController.java signup): INSERT IGNORE on the
+    unique name key — existing users keep their ids, new distinct names get
+    ids above the current max (auto-increment analog, deterministic
+    name-ordered). Derived from events: existing users = user_id<50,
+    registrations = names from odd events (some colliding, some new)."""
+    e = load_table(spark, sf_dir, "events")
+    existing = (e.filter(F.col("user_id") < 50).select("user_id").distinct()
+                .select(F.concat(F.lit("user_"),
+                                 F.col("user_id")).alias("name"),
+                        F.col("user_id").cast("long").alias("user_id")))
+    regs = (e.filter(F.col("event_id") % 2 == 1)
+            .select(F.concat(F.lit("user_"), (F.col("event_id") % 80))
+                    .alias("name")).distinct())
+    new = regs.join(existing.select("name"), "name", "left_anti")
+    max_id = existing.agg(F.max("user_id").alias("m"))
+    w = Window.orderBy("name")
+    new_ids = (new.withColumn("rn", F.row_number().over(w))
+               .crossJoin(F.broadcast(max_id))
+               .select("name", (F.col("m") + F.col("rn")).alias("user_id")))
+    return existing.unionByName(new_ids)
+
+
+QUERIES["q14_user_create"] = q14_user_create
+
+ORACLE_SQL["q14_user_create"] = """
+WITH existing AS (
+  SELECT DISTINCT 'user_' || CAST(user_id AS VARCHAR) AS name,
+         user_id::BIGINT AS user_id
+  FROM events WHERE user_id < 50
+), regs AS (
+  SELECT DISTINCT 'user_' || CAST(event_id % 80 AS VARCHAR) AS name
+  FROM events WHERE event_id % 2 = 1
+), new AS (
+  SELECT name FROM regs WHERE name NOT IN (SELECT name FROM existing)
+), mx AS (
+  SELECT max(user_id) AS m FROM existing
+)
+SELECT name, user_id FROM existing
+UNION ALL
+SELECT name, (m + row_number() OVER (ORDER BY name))::BIGINT AS user_id
+FROM new, mx"""
