@@ -1113,3 +1113,67 @@ SELECT name, user_id FROM existing
 UNION ALL
 SELECT name, (m + row_number() OVER (ORDER BY name))::BIGINT AS user_id
 FROM new, mx"""
+
+
+def serve_page(spark, sf_dir):
+    """End-to-end serving pipeline (Q3→Q8→Q10 composed): word relevance
+    from the real index, two-stage top-20 with the static-score reorder,
+    candidate set broadcast INTO the doc-store scan, and an F11-style ±2
+    token snippet around the first 'merge' occurrence (null when absent) —
+    one result page exactly as the reference's /get-results returns it."""
+    idx = entry_index(spark, sf_dir)
+    rows = S.query_term_postings(idx["postings"], QT,
+                                 int(idx["stats"]["n_buckets"]))
+    rel = S.parity_word_scores(rows, idx["terms"],
+                               int(idx["stats"]["n_docs"]), QT) \
+        .select("doc_id", "relevance")
+    stage1 = rel.orderBy(F.desc("relevance"), F.asc("doc_id")).limit(20)
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "n_chars", "text")
+    stage2 = (docs.join(F.broadcast(stage1), "doc_id")
+              .withColumn("score",
+                          F.col("relevance") * 1000.0 / F.col("n_chars")))
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
+                    lambda x: x != F.lit(""))
+    p = F.array_position(toks, "merge")
+    start = F.greatest(F.lit(1), p - 2)
+    end = F.least(F.size(toks), p + 2)
+    snippet = F.when(p > 0, F.array_join(
+        F.slice(toks, start, end - start + 1), " "))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (stage2.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "rank", _r(F.col("score")).alias("score_r"),
+                    snippet.alias("snippet")))
+
+
+QUERIES["serve_page"] = serve_page
+
+ORACLE_SQL["serve_page"] = _BASE_CTES + f""",
+q(term) AS (VALUES {_QT_SQL}),
+rel AS (
+  SELECT tfc.doc_id,
+         sum(tfc.tf * (1 + ln(tfc.tf)) * ln(1 + st.n / dfreq.df)) AS relevance
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN st
+  GROUP BY tfc.doc_id
+),
+stage1 AS (
+  SELECT * FROM rel ORDER BY relevance DESC, doc_id ASC LIMIT 20
+),
+stage2 AS (
+  SELECT s.doc_id, s.relevance * 1000.0 / d.n_chars AS score
+  FROM stage1 s JOIN documents d USING (doc_id)
+),
+snip AS (
+  SELECT doc_id,
+         CASE WHEN list_position(t, 'merge') > 0 THEN
+           array_to_string(
+             t[greatest(1, list_position(t, 'merge') - 2) :
+               least(len(t), list_position(t, 'merge') + 2)], ' ')
+         END AS snippet
+  FROM toks
+)
+SELECT s.doc_id,
+       row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC)::INT AS rank,
+       CAST(round(s.score, 6) AS DOUBLE) AS score_r,
+       sn.snippet
+FROM stage2 s LEFT JOIN snip sn USING (doc_id)"""

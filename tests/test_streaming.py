@@ -59,3 +59,87 @@ def test_stream_append_equals_batch(spark, corpus_pdf, tmp_path):
     got_s = [(r["doc_id"], r["score"]) for r in
              bm25_topk(spark, streamed, "merge sort", k=5).collect()]
     assert got_b == got_s
+
+
+def test_windowed_counts_drop_late_events(spark, tmp_path):
+    """Watermarked windowed agg: finalized windows emit once in append
+    mode; an event arriving behind the watermark is dropped."""
+    from spidey_search_engine_spark.streaming.windows import \
+        windowed_user_counts
+
+    src = str(tmp_path / "ev_src")
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "user_id long, sec long, value double") \
+            .select("user_id", F.col("sec").cast("timestamp").alias("ts"),
+                    "value").coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: two events in window [0,600) for user 1
+    write_batch([(1, 100, 1.0), (1, 200, 2.0)])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = windowed_user_counts(stream, window="10 minutes",
+                               watermark="0 seconds")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("win_counts").option(
+             "checkpointLocation", str(tmp_path / "ckpt_w")).start())
+    try:
+        q.processAllAvailable()
+        # batch 2 raises the max event time; batch 3 runs with the updated
+        # watermark (10000) and finalizes + emits the [0,600) window
+        write_batch([(2, 10000, 5.0)])
+        q.processAllAvailable()
+        write_batch([(2, 20000, 1.0)])
+        q.processAllAvailable()
+        # batch 4: an event for the ALREADY-FINALIZED [0,600) window —
+        # behind the watermark, must be dropped, not re-emitted
+        write_batch([(1, 150, 99.0)])
+        q.processAllAvailable()
+        write_batch([(2, 30000, 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    all_rows = spark.sql("select * from win_counts").collect()
+    rows = {(r["user_id"], int(r["window_start"].timestamp())):
+            (r["n_events"], r["sum_value"]) for r in all_rows}
+    # exactly one emission for user 1's [0,600) window, late event excluded
+    assert rows[(1, 0)] == (2, 3.0)
+    assert sum(1 for r in all_rows
+               if r["user_id"] == 1
+               and int(r["window_start"].timestamp()) == 0) == 1
+
+
+def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap close + event-
+    time-timeout close both emit; bounds/counts match a batch oracle."""
+    from spidey_search_engine_spark.streaming.windows import sessionize_stream
+
+    src = str(tmp_path / "sess_src")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "user_id long, sec long") \
+            .select("user_id", F.col("sec").cast("timestamp").alias("ts")) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    write_batch([(1, 100), (1, 200), (1, 5000), (2, 150)])
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = sessionize_stream(stream, gap_seconds=1000)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("sessions").option(
+             "checkpointLocation", str(tmp_path / "ckpt_s")).start())
+    try:
+        q.processAllAvailable()
+        # a much later event pushes the watermark → open sessions time out
+        write_batch([(99, 100000)])
+        q.processAllAvailable()
+        write_batch([(99, 200000)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.sql("select * from sessions").collect()}
+    assert (1, 100, 200, 2) in got      # closed in-batch by the 5000 event
+    assert (1, 5000, 5000, 1) in got    # closed by event-time timeout
+    assert (2, 150, 150, 1) in got      # closed by event-time timeout
