@@ -80,6 +80,79 @@ def frame_sample_plan(df: DataFrame, payload_col: str = "payload",
     ).filter(F.col("frame_no") % every_n == 0)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  payload_col: str = "payload", id_col: str = "doc_id",
+                  fake: bool = True) -> DataFrame:
+    """Resize plumbing: binary in → (fixed dims, binary out) per Arrow
+    batch. STUB kernel (real impl: PIL resize); the deterministic fake
+    re-digests the payload to a target_w·target_h-byte pseudo-bitmap so
+    output size actually scales with the target dims — the memory/batch
+    shape the real kernel would have."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                if not fake:
+                    raise NotImplementedError(
+                        "image codec not available in this environment")
+                seed = hashlib.sha256(data).digest()
+                need = target_w * target_h
+                out = (seed * (need // len(seed) + 1))[:need]
+                rows.append((int(doc_id), target_w, target_h, out))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              RESIZED_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=RESIZED_SCHEMA)
+
+
+AUDIO_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("duration_sec", FloatType()),
+    StructField("mfcc", ArrayType(FloatType())),
+])
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "doc_id", fake: bool = True) -> DataFrame:
+    """Audio decode+featurize plumbing (STUB kernel — real impl:
+    soundfile/librosa): sample rate/duration + a 13-dim MFCC-shaped
+    feature vector, deterministically faked from the payload digest."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                if not fake:
+                    raise NotImplementedError(
+                        "audio codec not available in this environment")
+                h = hashlib.sha256(data).digest()
+                sr = (8000, 16000, 22050, 44100)[h[2] % 4]
+                dur = len(data) / float(sr)
+                mfcc = (np.frombuffer(h, dtype=np.uint8)[:13]
+                        .astype(np.float32) / 255.0 - 0.5)
+                rows.append((int(doc_id), len(data), sr, dur,
+                             [float(x) for x in mfcc]))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_META_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=AUDIO_META_SCHEMA)
+
+
 def text_as_binary(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Adapter used by tests: treat a text column as an opaque payload."""

@@ -285,3 +285,28 @@ def test_ivf_topk_planted_neighbor(spark, emb_df):
     d2 = ((v[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
     for i in range(60):
         assert asg[i] == int(np.argmin(d2[i]))
+
+
+def test_multimodal_resize_and_audio(spark):
+    from spidey_search_engine_spark.operators.multimodal import (
+        audio_features, resize_images, text_as_binary)
+    import pytest as _pytest
+    df = spark.createDataFrame(
+        [(1, "some fake image payload bytes"), (2, "another payload")],
+        "doc_id long, text string")
+    bin_df = text_as_binary(df)
+    resized = {r["doc_id"]: r for r in
+               resize_images(bin_df, 8, 4, fake=True).collect()}
+    assert all(r["width"] == 8 and r["height"] == 4
+               and len(bytes(r["payload"])) == 32
+               for r in resized.values())
+    # deterministic: same payload → same pseudo-bitmap
+    again = resize_images(bin_df, 8, 4, fake=True).collect()
+    assert {r["doc_id"]: bytes(r["payload"]) for r in again} == \
+        {k: bytes(v["payload"]) for k, v in resized.items()}
+
+    au = {r["doc_id"]: r for r in audio_features(bin_df, fake=True).collect()}
+    assert all(len(r["mfcc"]) == 13 and r["sample_rate"] in
+               (8000, 16000, 22050, 44100) for r in au.values())
+    with _pytest.raises(Exception):
+        audio_features(bin_df, fake=False).collect()
