@@ -1177,3 +1177,60 @@ SELECT s.doc_id,
        CAST(round(s.score, 6) AS DOUBLE) AS score_r,
        sn.snippet
 FROM stage2 s LEFT JOIN snip sn USING (doc_id)"""
+
+
+def a8_requery_after_delete(spark, sf_dir):
+    """Full maintenance cycle, end to end: delete docs ≡0 (mod 7) from the
+    FULL on-disk postings (sentinel DOCLEN/DOCSHA rows rewritten too),
+    republish stats (n_docs/avgdl from the rewritten sentinels) and term
+    df/cf, then run BM25 top-20 against the maintained index — checked
+    against a from-scratch SQL build over the surviving documents."""
+    from .operators.build import doc_lengths, doc_stats
+    from .operators.maintenance import (delete_docs_postings,
+                                        refresh_term_stats)
+    idx = entry_index(spark, sf_dir)
+    out = os.path.join("/tmp/spidey_entry_idx",
+                       os.path.abspath(sf_dir).strip("/").replace("/", "_"))
+    raw = spark.read.parquet(os.path.join(out, "postings"))
+    n_buckets = int(idx["stats"]["n_buckets"])
+    victims = [int(r["doc_id"]) for r in
+               idx["docs"].filter(F.col("doc_id") % 7 == 0)
+               .select("doc_id").collect()]
+    cleaned_all = delete_docs_postings(raw, victims,
+                                       int(idx["stats"]["seg_bits"]))
+    sent = cleaned_all.filter(F.col("bucket") == n_buckets)
+    stats = doc_stats(doc_lengths(sent))
+    cleaned = cleaned_all.filter(F.col("bucket") < n_buckets)
+    terms2 = refresh_term_stats(cleaned, stats["n_docs"])
+    rows = S.query_term_postings(cleaned, QT, n_buckets)
+    scores = S.bm25_scores(rows, terms2, float(stats["avgdl"]), QT)
+    return (scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+            .select("doc_id", _r(F.col("score")).alias("score_r")))
+
+
+QUERIES["a8_requery_after_delete"] = a8_requery_after_delete
+
+ORACLE_SQL["a8_requery_after_delete"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 7 <> 0
+), tfc AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, len(t)::BIGINT AS dl FROM toks
+), st AS (
+  SELECT count(*)::BIGINT AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY 1
+), q(term) AS (VALUES {_QT_SQL}),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfc.doc_id
+)
+SELECT doc_id, CAST(round(s, 6) AS DOUBLE) AS score_r
+FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20"""
