@@ -35,13 +35,18 @@ PHRASE = ["key", "order"]
 _IDX_CACHE: dict[str, dict] = {}
 
 
+def entry_index_dir(sf_dir: str) -> str:
+    key = os.path.abspath(sf_dir)
+    return os.path.join("/tmp/spidey_entry_idx",
+                        key.strip("/").replace("/", "_"))
+
+
 def entry_index(spark: SparkSession, sf_dir: str) -> dict:
     """Build (once per sf_dir) the simple-profile index over `documents`."""
     key = os.path.abspath(sf_dir)
     if key in _IDX_CACHE:
         return _IDX_CACHE[key]
-    out = os.path.join("/tmp/spidey_entry_idx",
-                       key.strip("/").replace("/", "_"))
+    out = entry_index_dir(sf_dir)
     if not os.path.exists(os.path.join(out, "stats")):
         corpus = documents_as_corpus(spark, sf_dir)
         B.build_index(spark, corpus, out, profile="simple", seg_bits=8,
@@ -912,8 +917,6 @@ FROM documents""",
 # the whole pipeline, not just row counts.
 
 def _build_lsh_oracles() -> dict[str, str]:
-    import numpy as _np
-
     from .functions.hashing import duck_poly, duck_poly64
     from .operators.dedup import _MERSENNE, minhash_coeffs
     from .operators.similarity import _planes
@@ -1189,9 +1192,8 @@ def a8_requery_after_delete(spark, sf_dir):
     from .operators.maintenance import (delete_docs_postings,
                                         refresh_term_stats)
     idx = entry_index(spark, sf_dir)
-    out = os.path.join("/tmp/spidey_entry_idx",
-                       os.path.abspath(sf_dir).strip("/").replace("/", "_"))
-    raw = spark.read.parquet(os.path.join(out, "postings"))
+    raw = spark.read.parquet(os.path.join(entry_index_dir(sf_dir),
+                                          "postings"))
     n_buckets = int(idx["stats"]["n_buckets"])
     victims = [int(r["doc_id"]) for r in
                idx["docs"].filter(F.col("doc_id") % 7 == 0)

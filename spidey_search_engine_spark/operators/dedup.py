@@ -143,8 +143,8 @@ def jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None,
     review finding). Without `pairs` the full inverted self-join runs
     (verification/small-set mode); `max_shingle_df` drops shingles hotter
     than the cap first (documented approximation for that mode only)."""
-    counts = sh.groupBy("id").agg(F.count("*").alias("n"))
     if pairs is not None:
+        counts = sh.groupBy("id").agg(F.count("*").alias("n"))
         a = sh.select(F.col("id").alias("id_a"), "shingle")
         b = sh.select(F.col("id").alias("id_b"), "shingle")
         inter = (pairs.join(a, "id_a")
@@ -156,6 +156,10 @@ def jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None,
             hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
                    .filter(F.col("_df") > max_shingle_df).select("shingle"))
             sh_j = sh.join(hot, "shingle", "left_anti")
+        # denominators over the SAME (filtered) universe as the
+        # intersections, so the capped mode returns a true Jaccard of the
+        # filtered shingle sets (an exact pair stays 1.0)
+        counts = sh_j.groupBy("id").agg(F.count("*").alias("n"))
         a = sh_j.alias("a")
         b = sh_j.alias("b")
         inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

@@ -235,7 +235,9 @@ class Searcher:
                  coalesce_to: int | None = None):
         self.spark = spark
         self.index = dict(index)
+        self._cached = []
         self.index["terms"] = index["terms"].cache()
+        self._cached.append(self.index["terms"])
         if cache_postings:
             p = index["postings"]
             if coalesce_to:
@@ -246,6 +248,7 @@ class Searcher:
                 # size coalesce_to ≈ cores the serving tier wants per query.
                 p = p.coalesce(coalesce_to)
             self.index["postings"] = p.cache()
+            self._cached.append(self.index["postings"])
             self.index["postings"].count()
         if preload_dict:
             # one pass over the dictionary loads idf values AND term→bucket
@@ -280,8 +283,14 @@ class Searcher:
         return parity_search(self.spark, self.index, query, **kw)
 
     def close(self) -> None:
-        self.index["terms"].unpersist()
-        self.index["postings"].unpersist()
+        # unpersist ONLY what this instance cached — never a postings
+        # DataFrame it left untouched (cache_postings=False), whose cache
+        # the caller may own. NB: Spark caches by logical plan, so two
+        # Searchers over the same index share the same InMemoryRelation and
+        # closing one still evicts it for the other — callers sharing an
+        # index should share one Searcher.
+        for df in self._cached:
+            df.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -139,6 +139,12 @@ def query_term_postings_in_ranges(index: dict, q_terms: list[str],
         mask_rows = rdf.limit(max_mask_ranges + 1).collect()
         rng_mask = (sorted(int(r["rng"]) for r in mask_rows)
                     if len(mask_rows) <= max_mask_ranges else None)
+        if rng_mask is not None:
+            # the surviving set fit the driver cap — rebuild the join side
+            # from the collected literals so the bounds lineage (a scan +
+            # two groupBys over q-term metadata) is not re-evaluated inside
+            # the semi-join
+            rdf = spark.createDataFrame([(r,) for r in rng_mask], "rng long")
     else:
         rng_mask = sorted({int(r) for r in ranges})
         rdf = spark.createDataFrame([(r,) for r in rng_mask], "rng long")
@@ -194,21 +200,24 @@ def bm25_topk_pruned_terms(spark: SparkSession, index: dict,
         from .search import bm25_scores as _scores
         from .search import query_term_postings as _qtp
         rows = _qtp(index["postings"], q_terms, int(index["stats"]["n_buckets"]))
-        return (_scores(rows, index["terms"], avgdl, q_terms)
+        return (_scores(rows, index["terms"], avgdl, q_terms,
+                        index.get("idf_cache"))
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
                 .select("doc_id", "score"))
     probe = [int(r["rng"]) for r in probe_rows[:probe_ranges]]
 
     probe_rows_df = query_term_postings_in_ranges(index, q_terms, probe,
                                                   range_bits)
-    seed = (bm25_scores(probe_rows_df, index["terms"], avgdl, q_terms)
+    seed = (bm25_scores(probe_rows_df, index["terms"], avgdl, q_terms,
+                        index.get("idf_cache"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect())
     theta = seed[-1]["score"] if len(seed) >= k else 0.0
 
     surviving = bounds.filter(F.col("ub") >= F.lit(float(theta)))
     rows = query_term_postings_in_ranges(index, q_terms, surviving,
                                          range_bits, max_mask_ranges)
-    return (bm25_scores(rows, index["terms"], avgdl, q_terms)
+    return (bm25_scores(rows, index["terms"], avgdl, q_terms,
+                        index.get("idf_cache"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
             .select("doc_id", "score"))
 

@@ -61,25 +61,33 @@ def _session_fn(gap_seconds: int):
             state.remove()
             out.append((user_id, start, last, n))
         else:
-            ts: list[int] = []
-            for pdf in pdfs:
-                ts.extend(int(v) // 1_000_000_000
-                          for v in pdf["ts"].astype("int64"))
-            ts.sort()
+            # interval-merge sweep: the open-session state is just another
+            # interval, sorted in with the batch's events — so a
+            # within-watermark late event PRECEDING the open session merges
+            # into it (extending session_start backwards) and the result is
+            # identical to processing all events sorted in one batch;
+            # everything except the latest run closes and emits.
+            intervals: list[tuple[int, int, int]] = [
+                (t, t, 1) for pdf in pdfs
+                for t in (int(v) // 1_000_000_000
+                          for v in pdf["ts"].astype("int64"))]
             if state.exists:
-                start, last, n = state.get
-            else:
-                start, last, n = ts[0], ts[0], 0
-            for t in ts:
-                if t - last > gap_seconds:
-                    out.append((user_id, start, last, n))
-                    start, last, n = t, t, 1
+                intervals.append(tuple(state.get))
+            intervals.sort()
+            cur = intervals[0]
+            for iv in intervals[1:]:
+                if iv[0] - cur[1] <= gap_seconds:
+                    cur = (cur[0], max(cur[1], iv[1]), cur[2] + iv[2])
                 else:
-                    last = max(last, t)
-                    n += 1
-            state.update((start, last, n))
+                    out.append((user_id,) + cur)
+                    cur = iv
+            state.update(cur)
             # close the open session when the watermark passes last + gap
-            state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+            # (clamped above the current watermark — required by Spark when
+            # a late event arrives after the nominal timeout already passed)
+            state.setTimeoutTimestamp(
+                max((cur[1] + gap_seconds) * 1000,
+                    state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame(out, columns=["user_id", "session_start",
                                          "session_end", "n_events"])
 

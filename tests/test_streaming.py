@@ -122,19 +122,24 @@ def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
             .select("user_id", F.col("sec").cast("timestamp").alias("ts")) \
             .coalesce(1).write.mode("append").parquet(src)
 
-    write_batch([(1, 100), (1, 200), (1, 5000), (2, 150)])
+    write_batch([(1, 100), (1, 200), (1, 5000), (2, 150), (3, 1000)])
     stream = (spark.readStream.schema("user_id long, ts timestamp")
               .option("maxFilesPerTrigger", 1).parquet(src))
-    out = sessionize_stream(stream, gap_seconds=1000)
+    # 2h watermark delay: cross-batch late events within 7200s are ACCEPTED
+    out = sessionize_stream(stream, gap_seconds=1000, watermark="2 hours")
     q = (out.writeStream.outputMode("append").format("memory")
          .queryName("sessions").option(
              "checkpointLocation", str(tmp_path / "ckpt_s")).start())
     try:
         q.processAllAvailable()
-        # a much later event pushes the watermark → open sessions time out
-        write_batch([(99, 100000)])
+        # a late event PRECEDING user 3's open session start must merge
+        # into it (session_start extends back) — arrives in a later batch
+        write_batch([(3, 500), (99, 100000)])
         q.processAllAvailable()
+        # push the watermark past every last+gap → open sessions time out
         write_batch([(99, 200000)])
+        q.processAllAvailable()
+        write_batch([(99, 300000)])
         q.processAllAvailable()
     finally:
         q.stop()
@@ -143,3 +148,5 @@ def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
     assert (1, 100, 200, 2) in got      # closed in-batch by the 5000 event
     assert (1, 5000, 5000, 1) in got    # closed by event-time timeout
     assert (2, 150, 150, 1) in got      # closed by event-time timeout
+    assert (3, 500, 1000, 2) in got     # late event extended start backward
+    assert (3, 1000, 1000, 1) not in got
