@@ -1236,3 +1236,36 @@ scores AS (
 )
 SELECT doc_id, CAST(round(s, 6) AS DOUBLE) AS score_r
 FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20"""
+
+
+def crawl_frontier(spark, sf_dir):
+    """S1/S2 crawl-loop analog, oracle-paired: BFS first-visit depths from
+    seeds {0,1,2} over the deterministic lineitem-derived link graph (same
+    graph family as pagerank_2iter), depth ≤ 3 — the frontier/visited/
+    dedupe control structure of the reference crawler, checked against a
+    DuckDB recursive CTE."""
+    from .operators.crawl import bfs_frontier
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select((F.col("l_orderkey") % 50).alias("src"),
+                      (F.col("l_partkey") % 50).alias("dst")) \
+        .filter(F.col("src") != F.col("dst"))
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    out = bfs_frontier(spark, edges, seeds, max_depth=3)
+    return out.select(F.col("id").alias("doc_id"),
+                      F.col("depth").cast("int").alias("depth"))
+
+
+QUERIES["crawl_frontier"] = crawl_frontier
+
+ORACLE_SQL["crawl_frontier"] = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_orderkey % 50 AS src, l_partkey % 50 AS dst
+  FROM lineitem WHERE l_orderkey % 50 <> l_partkey % 50
+), reach(id, depth) AS (
+  SELECT * FROM (VALUES (0, 0), (1, 0), (2, 0)) s(id, depth)
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN e ON e.src = r.id
+  WHERE r.depth < 3
+)
+SELECT id AS doc_id, min(depth)::INT AS depth FROM reach GROUP BY id"""

@@ -1,0 +1,102 @@
+"""S1/S2 analog — frontier-driven crawl without a network.
+
+The reference's crawler is BFS over the web: seed list → fetch → extract
+links → normalize → dedupe against visited → enqueue up to a frontier cap,
+resumable from its queue tables (Crawler.java:42-45 seed/cap constants,
+:282-306 normalization, :308-414 the loop). This sandbox has no network
+(SURVEY §2.1 maps S2's HTTP fetch to n/a), but the crawl CONTROL STRUCTURE
+is network-independent, so it is implemented here over any "fetchable"
+corpus: a fetch is a lookup into the source table (the no-network stand-in
+for HTTP GET — on a real deployment, swap `fetch` for an Arrow-batched
+HTTP kernel and nothing else changes), links come from the S7 import-ref
+extractor, and the frontier/visited bookkeeping is exactly the
+reference's.
+
+Spark shapes:
+
+* ``bfs_frontier`` — the crawl loop on a prebuilt edge list: per wave, one
+  equi-join frontier→edges, an anti-join against visited, an optional
+  deterministic frontier cap (the reference's 6000-queued cap,
+  Crawler.java:44 — capped by lowest id for replayability), and a
+  localCheckpoint to keep lineage flat. Each wave is one shuffle round —
+  the BSP form of BFS that scales to 10^12-node graphs.
+* ``crawl_corpus`` — S1→S7 end to end over the corpus: seeds by path,
+  "fetch" the wave's content (inner join into the corpus scan — only the
+  frontier's rows are ever read), extract+resolve import links, advance.
+
+First-visit depth is recorded per doc (BFS ⇒ min depth), which doubles as
+the crawl lineage: re-running with the same seeds/caps reproduces the
+identical visit set and depths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bfs_frontier(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+                 max_depth: int, frontier_cap: int | None = None) -> DataFrame:
+    """BFS over edges (src, dst) from seeds (id) → (id, depth), depth =
+    first-visit wave. `frontier_cap` bounds each wave to the lowest-id
+    `cap` unseen nodes (deterministic analog of the reference's queue
+    cap)."""
+    e = (edges.select(F.col("src").cast("long").alias("src"),
+                      F.col("dst").cast("long").alias("dst"))
+         .distinct().repartition("src").localCheckpoint())
+    visited = (seeds.select(F.col("id").cast("long").alias("id")).distinct()
+               .withColumn("depth", F.lit(0)).localCheckpoint())
+    frontier = visited.select("id")
+    for d in range(1, max_depth + 1):
+        nxt = (frontier.join(e, frontier["id"] == e["src"])
+               .select(F.col("dst").alias("id")).distinct()
+               .join(visited.select("id"), "id", "left_anti"))
+        if frontier_cap is not None:
+            nxt = nxt.orderBy("id").limit(frontier_cap)
+        nxt = nxt.withColumn("depth", F.lit(d)).localCheckpoint()
+        if not nxt.head(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    return visited
+
+
+def crawl_corpus(spark: SparkSession, corpus: DataFrame, seed_paths: list[str],
+                 max_depth: int, frontier_cap: int | None = None) -> DataFrame:
+    """S1→S2→S7 loop over a doc corpus: per wave, fetch ONLY the frontier
+    docs' content (inner join pushed into the corpus scan), extract+resolve
+    import links, advance the unseen targets. Returns (doc_id, depth)."""
+    docs = corpus.select("doc_id", "path", "content")
+    seeds = (docs.filter(F.col("path").isin(list(seed_paths)))
+             .select(F.col("doc_id").alias("id")))
+    visited = (seeds.distinct().withColumn("depth", F.lit(0))
+               .localCheckpoint())
+    frontier = visited.select("id")
+    for d in range(1, max_depth + 1):
+        fetched = docs.join(frontier.withColumnRenamed("id", "doc_id"),
+                            "doc_id")
+        links = _wave_links(docs, fetched)
+        nxt = (links.select(F.col("dst_doc_id").alias("id")).distinct()
+               .join(visited.select("id"), "id", "left_anti"))
+        if frontier_cap is not None:
+            nxt = nxt.orderBy("id").limit(frontier_cap)
+        nxt = nxt.withColumn("depth", F.lit(d)).localCheckpoint()
+        if not nxt.head(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    return visited.withColumnRenamed("id", "doc_id")
+
+
+def _wave_links(docs: DataFrame, fetched: DataFrame) -> DataFrame:
+    """Links of one fetched wave: refs from the wave's content only, the
+    resolve dimension from the whole corpus paths (the reference resolves
+    against its full urlsIds map — paths are metadata, content is not
+    re-read)."""
+    from .links import extract_import_refs, path_module_dim
+    refs = extract_import_refs(fetched)
+    dim = path_module_dim(docs)
+    return (refs.join(dim, "ref_module")
+            .filter(F.col("doc_id") != F.col("dst_doc_id"))
+            .select(F.col("doc_id").alias("src_doc_id"), "dst_doc_id")
+            .distinct())

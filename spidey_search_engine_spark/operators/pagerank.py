@@ -74,6 +74,55 @@ def pagerank(spark: SparkSession, edges: DataFrame, n_docs: int,
     return ranks.withColumnRenamed("r", "page_rank")
 
 
+def pagerank_algebraic(spark: SparkSession, edges: DataFrame, n_docs: int,
+                       damping: float = 0.85, mode: str = "reference",
+                       all_doc_ids: DataFrame | None = None,
+                       max_nodes: int = 100_000) -> DataFrame:
+    """G4 algebraic solve — the reference's UNUSED exact path
+    (PageRanker.java `isAlgebraic=false`): the fixed point of
+    ``r = d·M·r + c`` solved directly as ``(I − d·M)·r = c·1``.
+
+    The reference would solve its dense in-RAM matrix; the graph that fits
+    a dense solve also fits the driver, so this collects the (bounded)
+    edge list and solves with numpy — guarded by ``max_nodes`` because the
+    power-iteration path is the scale path; this exists for parity
+    completeness and as an exactness oracle for it (tests pin the two
+    agreeing to ~1e-9 at tight tolerance)."""
+    import numpy as np
+    if n_docs <= 0:
+        return spark.createDataFrame([], "doc_id long, page_rank double")
+    if n_docs > max_nodes:
+        raise ValueError(
+            f"algebraic solve is the dense small-graph path "
+            f"(n_docs={n_docs} > max_nodes={max_nodes}); use pagerank()")
+    c = (1.0 - damping / n_docs) if mode == "reference" else \
+        ((1.0 - damping) / n_docs)
+    e = (edges.select(F.col("src_doc_id").alias("src"),
+                      F.col("dst_doc_id").alias("dst"))
+         .filter(F.col("src") != F.col("dst"))
+         .distinct())
+    rows = e.collect()
+    if all_doc_ids is not None:
+        ids = sorted(int(r["doc_id"]) for r in
+                     all_doc_ids.select("doc_id").distinct().collect())
+    else:
+        ids = sorted({int(r["src"]) for r in rows}
+                     | {int(r["dst"]) for r in rows})
+    pos = {d: i for i, d in enumerate(ids)}
+    n = len(ids)
+    M = np.zeros((n, n))
+    outdeg: dict[int, int] = {}
+    for r in rows:
+        outdeg[int(r["src"])] = outdeg.get(int(r["src"]), 0) + 1
+    for r in rows:
+        s, d = int(r["src"]), int(r["dst"])
+        M[pos[d], pos[s]] = 1.0 / outdeg[s]
+    r_vec = np.linalg.solve(np.eye(n) - damping * M, np.full(n, c))
+    return spark.createDataFrame(
+        [(int(d), float(r_vec[pos[d]])) for d in ids],
+        "doc_id long, page_rank double")
+
+
 def with_page_rank(docs: DataFrame, ranks: DataFrame) -> DataFrame:
     """G5 writeback: join ranks into the doc store (UPDATE page SET
     page_rank..., PageRanker.java:92-103). Docs absent from the graph get

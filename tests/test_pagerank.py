@@ -40,3 +40,34 @@ def test_pagerank_matches_numpy(spark, mode):
     assert set(got) == set(range(N))
     for i in range(N):
         assert abs(got[i] - exp[i]) < 1e-9, (mode, i, got[i], exp[i])
+
+
+def test_algebraic_solve_matches_converged_power_iteration(spark):
+    """G4: the direct (I − dM)r = c·1 solve equals the power iteration run
+    to tight tolerance, in both damping modes."""
+    from pyspark.sql import functions as F
+    from spidey_search_engine_spark.operators.pagerank import (
+        pagerank, pagerank_algebraic)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (4, 2), (0, 2)],
+        "src_doc_id long, dst_doc_id long")
+    nodes = spark.range(5).select(F.col("id").alias("doc_id"))
+    for mode in ("reference", "textbook"):
+        it = {r["doc_id"]: r["page_rank"] for r in
+              pagerank(spark, edges, 5, tol=1e-12, max_iter=500,
+                       mode=mode, all_doc_ids=nodes).collect()}
+        alg = {r["doc_id"]: r["page_rank"] for r in
+               pagerank_algebraic(spark, edges, 5, mode=mode,
+                                  all_doc_ids=nodes).collect()}
+        assert set(it) == set(alg)
+        for d in it:
+            assert abs(it[d] - alg[d]) < 1e-9, (mode, d)
+
+
+def test_algebraic_solve_guards_scale(spark):
+    import pytest as _pytest
+    from spidey_search_engine_spark.operators.pagerank import \
+        pagerank_algebraic
+    edges = spark.createDataFrame([(0, 1)], "src_doc_id long, dst_doc_id long")
+    with _pytest.raises(ValueError):
+        pagerank_algebraic(spark, edges, 10**9)
