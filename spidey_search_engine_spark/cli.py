@@ -71,7 +71,8 @@ def main(argv: list[str] | None = None) -> int:
         index = load_index(spark, args.index)
         if args.parity:
             from .operators.search import parity_search
-            rows = parity_search(spark, index, args.q).collect()
+            rows = parity_search(spark, index, args.q,
+                                 page_size=args.k).collect()
         elif args.pruned:
             from .operators.wand import bm25_topk_pruned
             rows = bm25_topk_pruned(spark, index, args.q, k=args.k).collect()
