@@ -141,3 +141,81 @@ def test_vectorized_merge_equals_legacy(spark, corpus_pdf):
             assert len(vec) > 0
     finally:
         spark.conf.set(key, old)
+
+
+def test_vectorized_merge_randomized_pure_python():
+    """Property-style check of merge_batch_vectorized against per-group
+    _merge_group on randomized partials: disjoint and INTERLEAVED doc
+    ranges (slow-path fallback), multi-part groups, DOCSHA sentinel rows,
+    singleton groups — no Spark needed."""
+    import numpy as np
+    from spidey_search_engine_spark.operators.build import (
+        DOCSHA_TERM, _encode_partial, _encode_sha_block, _merge_group)
+    from spidey_search_engine_spark.operators.merge_vec import (
+        merge_batch_vectorized)
+
+    rng = np.random.Generator(np.random.PCG64(11))
+
+    def make_part(doc_ids):
+        doc_ids = np.sort(np.asarray(doc_ids, dtype=np.int64))
+        n = doc_ids.size
+        tfs = rng.integers(1, 5, size=n)
+        imp = rng.integers(0, 2, size=n)
+        dls = rng.integers(5, 300, size=n)
+        pos = []
+        for tf in tfs:
+            p = np.sort(rng.choice(1000, size=int(tf), replace=False))
+            gaps = np.diff(np.r_[0, p])
+            gaps[0] = p[0]
+            pos.append(gaps)
+        return _encode_partial(doc_ids, (tfs << 1) | imp, dls,
+                               np.concatenate(pos).astype(np.uint64))
+
+    for trial in range(20):
+        terms, segs, bins = [], [], []
+        n_groups = int(rng.integers(1, 8))
+        for g in range(n_groups):
+            term = f"t{trial}_{g}"
+            seg = int(rng.integers(0, 3))
+            n_parts = int(rng.integers(1, 4))
+            if rng.random() < 0.3:
+                # interleaved doc ranges → slow-path fallback
+                all_ids = rng.choice(500, size=n_parts * 5, replace=False)
+                chunks = [all_ids[i::n_parts] for i in range(n_parts)]
+            else:
+                # disjoint contiguous ranges → fast path
+                base = rng.choice(100, size=n_parts, replace=False) * 50
+                chunks = [b + np.arange(int(rng.integers(1, 6)))
+                          for b in np.sort(base)]
+            for ch in chunks:
+                terms.append(term)
+                segs.append(seg)
+                bins.append(make_part(ch))
+        if rng.random() < 0.5:
+            ids = np.sort(rng.choice(300, size=4, replace=False))
+            terms.append(DOCSHA_TERM)
+            segs.append(0)
+            bins.append(_encode_sha_block(
+                ids.astype(np.int64), rng.bytes(32 * 4)))
+        # input must arrive sorted by (term, segment) like the real stream
+        order = sorted(range(len(terms)), key=lambda i: (terms[i], segs[i]))
+        terms = [terms[i] for i in order]
+        segs = [segs[i] for i in order]
+        bins = [bins[i] for i in order]
+
+        got = merge_batch_vectorized(np.asarray(terms, dtype=object),
+                                     np.asarray(segs, dtype=np.int64),
+                                     bins, _merge_group)
+        # expected: legacy per-group merge, same group order
+        exp = []
+        i = 0
+        while i < len(terms):
+            j = i
+            while (j + 1 < len(terms) and terms[j + 1] == terms[i]
+                   and segs[j + 1] == segs[i]):
+                j += 1
+            exp.append(_merge_group(terms[i], segs[i], bins[i:j + 1]))
+            i = j + 1
+        assert len(got) == len(exp), trial
+        for a, b in zip(got, exp):
+            assert a == b, (trial, a[0], a[1])
