@@ -1269,3 +1269,89 @@ WITH RECURSIVE e AS (
   WHERE r.depth < 3
 )
 SELECT id AS doc_id, min(depth)::INT AS depth FROM reach GROUP BY id"""
+
+
+def emb_cosine_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.55 within an RHP-LSH
+    bucket), oracle-paired: the DuckDB oracle inlines the same seeded
+    hyperplanes and reproduces bucket assignment + the bounded same-bucket
+    pairwise verify."""
+    from .operators.similarity import embedding_cosine_dedup_pairs
+    e = load_table(spark, sf_dir, "embeddings")
+    out = embedding_cosine_dedup_pairs(e, dim=64, threshold=0.55, n_bits=6,
+                                       seed=5)
+    return out.select("id_a", "id_b", _r(F.col("cos")).alias("cos_r"))
+
+
+def clean_corpus(spark, sf_dir):
+    """Composed training-data cleaning pipeline over `documents`: exact
+    dedup (keep lowest doc_id per sha), quality gate (≥20 tokens and
+    alpha_ratio ≥ 0.5), language gate (marker-argmax == 'en') — the
+    keep-set a pretraining pipeline would feed downstream, one row per
+    surviving doc with its features."""
+    from .functions.textstats import with_lang_id, with_quality_score
+    from .operators.dedup import exact_dedup
+    d = load_table(spark, sf_dir, "documents") \
+        .withColumnRenamed("text", "content")
+    keep = exact_dedup(d).filter(F.col("keep")) \
+        .select(F.col("id").alias("doc_id"))
+    feats = with_lang_id(with_quality_score(d))
+    out = (feats.join(keep, "doc_id")
+           .filter((F.col("n_tokens") >= 20)
+                   & (F.col("alpha_ratio") >= 0.5)
+                   & (F.col("lang_pred") == "en")))
+    return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                      _r(F.col("alpha_ratio")).alias("alpha_ratio_r"))
+
+
+QUERIES["emb_cosine_dedup"] = emb_cosine_dedup
+QUERIES["clean_corpus"] = clean_corpus
+
+
+def _emb_dedup_oracle() -> str:
+    from .operators.similarity import _planes
+    planes = _planes(64, 6, seed=5)
+
+    def plane_lit(col):
+        return "[" + ", ".join(repr(float(v)) for v in planes[:, col]) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lit(b)}) > 0 "
+        f"THEN {1 << b} ELSE 0 END)" for b in range(6))
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sig AS (
+  SELECT vec_id, {bucket} AS b FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_cosine_similarity(ea.v, eb.v), 6) AS DOUBLE) AS cos_r
+FROM sig a JOIN sig b ON a.b = b.b AND a.vec_id < b.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE list_cosine_similarity(ea.v, eb.v) >= 0.55"""
+
+
+ORACLE_SQL["emb_cosine_dedup"] = _emb_dedup_oracle()
+
+ORACLE_SQL["clean_corpus"] = f"""
+WITH d AS (
+  SELECT doc_id, text, {_TOKS} AS t,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM documents
+), feats AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+           * 1.0 / greatest(length(text), 1) AS alpha_ratio,
+         len(list_filter(t, x -> x IN ('the','and','of','to','in','is','that','for','it','with'))) AS h_en,
+         len(list_filter(t, x -> x IN ('el','la','de','que','y','los','en','un','una','por'))) AS h_es,
+         len(list_filter(t, x -> x IN ('le','la','de','et','les','des','un','une','est','dans'))) AS h_fr,
+         len(list_filter(t, x -> x IN ('der','die','und','das','von','zu','mit','den','ist','ein'))) AS h_de
+  FROM d WHERE rn = 1
+)
+SELECT doc_id, n_tokens,
+       CAST(round(alpha_ratio, 6) AS DOUBLE) AS alpha_ratio_r
+FROM feats
+WHERE n_tokens >= 20 AND alpha_ratio >= 0.5
+  AND greatest(h_en, h_es, h_fr, h_de) > 0
+  AND h_en = greatest(h_en, h_es, h_fr, h_de)"""
