@@ -110,3 +110,35 @@ def test_positions_roundtrip_through_index(spark, index, oracle):
         assert r["tf"] == len(exp)
         assert r["dl"] == oracle.dl[r["doc_id"]]
         assert r["important"] == ("merg" in oracle.title_tokens[r["doc_id"]])
+
+
+def test_searcher_matches_cold_paths(spark, index):
+    """Warm serving tier: preloaded-dictionary + cached-postings queries
+    must return exactly the cold-path results (exhaustive AND pruned), and
+    close() must only unpersist what the instance cached."""
+    from spidey_search_engine_spark.operators.search import (Searcher,
+                                                             bm25_topk)
+    from spidey_search_engine_spark.operators.wand import bm25_topk_pruned
+
+    s = Searcher(spark, index, cache_postings=True, coalesce_to=4)
+    try:
+        for q in ["merge sort", "hash join scan", "zzz_unknown_term",
+                  'fast "merge sort"']:
+            cold = [(r["doc_id"], round(r["score"], 10)) for r in
+                    bm25_topk(spark, index, q, k=8).collect()]
+            warm = [(r["doc_id"], round(r["score"], 10)) for r in
+                    s.bm25(q, k=8).collect()]
+            assert warm == cold, q
+        q = "merge sort parse"
+        cold_p = [r["doc_id"] for r in
+                  bm25_topk_pruned(spark, index, q, k=8, range_bits=6,
+                                   probe_ranges=2).collect()]
+        warm_p = [r["doc_id"] for r in
+                  s.bm25_pruned(q, k=8, range_bits=6,
+                                probe_ranges=2).collect()]
+        assert warm_p == cold_p
+    finally:
+        s.close()
+    # the caller's index DataFrames still work after close
+    assert index["terms"].count() > 0
+    assert index["postings"].count() > 0
