@@ -38,7 +38,9 @@ def main(argv: list[str] | None = None) -> int:
     q = sub.add_parser("query", help="top-k search")
     q.add_argument("--index", required=True)
     q.add_argument("--q", required=True)
-    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--k", type=int, default=None,
+                   help="top-k (default 10; parity mode defaults to the "
+                        "reference's 20-result page)")
     q.add_argument("--parity", action="store_true",
                    help="reference-parity ranker instead of BM25")
     q.add_argument("--pruned", action="store_true",
@@ -72,13 +74,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.parity:
             from .operators.search import parity_search
             rows = parity_search(spark, index, args.q,
-                                 page_size=args.k).collect()
+                                 page_size=args.k or 20).collect()
         elif args.pruned:
             from .operators.wand import bm25_topk_pruned
-            rows = bm25_topk_pruned(spark, index, args.q, k=args.k).collect()
+            rows = bm25_topk_pruned(spark, index, args.q,
+                                    k=args.k or 10).collect()
         else:
             from .operators.search import bm25_topk
-            rows = bm25_topk(spark, index, args.q, k=args.k).collect()
+            rows = bm25_topk(spark, index, args.q,
+                             k=args.k or 10).collect()
         for r in rows:
             print(json.dumps(r.asDict()))
     elif args.cmd == "bench":

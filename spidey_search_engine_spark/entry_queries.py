@@ -916,6 +916,20 @@ FROM documents""",
 # candidate joins, verification — and the driver's value-hash gate covers
 # the whole pipeline, not just row counts.
 
+def _duck_plane_lit(planes, col: int) -> str:
+    """Plane column as a DuckDB DOUBLE[] literal (shared by every RHP
+    oracle so Spark-side bucketing changes break ONE SQL builder)."""
+    return "[" + ", ".join(repr(float(v)) for v in planes[:, col]) + "]"
+
+
+def _duck_bucket_expr(planes, vec: str) -> str:
+    """DuckDB form of similarity.rhp_signatures' sign-bit bucket."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {_duck_plane_lit(planes, b)}) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(planes.shape[1]))
+
+
 def _build_lsh_oracles() -> dict[str, str]:
     from .functions.hashing import duck_poly, duck_poly64
     from .operators.dedup import _MERSENNE, minhash_coeffs
@@ -997,14 +1011,8 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 8"""
 
     planes = _planes(64, 6, seed=5)  # same seed/shape as ann_lsh_topk
 
-    def _plane_lit(col: int) -> str:
-        return "[" + ", ".join(repr(float(v)) for v in planes[:, col]) + "]"
-
     def _bucket_expr(vec: str) -> str:
-        return " + ".join(
-            f"(CASE WHEN list_dot_product({vec}, {_plane_lit(bit)}) > 0 "
-            f"THEN {1 << bit} ELSE 0 END)"
-            for bit in range(6))
+        return _duck_bucket_expr(planes, vec)
 
     ann_sql = f"""
 WITH e AS (
@@ -1311,13 +1319,7 @@ QUERIES["clean_corpus"] = clean_corpus
 def _emb_dedup_oracle() -> str:
     from .operators.similarity import _planes
     planes = _planes(64, 6, seed=5)
-
-    def plane_lit(col):
-        return "[" + ", ".join(repr(float(v)) for v in planes[:, col]) + "]"
-
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {plane_lit(b)}) > 0 "
-        f"THEN {1 << b} ELSE 0 END)" for b in range(6))
+    bucket = _duck_bucket_expr(planes, "v")
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

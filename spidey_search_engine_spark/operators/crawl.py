@@ -66,16 +66,20 @@ def crawl_corpus(spark: SparkSession, corpus: DataFrame, seed_paths: list[str],
     """S1→S2→S7 loop over a doc corpus: per wave, fetch ONLY the frontier
     docs' content (inner join pushed into the corpus scan), extract+resolve
     import links, advance the unseen targets. Returns (doc_id, depth)."""
+    from .links import extract_import_refs, path_module_dim, resolve_refs
     docs = corpus.select("doc_id", "path", "content")
     seeds = (docs.filter(F.col("path").isin(list(seed_paths)))
              .select(F.col("doc_id").alias("id")))
     visited = (seeds.distinct().withColumn("depth", F.lit(0))
                .localCheckpoint())
+    # the resolve dimension (path → module map, the reference's urlsIds) is
+    # loop-invariant: derive it ONCE, not per wave
+    dim = path_module_dim(docs).localCheckpoint()
     frontier = visited.select("id")
     for d in range(1, max_depth + 1):
         fetched = docs.join(frontier.withColumnRenamed("id", "doc_id"),
                             "doc_id")
-        links = _wave_links(docs, fetched)
+        links = resolve_refs(extract_import_refs(fetched), dim)
         nxt = (links.select(F.col("dst_doc_id").alias("id")).distinct()
                .join(visited.select("id"), "id", "left_anti"))
         if frontier_cap is not None:
@@ -87,16 +91,3 @@ def crawl_corpus(spark: SparkSession, corpus: DataFrame, seed_paths: list[str],
         frontier = nxt.select("id")
     return visited.withColumnRenamed("id", "doc_id")
 
-
-def _wave_links(docs: DataFrame, fetched: DataFrame) -> DataFrame:
-    """Links of one fetched wave: refs from the wave's content only, the
-    resolve dimension from the whole corpus paths (the reference resolves
-    against its full urlsIds map — paths are metadata, content is not
-    re-read)."""
-    from .links import extract_import_refs, path_module_dim
-    refs = extract_import_refs(fetched)
-    dim = path_module_dim(docs)
-    return (refs.join(dim, "ref_module")
-            .filter(F.col("doc_id") != F.col("dst_doc_id"))
-            .select(F.col("doc_id").alias("src_doc_id"), "dst_doc_id")
-            .distinct())

@@ -43,16 +43,21 @@ def path_module_dim(docs: DataFrame) -> DataFrame:
                        F.lower(stem).alias("ref_module"))
 
 
-def extract_code_links(docs: DataFrame) -> DataFrame:
-    """Edge list (src_doc_id, dst_doc_id) of resolved imports; unresolved
-    refs drop out (inner join), self-links excluded (Indexer.java:357),
-    duplicate edges collapsed (page_connections has a composite PK)."""
-    refs = extract_import_refs(docs)
-    dim = path_module_dim(docs)
+def resolve_refs(refs: DataFrame, dim: DataFrame) -> DataFrame:
+    """Resolve (doc_id, ref_module) refs against the module dimension →
+    (src_doc_id, dst_doc_id): unresolved refs drop out (inner join),
+    self-links excluded (Indexer.java:357), duplicate edges collapsed
+    (page_connections has a composite PK). Shared by the one-shot link
+    extraction and the crawl loop so resolution semantics live once."""
     return (refs.join(dim, "ref_module")
             .filter(F.col("doc_id") != F.col("dst_doc_id"))
             .select(F.col("doc_id").alias("src_doc_id"), "dst_doc_id")
             .distinct())
+
+
+def extract_code_links(docs: DataFrame) -> DataFrame:
+    """Edge list (src_doc_id, dst_doc_id) of resolved imports."""
+    return resolve_refs(extract_import_refs(docs), path_module_dim(docs))
 
 
 def pagerank_over_links(spark, docs: DataFrame, n_docs: int,

@@ -77,7 +77,7 @@ def pagerank(spark: SparkSession, edges: DataFrame, n_docs: int,
 def pagerank_algebraic(spark: SparkSession, edges: DataFrame, n_docs: int,
                        damping: float = 0.85, mode: str = "reference",
                        all_doc_ids: DataFrame | None = None,
-                       max_nodes: int = 100_000) -> DataFrame:
+                       max_nodes: int = 5_000) -> DataFrame:
     """G4 algebraic solve — the reference's UNUSED exact path
     (PageRanker.java `isAlgebraic=false`): the fixed point of
     ``r = d·M·r + c`` solved directly as ``(I − d·M)·r = c·1``.
@@ -91,32 +91,47 @@ def pagerank_algebraic(spark: SparkSession, edges: DataFrame, n_docs: int,
     import numpy as np
     if n_docs <= 0:
         return spark.createDataFrame([], "doc_id long, page_rank double")
-    if n_docs > max_nodes:
-        raise ValueError(
-            f"algebraic solve is the dense small-graph path "
-            f"(n_docs={n_docs} > max_nodes={max_nodes}); use pagerank()")
     c = (1.0 - damping / n_docs) if mode == "reference" else \
         ((1.0 - damping) / n_docs)
     e = (edges.select(F.col("src_doc_id").alias("src"),
                       F.col("dst_doc_id").alias("dst"))
          .filter(F.col("src") != F.col("dst"))
          .distinct())
-    rows = e.collect()
+    edge_cap = 2_000_000
+    rows = e.limit(edge_cap + 1).collect()
+    if len(rows) > edge_cap:
+        raise ValueError(
+            f"algebraic solve is the dense small-graph path "
+            f"(> {edge_cap} distinct edges); use pagerank()")
     if all_doc_ids is not None:
         ids = sorted(int(r["doc_id"]) for r in
-                     all_doc_ids.select("doc_id").distinct().collect())
+                     all_doc_ids.select("doc_id").distinct()
+                     .limit(max_nodes + 1).collect())
     else:
         ids = sorted({int(r["src"]) for r in rows}
                      | {int(r["dst"]) for r in rows})
+    # guard the ACTUAL dense dimension, not the caller's n_docs claim —
+    # the O(n^2) matrix + O(n^3) solve is only the small-graph path
+    if len(ids) > max_nodes:
+        raise ValueError(
+            f"algebraic solve is the dense small-graph path "
+            f"({len(ids)} nodes > max_nodes={max_nodes}); use pagerank()")
     pos = {d: i for i, d in enumerate(ids)}
     n = len(ids)
     M = np.zeros((n, n))
+    # match pagerank()'s join semantics exactly (its exactness-oracle
+    # contract): outdeg counts EVERY distinct out-edge of an in-set source
+    # (even to out-of-set targets — the iterative path divides by that
+    # outdeg too), while M only receives in-set→in-set edges (out-of-set
+    # sources/targets drop at the contrib/nodes joins)
     outdeg: dict[int, int] = {}
     for r in rows:
-        outdeg[int(r["src"])] = outdeg.get(int(r["src"]), 0) + 1
+        if int(r["src"]) in pos:
+            outdeg[int(r["src"])] = outdeg.get(int(r["src"]), 0) + 1
     for r in rows:
         s, d = int(r["src"]), int(r["dst"])
-        M[pos[d], pos[s]] = 1.0 / outdeg[s]
+        if s in pos and d in pos:
+            M[pos[d], pos[s]] = 1.0 / outdeg[s]
     r_vec = np.linalg.solve(np.eye(n) - damping * M, np.full(n, c))
     return spark.createDataFrame(
         [(int(d), float(r_vec[pos[d]])) for d in ids],

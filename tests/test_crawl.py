@@ -1,7 +1,5 @@
 """S1/S2 analog: frontier BFS crawl — python-oracle checked."""
 
-from collections import deque
-
 from pyspark.sql import functions as F
 
 

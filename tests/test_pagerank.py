@@ -65,9 +65,39 @@ def test_algebraic_solve_matches_converged_power_iteration(spark):
 
 
 def test_algebraic_solve_guards_scale(spark):
+    """The guard bounds the ACTUAL dense dimension (node count), not the
+    caller's n_docs claim."""
     import pytest as _pytest
+    from pyspark.sql import functions as F
     from spidey_search_engine_spark.operators.pagerank import \
         pagerank_algebraic
     edges = spark.createDataFrame([(0, 1)], "src_doc_id long, dst_doc_id long")
+    nodes = spark.range(6000).select(F.col("id").alias("doc_id"))
     with _pytest.raises(ValueError):
-        pagerank_algebraic(spark, edges, 10**9)
+        pagerank_algebraic(spark, edges, 6000, all_doc_ids=nodes,
+                           max_nodes=5000)
+    # a tiny observed graph with a huge n_docs CLAIM is fine — the dense
+    # dimension is what matters (constants just use n_docs, like pagerank())
+    out = pagerank_algebraic(spark, edges, 10**9)
+    assert out.count() == 2
+
+
+def test_algebraic_solve_subset_nodes_matches_iterative(spark):
+    """Edges touching nodes outside all_doc_ids: algebraic must match the
+    iterative path (which drops them at its joins), incl. outdeg counting
+    out-of-set targets."""
+    from pyspark.sql import functions as F
+    from spidey_search_engine_spark.operators.pagerank import (
+        pagerank, pagerank_algebraic)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (1, 99), (99, 0), (2, 98)],
+        "src_doc_id long, dst_doc_id long")  # 98/99 outside the node set
+    nodes = spark.range(3).select(F.col("id").alias("doc_id"))
+    it = {r["doc_id"]: r["page_rank"] for r in
+          pagerank(spark, edges, 3, tol=1e-12, max_iter=500,
+                   all_doc_ids=nodes).collect()}
+    alg = {r["doc_id"]: r["page_rank"] for r in
+           pagerank_algebraic(spark, edges, 3, all_doc_ids=nodes).collect()}
+    assert set(it) == set(alg)
+    for d in it:
+        assert abs(it[d] - alg[d]) < 1e-9, d
