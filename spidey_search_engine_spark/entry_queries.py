@@ -1283,11 +1283,17 @@ def emb_cosine_dedup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cos ≥ 0.55 within an RHP-LSH
     bucket), oracle-paired: the DuckDB oracle inlines the same seeded
     hyperplanes and reproduces bucket assignment + the bounded same-bucket
-    pairwise verify."""
+    pairwise verify. Exact-copy vectors are planted (vec_id+10000 for
+    vec_id<10) so both sides return NON-EMPTY pair sets — random sf0.01
+    embeddings alone share no bucket above the threshold, and a 0-vs-0
+    match proves nothing (round-1 lesson)."""
     from .operators.similarity import embedding_cosine_dedup_pairs
-    e = load_table(spark, sf_dir, "embeddings")
-    out = embedding_cosine_dedup_pairs(e, dim=64, threshold=0.55, n_bits=6,
-                                       seed=5)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.unionByName(
+        e.filter(F.col("vec_id") < 10)
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding"))
+    out = embedding_cosine_dedup_pairs(planted, dim=64, threshold=0.55,
+                                       n_bits=6, seed=5)
     return out.select("id_a", "id_b", _r(F.col("cos")).alias("cos_r"))
 
 
@@ -1323,6 +1329,9 @@ def _emb_dedup_oracle() -> str:
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings
+  WHERE vec_id < 10
 ), sig AS (
   SELECT vec_id, {bucket} AS b FROM e
 )
