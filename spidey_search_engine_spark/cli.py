@@ -50,6 +50,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--sf-dir", default="/root/testdata/sf0.1")
 
     args = p.parse_args(argv)
+    if args.cmd == "query":
+        # explicit --k 0 (or negative) is a user error, not "use default" —
+        # resolve None-vs-given explicitly so 0 can't silently become 10/20
+        if args.k is not None and args.k <= 0:
+            p.error(f"--k must be a positive integer (got {args.k})")
+        args.k = args.k if args.k is not None else (20 if args.parity else 10)
 
     from .session import get_spark
     spark = get_spark(app=f"spidey-{args.cmd}")
@@ -74,15 +80,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.parity:
             from .operators.search import parity_search
             rows = parity_search(spark, index, args.q,
-                                 page_size=args.k or 20).collect()
+                                 page_size=args.k).collect()
         elif args.pruned:
             from .operators.wand import bm25_topk_pruned
             rows = bm25_topk_pruned(spark, index, args.q,
-                                    k=args.k or 10).collect()
+                                    k=args.k).collect()
         else:
             from .operators.search import bm25_topk
-            rows = bm25_topk(spark, index, args.q,
-                             k=args.k or 10).collect()
+            rows = bm25_topk(spark, index, args.q, k=args.k).collect()
         for r in rows:
             print(json.dumps(r.asDict()))
     elif args.cmd == "bench":

@@ -108,22 +108,32 @@ def ivf_assignments(emb: DataFrame, centroids: np.ndarray,
     """(id, cluster) — IVF coarse quantizer assignment: nearest centroid by
     squared euclidean distance, ties to the lowest centroid index.
 
-    One (B×dim)·(dim×C) matmul per Arrow batch (||v−c||² expands to
-    ||v||² − 2v·c + ||c||², and ||v||² is constant per row so argmin needs
-    only −2v·c + ||c||²). Centroids ship in the UDF closure — the
-    broadcastable small side. Writing the assigned table partitioned by
-    `cluster` makes query-time probing partition-prunable (classic IVF
-    inverted lists). Centroid *training* is pluggable; the deterministic
-    default used by the entry is sampled-centroids (the first C vectors),
-    which keeps the quantizer SQL-expressible for the DuckDB oracle."""
+    The distance is computed in the DIRECT form Σ(v−c)² — the same
+    arithmetic the DuckDB oracle's ``list_distance`` evaluates (sqrt of
+    that sum; sqrt is monotone so argmin is unaffected) — NOT the expanded
+    ||v||²−2v·c+||c||² matmul, whose cancellation error is orders of
+    magnitude larger and can flip assignment on near-tie distances
+    (round-2 advice). Residual risk is only summation-order rounding
+    (~1 ulp), which would need an exact distance tie to matter. Row
+    chunking bounds the (chunk×C×dim) temporary. Centroids ship in the UDF
+    closure — the broadcastable small side. Writing the assigned table
+    partitioned by `cluster` makes query-time probing partition-prunable
+    (classic IVF inverted lists). Centroid *training* is pluggable; the
+    deterministic default used by the entry is sampled-centroids (the
+    first C vectors), which keeps the quantizer SQL-expressible for the
+    DuckDB oracle."""
     cent = np.asarray(centroids, dtype=np.float64)
-    c_norm2 = (cent * cent).sum(axis=1)
 
     @F.pandas_udf(IntegerType())
     def cluster_of(vs: pd.Series) -> pd.Series:
         mat = np.vstack(vs.to_numpy()).astype(np.float64)
-        scores = -2.0 * (mat @ cent.T) + c_norm2[None, :]
-        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+        out = np.empty(mat.shape[0], dtype=np.int32)
+        step = max(1, (1 << 22) // max(1, cent.shape[0] * cent.shape[1]))
+        for s in range(0, mat.shape[0], step):
+            d2 = np.square(mat[s:s + step, None, :]
+                           - cent[None, :, :]).sum(axis=2)
+            out[s:s + step] = np.argmin(d2, axis=1).astype(np.int32)
+        return pd.Series(out)
 
     return emb.select(F.col(id_col).alias("id"),
                       cluster_of(F.col(vec_col)).alias("cluster"))

@@ -27,7 +27,10 @@ rows, ~10⁹ at the 10¹²-file north star. So:
 * surviving ranges stay a DataFrame (``bounds.filter(ub >= θ)``) and reach
   the segment scan through an EQUI left-semi join on the derived segment id
   (ranges map to segments by a constant shift — no non-equi/broadcast-
-  nested-loop join);
+  nested-loop join); the segment side carries a broadcast hint ONLY when
+  the surviving set fit the ``max_mask_ranges`` driver cap — past the cap
+  AQE picks the join strategy, so nothing unbounded is ever shipped to the
+  driver or broadcast from it;
 * the intra-segment doc mask (ranges are finer than segments) is a bounded
   refinement: surviving rngs are collected only up to ``max_mask_ranges``;
   past that cap the kernel scores every doc of surviving segments — a
@@ -149,7 +152,13 @@ def query_term_postings_in_ranges(index: dict, q_terms: list[str],
         rng_mask = sorted({int(r) for r in ranges})
         rdf = spark.createDataFrame([(r,) for r in rng_mask], "rng long")
     segs = _segments_of_ranges(rdf, seg_bits, range_bits)
-    surviving = pruned.join(F.broadcast(segs), "segment", "left_semi")
+    # broadcast the segment set only when the surviving ranges fit the
+    # driver cap (then |segs| ≤ max_mask_ranges·2^max(0,rb−sb) by
+    # construction); past the cap the set can be ~10⁹ rows at the north
+    # star, so the hint is dropped and AQE picks the join strategy
+    # (shuffle semi-join) instead of materializing it driver-side
+    join_segs = F.broadcast(segs) if rng_mask is not None else segs
+    surviving = pruned.join(join_segs, "segment", "left_semi")
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rngs = (np.array(rng_mask, dtype=np.int64)
