@@ -88,6 +88,26 @@ def main() -> None:
         "collect of the bound table.",
         capture(rows_p)))
 
+    # ANN probe over the MATERIALIZED bucket-partitioned signature table
+    # (round-2 verdict #1): the probe must reach the data through partition
+    # pruning, never re-hash the embedding table per query
+    from spidey_search_engine_spark.operators.similarity import ann_topk_lsh
+    e = EQ.load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    sig = EQ._ann_lsh_index(spark, sf_dir, dim=len(qv))
+    ann = ann_topk_lsh(None, qv, dim=len(qv), k=20, n_bits=6,
+                       probe_hamming=2, signatures=sig)
+    sections.append((
+        "ANN probe over the materialized bucket-partitioned LSH index",
+        "Look for: PartitionFilters `bucket IN (...)` on the signature-"
+        "table scan (only the multiprobe buckets are read — per-query cost "
+        "is the probe partitions' bytes, independent of table size), the "
+        "exact-cosine rescore inside the same stage, and "
+        "TakeOrderedAndProject for top-k. No scan of the base embeddings "
+        "table appears anywhere in the plan.",
+        capture(ann)))
+
     out = ["# PLANS — physical-plan evidence (generated by "
            "scripts/capture_plans.py)", ""]
     for title, what, plan in sections:

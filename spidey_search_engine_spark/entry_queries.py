@@ -652,25 +652,52 @@ def simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(fp, hamming_max=8)
 
 
+def _ann_lsh_index(spark, sf_dir, dim: int):
+    """Materialize (once per sf_dir) the bucket-partitioned RHP signature
+    table over the non-query embeddings — the serving-path ANN index."""
+    from .operators.similarity import load_lsh_index, write_lsh_index
+    out = os.path.join(entry_index_dir(sf_dir), "ann_lsh")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+        write_lsh_index(e, out, dim=dim, n_bits=6, seed=5)
+    return load_lsh_index(spark, out)
+
+
 def ann_lsh_topk(spark, sf_dir):
-    """RHP-LSH approximate top-k (bucketed candidates + exact rescoring),
-    oracle-paired: the DuckDB oracle inlines the SAME seeded hyperplanes as
-    literals and reproduces bucket assignment, Hamming-2 multiprobe and the
-    exact cosine rescore."""
+    """RHP-LSH approximate top-k over the MATERIALIZED bucket-partitioned
+    signature table (write_lsh_index → partition-pruned probe + exact
+    rescore; no per-query re-hash of the embedding table — round-2 verdict
+    #1). Oracle-paired: the DuckDB oracle inlines the SAME seeded
+    hyperplanes as literals and reproduces bucket assignment, Hamming-2
+    multiprobe and the exact cosine rescore."""
     from .operators.similarity import ann_topk_lsh
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     dim = len(q)
-    return (ann_topk_lsh(e.filter(F.col("vec_id") != 0), [float(x) for x in q],
-                         dim=dim, k=20, n_bits=6, probe_hamming=2)
+    sig = _ann_lsh_index(spark, sf_dir, dim)
+    return (ann_topk_lsh(None, [float(x) for x in q],
+                         dim=dim, k=20, n_bits=6, probe_hamming=2,
+                         signatures=sig)
             .select("id", _r(F.col("cos")).alias("cos_r")))
 
 
+def _ann_ivf_index(spark, sf_dir, centroids):
+    """Materialize (once per sf_dir) the cluster-partitioned IVF inverted
+    lists over the non-query embeddings."""
+    from .operators.similarity import load_ivf_index, write_ivf_index
+    out = os.path.join(entry_index_dir(sf_dir), "ann_ivf")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+        write_ivf_index(e, centroids, out)
+    return load_ivf_index(spark, out)
+
+
 def ann_ivf_topk(spark, sf_dir):
-    """IVF-flat approximate top-k (coarse quantizer → probe n_probe nearest
-    inverted lists → exact rescore), oracle-paired: the deterministic
-    sampled-centroid quantizer (centroids = vectors 1..32) keeps assignment
-    and probing SQL-expressible, so DuckDB reproduces the whole path."""
+    """IVF-flat approximate top-k over the MATERIALIZED cluster-partitioned
+    inverted lists (write_ivf_index → n_probe partition-pruned scans +
+    exact rescore). Oracle-paired: the deterministic sampled-centroid
+    quantizer (centroids = vectors 1..32) keeps assignment and probing
+    SQL-expressible, so DuckDB reproduces the whole path."""
     from .operators.similarity import ivf_topk
     import numpy as np
     e = load_table(spark, sf_dir, "embeddings")
@@ -678,8 +705,8 @@ def ann_ivf_topk(spark, sf_dir):
             for r in e.filter(F.col("vec_id") <= 32).collect()}
     q = head[0]
     centroids = np.array([head[i] for i in range(1, 33)], dtype=np.float64)
-    return (ivf_topk(e.filter(F.col("vec_id") != 0), centroids, q,
-                     k=20, n_probe=4)
+    lists = _ann_ivf_index(spark, sf_dir, centroids)
+    return (ivf_topk(None, centroids, q, k=20, n_probe=4, assignments=lists)
             .select("id", _r(F.col("cos")).alias("cos_r")))
 
 

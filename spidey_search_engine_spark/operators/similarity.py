@@ -4,13 +4,18 @@
   dot product against a broadcast query vector literal; one scan + one
   TakeOrderedAndProject. At 100 TB this is the correctness oracle and the
   fallback for low-selectivity filters.
-* rhp_signatures / ann_topk_lsh — the scale path: random-hyperplane LSH.
-  Vectors hash to an H-bit sign signature (one matrix multiply per row via a
-  vectorized pandas UDF); a query probes its own bucket plus all buckets
-  within Hamming distance `probe_hamming` (multiprobe), exact-scores only
-  those candidates, and returns top-k. Bucket ids are uniform-ish, so the
-  candidate scan is partition-prunable when the table is written partitioned
-  by `bucket`.
+* rhp_signatures / write_lsh_index / ann_topk_lsh — the scale path:
+  random-hyperplane LSH. Vectors hash to an H-bit sign signature (one
+  matrix multiply per row via a vectorized pandas UDF); the signature table
+  with vectors co-located is MATERIALIZED once, partitioned by `bucket`
+  (write_lsh_index — the vector analog of the persistent `word_image`
+  index). A query probes its own bucket plus all buckets within Hamming
+  distance `probe_hamming` (multiprobe) through partition pruning, exact-
+  scores only those candidates, and returns top-k — the per-query cost is
+  the probe partitions' bytes, independent of table size.
+* ivf_assignments / write_ivf_index / ivf_topk — IVF-flat: nearest-centroid
+  coarse quantizer, inverted lists materialized as `cluster` partitions
+  with vectors co-located; a query reads exactly n_probe lists.
 * embedding_cosine_dedup_pairs — near-dup pairs (cos ≥ τ) via bucket
   self-join + exact verify: same-bucket pairs only, so the quadratic blowup
   is bounded per bucket.
@@ -55,10 +60,14 @@ def _planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
 
 
 def rhp_signatures(emb: DataFrame, dim: int, n_bits: int = 8, seed: int = 5,
-                   id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
-    """(id, bucket:int) — sign signature vs `n_bits` random hyperplanes.
-    One Arrow batch = one (B×dim)·(dim×bits) matmul; no per-row Python."""
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   keep_vec: bool = False) -> DataFrame:
+    """(id, bucket:int[, embedding]) — sign signature vs `n_bits` random
+    hyperplanes. One Arrow batch = one (B×dim)·(dim×bits) matmul; no
+    per-row Python. ``keep_vec=True`` carries the vector along — the
+    materialized-index layout (write_lsh_index), where co-locating vectors
+    with their bucket lets a probe scan ONLY the probe-bucket partitions
+    and never join back to the base table."""
     planes = _planes(dim, n_bits, seed)
     weights = (1 << np.arange(n_bits)).astype(np.int64)
 
@@ -68,8 +77,33 @@ def rhp_signatures(emb: DataFrame, dim: int, n_bits: int = 8, seed: int = 5,
         signs = (mat @ planes) > 0
         return pd.Series((signs @ weights).astype(np.int32))
 
-    return emb.select(F.col(id_col).alias("id"),
-                      bucket_of(F.col(vec_col)).alias("bucket"))
+    cols = [F.col(id_col).alias("id"),
+            bucket_of(F.col(vec_col)).alias("bucket")]
+    if keep_vec:
+        cols.insert(1, F.col(vec_col).alias("embedding"))
+    return emb.select(*cols)
+
+
+def write_lsh_index(emb: DataFrame, out_dir: str, dim: int, n_bits: int = 8,
+                    seed: int = 5, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize the RHP-LSH ANN index: (id, embedding, bucket) written
+    ``partitionBy("bucket")`` — the vector analog of the reference's
+    persistent `word_image` parallel index (create_database.sql:100-124)
+    and of this repo's bucket-partitioned postings (Q1). Query-time probes
+    then reach the data through partition pruning (`bucket IN (...)` shows
+    up as PartitionFilters in the probe scan — PLANS.md) instead of
+    re-hashing the whole embedding table per query. 2^n_bits partitions,
+    uniform-ish by construction (random hyperplanes), each holding
+    ~N/2^n_bits vectors — at 100 TB pick n_bits so one partition is a few
+    GB and writes stay wide."""
+    sig = rhp_signatures(emb, dim, n_bits, seed, id_col, vec_col,
+                         keep_vec=True)
+    sig.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+
+
+def load_lsh_index(spark, out_dir: str) -> DataFrame:
+    return spark.read.parquet(out_dir)
 
 
 def query_buckets(query_vec: Sequence[float], planes: np.ndarray,
@@ -88,23 +122,43 @@ def query_buckets(query_vec: Sequence[float], planes: np.ndarray,
     return sorted(buckets)
 
 
-def ann_topk_lsh(emb: DataFrame, query_vec: Sequence[float], dim: int,
+def ann_topk_lsh(emb: DataFrame | None, query_vec: Sequence[float], dim: int,
                  k: int = 10, n_bits: int = 8, seed: int = 5,
                  probe_hamming: int = 1, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 signatures: DataFrame | None = None) -> DataFrame:
     """Approximate top-k: exact-score only vectors whose bucket is within
-    `probe_hamming` bits of the query's bucket."""
+    `probe_hamming` bits of the query's bucket.
+
+    ``signatures`` is the materialized index (load_lsh_index — same
+    n_bits/seed as at write time; (id, bucket) or (id, embedding, bucket)).
+    With vectors co-located (the write_lsh_index layout) the query is ONE
+    partition-pruned scan of the probe buckets + exact rescore — no join,
+    no full-table hash. A vector-less (id, bucket) table falls back to a
+    semi-join against `emb`. With no signatures at all the whole table is
+    hashed inline — the one-off/exploratory path, an unpruned full scan
+    per query (round-2 verdict #1: never the serving default)."""
     planes = _planes(dim, n_bits, seed)
-    sig = rhp_signatures(emb, dim, n_bits, seed, id_col, vec_col)
     probes = query_buckets(query_vec, planes, probe_hamming)
-    cand_ids = sig.filter(F.col("bucket").isin(probes)).select("id")
+    if signatures is not None:
+        pruned = signatures.filter(F.col("bucket").isin(probes))
+        if "embedding" in signatures.columns:
+            return brute_force_cosine_topk(pruned, query_vec, k,
+                                           "id", "embedding")
+        cand_ids = pruned.select("id")
+    else:
+        if emb is None:
+            raise ValueError("need emb when no signatures table is given")
+        sig = rhp_signatures(emb, dim, n_bits, seed, id_col, vec_col)
+        cand_ids = sig.filter(F.col("bucket").isin(probes)).select("id")
     cand = emb.join(cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi")
     return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
 def ivf_assignments(emb: DataFrame, centroids: np.ndarray,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    keep_vec: bool = False) -> DataFrame:
     """(id, cluster) — IVF coarse quantizer assignment: nearest centroid by
     squared euclidean distance, ties to the lowest centroid index.
 
@@ -135,25 +189,58 @@ def ivf_assignments(emb: DataFrame, centroids: np.ndarray,
             out[s:s + step] = np.argmin(d2, axis=1).astype(np.int32)
         return pd.Series(out)
 
-    return emb.select(F.col(id_col).alias("id"),
-                      cluster_of(F.col(vec_col)).alias("cluster"))
+    cols = [F.col(id_col).alias("id"),
+            cluster_of(F.col(vec_col)).alias("cluster")]
+    if keep_vec:
+        cols.insert(1, F.col(vec_col).alias("embedding"))
+    return emb.select(*cols)
 
 
-def ivf_topk(emb: DataFrame, centroids: np.ndarray,
+def write_ivf_index(emb: DataFrame, centroids: np.ndarray, out_dir: str,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize the IVF inverted lists: (id, embedding, cluster) written
+    ``partitionBy("cluster")`` — each partition dir IS one inverted list
+    holding its members' vectors, so an n_probe query reads exactly n_probe
+    partitions (PartitionFilters `cluster IN (...)`) and rescans nothing
+    else. Centroids are index metadata the caller persists alongside
+    (np.save / a tiny parquet) — they must be byte-identical at query
+    time."""
+    asg = ivf_assignments(emb, centroids, id_col, vec_col, keep_vec=True)
+    asg.write.mode("overwrite").partitionBy("cluster").parquet(out_dir)
+
+
+def load_ivf_index(spark, out_dir: str) -> DataFrame:
+    return spark.read.parquet(out_dir)
+
+
+def ivf_topk(emb: DataFrame | None, centroids: np.ndarray,
              query_vec: Sequence[float], k: int = 10, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              assignments: DataFrame | None = None) -> DataFrame:
     """IVF-flat approximate top-k: probe the `n_probe` clusters whose
     centroids are nearest the query, exact-rescore only their members.
-    `assignments` may be a pre-materialized (id, cluster) table (the
-    on-disk inverted-list layout); otherwise it is derived inline."""
+
+    `assignments` is the materialized index (load_ivf_index). With vectors
+    co-located ((id, embedding, cluster) — the write_ivf_index layout) the
+    query is one partition-pruned scan of the n_probe inverted lists; a
+    vector-less (id, cluster) table semi-joins back to `emb`; with neither,
+    assignment is derived inline (full scan per query — exploratory only)."""
     cent = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = ((cent - q[None, :]) ** 2).sum(axis=1)
     probes = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
-    asg = assignments if assignments is not None \
-        else ivf_assignments(emb, cent, id_col, vec_col)
-    cand_ids = asg.filter(F.col("cluster").isin(probes)).select("id")
+    if assignments is not None:
+        pruned = assignments.filter(F.col("cluster").isin(probes))
+        if "embedding" in assignments.columns:
+            return brute_force_cosine_topk(pruned, query_vec, k,
+                                           "id", "embedding")
+        cand_ids = pruned.select("id")
+    else:
+        if emb is None:
+            raise ValueError("need emb when no assignments table is given")
+        cand_ids = ivf_assignments(emb, cent, id_col, vec_col) \
+            .filter(F.col("cluster").isin(probes)).select("id")
     cand = emb.join(cand_ids.withColumnRenamed("id", id_col), id_col,
                     "left_semi")
     return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -133,6 +133,46 @@ def test_ann_lsh_finds_planted_neighbor(spark, emb_df):
     assert 7 in got[:2]       # the planted near-duplicate shares the bucket
 
 
+def test_ann_lsh_materialized_index(spark, emb_df, tmp_path):
+    """write_lsh_index → partition-pruned probe must equal the inline path
+    AND the probe plan must show PartitionFilters on bucket (round-2
+    verdict #1: no per-query re-hash of the embedding table)."""
+    from spidey_search_engine_spark.operators.similarity import (
+        ann_topk_lsh, load_lsh_index, write_lsh_index)
+    df, vecs = emb_df
+    q = vecs[3].astype(float)
+    out = str(tmp_path / "lsh_idx")
+    write_lsh_index(df, out, dim=16, n_bits=6, seed=5)
+    idx = load_lsh_index(spark, out)
+    inline = [(r["id"], round(r["cos"], 9)) for r in
+              ann_topk_lsh(df, q, dim=16, k=3, n_bits=6,
+                           probe_hamming=1).collect()]
+    probe = ann_topk_lsh(None, q, dim=16, k=3, n_bits=6, probe_hamming=1,
+                         signatures=idx)
+    mat = [(r["id"], round(r["cos"], 9)) for r in probe.collect()]
+    assert mat == inline
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_ann_ivf_materialized_index(spark, emb_df, tmp_path):
+    from spidey_search_engine_spark.operators.similarity import (
+        ivf_topk, load_ivf_index, write_ivf_index)
+    df, vecs = emb_df
+    cent = vecs[:4].astype(np.float64)
+    q = vecs[3].astype(float)
+    out = str(tmp_path / "ivf_idx")
+    write_ivf_index(df, cent, out)
+    idx = load_ivf_index(spark, out)
+    inline = [(r["id"], round(r["cos"], 9)) for r in
+              ivf_topk(df, cent, q, k=5, n_probe=2).collect()]
+    probe = ivf_topk(None, cent, q, k=5, n_probe=2, assignments=idx)
+    mat = [(r["id"], round(r["cos"], 9)) for r in probe.collect()]
+    assert mat == inline
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+
 def test_embedding_cosine_dedup(spark, emb_df):
     from spidey_search_engine_spark.operators.similarity import \
         embedding_cosine_dedup_pairs
