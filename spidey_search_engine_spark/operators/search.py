@@ -160,10 +160,25 @@ def query_idf(terms_df: DataFrame, query_terms: list[str],
     dictionary (df=0) are dropped — they contribute no score.
 
     With a preloaded `cache` ({col: {term: idf}}, see Searcher) the lookup
-    is a dict hit and the query plans exactly ONE Spark job."""
+    is a dict hit and the query plans exactly ONE Spark job. A HEAD-ONLY
+    cache (cache["partial"] is True — Searcher(head_df_threshold=...)) holds
+    just the high-df terms; cache misses there mean "tail or absent", so the
+    missing terms fall back to the pushdown lookup (one tiny extra job) and
+    the answer is memoized for the next query that repeats them."""
     if cache is not None and col in cache:
         c = cache[col]
-        return {t: c[t] for t in set(query_terms) if t in c}
+        out = {t: c[t] for t in set(query_terms) if t in c}
+        missing = [t for t in set(query_terms) if t not in c]
+        if missing and cache.get("partial"):
+            rows = terms_df.filter(F.col("term").isin(missing)) \
+                .select("term", col).collect()
+            for r in rows:
+                out[r["term"]] = c[r["term"]] = float(r[col])
+            for t in missing:
+                if t not in out:
+                    c[t] = None  # memoize the absence too
+            return {t: v for t, v in out.items() if v is not None}
+        return {t: v for t, v in out.items() if v is not None}
     rows = terms_df.filter(
         F.col("term").isin(list(set(query_terms)))).select("term", col).collect()
     return {r["term"]: float(r[col]) for r in rows}
@@ -232,7 +247,8 @@ class Searcher:
 
     def __init__(self, spark: SparkSession, index: dict,
                  cache_postings: bool = True, preload_dict: bool = True,
-                 coalesce_to: int | None = None):
+                 coalesce_to: int | None = None,
+                 head_df_threshold: int | None = None):
         self.spark = spark
         self.index = dict(index)
         self._cached = []
@@ -254,12 +270,17 @@ class Searcher:
             # one pass over the dictionary loads idf values AND term→bucket
             # (the reference's always-resident MySQL dictionary). The k-term
             # lookup becomes a dict hit → each BM25 query plans exactly ONE
-            # Spark job. At 10^12-file scale the vocabulary is sharded
-            # across serving nodes instead of collected whole; preload only
-            # the df>threshold head there and fall back to the pushdown
-            # lookup for the tail (preload_dict=False path).
+            # Spark job. At 10^12-file scale the whole vocabulary
+            # (10^8–10^9 terms) cannot land on one driver: pass
+            # `head_df_threshold` to preload ONLY the df>threshold head —
+            # Zipf puts the overwhelming share of query-term hits there —
+            # and the rare tail term falls back to the per-query pushdown
+            # lookup (query_idf partial-cache path), memoized on first use.
             n_buckets = int(self.index["stats"]["n_buckets"])
-            rows = (self.index["terms"]
+            head = self.index["terms"]
+            if head_df_threshold is not None:
+                head = head.filter(F.col("df") > int(head_df_threshold))
+            rows = (head
                     .select("term", "idf_bm25", "idf_ref",
                             F.pmod(F.xxhash64("term"), F.lit(n_buckets))
                             .cast("int").alias("bucket")).collect())
@@ -267,6 +288,8 @@ class Searcher:
                 "idf_bm25": {r["term"]: float(r["idf_bm25"]) for r in rows},
                 "idf_ref": {r["term"]: float(r["idf_ref"]) for r in rows},
             }
+            if head_df_threshold is not None:
+                self.index["idf_cache"]["partial"] = True
             for r in rows:
                 _bucket_cache[(r["term"], n_buckets)] = int(r["bucket"])
         else:

@@ -142,3 +142,46 @@ def test_searcher_matches_cold_paths(spark, index):
     # the caller's index DataFrames still work after close
     assert index["terms"].count() > 0
     assert index["postings"].count() > 0
+
+
+def test_searcher_head_only_dict(spark, index):
+    """head_df_threshold preloads only the high-df dictionary head; a query
+    mixing head terms, a TAIL term (df <= threshold, absent from the cache)
+    and an absent term must still equal the cold path exactly — the tail
+    term resolves through the pushdown fallback, memoized on repeat."""
+    from pyspark.sql import functions as F
+    from spidey_search_engine_spark.operators.search import Searcher, bm25_topk
+
+    from spidey_search_engine_spark.functions.analysis import analyze_query
+    dfs = {r["term"]: r["df"] for r in index["terms"].collect()}
+    thresh = int(np.median(list(dfs.values())))
+
+    def fixed_point(t):  # query analysis must reproduce the stored term
+        return analyze_query(t) == ([t], [])
+
+    tail_terms = [t for t, d in sorted(dfs.items())
+                  if d <= thresh and fixed_point(t)]
+    head_terms = [t for t, d in sorted(dfs.items())
+                  if d > thresh and fixed_point(t)]
+    assert tail_terms and head_terms
+    s = Searcher(spark, index, cache_postings=True, coalesce_to=4,
+                 head_df_threshold=thresh)
+    try:
+        cache = s.index["idf_cache"]
+        assert cache.get("partial") is True
+        assert tail_terms[0] not in cache["idf_bm25"]
+        q = f"{head_terms[0]} {tail_terms[0]} zzz_unknown_term"
+        cold = [(r["doc_id"], round(r["score"], 10)) for r in
+                bm25_topk(spark, index, q, k=8).collect()]
+        warm = [(r["doc_id"], round(r["score"], 10)) for r in
+                s.bm25(q, k=8).collect()]
+        assert warm == cold and warm
+        # first use memoized both the tail hit and the absence
+        assert cache["idf_bm25"].get(tail_terms[0]) is not None
+        assert "zzz_unknown_term" in cache["idf_bm25"] \
+            and cache["idf_bm25"]["zzz_unknown_term"] is None
+        warm2 = [(r["doc_id"], round(r["score"], 10)) for r in
+                 s.bm25(q, k=8).collect()]
+        assert warm2 == cold
+    finally:
+        s.close()
