@@ -92,6 +92,10 @@ def main() -> None:
               lambda q=q: searcher.bm25_pruned(q, k=10).collect())
     timed("parity_two_stage",
           lambda: searcher.parity('fast "merge sort" scan').collect())
+    # hot-word phrase: both words are frequent, so the two-pass decode's
+    # gap-first intersection skips position bytes for most candidate docs
+    timed("phrase_hot",
+          lambda: searcher.parity('"order key"').collect())
 
     timed("tpch_q1", lambda: EQ.tpch_q1(spark, sf_dir).collect())
     timed("ann_cosine_topk", lambda: EQ.ann_cosine_topk(spark, sf_dir).collect())

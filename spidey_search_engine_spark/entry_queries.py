@@ -127,10 +127,11 @@ def parity_relevance_fixed(spark, sf_dir):
 
 
 def phrase_match_fixed(spark, sf_dir):
+    """Phrase adjacency through the two-pass decode (phrase_posting_rows):
+    doc-gap pass → per-term doc-set intersection → positions decoded only
+    for surviving segments/docs. Same result as the one-pass full decode."""
     idx = entry_index(spark, sf_dir)
-    rows = S.query_term_postings(idx["postings"], PHRASE,
-                                 int(idx["stats"]["n_buckets"]),
-                                 with_positions=True)
+    rows = S.phrase_posting_rows(idx, PHRASE)
     m = S.phrase_match_counts(rows, PHRASE)
     return m.select("doc_id", "m")
 

@@ -35,6 +35,7 @@ from pyspark.sql.types import (ArrayType, BooleanType, DoubleType, IntegerType,
                                LongType, StringType, StructField, StructType)
 
 from ..functions.analysis import analyze_query
+from ..functions.compress import delta_decode as _delta_decode
 from .build import K1, B, decode_segment, positions_of
 
 EXPLODE_SCHEMA = StructType([
@@ -50,15 +51,20 @@ EXPLODE_POS_SCHEMA = StructType(EXPLODE_SCHEMA.fields + [
 ])
 
 
-def query_term_postings(postings: DataFrame, terms: list[str],
-                        n_buckets: int, with_positions: bool = False) -> DataFrame:
-    """Q1 dictionary lookup: bucket partition-pruning + term filter, then
-    vectorized segment decode → posting rows."""
-    if not terms:
-        raise ValueError("empty analyzed query")
+def _pruned_postings(postings: DataFrame, terms: list[str],
+                     n_buckets: int) -> DataFrame:
+    """Q1 dictionary pruning: `bucket` partition filter + `term` pushdown."""
     buckets = sorted({_bucket_of(t, n_buckets) for t in terms})
-    pruned = postings.filter(F.col("bucket").isin(buckets)
-                             & F.col("term").isin(list(set(terms))))
+    return postings.filter(F.col("bucket").isin(buckets)
+                           & F.col("term").isin(list(set(terms))))
+
+
+def _decode_posting_rows(pruned: DataFrame, with_positions: bool = False,
+                         doc_filter: np.ndarray | None = None) -> DataFrame:
+    """Vectorized segment decode → posting rows. With `doc_filter` (a sorted
+    int64 doc-id array, driver-bounded by the caller) non-matching docs are
+    dropped INSIDE the decode kernel — before their position arrays are
+    materialized or shipped through Arrow."""
     schema = EXPLODE_POS_SCHEMA if with_positions else EXPLODE_SCHEMA
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -68,14 +74,27 @@ def query_term_postings(postings: DataFrame, terms: list[str],
                 out["positions"] = []
             for term, buf in zip(pdf["term"], pdf["bin"]):
                 doc_ids, tfs, imp, dls, pos_gaps = decode_segment(bytes(buf))
+                if doc_filter is not None:
+                    keep = np.isin(doc_ids, doc_filter)
+                    if not keep.any():
+                        continue
+                    if with_positions:
+                        starts = np.concatenate(
+                            ([0], np.cumsum(tfs)))[:-1].astype(np.int64)
+                        for i in np.flatnonzero(keep):
+                            s, tf_i = int(starts[i]), int(tfs[i])
+                            p = _delta_decode(pos_gaps[s:s + tf_i])
+                            out["positions"].append(p.astype(np.int32))
+                    doc_ids, tfs = doc_ids[keep], tfs[keep]
+                    imp, dls = imp[keep], dls[keep]
+                elif with_positions:
+                    out["positions"].extend(
+                        [p.astype(np.int32) for p in positions_of(tfs, pos_gaps)])
                 out["term"].append(np.repeat(term, doc_ids.size))
                 out["doc_id"].append(doc_ids)
                 out["tf"].append(tfs.astype(np.int32))
                 out["important"].append(imp)
                 out["dl"].append(dls.astype(np.int32))
-                if with_positions:
-                    out["positions"].extend(
-                        [p.astype(np.int32) for p in positions_of(tfs, pos_gaps)])
             res = pd.DataFrame({
                 "term": np.concatenate(out["term"]) if out["term"] else [],
                 "doc_id": np.concatenate(out["doc_id"]) if out["doc_id"] else [],
@@ -88,6 +107,16 @@ def query_term_postings(postings: DataFrame, terms: list[str],
             yield res
 
     return pruned.select("term", "bin").mapInPandas(explode, schema=schema)
+
+
+def query_term_postings(postings: DataFrame, terms: list[str],
+                        n_buckets: int, with_positions: bool = False) -> DataFrame:
+    """Q1 dictionary lookup: bucket partition-pruning + term filter, then
+    vectorized segment decode → posting rows."""
+    if not terms:
+        raise ValueError("empty analyzed query")
+    return _decode_posting_rows(_pruned_postings(postings, terms, n_buckets),
+                                with_positions)
 
 
 def binary_postings(postings: DataFrame) -> DataFrame:
@@ -281,12 +310,13 @@ class Searcher:
             if head_df_threshold is not None:
                 head = head.filter(F.col("df") > int(head_df_threshold))
             rows = (head
-                    .select("term", "idf_bm25", "idf_ref",
+                    .select("term", "idf_bm25", "idf_ref", "df",
                             F.pmod(F.xxhash64("term"), F.lit(n_buckets))
                             .cast("int").alias("bucket")).collect())
             self.index["idf_cache"] = {
                 "idf_bm25": {r["term"]: float(r["idf_bm25"]) for r in rows},
                 "idf_ref": {r["term"]: float(r["idf_ref"]) for r in rows},
+                "df": {r["term"]: float(r["df"]) for r in rows},
             }
             if head_df_threshold is not None:
                 self.index["idf_cache"]["partial"] = True
@@ -410,14 +440,88 @@ def phrase_match_counts(posting_rows_pos: DataFrame, phrase: list[str]) -> DataF
             .mapInPandas(match_stream, schema=out_schema))
 
 
+def phrase_posting_rows(index: dict, phrase: list[str],
+                        max_filter_docs: int = 1 << 16) -> DataFrame:
+    """Two-pass positional decode for a phrase (round-2 verdict #3).
+
+    Pass 1 decodes ONLY the doc-gap section of each phrase-term segment
+    (binary_postings — tf/dl/position bytes untouched) and intersects the
+    per-term doc sets: a doc missing any phrase word cannot match. Pass 2
+    decodes positions only for (term, segment) rows whose segment holds at
+    least one intersection doc — skipped segments never even reach the
+    decode kernel (equi left-semi join on `segment`, mirroring wand.py).
+    When the intersection fits ``max_filter_docs`` it additionally becomes
+    an in-kernel doc mask, so position arrays for non-intersection docs in
+    surviving segments are never materialized and the semi-join sides are
+    rebuilt from literals (the pass-1 lineage runs once, not per join).
+    Past the cap the doc mask is dropped (segment-granularity only) and the
+    intersection stays distributed — nothing large lands on the driver."""
+    n_buckets = int(index["stats"]["n_buckets"])
+    seg_bits = int(index["stats"]["seg_bits"])
+    terms_in_phrase = list(dict.fromkeys(phrase))
+    pruned = _pruned_postings(index["postings"], terms_in_phrase, n_buckets)
+    cand = (binary_postings(pruned)
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("nt"))
+            .filter(F.col("nt") == len(terms_in_phrase))
+            .select("doc_id"))
+    spark = SparkSession.getActiveSession()
+    cand_rows = cand.limit(max_filter_docs + 1).collect()
+    if len(cand_rows) <= max_filter_docs:
+        doc_filter = np.array(sorted(int(r["doc_id"]) for r in cand_rows),
+                              dtype=np.int64)
+        if doc_filter.size == 0:
+            return _decode_posting_rows(
+                pruned.filter(F.lit(False)), with_positions=True)
+        segs = sorted({int(d) >> seg_bits for d in doc_filter})
+        seg_df = F.broadcast(
+            spark.createDataFrame([(s,) for s in segs], "segment long"))
+        surviving = pruned.join(seg_df, "segment", "left_semi")
+        return _decode_posting_rows(surviving, with_positions=True,
+                                    doc_filter=doc_filter)
+    seg_df = cand.select(
+        F.shiftright("doc_id", seg_bits).alias("segment")).distinct()
+    surviving = pruned.join(seg_df, "segment", "left_semi")
+    return _decode_posting_rows(surviving, with_positions=True) \
+        .join(cand, "doc_id", "left_semi")
+
+
+# Two-pass phrase decode engages when it would skip position decoding for
+# at least this many posting entries (Σ df − min df). Measured at 2.4M docs
+# (local[16], crossover index): hot+mid phrase ("import char", df 2.4M+25k,
+# saved ≈2.4M) 15.1 s → 6.1 s (2.5×); mid+mid ("long name", saved ≈25k)
+# 1.8 s → 3.0 s — the two extra driver-synchronized jobs dominate when the
+# saved decode volume is small, exactly the wand.py crossover shape.
+PHRASE_TWO_PASS_MIN_SAVED = 500_000
+
+
 def parity_phrase_scores(spark: SparkSession, index: dict, phrase: list[str],
-                         query_terms_all: list[str]) -> DataFrame:
+                         query_terms_all: list[str],
+                         two_pass: bool | None = None) -> DataFrame:
     """Q5 scorer: relevance = ln(1+N/df_phrase)·(1+ln m); df_phrase = #docs
-    with ≥1 match (computed exactly, two small jobs over q-term postings)."""
+    with ≥1 match (computed exactly, two small jobs over q-term postings).
+
+    Decode strategy auto-selects (`two_pass=None`) on per-term dfs — a
+    dict hit under a Searcher (df rides the preloaded dictionary), one tiny
+    pushdown scan otherwise: the two-pass gap-first decode
+    (phrase_posting_rows) wins only when the skipped position volume
+    clears PHRASE_TWO_PASS_MIN_SAVED. A phrase word absent from the
+    dictionary short-circuits to empty — no doc can match."""
     n_docs = int(index["stats"]["n_docs"])
-    rows = query_term_postings(index["postings"], phrase,
-                               int(index["stats"]["n_buckets"]),
-                               with_positions=True)
+    empty = spark.createDataFrame(
+        [], "doc_id long, relevance double, important int, is_phrase int")
+    dfs = query_idf(index["terms"], phrase, "df", index.get("idf_cache"))
+    if any(t not in dfs for t in phrase):
+        return empty
+    if two_pass is None:
+        vals = [dfs[t] for t in set(phrase)]
+        two_pass = (sum(vals) - min(vals)) > PHRASE_TWO_PASS_MIN_SAVED
+    if two_pass:
+        rows = phrase_posting_rows(index, phrase)
+    else:
+        rows = query_term_postings(index["postings"], phrase,
+                                   int(index["stats"]["n_buckets"]),
+                                   with_positions=True)
     matches = phrase_match_counts(rows, phrase).cache()
     df_phrase = matches.count()
     if df_phrase == 0:

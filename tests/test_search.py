@@ -144,6 +144,30 @@ def test_searcher_matches_cold_paths(spark, index):
     assert index["postings"].count() > 0
 
 
+def test_phrase_two_pass_equals_one_pass(spark, index):
+    """The gap-first two-pass positional decode must return exactly the
+    one-pass full decode's phrase scores, and an absent phrase word must
+    short-circuit to empty."""
+    from spidey_search_engine_spark.functions.analysis import analyze_query
+    from spidey_search_engine_spark.operators.search import \
+        parity_phrase_scores
+
+    for q in ['"merge sort"', '"binary search"']:
+        _, phrases = analyze_query(q)
+        (ph,) = phrases
+        one = sorted((r["doc_id"], round(r["relevance"], 10))
+                     for r in parity_phrase_scores(spark, index, ph, ph,
+                                                   two_pass=False).collect())
+        two = sorted((r["doc_id"], round(r["relevance"], 10))
+                     for r in parity_phrase_scores(spark, index, ph, ph,
+                                                   two_pass=True).collect())
+        assert one == two, q
+        assert one  # the corpus plants these phrases — non-vacuous
+    got = parity_phrase_scores(spark, index, ["merg", "zzzabsentword"],
+                               [], two_pass=True).collect()
+    assert got == []
+
+
 def test_searcher_head_only_dict(spark, index):
     """head_df_threshold preloads only the high-df dictionary head; a query
     mixing head terms, a TAIL term (df <= threshold, absent from the cache)
