@@ -1231,9 +1231,8 @@ def a8_requery_after_delete(spark, sf_dir):
     raw = spark.read.parquet(os.path.join(entry_index_dir(sf_dir),
                                           "postings"))
     n_buckets = int(idx["stats"]["n_buckets"])
-    victims = [int(r["doc_id"]) for r in
-               idx["docs"].filter(F.col("doc_id") % 7 == 0)
-               .select("doc_id").collect()]
+    # victim set stays a DataFrame — the bulk-delete path (never collected)
+    victims = idx["docs"].filter(F.col("doc_id") % 7 == 0).select("doc_id")
     cleaned_all = delete_docs_postings(raw, victims,
                                        int(idx["stats"]["seg_bits"]))
     sent = cleaned_all.filter(F.col("bucket") == n_buckets)

@@ -156,14 +156,23 @@ def _reencode_sha_without(buf: bytes, victims: set):
     return (int(doc_ids.size), 0, buf2, [], [], [], [])
 
 
-def delete_docs_postings(postings: DataFrame, doc_ids: list[int],
+def delete_docs_postings(postings: DataFrame,
+                         doc_ids: "list[int] | DataFrame",
                          seg_bits: int) -> DataFrame:
-    """Remove a (small) set of docs from the postings table.
+    """Remove a set of docs from the postings table.
 
     Only rows whose segment contains a victim doc are decoded; the rest
     stream through untouched — the filter is on the `segment` column, so at
     scale Catalyst prunes with parquet min/max stats and the overwhelming
     majority of the index is never read into Python.
+
+    ``doc_ids`` is either a Python list (maintenance-sized deletes) or a
+    DataFrame with a `doc_id` column (bulk GDPR-style deletes): the
+    DataFrame path NEVER collects victims to the driver — victims are
+    grouped per segment (collect_list bounded by 2^seg_bits docs/segment),
+    joined to the affected rows on `segment` (AQE picks broadcast vs
+    shuffle by actual size), and each kernel row reads its own segment's
+    victim set from the joined column.
 
     Sentinel rows are handled by layout: DOCLEN rows share the partial
     layout (victims' dl entries drop with the normal path); DOCSHA rows use
@@ -173,17 +182,32 @@ def delete_docs_postings(postings: DataFrame, doc_ids: list[int],
     (n_docs/avgdl) and the docs table are derived artifacts — republish
     them after a delete (doc_lengths + doc_stats over the rewritten
     sentinels, refresh_term_stats for df/cf), as build_index does."""
-    victim_segs = sorted({int(d) >> seg_bits for d in doc_ids})
-    victims = set(int(d) for d in doc_ids)
-    untouched = postings.filter(~F.col("segment").isin(victim_segs))
-    affected = postings.filter(F.col("segment").isin(victim_segs))
     out_cols = [f.name for f in POSTING_SCHEMA.fields] + ["bucket"]
     from .build import DOCSHA_TERM
+
+    if isinstance(doc_ids, DataFrame):
+        v_seg = (doc_ids.select(F.col("doc_id").cast("long"))
+                 .groupBy(F.shiftright("doc_id", seg_bits).alias("segment"))
+                 .agg(F.collect_set("doc_id").alias("seg_victims")))
+        untouched = postings.join(v_seg.select("segment"), "segment",
+                                  "left_anti")
+        affected = postings.select(*out_cols).join(v_seg, "segment", "inner")
+        shared_victims = None
+        in_cols = out_cols + ["seg_victims"]
+    else:
+        victim_segs = sorted({int(d) >> seg_bits for d in doc_ids})
+        shared_victims = set(int(d) for d in doc_ids)
+        untouched = postings.filter(~F.col("segment").isin(victim_segs))
+        affected = postings.filter(
+            F.col("segment").isin(victim_segs)).select(*out_cols)
+        in_cols = out_cols
 
     def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                victims = (shared_victims if shared_victims is not None
+                           else set(int(d) for d in r.seg_victims))
                 if r.term == DOCSHA_TERM:
                     res = _reencode_sha_without(bytes(r.bin), victims)
                 else:
@@ -204,7 +228,7 @@ def delete_docs_postings(postings: DataFrame, doc_ids: list[int],
 
     schema = StructType(list(POSTING_SCHEMA.fields)
                         + [StructField("bucket", IntegerType())])
-    rewritten = affected.select(*out_cols).mapInPandas(rewrite, schema=schema)
+    rewritten = affected.select(*in_cols).mapInPandas(rewrite, schema=schema)
     return untouched.select(*out_cols).unionByName(rewritten)
 
 
@@ -216,9 +240,10 @@ def reindex_docs(spark: SparkSession, postings: DataFrame,
 
     delete (segment-pruned rewrite) → build fresh partials for just the
     changed docs → merge → union. Segments are doc-range-disjoint, so the
-    union stays per-(term, segment) unique."""
-    ids = [int(r["doc_id"]) for r in changed_docs.select("doc_id").collect()]
-    cleaned = delete_docs_postings(postings, ids, seg_bits)
+    union stays per-(term, segment) unique. The victim set stays a
+    DataFrame end-to-end (bulk-delete path) — nothing is collected."""
+    cleaned = delete_docs_postings(postings, changed_docs.select("doc_id"),
+                                   seg_bits)
     fresh_parts = build_partials(changed_docs, profile=profile,
                                  seg_bits=seg_bits) \
         .filter(~F.col("term").startswith(SENTINEL_PREFIX))

@@ -54,6 +54,24 @@ def test_delete_docs_equals_fresh_build(spark, corpus_pdf, tmp_path):
     assert df_after == df_fresh
 
 
+def test_bulk_delete_dataframe_victims(spark, index):
+    """Bulk-delete path: the victim set is a 10^5-row DataFrame that is
+    NEVER collected to a python list (GDPR-style deletes). Result must be
+    identical to the list path over the ids actually present."""
+    from spidey_search_engine_spark.operators.maintenance import \
+        delete_docs_postings
+
+    seg_bits = int(index["stats"]["seg_bits"])
+    n_docs = int(index["stats"]["n_docs"])
+    # 10^5 victims: every 3rd doc id up to 3*10^5 — only ids < n_docs exist
+    victims_df = spark.range(0, 300_000, 3).select(
+        F.col("id").alias("doc_id"))
+    via_df = delete_docs_postings(index["postings"], victims_df, seg_bits)
+    present = [i for i in range(0, 300_000, 3) if i < n_docs]
+    via_list = delete_docs_postings(index["postings"], present, seg_bits)
+    assert _postings_map(via_df) == _postings_map(via_list)
+
+
 def test_reindex_changed_docs_equals_fresh_build(spark, corpus_pdf, tmp_path):
     from spidey_search_engine_spark.operators.build import (
         build_index, load_index, prepare_docs)
