@@ -169,6 +169,22 @@ def decode_segment(buf: bytes):
     return (doc_ids, tf_packed >> 1, (tf_packed & 1).astype(bool), dls, pos_gaps)
 
 
+def decode_segment_nopos(buf: bytes):
+    """Decoder for scoring paths that never touch positions (BM25/parity
+    word scores): stops after the dl section, leaving the position-gap
+    bytes — the LARGEST section (Σtf ≥ n entries vs n per other section) —
+    unscanned. → (doc_ids, tfs, important, dls)."""
+    hdr, off = decode_varints(buf, 0, 1)
+    n = int(hdr[0])
+    gaps, off = decode_varints(buf, off, n)
+    doc_ids = delta_decode(gaps)
+    tf_packed, off = decode_varints(buf, off, n)
+    dls, _ = decode_varints(buf, off, n)
+    tf_packed = tf_packed.astype(np.int64)
+    return (doc_ids, tf_packed >> 1, (tf_packed & 1).astype(bool),
+            dls.astype(np.int64))
+
+
 def positions_of(tfs: np.ndarray, pos_gaps: np.ndarray) -> list[np.ndarray]:
     """Expand the flat gap stream into per-doc absolute position arrays."""
     out, start = [], 0

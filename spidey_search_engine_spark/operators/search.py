@@ -36,7 +36,8 @@ from pyspark.sql.types import (ArrayType, BooleanType, DoubleType, IntegerType,
 
 from ..functions.analysis import analyze_query
 from ..functions.compress import delta_decode as _delta_decode
-from .build import K1, B, decode_segment, positions_of
+from .build import (K1, B, decode_segment, decode_segment_nopos,
+                    positions_of)
 
 EXPLODE_SCHEMA = StructType([
     StructField("term", StringType()),
@@ -73,7 +74,13 @@ def _decode_posting_rows(pruned: DataFrame, with_positions: bool = False,
             if with_positions:
                 out["positions"] = []
             for term, buf in zip(pdf["term"], pdf["bin"]):
-                doc_ids, tfs, imp, dls, pos_gaps = decode_segment(bytes(buf))
+                if with_positions:
+                    doc_ids, tfs, imp, dls, pos_gaps = \
+                        decode_segment(bytes(buf))
+                else:
+                    # scoring path: the position section (the largest)
+                    # is never scanned
+                    doc_ids, tfs, imp, dls = decode_segment_nopos(bytes(buf))
                 if doc_filter is not None:
                     keep = np.isin(doc_ids, doc_filter)
                     if not keep.any():

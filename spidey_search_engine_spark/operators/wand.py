@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.analysis import analyze_query
-from .build import B, K1, decode_segment
+from .build import B, K1, decode_segment_nopos
 from .search import EXPLODE_SCHEMA, _bucket_of, bm25_scores
 
 
@@ -165,8 +165,25 @@ def query_term_postings_in_ranges(index: dict, q_terms: list[str],
                 if rng_mask is not None else None)
         for pdf in batches:
             cols = {k: [] for k in ["term", "doc_id", "tf", "important", "dl"]}
-            for term, buf in zip(pdf["term"], pdf["bin"]):
-                doc_ids, tfs, imp, dls, _ = decode_segment(bytes(buf))
+            for term, buf, bfd, bld in zip(pdf["term"], pdf["bin"],
+                                           pdf["block_first_doc"],
+                                           pdf["block_last_doc"]):
+                if rngs is not None and len(bfd):
+                    # block-level pre-check from the 128-doc block metadata:
+                    # a block [bfd, bld] intersects the surviving rng set
+                    # iff some rng lies in [bfd>>rb, bld>>rb] — searchsorted
+                    # over the sorted rng array, no decode needed. A row
+                    # none of whose blocks intersect (sparse term inside a
+                    # surviving segment) is skipped without touching its
+                    # posting bytes.
+                    lo = np.asarray(bfd, dtype=np.int64) >> range_bits
+                    hi = np.asarray(bld, dtype=np.int64) >> range_bits
+                    pos = np.searchsorted(rngs, lo, side="left")
+                    ok = (pos < rngs.size) & (rngs[np.minimum(
+                        pos, rngs.size - 1)] <= hi)
+                    if not ok.any():
+                        continue
+                doc_ids, tfs, imp, dls = decode_segment_nopos(bytes(buf))
                 if rngs is not None:
                     mask = np.isin(doc_ids >> range_bits, rngs)
                     if not mask.any():
@@ -182,45 +199,90 @@ def query_term_postings_in_ranges(index: dict, q_terms: list[str],
                                     np.array([], dtype=object if k == "term" else np.int64))
                                 for k, v in cols.items()})
 
-    return surviving.select("term", "segment", "bin").mapInPandas(
+    return surviving.select("term", "segment", "bin", "block_first_doc",
+                            "block_last_doc").mapInPandas(
         explode, schema=EXPLODE_SCHEMA)
 
 
 def bm25_topk_pruned_terms(spark: SparkSession, index: dict,
                            q_terms: list[str], k: int = 10,
                            range_bits: int = 10, probe_ranges: int = 32,
-                           max_mask_ranges: int = 1 << 16) -> DataFrame:
+                           max_mask_ranges: int = 1 << 16,
+                           prune_frac: float = 0.5) -> DataFrame:
     """Pruned top-k over already-analyzed terms; identical to the exhaustive
-    scorer by construction."""
+    scorer by construction.
+
+    Two auto-fallbacks to the exhaustive plan (identical result either
+    way): (1) the bound table has ≤ probe_ranges rows — probing would score
+    everything; (2) after θ is known, the surviving-range fraction is ≥
+    ``prune_frac`` — score distributions too flat for range pruning to pay
+    for its extra driver rounds (one extra metadata-only aggregate decides
+    this; on a uniform-score corpus the fraction is ~1.0 and pruning would
+    only add overhead, measured +4–8 s per hot query at 2.4M docs)."""
     if not q_terms:
         return spark.createDataFrame([], "doc_id long, score double")
     avgdl = float(index["stats"]["avgdl"])
-    bounds = query_range_bounds(index, q_terms, range_bits)
 
-    # bounded collect: probe_ranges+1 rows decide vacuity AND give the probe
-    probe_rows = (bounds.orderBy(F.desc("ub"), F.asc("rng"))
-                  .limit(probe_ranges + 1).collect())
-    if not probe_rows:
-        return spark.createDataFrame([], "doc_id long, score double")
-    if len(probe_rows) <= probe_ranges:
-        # pruning is vacuous: probing would already score every range, so
-        # the extra bound/threshold jobs are pure overhead — run exhaustive
-        # (identical result by construction)
+    def exhaustive():
         from .search import bm25_scores as _scores
         from .search import query_term_postings as _qtp
-        rows = _qtp(index["postings"], q_terms, int(index["stats"]["n_buckets"]))
+        rows = _qtp(index["postings"], q_terms,
+                    int(index["stats"]["n_buckets"]))
         return (_scores(rows, index["terms"], avgdl, q_terms,
                         index.get("idf_cache"))
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
                 .select("doc_id", "score"))
-    probe = [int(r["rng"]) for r in probe_rows[:probe_ranges]]
 
-    probe_rows_df = query_term_postings_in_ranges(index, q_terms, probe,
-                                                  range_bits)
-    seed = (bm25_scores(probe_rows_df, index["terms"], avgdl, q_terms,
-                        index.get("idf_cache"))
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect())
-    theta = seed[-1]["score"] if len(seed) >= k else 0.0
+    bounds = query_range_bounds(index, q_terms, range_bits)
+
+    def theta_from_probe(probe: list[int]) -> float:
+        probe_rows_df = query_term_postings_in_ranges(index, q_terms, probe,
+                                                      range_bits)
+        seed = (bm25_scores(probe_rows_df, index["terms"], avgdl, q_terms,
+                            index.get("idf_cache"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                .collect())
+        return seed[-1]["score"] if len(seed) >= k else 0.0
+
+    # bounded collect: when the whole bound table fits the driver cap
+    # (common — it is metadata, n_docs/2^range_bits rows), ONE collect
+    # drives probe selection, θ-fraction fallback and the surviving set
+    # from literals: the bounds lineage is evaluated exactly once
+    head = bounds.limit(max_mask_ranges + 1).collect()
+    if len(head) <= max_mask_ranges:
+        if not head:
+            return spark.createDataFrame([], "doc_id long, score double")
+        if len(head) <= probe_ranges:
+            return exhaustive()  # probing would already score every range
+        ranked = sorted(head, key=lambda r: (-r["ub"], r["rng"]))
+        theta = theta_from_probe(
+            [int(r["rng"]) for r in ranked[:probe_ranges]])
+        surviving_rngs = [int(r["rng"]) for r in head
+                          if r["ub"] >= theta]
+        if len(surviving_rngs) >= prune_frac * len(head):
+            return exhaustive()
+        rows = query_term_postings_in_ranges(index, q_terms, surviving_rngs,
+                                             range_bits, max_mask_ranges)
+        return (bm25_scores(rows, index["terms"], avgdl, q_terms,
+                            index.get("idf_cache"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                .select("doc_id", "score"))
+
+    # past the cap (~10⁹ ranges at the north star): the bound table NEVER
+    # lands on the driver — probe via bounded orderBy-limit, the fraction
+    # via one metadata-only aggregate, the surviving set via semi-join
+    probe_rows = (bounds.orderBy(F.desc("ub"), F.asc("rng"))
+                  .limit(probe_ranges + 1).collect())
+    if len(probe_rows) <= probe_ranges:
+        return exhaustive()
+    theta = theta_from_probe([int(r["rng"]) for r in
+                              probe_rows[:probe_ranges]])
+    frac = bounds.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("ub") >= F.lit(float(theta))).cast("long")).alias("s")
+    ).collect()[0]
+    if frac["s"] >= prune_frac * frac["n"]:
+        return exhaustive()
 
     surviving = bounds.filter(F.col("ub") >= F.lit(float(theta)))
     rows = query_term_postings_in_ranges(index, q_terms, surviving,
@@ -234,11 +296,12 @@ def bm25_topk_pruned_terms(spark: SparkSession, index: dict,
 def bm25_topk_pruned(spark: SparkSession, index: dict, query: str,
                      k: int = 10, range_bits: int = 10,
                      probe_ranges: int = 32,
-                     max_mask_ranges: int = 1 << 16) -> DataFrame:
+                     max_mask_ranges: int = 1 << 16,
+                     prune_frac: float = 0.5) -> DataFrame:
     """Top-k BM25 with block-max range pruning; provably identical to
     search.bm25_topk (no false dismissals)."""
     q_terms, phrases = analyze_query(query)
     for p in phrases:
         q_terms.extend(p)
     return bm25_topk_pruned_terms(spark, index, q_terms, k, range_bits,
-                                  probe_ranges, max_mask_ranges)
+                                  probe_ranges, max_mask_ranges, prune_frac)

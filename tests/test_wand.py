@@ -16,7 +16,7 @@ def test_pruned_equals_exhaustive(spark, index, query):
              bm25_topk(spark, index, query, k=10).collect()]
     pruned = [(r["doc_id"], r["score"]) for r in
               bm25_topk_pruned(spark, index, query, k=10, range_bits=6,
-                               probe_ranges=2).collect()]
+                               probe_ranges=2, prune_frac=1.1).collect()]
     assert [d for d, _ in pruned] == [d for d, _ in exact]
     for (pd_, ps), (ed, es) in zip(pruned, exact):
         assert math.isclose(ps, es, rel_tol=1e-12)
@@ -58,7 +58,8 @@ def test_pruned_many_ranges_no_driver_materialization(spark, index, max_mask):
              bm25_topk(spark, index, q, k=10).collect()]
     pruned = [(r["doc_id"], round(r["score"], 9)) for r in
               bm25_topk_pruned(spark, index, q, k=10, range_bits=0,
-                               probe_ranges=4, max_mask_ranges=max_mask)
+                               probe_ranges=4, max_mask_ranges=max_mask,
+                               prune_frac=1.1)
               .collect()]
     assert pruned == exact
 
@@ -72,5 +73,19 @@ def test_pruned_coarse_ranges(spark, index):
     exact = [r["doc_id"] for r in bm25_topk(spark, index, q, k=10).collect()]
     pruned = [r["doc_id"] for r in
               bm25_topk_pruned(spark, index, q, k=10, range_bits=9,
-                               probe_ranges=1).collect()]
+                               probe_ranges=1, prune_frac=1.1).collect()]
+    assert pruned == exact
+
+
+def test_pruned_default_fallback_identical(spark, index):
+    """Default prune_frac: on this flat-score corpus the surviving-fraction
+    fallback engages and must still return the identical top-k."""
+    from spidey_search_engine_spark.operators.search import bm25_topk
+    from spidey_search_engine_spark.operators.wand import bm25_topk_pruned
+    q = "merge sort hash parse"
+    exact = [(r["doc_id"], round(r["score"], 9)) for r in
+             bm25_topk(spark, index, q, k=10).collect()]
+    pruned = [(r["doc_id"], round(r["score"], 9)) for r in
+              bm25_topk_pruned(spark, index, q, k=10, range_bits=6,
+                               probe_ranges=2).collect()]
     assert pruned == exact
