@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -327,6 +328,42 @@ def multimodal_meta(spark, sf_dir):
                     F.sha2(bin_col, 256).alias("payload_sha"))
 
 
+def multimodal_png_decode(spark, sf_dir):
+    """REAL PNG decode as an oracle-paired entry (round-2 verdict #7 —
+    stub label removed for PNG): deterministic synthetic RGB PNGs
+    (pixel(r,c,ch) = (doc_id·31 + r·7 + c·3 + ch·11) mod 256, w=8+id%9,
+    h=8+id%7) are ENCODED to real PNG bytes (encode_png) and decoded back
+    through the production stdlib-zlib decoder (decode_png — zlib inflate
+    + scanline unfilter), then reduced to exact integer per-channel pixel
+    sums. DuckDB recomputes the sums from the same closed-form pixel rule
+    without ever seeing a PNG byte — so a decoder bug (wrong unfilter,
+    wrong stride, channel swap) breaks the hash match."""
+    from .operators.multimodal import decode_png, encode_png
+
+    def gen(batches):
+        import pandas as _pd
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 8 + i % 9, 8 + i % 7
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                k = np.arange(3)[None, None, :]
+                arr = ((i * 31 + r * 7 + c * 3 + k * 11) % 256) \
+                    .astype(np.uint8)
+                px = decode_png(encode_png(arr))
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append((i, w, h, int(s[0]), int(s[1]), int(s[2])))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "sum_r", "sum_g", "sum_b"])
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        gen, "doc_id long, width int, height int, "
+             "sum_r long, sum_g long, sum_b long")
+
+
 QUERIES = {
     "a1_term_freq": a1_term_freq,
     "a2_positions": a2_positions,
@@ -349,6 +386,7 @@ QUERIES = {
     "text_quality": text_quality,
     "lang_markers": lang_markers,
     "multimodal_meta": multimodal_meta,
+    "multimodal_png_decode": multimodal_png_decode,
 }
 
 _TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), "
@@ -555,6 +593,22 @@ FROM toks""",
 SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
        sha256(text) AS payload_sha
 FROM documents""",
+    "multimodal_png_decode": """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents
+), px AS (
+  SELECT d.doc_id, d.w, d.h, k.k,
+         ((d.doc_id*31 + r.r*7 + c.c*3 + k.k*11) % 256)::BIGINT AS v
+  FROM dims d
+  JOIN (SELECT unnest(generate_series(0, 13)) AS r) r ON r.r < d.h
+  JOIN (SELECT unnest(generate_series(0, 16)) AS c) c ON c.c < d.w
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k) k
+)
+SELECT doc_id, max(w)::INT AS width, max(h)::INT AS height,
+       sum(CASE WHEN k = 0 THEN v ELSE 0 END)::BIGINT AS sum_r,
+       sum(CASE WHEN k = 1 THEN v ELSE 0 END)::BIGINT AS sum_g,
+       sum(CASE WHEN k = 2 THEN v ELSE 0 END)::BIGINT AS sum_b
+FROM px GROUP BY doc_id""",
 }
 
 ORACLE_SQL["bm25_pruned_topk"] = ORACLE_SQL["bm25_topk_fixed"]
