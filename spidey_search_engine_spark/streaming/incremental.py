@@ -35,13 +35,21 @@ from ..operators.build import (DOCLEN_TERM, SENTINEL_PREFIX,
 def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
                         out_dir: str,
                         profile: str = "code", seg_bits: int = 10,
-                        n_buckets: int = 32, checkpoint: str | None = None):
+                        n_buckets: int = 32, checkpoint: str | None = None,
+                        publish_every: int | None = None):
     """Start a foreachBatch stream appending per-batch postings chunks.
 
     docs_stream must provide (doc_id, repo, path, commit, lang, content).
     Block-max metadata is avgdl-independent (max_tf/min_dl), so appended
     chunks stay valid as corpus-wide avgdl drifts. Returns the
-    StreamingQuery."""
+    StreamingQuery.
+
+    ``publish_every=N`` republishes terms/stats automatically after every N
+    non-empty micro-batches (G6 parity: the reference recomputes PageRank +
+    stats once per 500-page batch, Indexer.java:746-748) — idf/avgdl
+    freshness then lags at most N batches with no explicit publish_index
+    call. Left None, publishing stays manual (batch-append-then-publish)."""
+    batches_done = {"n": 0}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -70,6 +78,10 @@ def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
             "build_id string, chunk int, n_docs long, n_postings_rows long, "
             "wall_sec double, finished_at double") \
             .write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+        batches_done["n"] += 1
+        if publish_every and batches_done["n"] % publish_every == 0:
+            publish_index(batch_df.sparkSession, out_dir, profile=profile,
+                          seg_bits=seg_bits, n_buckets=n_buckets)
 
     writer = docs_stream.writeStream.foreachBatch(process) \
         .trigger(availableNow=True)

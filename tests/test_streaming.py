@@ -61,6 +61,38 @@ def test_stream_append_equals_batch(spark, corpus_pdf, tmp_path):
     assert got_b == got_s
 
 
+def test_stream_auto_publish_cadence(spark, corpus_pdf, tmp_path):
+    """publish_every=1: terms/stats are fresh after the stream drains with
+    NO explicit publish_index call (G6 parity — the reference republishes
+    per 500-page batch, Indexer.java:746-748)."""
+    from spidey_search_engine_spark.operators.build import prepare_docs
+    from spidey_search_engine_spark.plans.lineage import load_index_resumable
+    from spidey_search_engine_spark.streaming.incremental import \
+        append_index_stream
+
+    sub = corpus_pdf.head(128)
+    docs = prepare_docs(spark.createDataFrame(sub).repartition(4)).select(
+        "doc_id", "repo", "path", "commit", "lang", "content")
+    src = str(tmp_path / "arrivals2")
+    docs.filter("doc_id < 64").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id >= 64").coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "streamed2")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = append_index_stream(spark, stream, out_dir, profile="code",
+                            seg_bits=6, n_buckets=8,
+                            checkpoint=str(tmp_path / "ckpt2"),
+                            publish_every=1)
+    q.awaitTermination(120)
+    # NO publish_index here — the cadence inside foreachBatch did it
+    streamed = load_index_resumable(spark, out_dir)
+    assert int(streamed["stats"]["n_docs"]) == 128
+    # df over BOTH chunks is published (a term present in each half)
+    df_map = {r["term"]: r["df"] for r in streamed["terms"].collect()}
+    assert df_map.get("import", 0) > 64  # hot keyword spans both halves
+
+
 def test_windowed_counts_drop_late_events(spark, tmp_path):
     """Watermarked windowed agg: finalized windows emit once in append
     mode; an event arriving behind the watermark is dropped."""
