@@ -48,13 +48,32 @@ def build_skewed(spark, n_docs: int, idx_dir: str):
     from spidey_search_engine_spark.operators.build import build_index
     from spidey_search_engine_spark.sources.corpus import generate_corpus_df
 
-    corpus = generate_corpus_df(spark, n_docs, seed=7, partitions=32,
-                                with_doc_id=True)
+    base = os.environ.get("SKEW_BASE_CORPUS")
+    if base and os.path.exists(base):
+        # reuse a materialized corpus parquet (generation is pure-python
+        # and would otherwise re-run for every pass over the lineage);
+        # doc_id filter, NOT limit() — a global limit is a 1-task plan
+        corpus = spark.read.parquet(base).filter(F.col("doc_id") < n_docs)
+    else:
+        corpus = generate_corpus_df(spark, n_docs, seed=7, partitions=32,
+                                    with_doc_id=True)
     hot = " ".join(["merge sort"] * 25)
     corpus = corpus.withColumn(
         "content",
         F.when(F.col("doc_id") % 4096 == 0,
                F.concat_ws(" ", F.col("content"), F.lit(hot)))
+        .otherwise(F.col("content")))
+    # CLUSTERED mid-df term: one contiguous 25k-doc id span (the shape a
+    # real repo gives, since doc ids are assigned by (repo, path) order —
+    # a repo-local identifier lives in one doc-id neighborhood). This is
+    # what makes range pruning bite: ranges outside the span lack the
+    # term entirely, so their UB collapses to the hot term's ~zero idf.
+    lo, hi = n_docs // 2, n_docs // 2 + 25_000
+    corpus = corpus.withColumn(
+        "content",
+        F.when((F.col("doc_id") >= lo) & (F.col("doc_id") < hi),
+               F.concat_ws(" ", F.col("content"),
+                           F.lit("zetaclustermodule zetaclustermodule")))
         .otherwise(F.col("content")))
     build_index(spark, corpus, idx_dir, profile="code", seg_bits=10,
                 n_buckets=32)
@@ -68,6 +87,10 @@ def main() -> None:
     skew = os.environ.get("SKEW") == "1"
     if skew:
         idx_dir = os.environ.get("CROSSOVER_IDX", "/tmp/spidey_skew_idx")
+        # hot + clustered-term mixes: the query shapes WAND exists for
+        QUERIES.extend(["import zetaclustermodule",
+                        "zetaclustermodule merge sort",
+                        "zetaclustermodule return file"])
     else:
         idx_dir = os.environ.get("CROSSOVER_IDX", "/tmp/spidey_crossover_idx")
     rb = int(os.environ.get("RANGE_BITS", "8"))

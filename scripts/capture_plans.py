@@ -88,6 +88,22 @@ def main() -> None:
         "collect of the bound table.",
         capture(rows_p)))
 
+    # phrase two-pass decode: the positional (pass-2) scan must show the
+    # broadcast semi-join on `segment` pruning segments that contain no
+    # doc-set-intersection doc; the doc-level mask happens inside the
+    # decode kernel (driver-bounded literals)
+    rows_ph = S.phrase_posting_rows(idx, EQ.PHRASE)
+    sections.append((
+        "Phrase two-pass positional decode (gap-first intersection)",
+        "Look for: the bucket/term-pruned postings scan joined LeftSemi on "
+        "`segment` against the intersection-derived segment literals "
+        "(BroadcastExchange of a tiny LocalTableScan), THEN the "
+        "MapInPandas positional decode — segments without any "
+        "all-phrase-words doc never reach the decode kernel, and inside "
+        "surviving segments the kernel masks to intersection docs before "
+        "materializing position arrays.",
+        capture(rows_ph)))
+
     # ANN probe over the MATERIALIZED bucket-partitioned signature table
     # (round-2 verdict #1): the probe must reach the data through partition
     # pruning, never re-hash the embedding table per query
