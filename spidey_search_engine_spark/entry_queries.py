@@ -109,12 +109,14 @@ def bm25_topk_fixed(spark, sf_dir):
 
 def bm25_pruned_topk(spark, sf_dir):
     """Same oracle as bm25_topk_fixed — proves block-max pruning exactness
-    against an independent engine. Runs the production pruned path: bounded
-    probe collect, θ, surviving ranges as a DataFrame semi-joined into the
-    segment scan (never materialized driver-side)."""
+    against an independent engine. prune_frac=1.1 disables the
+    surviving-fraction fallback so the GENUINE pruning machinery (bounds →
+    probe → θ → surviving-range-restricted segment decode) is what the
+    oracle checks — on this flat-score corpus the default fallback would
+    silently route to the exhaustive scorer and prove nothing."""
     idx = entry_index(spark, sf_dir)
     out = W.bm25_topk_pruned_terms(spark, idx, QT, k=20, range_bits=6,
-                                   probe_ranges=2)
+                                   probe_ranges=2, prune_frac=1.1)
     return out.select("doc_id", _r(F.col("score")).alias("score_r"))
 
 

@@ -151,14 +151,22 @@ def _decode_image(payload: bytes, fake: bool):
     (JPEG etc.) remain stubbed: strict mode raises, test mode derives a
     deterministic fake from the payload digest."""
     if payload[:8] == PNG_SIG:
-        px = decode_png(payload)
-        if px.ndim == 2:
-            h, w = px.shape
-            feat = np.array([px.mean()], dtype=np.float32) / 255.0
+        try:
+            px = decode_png(payload)
+        except Exception:
+            # unsupported PNG flavor (palette/16-bit/interlaced) or corrupt
+            # bytes: strict mode surfaces it, fake mode keeps its original
+            # never-raises contract and falls through to the digest fake
+            if not fake:
+                raise
         else:
-            h, w, _ = px.shape
-            feat = px.mean(axis=(0, 1)).astype(np.float32) / 255.0
-        return w, h, feat
+            if px.ndim == 2:
+                h, w = px.shape
+                feat = np.array([px.mean()], dtype=np.float32) / 255.0
+            else:
+                h, w, _ = px.shape
+                feat = px.mean(axis=(0, 1)).astype(np.float32) / 255.0
+            return w, h, feat
     if not fake:
         raise NotImplementedError(
             "non-PNG image codec not available in this environment; "

@@ -486,11 +486,14 @@ def phrase_posting_rows(index: dict, phrase: list[str],
         surviving = pruned.join(seg_df, "segment", "left_semi")
         return _decode_posting_rows(surviving, with_positions=True,
                                     doc_filter=doc_filter)
+    # past the cap: restrict at segment granularity only — the doc-level
+    # refinement would re-evaluate the pass-1 lineage a third time, and
+    # phrase_match_counts already ignores docs missing any phrase word, so
+    # the extra same-segment rows cost shuffle bytes, not correctness
     seg_df = cand.select(
         F.shiftright("doc_id", seg_bits).alias("segment")).distinct()
     surviving = pruned.join(seg_df, "segment", "left_semi")
-    return _decode_posting_rows(surviving, with_positions=True) \
-        .join(cand, "doc_id", "left_semi")
+    return _decode_posting_rows(surviving, with_positions=True)
 
 
 # Two-pass phrase decode engages when it would skip position decoding for

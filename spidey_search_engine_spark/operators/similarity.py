@@ -151,6 +151,9 @@ def ann_topk_lsh(emb: DataFrame | None, query_vec: Sequence[float], dim: int,
             raise ValueError("need emb when no signatures table is given")
         sig = rhp_signatures(emb, dim, n_bits, seed, id_col, vec_col)
         cand_ids = sig.filter(F.col("bucket").isin(probes)).select("id")
+    if emb is None:
+        raise ValueError("need emb to rescore: the signatures table has no "
+                         "embedding column (write it with write_lsh_index)")
     cand = emb.join(cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi")
     return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
 
@@ -241,6 +244,9 @@ def ivf_topk(emb: DataFrame | None, centroids: np.ndarray,
             raise ValueError("need emb when no assignments table is given")
         cand_ids = ivf_assignments(emb, cent, id_col, vec_col) \
             .filter(F.col("cluster").isin(probes)).select("id")
+    if emb is None:
+        raise ValueError("need emb to rescore: the assignments table has no "
+                         "embedding column (write it with write_ivf_index)")
     cand = emb.join(cand_ids.withColumnRenamed("id", id_col), id_col,
                     "left_semi")
     return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -17,13 +17,15 @@ ranges by bound → threshold θ = k-th best exact score; every range with
 UB < θ cannot contain a top-k doc (each doc's score ≤ its range's UB → no
 false dismissals). Exactly score only surviving ranges.
 
-**The bound table never lands on the driver.** A hot term (`import` —
+**Nothing UNBOUNDED ever lands on the driver.** A hot term (`import` —
 stopwords stay in the index) touches every doc range: n_docs/2^range_bits
 rows, ~10⁹ at the 10¹²-file north star. So:
 
-* the probe set comes from ``orderBy(ub).limit(probe_ranges+1)`` — a
-  bounded collect of ≤ probe_ranges+1 rows (the +1 row only detects
-  whether pruning is vacuous);
+* when the whole bound table fits the ``max_mask_ranges`` driver cap
+  (metadata — 2^16 rows by default) it is collected ONCE and probe/θ/
+  fraction/surviving all derive from literals with zero extra jobs; past
+  the cap the probe set comes from ``orderBy(ub).limit(probe_ranges+1)``
+  — a bounded collect of ≤ probe_ranges+1 rows;
 * surviving ranges stay a DataFrame (``bounds.filter(ub >= θ)``) and reach
   the segment scan through an EQUI left-semi join on the derived segment id
   (ranges map to segments by a constant shift — no non-equi/broadcast-
@@ -53,13 +55,8 @@ from pyspark.sql import functions as F
 
 from ..functions.analysis import analyze_query
 from .build import B, K1, decode_segment_nopos
-from .search import EXPLODE_SCHEMA, _bucket_of, bm25_scores
-
-
-def _pruned_meta(postings: DataFrame, terms: list[str], n_buckets: int) -> DataFrame:
-    buckets = sorted({_bucket_of(t, n_buckets) for t in terms})
-    return postings.filter(F.col("bucket").isin(buckets)
-                           & F.col("term").isin(list(set(terms))))
+from .search import EXPLODE_SCHEMA, bm25_scores
+from .search import _pruned_postings as _pruned_meta
 
 
 def query_range_bounds(index: dict, q_terms: list[str],

@@ -44,12 +44,13 @@ def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
     chunks stay valid as corpus-wide avgdl drifts. Returns the
     StreamingQuery.
 
-    ``publish_every=N`` republishes terms/stats automatically after every N
-    non-empty micro-batches (G6 parity: the reference recomputes PageRank +
-    stats once per 500-page batch, Indexer.java:746-748) — idf/avgdl
-    freshness then lags at most N batches with no explicit publish_index
-    call. Left None, publishing stays manual (batch-append-then-publish)."""
-    batches_done = {"n": 0}
+    ``publish_every=N`` republishes terms/stats automatically at every Nth
+    micro-batch id (G6 parity: the reference recomputes PageRank + stats
+    once per 500-page batch, Indexer.java:746-748) — idf/avgdl freshness
+    then lags at most N batches. Cadence derives from the CHECKPOINTED
+    ``batch_id`` (``(batch_id+1) % N == 0``), not an in-memory counter, so
+    it survives driver restarts and foreachBatch at-least-once replays.
+    Left None, publishing stays manual (batch-append-then-publish)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -78,8 +79,7 @@ def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
             "build_id string, chunk int, n_docs long, n_postings_rows long, "
             "wall_sec double, finished_at double") \
             .write.mode("append").parquet(os.path.join(out_dir, "lineage"))
-        batches_done["n"] += 1
-        if publish_every and batches_done["n"] % publish_every == 0:
+        if publish_every and (int(batch_id) + 1) % publish_every == 0:
             publish_index(batch_df.sparkSession, out_dir, profile=profile,
                           seg_bits=seg_bits, n_buckets=n_buckets)
 
