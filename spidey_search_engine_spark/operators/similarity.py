@@ -199,6 +199,48 @@ def ivf_assignments(emb: DataFrame, centroids: np.ndarray,
     return emb.select(*cols)
 
 
+def ivf_train_kmeans(emb: DataFrame, k: int, n_iters: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Train the IVF coarse quantizer with Lloyd's k-means, Spark-native.
+
+    Init: the k vectors with the lowest ids (deterministic — no RNG, so
+    the same table always trains the same quantizer; at 100 TB pass a
+    pre-shuffled sample). Each iteration is one distributed pass: assign
+    via the vectorized nearest-centroid pandas UDF (ivf_assignments),
+    then new centroid = per-cluster mean via posexplode + hash agg —
+    a (cluster, dim-position) keyed avg, so no vector ever aggregates
+    through the driver; only the k×dim centroid matrix (index METADATA,
+    like the dictionary) is collected per iteration. Empty clusters keep
+    their previous centroid. Returns float64 (k, dim) centroids.
+
+    The oracle-paired entries keep the sampled-centroid quantizer
+    (SQL-expressible); this trainer is for real deployments and is pinned
+    against a pure-numpy Lloyd reference in tests instead."""
+    init_rows = (emb.select(id_col, vec_col)
+                 .orderBy(F.col(id_col).asc()).limit(k).collect())
+    if len(init_rows) < k:
+        raise ValueError(f"need >= {k} vectors to train k={k} centroids")
+    cent = np.array([[float(x) for x in r[vec_col]] for r in init_rows],
+                    dtype=np.float64)
+    dim = cent.shape[1]
+    for _ in range(n_iters):
+        asg = ivf_assignments(emb, cent, id_col, vec_col, keep_vec=True)
+        rows = (asg.select("cluster",
+                           F.posexplode("embedding").alias("pos", "v"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                .collect())
+        new = cent.copy()  # empty clusters keep their previous centroid
+        for r in rows:
+            new[int(r["cluster"]), int(r["pos"])] = float(r["m"])
+        if np.allclose(new, cent, rtol=0, atol=1e-12):
+            cent = new
+            break
+        cent = new
+    return cent
+
+
 def write_ivf_index(emb: DataFrame, centroids: np.ndarray, out_dir: str,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> None:

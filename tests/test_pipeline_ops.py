@@ -155,6 +155,43 @@ def test_ann_lsh_materialized_index(spark, emb_df, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan
 
 
+def test_ivf_kmeans_matches_numpy_lloyd(spark, emb_df):
+    """Spark-native Lloyd training must reproduce a pure-numpy reference
+    (same deterministic init, same assignment/update rules) and reduce
+    inertia; ivf_topk over the trained quantizer still finds the planted
+    neighbor."""
+    from spidey_search_engine_spark.operators.similarity import (
+        ivf_topk, ivf_train_kmeans)
+    df, vecs = emb_df
+    k, iters = 4, 4
+    got = ivf_train_kmeans(df, k=k, n_iters=iters)
+
+    v = vecs.astype(np.float64)
+    cent = v[:k].copy()  # same init: lowest k ids
+    for _ in range(iters):
+        d2 = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        asg = np.argmin(d2, axis=1)
+        new = cent.copy()
+        for c in range(k):
+            if (asg == c).any():
+                new[c] = v[asg == c].mean(axis=0)
+        if np.allclose(new, cent, rtol=0, atol=1e-12):
+            cent = new
+            break
+        cent = new
+    assert np.allclose(got, cent, atol=1e-9)
+
+    def inertia(c):
+        return float(((v[:, None, :] - c[None, :, :]) ** 2)
+                     .sum(axis=2).min(axis=1).sum())
+    assert inertia(got) <= inertia(v[:k]) + 1e-9
+
+    top = [r["id"] for r in
+           ivf_topk(df, got, vecs[3].astype(float), k=3, n_probe=2)
+           .collect()]
+    assert top[0] == 3 and 7 in top[:2]
+
+
 def test_ann_ivf_materialized_index(spark, emb_df, tmp_path):
     from spidey_search_engine_spark.operators.similarity import (
         ivf_topk, load_ivf_index, write_ivf_index)
