@@ -221,19 +221,24 @@ def ivf_train_kmeans(emb: DataFrame, k: int, n_iters: int = 5,
                  .orderBy(F.col(id_col).asc()).limit(k).collect())
     if len(init_rows) < k:
         raise ValueError(f"need >= {k} vectors to train k={k} centroids")
+    if len({len(r[vec_col]) for r in init_rows}) != 1:
+        raise ValueError("ragged embedding lengths in the init sample")
     cent = np.array([[float(x) for x in r[vec_col]] for r in init_rows],
                     dtype=np.float64)
-    dim = cent.shape[1]
     for _ in range(n_iters):
         asg = ivf_assignments(emb, cent, id_col, vec_col, keep_vec=True)
-        rows = (asg.select("cluster",
-                           F.posexplode("embedding").alias("pos", "v"))
-                .groupBy("cluster", "pos")
-                .agg(F.avg(F.col("v").cast("double")).alias("m"))
-                .collect())
+        # k*dim means land driver-side through ONE Arrow batch (toPandas),
+        # not k*dim Row objects — at k=4096, dim=1024 that is the
+        # difference between a pivot over 4.2M ndarray cells and tens of
+        # seconds of per-Row python.
+        means = (asg.select("cluster",
+                            F.posexplode("embedding").alias("pos", "v"))
+                 .groupBy("cluster", "pos")
+                 .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                 .toPandas())
         new = cent.copy()  # empty clusters keep their previous centroid
-        for r in rows:
-            new[int(r["cluster"]), int(r["pos"])] = float(r["m"])
+        new[means["cluster"].to_numpy(np.int64),
+            means["pos"].to_numpy(np.int64)] = means["m"].to_numpy(np.float64)
         if np.allclose(new, cent, rtol=0, atol=1e-12):
             cent = new
             break
