@@ -1329,6 +1329,42 @@ SELECT doc_id, CAST(round(s, 6) AS DOUBLE) AS score_r
 FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20"""
 
 
+def a7_compact_requery(spark, sf_dir):
+    """Chunked-append → compaction cycle, end to end: build the index in
+    128-doc chunks (plans/lineage.py — the incremental-append layout,
+    postings/chunk=<c>/bucket=<b>/), compact all chunks into one
+    term-sorted file set per bucket published as snapshot v2
+    (plans/snapshot.compact_postings), then run BM25 top-20 against the
+    COMPACTED snapshot — checked against the same from-scratch SQL oracle
+    as bm25_topk_fixed. Proves the re-layout is lossless: same scores,
+    same ranks, zero chunk dirs left on the query path."""
+    from .plans.lineage import build_index_resumable
+    from .plans.snapshot import (compact_postings, init_snapshots,
+                                 latest_version, load_snapshot)
+    out = entry_index_dir(sf_dir) + "_chunked"
+    if not os.path.exists(os.path.join(out, "stats")):
+        corpus = documents_as_corpus(spark, sf_dir)
+        build_index_resumable(spark, corpus, out, profile="simple",
+                              seg_bits=7, chunk_segments=1, n_buckets=8)
+    init_snapshots(out)
+    if latest_version(out) == 1:
+        compact_postings(spark, out)
+    idx = load_snapshot(spark, out)
+    assert "chunk" not in idx["postings_raw"].columns
+    rows = S.query_term_postings(idx["postings"], QT,
+                                 int(idx["stats"]["n_buckets"]))
+    scores = S.bm25_scores(rows, idx["terms"], float(idx["stats"]["avgdl"]),
+                           QT)
+    return (scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+            .select("doc_id", _r(F.col("score")).alias("score_r")))
+
+
+QUERIES["a7_compact_requery"] = a7_compact_requery
+
+# lossless re-layout ⇒ the plain from-scratch BM25 oracle must match
+ORACLE_SQL["a7_compact_requery"] = ORACLE_SQL["bm25_topk_fixed"]
+
+
 def crawl_frontier(spark, sf_dir):
     """S1/S2 crawl-loop analog, oracle-paired: BFS first-visit depths from
     seeds {0,1,2} over the deterministic lineitem-derived link graph (same

@@ -155,6 +155,65 @@ def publish_delete(spark: SparkSession, out_dir: str,
     return manifest
 
 
+def compact_postings(spark: SparkSession, out_dir: str,
+                     files_per_bucket: int = 1) -> dict:
+    """Compact a chunked postings tree into the fresh-build layout,
+    published copy-on-write as a new snapshot.
+
+    Incremental appends (streaming/incremental.py) and resumable builds
+    (plans/lineage.py) accumulate ``postings/chunk=<c>/bucket=<b>/part-*``:
+    after K appends every query-term probe opens K× the files, and
+    term-sorted locality holds only within one chunk. Compaction rewrites
+    all chunks into one range-laid-out, term-sorted file set per bucket —
+    the OPTIMIZE / rewrite_data_files of lakehouse table formats. The
+    reference never needs this because MySQL B-trees re-sort on every
+    insert (create_database.sql primary keys); that price is paid here
+    once per compaction instead of per write.
+
+    Pure re-layout, no posting-byte decode: chunk doc-id ranges are
+    segment-aligned (lineage.py:72 ``chunk_segments << seg_bits``; the
+    streaming append's disjoint-range contract, incremental.py:12-17), so
+    a (term, segment) row lives in exactly one chunk and concatenation IS
+    the merge. The range exchange samples (bucket, term, segment) — cheap
+    here because the input is materialized parquet, unlike merge_partials
+    where a sampling pass would re-run the tokenize lineage
+    (build.py:606-610). Output files then carry contiguous term ranges, so
+    a term-pushdown scan skips whole FILES on parquet footer min/max, not
+    just row groups.
+
+    terms/stats/docs are carried over from the parent snapshot unchanged —
+    shared immutable dirs; expire_snapshots reclaims them only when no
+    live manifest references them. Requires published stats (run the
+    build's publish or streaming publish_index first). Readers pinned to
+    the parent snapshot are untouched. Returns the new manifest."""
+    cur = init_snapshots(out_dir)
+    stats = spark.read.json(
+        os.path.join(out_dir, cur["stats"])).collect()[0].asDict()
+    src = os.path.join(out_dir, cur["postings"])
+    raw = spark.read.option("basePath", src).parquet(src)
+    if "chunk" in raw.columns:
+        raw = raw.drop("chunk")
+    n_buckets = int(stats["n_buckets"])
+    # +1: single-dir builds keep DOCLEN/DOCSHA sentinels in bucket n_buckets
+    n_out = max(1, int(files_per_bucket)) * (n_buckets + 1)
+    compacted = (raw.repartitionByRange(n_out, "bucket", "term", "segment")
+                 .sortWithinPartitions("bucket", "term", "segment"))
+    new_v = int(cur["version"]) + 1
+    vdir = os.path.join(out_dir, f"v{new_v}")
+    (compacted.write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(vdir, "postings")))
+    manifest = {"version": new_v,
+                "postings": f"v{new_v}/postings",
+                "terms": cur["terms"],
+                "stats": cur["stats"],
+                "docs": cur["docs"],
+                "parent": int(cur["version"]),
+                "compacted_from": int(cur["version"]),
+                "created_at": time.time()}
+    _write_manifest(out_dir, manifest)
+    return manifest
+
+
 def expire_snapshots(out_dir: str, keep_last: int = 2) -> list[int]:
     """Drop data dirs of snapshots older than the newest `keep_last`
     versions (never the latest). Explicit, like Iceberg's

@@ -55,6 +55,65 @@ def test_snapshot_pinned_reader_unchanged_across_publish(spark, snap_dir):
     assert pinned == before
 
 
+def _parquet_files(root):
+    return [os.path.join(d, f) for d, _, fs in os.walk(root)
+            for f in fs if f.endswith(".parquet")]
+
+
+def test_compact_postings_relayouts_chunked_index(spark, corpus_pdf,
+                                                  tmp_path_factory):
+    """Compaction over a many-chunk resumable build: results identical at
+    the new snapshot, file count strictly reduced, chunk dirs gone from the
+    compacted tree, parent snapshot still readable (pinned readers)."""
+    from spidey_search_engine_spark.operators.search import bm25_topk
+    from spidey_search_engine_spark.plans.lineage import build_index_resumable
+    from spidey_search_engine_spark.plans.snapshot import (compact_postings,
+                                                           init_snapshots,
+                                                           load_snapshot)
+    out = str(tmp_path_factory.mktemp("compactidx"))
+    corpus = spark.createDataFrame(corpus_pdf).repartition(4)
+    # seg_bits=4, chunk_segments=2 → 32-doc chunks → many chunk dirs
+    build_index_resumable(spark, corpus, out, profile="code", seg_bits=4,
+                          chunk_segments=2, n_buckets=4)
+    m1 = init_snapshots(out)
+    n_chunks = len([d for d in os.listdir(os.path.join(out, "postings"))
+                    if d.startswith("chunk=")])
+    assert n_chunks >= 3
+    files_before = _parquet_files(os.path.join(out, "postings"))
+
+    s1 = load_snapshot(spark, out)
+    q = "merge sort data"
+    before = [(r["doc_id"], round(r["score"], 10)) for r in
+              bm25_topk(spark, s1, q, k=10).collect()]
+    assert before
+
+    m2 = compact_postings(spark, out, files_per_bucket=1)
+    assert m2["version"] == m1["version"] + 1
+    assert m2["compacted_from"] == m1["version"]
+    assert m2["terms"] == m1["terms"] and m2["docs"] == m1["docs"]
+
+    files_after = _parquet_files(os.path.join(out, m2["postings"]))
+    assert len(files_after) < len(files_before)
+    assert not any("chunk=" in f for f in files_after)
+
+    s2 = load_snapshot(spark, out)
+    assert s2["snapshot_version"] == m2["version"]
+    after = [(r["doc_id"], round(r["score"], 10)) for r in
+             bm25_topk(spark, s2, q, k=10).collect()]
+    assert after == before
+
+    # total row identity, not just the top-k window
+    tot_before = s1["postings_raw"].count()
+    tot_after = s2["postings_raw"].count()
+    assert tot_after == tot_before
+
+    # parent snapshot stays pinned and identical mid-compaction-era
+    s1b = load_snapshot(spark, out, version=m1["version"])
+    pinned = [(r["doc_id"], round(r["score"], 10)) for r in
+              bm25_topk(spark, s1b, q, k=10).collect()]
+    assert pinned == before
+
+
 def test_expire_snapshots_reclaims_old_versions(spark, snap_dir):
     from spidey_search_engine_spark.operators.search import bm25_topk
     from spidey_search_engine_spark.plans.snapshot import (expire_snapshots,
