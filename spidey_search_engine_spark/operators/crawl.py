@@ -31,8 +31,43 @@ identical visit set and depths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _cap_lowest_ids(nxt: DataFrame, cap: int) -> DataFrame:
+    """The lowest-`cap` ids of `nxt` WITHOUT a global single-task sort.
+
+    ``orderBy(id).limit(cap)`` funnels the whole wave through one task —
+    fine at test scale, a straggler at a 10^9-node frontier. Same two-pass
+    shape as the doc-id assigner (build.py:94-103): range-partition by id;
+    pass 1 collects one row count per partition (≤ n longs); pass 2 sorts
+    each partition locally (row_number window keyed on the pinned _pid) and
+    keeps rows whose partition offset + within-partition rank is
+    ≤ cap. Ids are distinct here, so the kept SET is exactly the
+    orderBy/limit set; every task handles one id range, none handles the
+    whole frontier."""
+    n = nxt.sparkSession.sparkContext.defaultParallelism
+    ordered = (nxt.repartitionByRange(n, "id")
+               .withColumn("_pid", F.spark_partition_id())
+               .localCheckpoint())  # pin partitioning across both passes
+    counts = {int(r["_pid"]): int(r["cnt"]) for r in
+              ordered.groupBy("_pid").agg(F.count("*").alias("cnt"))
+              .collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if acc <= cap:
+        return ordered.drop("_pid")
+    keep = [pid for pid in sorted(counts) if offsets[pid] < cap]
+    off = F.create_map(
+        *[F.lit(v) for pid in keep for v in (pid, offsets[pid])])
+    w = Window.partitionBy("_pid").orderBy("id")
+    return (ordered.filter(F.col("_pid").isin(keep))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(off[F.col("_pid")] + F.col("_rn") <= cap)
+            .drop("_pid", "_rn"))
 
 
 def bfs_frontier(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
@@ -52,7 +87,7 @@ def bfs_frontier(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
                .select(F.col("dst").alias("id")).distinct()
                .join(visited.select("id"), "id", "left_anti"))
         if frontier_cap is not None:
-            nxt = nxt.orderBy("id").limit(frontier_cap)
+            nxt = _cap_lowest_ids(nxt, frontier_cap)
         nxt = nxt.withColumn("depth", F.lit(d)).localCheckpoint()
         if not nxt.head(1):
             break
@@ -83,7 +118,7 @@ def crawl_corpus(spark: SparkSession, corpus: DataFrame, seed_paths: list[str],
         nxt = (links.select(F.col("dst_doc_id").alias("id")).distinct()
                .join(visited.select("id"), "id", "left_anti"))
         if frontier_cap is not None:
-            nxt = nxt.orderBy("id").limit(frontier_cap)
+            nxt = _cap_lowest_ids(nxt, frontier_cap)
         nxt = nxt.withColumn("depth", F.lit(d)).localCheckpoint()
         if not nxt.head(1):
             break

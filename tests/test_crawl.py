@@ -39,6 +39,20 @@ def test_bfs_frontier_matches_oracle(spark):
         assert got == _bfs_oracle(edges, [0], 4, cap)
 
 
+def test_cap_lowest_ids_equals_global_sort_limit(spark):
+    """The distributed rank-over-range cap keeps EXACTLY the
+    orderBy(id).limit(cap) set — including cap ≥ n, cap splitting a range
+    partition, and an empty input."""
+    from spidey_search_engine_spark.operators.crawl import _cap_lowest_ids
+    ids = [(i * 37) % 101 for i in range(101)]  # permutation of 0..100
+    df = spark.createDataFrame([(i,) for i in ids], "id long").repartition(7)
+    for cap in (1, 5, 33, 100, 101, 500):
+        got = {r["id"] for r in _cap_lowest_ids(df, cap).collect()}
+        assert got == set(sorted(ids)[:cap]), cap
+    empty = df.filter(F.col("id") < 0)
+    assert _cap_lowest_ids(empty, 10).count() == 0
+
+
 def test_crawl_corpus_matches_link_graph_bfs(spark, corpus_pdf):
     from spidey_search_engine_spark.operators.build import prepare_docs
     from spidey_search_engine_spark.operators.crawl import crawl_corpus
