@@ -124,6 +124,35 @@ def main() -> None:
         "table appears anywhere in the plan.",
         capture(ann)))
 
+    # compacted chunked index (plans/snapshot.compact_postings): the same
+    # Q1 probe over the post-compaction snapshot — one term-sorted file set
+    # per bucket instead of per-chunk-per-bucket small files
+    from spidey_search_engine_spark.plans.snapshot import (load_snapshot,
+                                                           read_manifest)
+    cdir = EQ.entry_index_dir(sf_dir) + "_chunked"
+    if os.path.exists(os.path.join(cdir, "snapshots")):
+        def _nfiles(root: str) -> int:
+            return sum(1 for d, _, fs in os.walk(root)
+                       for f in fs if f.endswith(".parquet"))
+        m = read_manifest(cdir)
+        n_chunked = _nfiles(os.path.join(cdir, "postings"))
+        n_compact = _nfiles(os.path.join(cdir, m["postings"]))
+        sidx = load_snapshot(spark, cdir)
+        rows_c = S.query_term_postings(sidx["postings"], EQ.QT,
+                                       int(sidx["stats"]["n_buckets"]))
+        sections.append((
+            "Query-term probe AFTER postings compaction (chunked appends "
+            "re-laid-out)",
+            f"Measured at capture time: the chunked tree holds {n_chunked} "
+            f"parquet files (postings/chunk=*/bucket=*); the compacted "
+            f"snapshot ({m['postings']}) holds {n_compact}. Look for: the "
+            "FileScan reading the v-dir (no chunk= partition column "
+            "anywhere in the plan), PartitionFilters on `bucket`, "
+            "PushedFilters `term IN (...)` — with the range re-layout each "
+            "file carries a contiguous term range, so the footer min/max "
+            "skips whole files, not just row groups.",
+            capture(rows_c)))
+
     out = ["# PLANS — physical-plan evidence (generated by "
            "scripts/capture_plans.py)", ""]
     for title, what, plan in sections:
