@@ -43,8 +43,8 @@ QUERIES = {
 
 
 def _parquet_files(root: str) -> int:
-    return sum(1 for d, _, fs in os.walk(root)
-               for f in fs if f.endswith(".parquet"))
+    from spidey_search_engine_spark.plans.snapshot import parquet_file_count
+    return parquet_file_count(root)
 
 
 def _run_queries(spark, idx) -> dict[str, float]:

@@ -127,16 +127,18 @@ def main() -> None:
     # compacted chunked index (plans/snapshot.compact_postings): the same
     # Q1 probe over the post-compaction snapshot — one term-sorted file set
     # per bucket instead of per-chunk-per-bucket small files
-    from spidey_search_engine_spark.plans.snapshot import (load_snapshot,
-                                                           read_manifest)
+    from spidey_search_engine_spark.plans.snapshot import (
+        load_snapshot, parquet_file_count, read_manifest)
     cdir = EQ.entry_index_dir(sf_dir) + "_chunked"
-    if os.path.exists(os.path.join(cdir, "snapshots")):
-        def _nfiles(root: str) -> int:
-            return sum(1 for d, _, fs in os.walk(root)
-                       for f in fs if f.endswith(".parquet"))
+    # compacted_from guards against a half-staged dir (init_snapshots ran
+    # but compact_postings didn't): then LATEST would still point at the
+    # chunked v1 and this section would "document" evidence the captured
+    # plan itself contradicts.
+    if (os.path.exists(os.path.join(cdir, "snapshots"))
+            and read_manifest(cdir).get("compacted_from") is not None):
         m = read_manifest(cdir)
-        n_chunked = _nfiles(os.path.join(cdir, "postings"))
-        n_compact = _nfiles(os.path.join(cdir, m["postings"]))
+        n_chunked = parquet_file_count(os.path.join(cdir, "postings"))
+        n_compact = parquet_file_count(os.path.join(cdir, m["postings"]))
         sidx = load_snapshot(spark, cdir)
         rows_c = S.query_term_postings(sidx["postings"], EQ.QT,
                                        int(sidx["stats"]["n_buckets"]))

@@ -35,18 +35,32 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _cap_lowest_ids(nxt: DataFrame, cap: int) -> DataFrame:
+_TOPK_CAP_THRESHOLD = 10_000
+
+
+def _cap_lowest_ids(nxt: DataFrame, cap: int,
+                    two_pass_threshold: int = _TOPK_CAP_THRESHOLD
+                    ) -> DataFrame:
     """The lowest-`cap` ids of `nxt` WITHOUT a global single-task sort.
 
-    ``orderBy(id).limit(cap)`` funnels the whole wave through one task —
-    fine at test scale, a straggler at a 10^9-node frontier. Same two-pass
-    shape as the doc-id assigner (build.py:94-103): range-partition by id;
-    pass 1 collects one row count per partition (≤ n longs); pass 2 sorts
-    each partition locally (row_number window keyed on the pinned _pid) and
-    keeps rows whose partition offset + within-partition rank is
-    ≤ cap. Ids are distinct here, so the kept SET is exactly the
-    orderBy/limit set; every task handles one id range, none handles the
-    whole frontier."""
+    Small caps (< `two_pass_threshold`) keep the lazy ``orderBy(id).
+    limit(cap)`` — Spark plans it as TakeOrderedAndProject (per-partition
+    top-cap heaps merged once over ≤ n_partitions×cap rows), so no task
+    ever holds the whole frontier and the wave stays one job. The
+    reference's own cap is 6000 (Crawler.java:44), i.e. this path.
+
+    Above the threshold the top-k merge itself gets heavy, so: same
+    two-pass shape as the doc-id assigner (build.py:94-103) —
+    range-partition by id; pass 1 collects one row count per partition
+    (≤ n longs); pass 2 sorts each partition locally (row_number window
+    keyed on the pinned _pid) and keeps rows whose partition offset +
+    within-partition rank is ≤ cap. Ids are distinct here, so the kept
+    SET is exactly the orderBy/limit set; every task handles one id
+    range, none handles the whole frontier. (Costs an eager
+    localCheckpoint of the wave + a counts collect — why it is reserved
+    for caps where the single merge would actually hurt.)"""
+    if cap < two_pass_threshold:
+        return nxt.orderBy("id").limit(cap)
     n = nxt.sparkSession.sparkContext.defaultParallelism
     ordered = (nxt.repartitionByRange(n, "id")
                .withColumn("_pid", F.spark_partition_id())

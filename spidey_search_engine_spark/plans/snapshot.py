@@ -41,6 +41,14 @@ def _snap_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "snapshots")
 
 
+def parquet_file_count(root: str) -> int:
+    """Recursive count of .parquet data files under `root` — the
+    before/after metric of `compact_postings` (shared by its test, the
+    plan capture, and scripts/bench_compaction.py)."""
+    return sum(1 for _, _, fs in os.walk(root)
+               for f in fs if f.endswith(".parquet"))
+
+
 def latest_version(out_dir: str) -> int | None:
     try:
         with open(os.path.join(_snap_dir(out_dir), "LATEST")) as f:
@@ -119,6 +127,19 @@ def publish_delete(spark: SparkSession, out_dir: str,
     n_buckets = int(stats["n_buckets"])
     seg_bits = int(stats["seg_bits"])
     raw = spark.read.parquet(os.path.join(out_dir, cur["postings"]))
+
+    # Chunked/streaming appends strip the DOCLEN/DOCSHA sentinel rows
+    # (lineage.py filters bucket == n_buckets out of resumable chunks);
+    # stats republish below derives n_docs/avgdl FROM those sentinels, so
+    # without them it would silently publish n_docs=0/avgdl=0. Fail loudly
+    # before writing anything instead.
+    if not raw.filter(F.col("bucket") == n_buckets).head(1):
+        raise ValueError(
+            f"{out_dir}: snapshot v{cur['version']} has no sentinel rows "
+            "(bucket == n_buckets) — chunked/streaming appends strip "
+            "them, so stats cannot be republished after a delete. "
+            "Publish stats from the source corpus (streaming "
+            "publish_index) or rebuild with build_index first.")
 
     new_v = int(cur["version"]) + 1
     vdir = os.path.join(out_dir, f"v{new_v}")

@@ -47,10 +47,15 @@ def test_cap_lowest_ids_equals_global_sort_limit(spark):
     ids = [(i * 37) % 101 for i in range(101)]  # permutation of 0..100
     df = spark.createDataFrame([(i,) for i in ids], "id long").repartition(7)
     for cap in (1, 5, 33, 100, 101, 500):
-        got = {r["id"] for r in _cap_lowest_ids(df, cap).collect()}
+        # two_pass_threshold=0 forces the rank-over-range path; the default
+        # would route these small caps to the lazy TakeOrderedAndProject
+        got = {r["id"] for r in
+               _cap_lowest_ids(df, cap, two_pass_threshold=0).collect()}
         assert got == set(sorted(ids)[:cap]), cap
+        lazy = {r["id"] for r in _cap_lowest_ids(df, cap).collect()}
+        assert lazy == got, cap
     empty = df.filter(F.col("id") < 0)
-    assert _cap_lowest_ids(empty, 10).count() == 0
+    assert _cap_lowest_ids(empty, 10, two_pass_threshold=0).count() == 0
 
 
 def test_crawl_corpus_matches_link_graph_bfs(spark, corpus_pdf):

@@ -113,6 +113,15 @@ def test_compact_postings_relayouts_chunked_index(spark, corpus_pdf,
               bm25_topk(spark, s1b, q, k=10).collect()]
     assert pinned == before
 
+    # chunked builds strip DOCLEN/DOCSHA sentinels, so a stats-republishing
+    # delete on this tree must refuse loudly rather than publish
+    # n_docs=0/avgdl=0 stats
+    from spidey_search_engine_spark.plans.snapshot import publish_delete
+    with pytest.raises(ValueError, match="sentinel"):
+        publish_delete(spark, out, [before[0][0]])
+    # and the failed publish left no new snapshot behind
+    assert load_snapshot(spark, out)["snapshot_version"] == m2["version"]
+
 
 def test_expire_snapshots_reclaims_old_versions(spark, snap_dir):
     from spidey_search_engine_spark.operators.search import bm25_topk
