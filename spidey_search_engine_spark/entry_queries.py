@@ -366,6 +366,42 @@ def multimodal_png_decode(spark, sf_dir):
              "sum_r long, sum_g long, sum_b long")
 
 
+def multimodal_wav_decode(spark, sf_dir):
+    """REAL WAV decode as an oracle-paired entry (stub label removed for
+    WAV, mirroring multimodal_png_decode): deterministic synthetic PCM16
+    mono fixtures (sr cycles {8000,16000,22050,44100} by doc_id%4,
+    n = 500 + (doc_id%37)·16 samples, s[t] = (doc_id·7 + t·13) mod 2003
+    − 1001) are ENCODED to real RIFF/WAVE bytes (encode_wav) and decoded
+    back through the production stdlib-struct decoder (decode_wav), then
+    reduced to exact integers: decoded sample rate, sample count, raw PCM
+    sum, byte length. DuckDB recomputes all four from the closed-form rule
+    without ever seeing a WAV byte — a header-parse or sample-decode bug
+    breaks the hash match."""
+    from .operators.multimodal import decode_wav, encode_wav
+
+    def gen(batches):
+        import pandas as _pd
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                sr = (8000, 16000, 22050, 44100)[i % 4]
+                n = 500 + (i % 37) * 16
+                t = np.arange(n, dtype=np.int64)
+                s = ((i * 7 + t * 13) % 2003 - 1001).astype(np.int16)
+                wav = encode_wav(s, sr)
+                dsr, _bits, raw = decode_wav(wav)
+                rows.append((i, int(dsr), int(raw.shape[0]),
+                             int(raw.sum()), len(wav)))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "n_samples", "pcm_sum", "n_bytes"])
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        gen, "doc_id long, sample_rate int, n_samples long, "
+             "pcm_sum long, n_bytes long")
+
+
 QUERIES = {
     "a1_term_freq": a1_term_freq,
     "a2_positions": a2_positions,
@@ -389,6 +425,7 @@ QUERIES = {
     "lang_markers": lang_markers,
     "multimodal_meta": multimodal_meta,
     "multimodal_png_decode": multimodal_png_decode,
+    "multimodal_wav_decode": multimodal_wav_decode,
 }
 
 _TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), "
@@ -611,6 +648,21 @@ SELECT doc_id, max(w)::INT AS width, max(h)::INT AS height,
        sum(CASE WHEN k = 1 THEN v ELSE 0 END)::BIGINT AS sum_g,
        sum(CASE WHEN k = 2 THEN v ELSE 0 END)::BIGINT AS sum_b
 FROM px GROUP BY doc_id""",
+    "multimodal_wav_decode": """
+WITH g AS (
+  SELECT doc_id,
+         (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 22050 ELSE 44100 END) AS sr,
+         500 + (doc_id % 37) * 16 AS n
+  FROM documents
+), s AS (
+  SELECT g.doc_id, g.sr, g.n,
+         ((g.doc_id * 7 + t.t * 13) % 2003) - 1001 AS v
+  FROM g JOIN (SELECT unnest(generate_series(0, 1075)) AS t) t ON t.t < g.n
+)
+SELECT doc_id, max(sr)::INT AS sample_rate, max(n)::BIGINT AS n_samples,
+       sum(v)::BIGINT AS pcm_sum, (44 + 2 * max(n))::BIGINT AS n_bytes
+FROM s GROUP BY doc_id""",
 }
 
 ORACLE_SQL["bm25_pruned_topk"] = ORACLE_SQL["bm25_topk_fixed"]

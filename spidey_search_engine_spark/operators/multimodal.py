@@ -9,11 +9,16 @@ signatures. Kernel status:
   payload decodes to true dims + per-channel mean features with no codec
   library. A minimal encoder (``encode_png``) exists for generating
   deterministic test fixtures.
-* JPEG/audio/video kernels remain STUBBED — the container has no libjpeg/
-  libsndfile — behind ``_decode_image``/``audio_features``: strict mode
-  raises NotImplementedError, test mode produces a deterministic fake
-  derived from the payload digest, so the pipeline shape is exercisable
-  end-to-end without the codec.
+* **WAV decode is REAL** (stdlib struct RIFF parse: PCM 8/16-bit, any
+  channel count, mono downmix) and the MFCC feature is REAL numpy DSP
+  (hann framing → rfft power spectrum → triangular mel filterbank →
+  log → orthonormal DCT-II) — no librosa/scipy needed. A minimal
+  ``encode_wav`` exists for deterministic fixtures.
+* JPEG/compressed-audio/video kernels remain STUBBED — the container has
+  no libjpeg/libsndfile — behind ``_decode_image``/``_decode_audio``:
+  strict mode raises NotImplementedError, test mode produces a
+  deterministic fake derived from the payload digest, so the pipeline
+  shape is exercisable end-to-end without the codec.
 """
 
 from __future__ import annotations
@@ -249,6 +254,104 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
         gen, schema=RESIZED_SCHEMA)
 
 
+WAV_RIFF, WAV_WAVE = b"RIFF", b"WAVE"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal PCM16 WAV writer: int16 array (n,) mono or (n, ch) —
+    standard 44-byte header + little-endian frames. Valid per the RIFF/WAVE
+    spec; enough for deterministic fixtures any real decoder opens."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    payload = a.astype("<i2").tobytes()
+    block_align = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                      sample_rate * block_align, block_align, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return WAV_RIFF + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Real WAV decoder: stdlib struct RIFF chunk walk, PCM (format 1)
+    8-bit unsigned / 16-bit signed, any channel count. Returns
+    (sample_rate, bits, samples) with samples int32 of shape (n, ch) —
+    raw integer amplitudes (8-bit re-centered to signed), no
+    normalization."""
+    if data[:4] != WAV_RIFF or data[8:12] != WAV_WAVE:
+        raise ValueError("not a WAV payload")
+    pos = 12
+    sr = bits = ch = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, ch, sr, _, _, bits = struct.unpack("<HHIIHH",
+                                                          body[:16])
+            if audio_fmt != 1 or bits not in (8, 16):
+                raise NotImplementedError(
+                    f"WAV format={audio_fmt} bits={bits} not supported "
+                    "(PCM 8/16-bit only)")
+        elif tag == b"data":
+            pcm = body
+    if sr is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        raw = np.frombuffer(pcm[:len(pcm) - (len(pcm) % (2 * ch))],
+                            dtype="<i2").astype(np.int32)
+    else:
+        raw = np.frombuffer(pcm[:len(pcm) - (len(pcm) % ch)],
+                            dtype=np.uint8).astype(np.int32) - 128
+    return sr, bits, raw.reshape(-1, ch)
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mfcc_features(signal: np.ndarray, sr: int, n_mfcc: int = 13,
+                  frame: int = 512, hop: int = 256,
+                  n_mels: int = 26) -> np.ndarray:
+    """Real MFCCs in pure numpy: hann-windowed frames → rfft power
+    spectrum → triangular mel filterbank (0..sr/2) → log → orthonormal
+    DCT-II, averaged over frames → (n_mfcc,) float32. Deterministic for a
+    given payload; no scipy/librosa."""
+    x = np.asarray(signal, dtype=np.float64)
+    if len(x) < frame:
+        x = np.pad(x, (0, frame - len(x)))
+    n_frames = 1 + (len(x) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(frame)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2 / frame
+
+    n_bins = frame // 2 + 1
+    mel_pts = _mel_to_hz(np.linspace(_hz_to_mel(0.0), _hz_to_mel(sr / 2.0),
+                                     n_mels + 2))
+    bin_hz = np.arange(n_bins) * sr / frame
+    fb = np.zeros((n_mels, n_bins))
+    for m in range(n_mels):
+        lo, mid, hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
+        up = (bin_hz - lo) / max(mid - lo, 1e-12)
+        down = (hi - bin_hz) / max(hi - mid, 1e-12)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    logmel = np.log(power @ fb.T + 1e-10)
+
+    k = np.arange(n_mfcc)[:, None]
+    n = np.arange(n_mels)[None, :]
+    dct = np.sqrt(2.0 / n_mels) * np.cos(np.pi * (n + 0.5) * k / n_mels)
+    dct[0] /= np.sqrt(2.0)
+    return (logmel @ dct.T).mean(axis=0).astype(np.float32)
+
+
 AUDIO_META_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("n_bytes", LongType()),
@@ -258,26 +361,50 @@ AUDIO_META_SCHEMA = StructType([
 ])
 
 
+def _decode_audio(payload: bytes, fake: bool):
+    """WAV payloads decode for REAL (decode_wav + mfcc_features — stdlib
+    struct + numpy DSP, no codec libs): true sample rate, duration and
+    13 real MFCCs. Other formats (mp3/flac/ogg) remain stubbed: strict
+    mode raises, test mode derives a deterministic fake from the payload
+    digest."""
+    if payload[:4] == WAV_RIFF and payload[8:12] == WAV_WAVE:
+        try:
+            sr, bits, raw = decode_wav(payload)
+        except Exception:
+            # unsupported WAV flavor (float/24-bit PCM) or corrupt bytes:
+            # strict mode surfaces it, fake mode keeps its never-raises
+            # contract and falls through to the digest fake
+            if not fake:
+                raise
+        else:
+            mono = raw.mean(axis=1) / float(1 << (bits - 1))
+            dur = raw.shape[0] / float(sr)
+            return sr, dur, mfcc_features(mono, sr)
+    if not fake:
+        raise NotImplementedError(
+            "non-WAV audio codec not available in this environment; "
+            "run with fake=True for pipeline testing")
+    h = hashlib.sha256(payload).digest()
+    sr = (8000, 16000, 22050, 44100)[h[2] % 4]
+    dur = len(payload) / float(sr)
+    feat = (np.frombuffer(h, dtype=np.uint8)[:13]
+            .astype(np.float32) / 255.0 - 0.5)
+    return sr, dur, feat
+
+
 def audio_features(df: DataFrame, payload_col: str = "payload",
                    id_col: str = "doc_id", fake: bool = True) -> DataFrame:
-    """Audio decode+featurize plumbing (STUB kernel — real impl:
-    soundfile/librosa): sample rate/duration + a 13-dim MFCC-shaped
-    feature vector, deterministically faked from the payload digest."""
+    """Audio decode+featurize over mapInPandas: WAV decodes for real
+    (sample rate/duration from the RIFF header, 13 numpy MFCCs);
+    compressed formats stay stubbed behind `fake` (see _decode_audio)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
-                if not fake:
-                    raise NotImplementedError(
-                        "audio codec not available in this environment")
-                h = hashlib.sha256(data).digest()
-                sr = (8000, 16000, 22050, 44100)[h[2] % 4]
-                dur = len(data) / float(sr)
-                mfcc = (np.frombuffer(h, dtype=np.uint8)[:13]
-                        .astype(np.float32) / 255.0 - 0.5)
-                rows.append((int(doc_id), len(data), sr, dur,
+                sr, dur, mfcc = _decode_audio(data, fake)
+                rows.append((int(doc_id), len(data), int(sr), float(dur),
                              [float(x) for x in mfcc]))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               AUDIO_META_SCHEMA.fields])

@@ -464,3 +464,128 @@ def test_multimodal_resize_and_audio(spark):
                (8000, 16000, 22050, 44100) for r in au.values())
     with _pytest.raises(Exception):
         audio_features(bin_df, fake=False).collect()
+
+
+def test_wav_roundtrip_and_8bit_decode():
+    """encode_wav → decode_wav must round-trip PCM16 mono/stereo exactly;
+    the 8-bit path is checked against a hand-built RIFF stream (spec
+    layout, not the encoder's code); unsupported formats raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from spidey_search_engine_spark.operators.multimodal import (
+        decode_wav, encode_wav)
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    mono = rng.integers(-32768, 32768, size=777, dtype=np.int16)
+    sr, bits, raw = decode_wav(encode_wav(mono, 22050))
+    assert (sr, bits) == (22050, 16)
+    assert np.array_equal(raw[:, 0], mono.astype(np.int32))
+
+    stereo = rng.integers(-32768, 32768, size=(300, 2), dtype=np.int16)
+    sr, bits, raw = decode_wav(encode_wav(stereo, 8000))
+    assert (sr, bits, raw.shape) == (8000, 16, (300, 2))
+    assert np.array_equal(raw, stereo.astype(np.int32))
+
+    # hand-built 8-bit unsigned mono WAV with an ODD data chunk (word
+    # alignment padding must be honored by the chunk walk)
+    samples8 = rng.integers(0, 256, size=333, dtype=np.uint8)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 8)
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 333) + samples8.tobytes() + b"\x00"
+            + extra)
+    wav8 = b"RIFF" + struct.pack("<I", len(body)) + body
+    sr, bits, raw = decode_wav(wav8)
+    assert (sr, bits) == (16000, 8)
+    assert np.array_equal(raw[:, 0], samples8.astype(np.int32) - 128)
+
+    # float PCM (format 3) must refuse, not mis-decode
+    fmt3 = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    bad = (b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+           + struct.pack("<I", len(fmt3)) + fmt3
+           + b"data" + struct.pack("<I", 0))
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bad)
+    with _pytest.raises(ValueError):
+        decode_wav(b"not a wav at all")
+
+
+def test_mfcc_matches_independent_reference():
+    """mfcc_features vs an independently-written reference (explicit DFT
+    sums per bin, loop-built mel triangles, loop DCT — spec formulas, none
+    of the kernel's code), plus tone-discrimination sanity."""
+    from spidey_search_engine_spark.operators.multimodal import mfcc_features
+
+    sr, frame, hop, n_mels, n_mfcc = 8000, 512, 256, 26, 13
+    t = np.arange(1500)
+    sig = 0.6 * np.sin(2 * np.pi * 440.0 * t / sr) \
+        + 0.3 * np.sin(2 * np.pi * 1370.0 * t / sr)
+
+    def ref_mfcc(x):
+        x = np.asarray(x, dtype=np.float64)
+        win = np.hanning(frame)
+        n_frames = 1 + (len(x) - frame) // hop
+        n_bins = frame // 2 + 1
+        mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+        imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+        pts = imel(np.linspace(0.0, mel(sr / 2.0), n_mels + 2))
+        coefs = []
+        for fi in range(n_frames):
+            seg = x[fi * hop:fi * hop + frame] * win
+            power = np.empty(n_bins)
+            n = np.arange(frame)
+            for k in range(n_bins):
+                re = (seg * np.cos(2 * np.pi * k * n / frame)).sum()
+                im = (seg * np.sin(2 * np.pi * k * n / frame)).sum()
+                power[k] = (re * re + im * im) / frame
+            mels = np.empty(n_mels)
+            bin_hz = np.arange(n_bins) * sr / frame
+            for m in range(n_mels):
+                lo, mid, hi = pts[m], pts[m + 1], pts[m + 2]
+                wgt = np.clip(np.minimum((bin_hz - lo) / (mid - lo),
+                                         (hi - bin_hz) / (hi - mid)),
+                              0.0, None)
+                mels[m] = (wgt * power).sum()
+            logm = np.log(mels + 1e-10)
+            cc = np.empty(n_mfcc)
+            for k in range(n_mfcc):
+                scale = np.sqrt(1.0 / n_mels) if k == 0 \
+                    else np.sqrt(2.0 / n_mels)
+                cc[k] = scale * (logm * np.cos(
+                    np.pi * (np.arange(n_mels) + 0.5) * k / n_mels)).sum()
+            coefs.append(cc)
+        return np.mean(coefs, axis=0)
+
+    got = mfcc_features(sig, sr)
+    assert got.shape == (13,) and got.dtype == np.float32
+    assert np.allclose(got, ref_mfcc(sig), rtol=1e-4, atol=1e-4)
+
+    # different tones → different cepstra (the feature carries signal, not
+    # just energy): compare against a 2600 Hz tone at the same amplitude
+    other = mfcc_features(0.6 * np.sin(2 * np.pi * 2600.0 * t / sr), sr)
+    assert np.abs(got - other).max() > 1.0
+
+
+def test_audio_features_real_wav_kernel(spark):
+    """WAV payloads flow through audio_features with the REAL decoder even
+    in strict (fake=False) mode: exact sample rate/duration, MFCCs equal
+    to calling the kernel directly."""
+    from spidey_search_engine_spark.operators.multimodal import (
+        audio_features, encode_wav, mfcc_features)
+    rng = np.random.Generator(np.random.PCG64(23))
+    rows, expect = [], {}
+    for i in range(4):
+        sr = (8000, 16000, 22050, 44100)[i % 4]
+        n = 600 + 50 * i
+        s = rng.integers(-20000, 20000, size=n, dtype=np.int16)
+        rows.append((i, bytearray(encode_wav(s, sr))))
+        expect[i] = (sr, n / sr, mfcc_features(s / 32768.0, sr))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in audio_features(df, fake=False).collect()}
+    for i, (sr, dur, mf) in expect.items():
+        r = got[i]
+        assert r["sample_rate"] == sr
+        assert abs(r["duration_sec"] - dur) < 1e-6
+        assert np.allclose(r["mfcc"], mf, atol=1e-5)
