@@ -366,6 +366,40 @@ def multimodal_png_decode(spark, sf_dir):
              "sum_r long, sum_g long, sum_b long")
 
 
+def multimodal_resize_png(spark, sf_dir):
+    """REAL PNG resize as an oracle-paired entry: the same closed-form
+    synthetic RGB PNGs as multimodal_png_decode are encoded, resized to
+    6×4 through the production nearest-neighbor kernel (resize_png:
+    decode_png → index sampling → encode_png), decoded back, and reduced
+    to exact per-channel pixel sums. DuckDB recomputes the sums by
+    applying the pixel-center sampling rule floor((i+0.5)·src/dst)
+    directly to the closed-form pixel formula — wrong sampling indices,
+    a re-encode bug, or channel swap breaks the hash match."""
+    from .operators.multimodal import decode_png, encode_png, resize_png
+
+    def gen(batches):
+        import pandas as _pd
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 8 + i % 9, 8 + i % 7
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                k = np.arange(3)[None, None, :]
+                arr = ((i * 31 + r * 7 + c * 3 + k * 11) % 256) \
+                    .astype(np.uint8)
+                out = decode_png(resize_png(encode_png(arr), 6, 4))
+                s = out.astype(np.int64).sum(axis=(0, 1))
+                rows.append((i, int(s[0]), int(s[1]), int(s[2])))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "rsum_r", "rsum_g", "rsum_b"])
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        gen, "doc_id long, rsum_r long, rsum_g long, rsum_b long")
+
+
 def multimodal_wav_decode(spark, sf_dir):
     """REAL WAV decode as an oracle-paired entry (stub label removed for
     WAV, mirroring multimodal_png_decode): deterministic synthetic PCM16
@@ -425,6 +459,7 @@ QUERIES = {
     "lang_markers": lang_markers,
     "multimodal_meta": multimodal_meta,
     "multimodal_png_decode": multimodal_png_decode,
+    "multimodal_resize_png": multimodal_resize_png,
     "multimodal_wav_decode": multimodal_wav_decode,
 }
 
@@ -647,6 +682,25 @@ SELECT doc_id, max(w)::INT AS width, max(h)::INT AS height,
        sum(CASE WHEN k = 0 THEN v ELSE 0 END)::BIGINT AS sum_r,
        sum(CASE WHEN k = 1 THEN v ELSE 0 END)::BIGINT AS sum_g,
        sum(CASE WHEN k = 2 THEN v ELSE 0 END)::BIGINT AS sum_b
+FROM px GROUP BY doc_id""",
+    "multimodal_resize_png": """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents
+), px AS (
+  SELECT d.doc_id, k.k,
+         ((d.doc_id * 31
+           + LEAST(floor((ro.r + 0.5) * d.h / 4)::BIGINT, d.h - 1) * 7
+           + LEAST(floor((co.c + 0.5) * d.w / 6)::BIGINT, d.w - 1) * 3
+           + k.k * 11) % 256)::BIGINT AS v
+  FROM dims d
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) ro
+  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS c) co
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k) k
+)
+SELECT doc_id,
+       sum(CASE WHEN k = 0 THEN v ELSE 0 END)::BIGINT AS rsum_r,
+       sum(CASE WHEN k = 1 THEN v ELSE 0 END)::BIGINT AS rsum_g,
+       sum(CASE WHEN k = 2 THEN v ELSE 0 END)::BIGINT AS rsum_b
 FROM px GROUP BY doc_id""",
     "multimodal_wav_decode": """
 WITH g AS (

@@ -226,23 +226,50 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
+def resize_png(data: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL resize for PNG payloads: decode_png → numpy nearest-neighbor
+    index sampling → encode_png. Nearest-neighbor (pixel-center rule
+    floor((i+0.5)·src/dst)) keeps the kernel exactly reproducible with no
+    resampling-library dependence."""
+    px = decode_png(data)
+    h, w = px.shape[:2]
+    ys = np.minimum(((np.arange(target_h) + 0.5) * h / target_h)
+                    .astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(target_w) + 0.5) * w / target_w)
+                    .astype(np.int64), w - 1)
+    return encode_png(px[ys][:, xs])
+
+
 def resize_images(df: DataFrame, target_w: int, target_h: int,
                   payload_col: str = "payload", id_col: str = "doc_id",
                   fake: bool = True) -> DataFrame:
-    """Resize plumbing: binary in → (fixed dims, binary out) per Arrow
-    batch. STUB kernel (real impl: PIL resize); the deterministic fake
-    re-digests the payload to a target_w·target_h-byte pseudo-bitmap so
-    output size actually scales with the target dims — the memory/batch
-    shape the real kernel would have."""
+    """Resize over mapInPandas: binary in → (fixed dims, binary out) per
+    Arrow batch. PNG payloads resize for REAL (resize_png —
+    nearest-neighbor over the stdlib codec) and re-encode as PNG; other
+    formats are stubbed: strict mode raises, fake mode re-digests the
+    payload to a target_w·target_h-byte pseudo-bitmap so output size
+    still scales with the target dims (the memory/batch shape the real
+    kernel would have)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
+                if data[:8] == PNG_SIG:
+                    try:
+                        out = resize_png(data, target_w, target_h)
+                    except Exception:
+                        if not fake:
+                            raise
+                    else:
+                        rows.append((int(doc_id), target_w, target_h, out))
+                        continue
                 if not fake:
                     raise NotImplementedError(
-                        "image codec not available in this environment")
+                        "non-PNG image codec not available in this "
+                        "environment; run with fake=True for pipeline "
+                        "testing")
                 seed = hashlib.sha256(data).digest()
                 need = target_w * target_h
                 out = (seed * (need // len(seed) + 1))[:need]

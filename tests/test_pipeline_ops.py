@@ -466,6 +466,29 @@ def test_multimodal_resize_and_audio(spark):
         audio_features(bin_df, fake=False).collect()
 
 
+def test_resize_png_real_kernel(spark):
+    """PNG payloads flow through resize_images with the REAL
+    nearest-neighbor kernel even in strict (fake=False) mode; output is a
+    decodable PNG matching an index-sampling reference."""
+    from spidey_search_engine_spark.operators.multimodal import (
+        decode_png, encode_png, resize_images)
+    rng = np.random.Generator(np.random.PCG64(31))
+    imgs = {i: rng.integers(0, 256, size=(10 + i, 14 - i, 3),
+                            dtype=np.uint8) for i in range(3)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_png(a))) for i, a in imgs.items()],
+        "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in
+           resize_images(df, 6, 4, fake=False).collect()}
+    for i, arr in imgs.items():
+        h, w = arr.shape[:2]
+        ys = np.minimum(((np.arange(4) + 0.5) * h / 4).astype(int), h - 1)
+        xs = np.minimum(((np.arange(6) + 0.5) * w / 6).astype(int), w - 1)
+        out = decode_png(bytes(got[i]["payload"]))
+        assert out.shape == (4, 6, 3)
+        assert np.array_equal(out, arr[ys][:, xs]), i
+
+
 def test_wav_roundtrip_and_8bit_decode():
     """encode_wav → decode_wav must round-trip PCM16 mono/stereo exactly;
     the 8-bit path is checked against a hand-built RIFF stream (spec
