@@ -400,6 +400,42 @@ def multimodal_resize_png(spark, sf_dir):
         gen, "doc_id long, rsum_r long, rsum_g long, rsum_b long")
 
 
+def multimodal_y4m_frames(spark, sf_dir):
+    """REAL video frame-sampling as an oracle-paired entry: deterministic
+    synthetic mono Y4M clips (w = 4+2·(id%5), h = 4+2·(id%3),
+    n = 3+id%9 frames, luma(f,r,c) = (id·13 + f·17 + r·5 + c·3) mod 256)
+    are ENCODED to real YUV4MPEG2 bytes (encode_y4m) and run through the
+    production video_frame_features operator in STRICT mode (every 2nd
+    frame, decode_y4m kernel), then rolled up per doc: frame count,
+    sampled-frame count, total sampled luma. DuckDB recomputes all three
+    from the closed-form rule without seeing a Y4M byte — a header-parse,
+    frame-stride or sampling bug breaks the hash match."""
+    from .operators.multimodal import encode_y4m, video_frame_features
+
+    def gen(batches):
+        import pandas as _pd
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, n = 4 + 2 * (i % 5), 4 + 2 * (i % 3), 3 + i % 9
+                f = np.arange(n)[:, None, None]
+                r = np.arange(h)[None, :, None]
+                c = np.arange(w)[None, None, :]
+                y = ((i * 13 + f * 17 + r * 5 + c * 3) % 256) \
+                    .astype(np.uint8)
+                rows.append((i, encode_y4m(y)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(gen, "doc_id long, payload binary")
+    frames = video_frame_features(payloads, every_n=2, fake=False)
+    return (frames.groupBy("doc_id")
+            .agg(F.max("n_frames").alias("n_frames"),
+                 F.count("*").cast("int").alias("frames_sampled"),
+                 F.sum("y_sum").alias("ysum_total")))
+
+
 def multimodal_wav_decode(spark, sf_dir):
     """REAL WAV decode as an oracle-paired entry (stub label removed for
     WAV, mirroring multimodal_png_decode): deterministic synthetic PCM16
@@ -461,6 +497,7 @@ QUERIES = {
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_resize_png": multimodal_resize_png,
     "multimodal_wav_decode": multimodal_wav_decode,
+    "multimodal_y4m_frames": multimodal_y4m_frames,
 }
 
 _TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), "
@@ -702,6 +739,24 @@ SELECT doc_id,
        sum(CASE WHEN k = 1 THEN v ELSE 0 END)::BIGINT AS rsum_g,
        sum(CASE WHEN k = 2 THEN v ELSE 0 END)::BIGINT AS rsum_b
 FROM px GROUP BY doc_id""",
+    "multimodal_y4m_frames": """
+WITH g AS (
+  SELECT doc_id, 4 + 2 * (doc_id % 5) AS w, 4 + 2 * (doc_id % 3) AS h,
+         3 + doc_id % 9 AS n
+  FROM documents
+), s AS (
+  SELECT g.doc_id, g.n, f.f,
+         ((g.doc_id * 13 + f.f * 17 + r.r * 5 + c.c * 3) % 256)::BIGINT AS v
+  FROM g
+  JOIN (SELECT unnest(generate_series(0, 11)) AS f) f
+    ON f.f < g.n AND f.f % 2 = 0
+  JOIN (SELECT unnest(generate_series(0, 9)) AS r) r ON r.r < g.h
+  JOIN (SELECT unnest(generate_series(0, 13)) AS c) c ON c.c < g.w
+)
+SELECT doc_id, max(n)::INT AS n_frames,
+       count(DISTINCT f)::INT AS frames_sampled,
+       sum(v)::BIGINT AS ysum_total
+FROM s GROUP BY doc_id""",
     "multimodal_wav_decode": """
 WITH g AS (
   SELECT doc_id,

@@ -14,11 +14,17 @@ signatures. Kernel status:
   (hann framing → rfft power spectrum → triangular mel filterbank →
   log → orthonormal DCT-II) — no librosa/scipy needed. A minimal
   ``encode_wav`` exists for deterministic fixtures.
-* JPEG/compressed-audio/video kernels remain STUBBED — the container has
-  no libjpeg/libsndfile — behind ``_decode_image``/``_decode_audio``:
-  strict mode raises NotImplementedError, test mode produces a
-  deterministic fake derived from the payload digest, so the pipeline
-  shape is exercisable end-to-end without the codec.
+* **Y4M video decode is REAL** (stdlib parse of the YUV4MPEG2 stream
+  header + FRAME walk, mono/420/422/444 luma extraction) — frame
+  sampling over true frame counts with per-frame luma features, plus an
+  ``encode_y4m`` fixture writer. PNG resize is likewise REAL
+  (nearest-neighbor over the stdlib codec, ``resize_png``).
+* JPEG / compressed-audio / compressed-video kernels remain STUBBED —
+  the container has no libjpeg/libsndfile/libavcodec — behind
+  ``_decode_image``/``_decode_audio``/``_video_frames``: strict mode
+  raises NotImplementedError, test mode produces a deterministic fake
+  derived from the payload digest, so the pipeline shape is exercisable
+  end-to-end without the codec.
 """
 
 from __future__ import annotations
@@ -210,12 +216,144 @@ def frame_sample_plan(df: DataFrame, payload_col: str = "payload",
                       id_col: str = "doc_id", every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan* (stub kernel): emits (doc_id, frame_no)
     rows for frames ≡ 0 (mod every_n) based on a fake frame count derived
-    from payload length — the explode/partition shape of the real op."""
+    from payload length — the explode/partition shape of the real op.
+    For REAL decode over Y4M payloads use video_frame_features."""
     n_frames = (F.octet_length(F.col(payload_col)) / 1024).cast("int") + 1
     return df.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no")
     ).filter(F.col("frame_no") % every_n == 0)
+
+
+Y4M_SIG = b"YUV4MPEG2"
+_Y4M_CHROMA_DIV = {  # colorspace → (chroma plane count, w divisor, h divisor)
+    "mono": (0, 1, 1), "420": (2, 2, 2), "420jpeg": (2, 2, 2),
+    "420mpeg2": (2, 2, 2), "420paldv": (2, 2, 2), "422": (2, 2, 1),
+    "444": (2, 1, 1),
+}
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1),
+               chroma: np.ndarray | None = None) -> bytes:
+    """Minimal YUV4MPEG2 writer: uint8 Y planes (n, h, w), Cmono — or
+    C420jpeg when `chroma` (n, 2, h//2, w//2) is given. Valid per the
+    public y4m spec (plain-text stream header + per-frame FRAME marker +
+    raw planes); enough for deterministic fixtures mpv/ffmpeg also open."""
+    a = np.asarray(frames, dtype=np.uint8)
+    n, h, w = a.shape
+    cs = "mono" if chroma is None else "420jpeg"
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{cs}\n"
+    out = [head.encode("ascii")]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(a[i].tobytes())
+        if chroma is not None:
+            out.append(np.asarray(chroma[i][0], dtype=np.uint8).tobytes())
+            out.append(np.asarray(chroma[i][1], dtype=np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes):
+    """Real YUV4MPEG2 decoder: stdlib parse of the plain-text stream
+    header (W/H/F/C tags), FRAME-marker walk, raw plane extraction.
+    Supports mono/420*/422/444 8-bit. Returns (width, height, fps_num,
+    fps_den, y_frames) with y_frames uint8 (n, h, w) — luma only; chroma
+    planes are skipped over (feature extraction here is luma-based)."""
+    nl = data.find(b"\n")
+    if not data.startswith(Y4M_SIG) or nl < 0:
+        raise ValueError("not a Y4M payload")
+    w = h = None
+    fn, fd, cs = 30, 1, "420jpeg"  # spec defaults chroma to 4:2:0
+    for tag in data[len(Y4M_SIG):nl].split():
+        t, v = chr(tag[0]), tag[1:].decode("ascii")
+        if t == "W":
+            w = int(v)
+        elif t == "H":
+            h = int(v)
+        elif t == "F":
+            fn, fd = (int(x) for x in v.split(":"))
+        elif t == "C":
+            cs = v
+    if w is None or h is None:
+        raise ValueError("Y4M missing W/H header tags")
+    if cs not in _Y4M_CHROMA_DIV:
+        raise NotImplementedError(f"Y4M colorspace C{cs} not supported")
+    nch, dw, dh = _Y4M_CHROMA_DIV[cs]
+    y_size = w * h
+    frame_size = y_size + nch * ((w // dw) * (h // dh))
+    pos, frames = nl + 1, []
+    while pos < len(data):
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at offset {pos}")
+        fnl = data.find(b"\n", pos)
+        body = data[fnl + 1:fnl + 1 + frame_size]
+        if len(body) < frame_size:
+            raise ValueError("truncated Y4M frame")
+        frames.append(np.frombuffer(body[:y_size],
+                                    dtype=np.uint8).reshape(h, w))
+        pos = fnl + 1 + frame_size
+    return w, h, fn, fd, np.stack(frames) if frames else \
+        np.zeros((0, h, w), np.uint8)
+
+
+VIDEO_FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("frame_no", IntegerType()),
+    StructField("y_sum", LongType()),
+])
+
+
+def _video_frames(payload: bytes, every_n: int, fake: bool):
+    """Y4M payloads decode for REAL (decode_y4m): true dims/frame count +
+    per-sampled-frame luma sums. Other containers (mp4/webm) remain
+    stubbed: strict mode raises, test mode derives a deterministic fake
+    from the payload digest."""
+    if payload[:9] == Y4M_SIG:
+        try:
+            w, h, _fn, _fd, ys = decode_y4m(payload)
+        except Exception:
+            if not fake:
+                raise
+        else:
+            n = ys.shape[0]
+            return [(w, h, n, f, int(ys[f].astype(np.int64).sum()))
+                    for f in range(0, n, every_n)]
+    if not fake:
+        raise NotImplementedError(
+            "non-Y4M video container not available in this environment; "
+            "run with fake=True for pipeline testing")
+    hd = hashlib.sha256(payload).digest()
+    w, hgt = 16 + hd[0] % 16, 16 + hd[1] % 16
+    n = 1 + len(payload) // 1024
+    return [(w, hgt, n, f, int.from_bytes(hd[2:6], "big"))
+            for f in range(0, n, every_n)]
+
+
+def video_frame_features(df: DataFrame, payload_col: str = "payload",
+                         id_col: str = "doc_id", every_n: int = 30,
+                         fake: bool = True) -> DataFrame:
+    """Video frame-sample + featurize over mapInPandas: one output row per
+    sampled frame (frame ≡ 0 mod every_n) with true dims, frame count and
+    the sampled frame's luma sum. Y4M decodes for real (decode_y4m);
+    compressed containers stay stubbed behind `fake` (see _video_frames).
+    Partitioning preserved — at scale run after repartition(n) sized so a
+    batch of payloads fits executor memory."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for w, h, n, f, s in _video_frames(bytes(payload),
+                                                   every_n, fake):
+                    rows.append((int(doc_id), w, h, n, f, s))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              VIDEO_FRAME_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=VIDEO_FRAME_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType([

@@ -591,6 +591,77 @@ def test_mfcc_matches_independent_reference():
     assert np.abs(got - other).max() > 1.0
 
 
+def test_y4m_roundtrip_and_chroma_skip():
+    """encode_y4m → decode_y4m round-trips luma exactly (mono AND 420 —
+    chroma planes must be skipped with the right stride); a hand-built
+    C422 stream (spec layout, independent of the encoder) decodes too;
+    bad colorspace and truncated frames raise."""
+    import pytest as _pytest
+
+    from spidey_search_engine_spark.operators.multimodal import (
+        decode_y4m, encode_y4m)
+    rng = np.random.Generator(np.random.PCG64(41))
+    y = rng.integers(0, 256, size=(7, 6, 8), dtype=np.uint8)
+    w, h, fn, fd, back = decode_y4m(encode_y4m(y, fps=(30, 1)))
+    assert (w, h, fn, fd) == (8, 6, 30, 1)
+    assert np.array_equal(back, y)
+
+    ch = rng.integers(0, 256, size=(7, 2, 3, 4), dtype=np.uint8)
+    w, h, fn, fd, back = decode_y4m(encode_y4m(y, chroma=ch))
+    assert (w, h, fn, fd) == (8, 6, 25, 1)
+    assert np.array_equal(back, y)  # chroma correctly skipped over
+
+    # hand-built C422: Y(4x2) + U,V at half width
+    y422 = rng.integers(0, 256, size=(2, 4), dtype=np.uint8)
+    uv = rng.integers(0, 256, size=(2 * 2 * 2,), dtype=np.uint8)
+    raw = (b"YUV4MPEG2 W4 H2 F24:1 C422\n"
+           + b"FRAME\n" + y422.tobytes() + uv.tobytes())
+    w, h, fn, fd, back = decode_y4m(raw)
+    assert (w, h, fn, fd, back.shape) == (4, 2, 24, 1, (1, 2, 4))
+    assert np.array_equal(back[0], y422)
+
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W4 H2 C410\nFRAME\n" + bytes(9))
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H2 Cmono\nFRAME\n" + bytes(3))
+    with _pytest.raises(ValueError):
+        decode_y4m(b"not video")
+
+
+def test_video_frame_features_real_y4m_kernel(spark):
+    """Y4M payloads flow through video_frame_features with the REAL
+    decoder even in strict (fake=False) mode: true dims/frame counts and
+    exact per-sampled-frame luma sums; non-Y4M strict raises."""
+    import pytest as _pytest
+
+    from spidey_search_engine_spark.operators.multimodal import (
+        encode_y4m, video_frame_features)
+    rng = np.random.Generator(np.random.PCG64(43))
+    vids = {i: rng.integers(0, 256, size=(4 + 3 * i, 5, 6), dtype=np.uint8)
+            for i in range(3)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_y4m(v))) for i, v in vids.items()],
+        "doc_id long, payload binary")
+    got = video_frame_features(df, every_n=3, fake=False).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, v in vids.items():
+        rows = sorted(by_doc[i], key=lambda r: r["frame_no"])
+        n = v.shape[0]
+        assert [r["frame_no"] for r in rows] == list(range(0, n, 3))
+        for r in rows:
+            assert (r["width"], r["height"], r["n_frames"]) == (6, 5, n)
+            assert r["y_sum"] == int(v[r["frame_no"]].astype(np.int64).sum())
+
+    bad = spark.createDataFrame([(9, bytearray(b"mp4 blob"))],
+                                "doc_id long, payload binary")
+    with _pytest.raises(Exception):
+        video_frame_features(bad, fake=False).collect()
+    fake_rows = video_frame_features(bad, every_n=5, fake=True).collect()
+    assert fake_rows and all(r["frame_no"] % 5 == 0 for r in fake_rows)
+
+
 def test_audio_features_real_wav_kernel(spark):
     """WAV payloads flow through audio_features with the REAL decoder even
     in strict (fake=False) mode: exact sample rate/duration, MFCCs equal
