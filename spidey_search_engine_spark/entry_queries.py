@@ -928,6 +928,25 @@ def ann_ivf_topk(spark, sf_dir):
             .select("id", _r(F.col("cos")).alias("cos_r")))
 
 
+def ann_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC approximate top-k (the memory-bound ANN
+    path: codes are m=4 ints per 64-float vector; the scan reads ONLY the
+    codes table and scores Σ_j LUT[j][code[j]] in pure JVM expressions).
+    Oracle-paired: sampled codebooks (codeword c of subspace j = slice j
+    of vector c+1 — SQL-expressible like the IVF sampled centroids), so
+    DuckDB reproduces encode (per-subspace argmin by list_distance over
+    slices) and the ADC rollup exactly; ties to the lowest id."""
+    from .operators.similarity import (pq_adc_topk, pq_codebooks_sampled,
+                                       pq_encode)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in
+         e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cb = pq_codebooks_sampled(e.filter(F.col("vec_id") >= 1), m=4, ksub=16)
+    codes = pq_encode(e.filter(F.col("vec_id") != 0), cb)
+    return (pq_adc_topk(codes, cb, q, k=20)
+            .select("id", _r(F.col("adc")).alias("adc_r")))
+
+
 def doc_fingerprint(spark, sf_dir):
     """Winnowing-style min-hash fingerprint per doc, oracle-paired via the
     injected polynomial gram hash."""
@@ -1025,8 +1044,40 @@ QUERIES.update({
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_pairs": simhash_pairs,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
     "doc_fingerprint": doc_fingerprint,
 })
+
+ORACLE_SQL["ann_pq_adc_topk"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = 0
+), cb AS (
+  SELECT vec_id - 1 AS code, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 16
+), subs AS (
+  SELECT * FROM (VALUES (0, 1, 16), (1, 17, 32),
+                        (2, 33, 48), (3, 49, 64)) AS t(j, lo, hi)
+), enc AS (
+  SELECT e.vec_id, s.j, cb.code,
+         row_number() OVER (
+           PARTITION BY e.vec_id, s.j
+           ORDER BY list_distance(e.v[s.lo:s.hi], cb.cv[s.lo:s.hi]),
+                    cb.code) AS rn
+  FROM e CROSS JOIN subs s CROSS JOIN cb WHERE e.vec_id <> 0
+), adc AS (
+  SELECT en.vec_id,
+         sum(power(list_distance(q.qv[s.lo:s.hi], cb.cv[s.lo:s.hi]), 2))
+           AS d2
+  FROM enc en
+  JOIN subs s ON en.j = s.j
+  JOIN cb ON cb.code = en.code
+  CROSS JOIN q
+  WHERE en.rn = 1
+  GROUP BY en.vec_id
+)
+SELECT vec_id AS id, CAST(round(d2, 6) AS DOUBLE) AS adc_r
+FROM adc ORDER BY d2 ASC, vec_id ASC LIMIT 20"""
 
 ORACLE_SQL.update({
     "f8_url_normalize": """

@@ -16,6 +16,12 @@
 * ivf_assignments / write_ivf_index / ivf_topk — IVF-flat: nearest-centroid
   coarse quantizer, inverted lists materialized as `cluster` partitions
   with vectors co-located; a query reads exactly n_probe lists.
+* pq_encode / pq_train_kmeans / write_pq_index / pq_adc_topk — product
+  quantization: m-subspace codebooks compress each vector to m small ints;
+  the ADC scan scores Σ_j LUT[j][code[j]] with pure JVM expressions over
+  the codes table (~dim·4/m× smaller than the vectors), optionally
+  IVF-PQ-partitioned by coarse cluster and exact-rescored on the top
+  candidates — the memory-bound ANN path at 100 TB.
 * embedding_cosine_dedup_pairs — near-dup pairs (cos ≥ τ) via bucket
   self-join + exact verify: same-bucket pairs only, so the quadratic blowup
   is bounded per bucket.
@@ -297,6 +303,156 @@ def ivf_topk(emb: DataFrame | None, centroids: np.ndarray,
     cand = emb.join(cand_ids.withColumnRenamed("id", id_col), id_col,
                     "left_semi")
     return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def pq_codebooks_sampled(emb: DataFrame, m: int, ksub: int,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic sampled PQ codebooks: codeword c of subspace j is the
+    j-th slice of the vector with the (c+1)-lowest id — the PQ analog of
+    the sampled-centroid IVF quantizer, kept SQL-expressible so the DuckDB
+    oracle can reproduce encoding exactly. Returns float64
+    (m, ksub, dim//m). Real deployments use pq_train_kmeans."""
+    rows = (emb.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc()).limit(ksub).collect())
+    if len(rows) < ksub:
+        raise ValueError(f"need >= {ksub} vectors to sample {ksub} codewords")
+    mat = np.array([[float(x) for x in r[vec_col]] for r in rows],
+                   dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([mat[:, j * dsub:(j + 1) * dsub] for j in range(m)])
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              keep_vec: bool = False) -> DataFrame:
+    """(id, code: array<int>) — product-quantization encode: split each
+    vector into m subvectors, store the index of the nearest codeword per
+    subspace (squared euclidean, direct form Σ(v−c)², ties to the lowest
+    code — same argmin discipline as ivf_assignments). m codes of ≤256
+    codewords compress a dim-float vector to m bytes: at 100 TB of
+    embeddings the codes table is the only thing the ADC scan reads
+    (~dim·4/m× smaller than the vectors), and it lives column-pruned in
+    parquet. One vectorized pandas batch = m small (B×ksub×dsub)
+    broadcasts, no per-row Python."""
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, _ksub, dsub = cb.shape
+
+    @F.pandas_udf("array<int>")
+    def code_of(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        codes = np.empty((mat.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            d2 = np.square(sub[:, None, :] - cb[j][None, :, :]).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    cols = [F.col(id_col).alias("id"), code_of(F.col(vec_col)).alias("code")]
+    if keep_vec:
+        cols.insert(1, F.col(vec_col).alias("embedding"))
+    return emb.select(*cols)
+
+
+def pq_train_kmeans(emb: DataFrame, m: int, ksub: int, n_iters: int = 5,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Train PQ codebooks with per-subspace Lloyd's k-means, Spark-native
+    (the PQ analog of ivf_train_kmeans): init = sampled codebooks; each
+    iteration assigns ALL m subspaces in one distributed pass (pq_encode)
+    and recomputes every (subspace, code, position) mean through one
+    posexplode hash agg — only the m·ksub·dsub codebook tensor (index
+    metadata) ever lands on the driver, as a single Arrow batch. Empty
+    codes keep their previous codeword. Returns float64 (m, ksub, dsub)."""
+    cb = pq_codebooks_sampled(emb, m, ksub, id_col, vec_col)
+    dsub = cb.shape[2]
+    for _ in range(n_iters):
+        enc = pq_encode(emb, cb, id_col, vec_col, keep_vec=True)
+        means = (enc.select(F.posexplode("embedding").alias("pos", "v"),
+                            "code")
+                 .select((F.col("pos") / dsub).cast("int").alias("sub"),
+                         (F.col("pos") % dsub).alias("spos"),
+                         F.col("code"), F.col("v"))
+                 .withColumn("c", F.element_at(F.col("code"),
+                                               F.col("sub") + 1))
+                 .groupBy("sub", "c", "spos")
+                 .agg(F.avg(F.col("v").cast("double")).alias("mval"))
+                 .toPandas())
+        new = cb.copy()  # empty codes keep their previous codeword
+        new[means["sub"].to_numpy(np.int64),
+            means["c"].to_numpy(np.int64),
+            means["spos"].to_numpy(np.int64)] = \
+            means["mval"].to_numpy(np.float64)
+        if np.allclose(new, cb, rtol=0, atol=1e-12):
+            cb = new
+            break
+        cb = new
+    return cb
+
+
+def write_pq_index(emb: DataFrame, codebooks: np.ndarray, out_dir: str,
+                   coarse_centroids: np.ndarray | None = None,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> None:
+    """Materialize the PQ codes table: (id, code[, cluster]) — m ints per
+    vector, no raw vectors. With `coarse_centroids` the layout is IVF-PQ:
+    codes partitioned by coarse cluster, so an n_probe query ADC-scans only
+    its probe partitions; without, a flat codes table (the ADC scan is
+    already ~dim·4/m× cheaper than scanning vectors). Codebooks (and
+    centroids) are index metadata the caller persists alongside, exactly
+    like write_ivf_index."""
+    enc = pq_encode(emb, codebooks, id_col, vec_col)
+    if coarse_centroids is None:
+        enc.write.mode("overwrite").parquet(out_dir)
+        return
+    asg = ivf_assignments(emb, coarse_centroids, id_col, vec_col) \
+        .withColumnRenamed("id", "aid")
+    (enc.join(asg, enc["id"] == F.col("aid")).drop("aid")
+     .write.mode("overwrite").partitionBy("cluster").parquet(out_dir))
+
+
+def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray,
+                query_vec: Sequence[float], k: int = 10,
+                rescore_emb: DataFrame | None = None,
+                rescore_c: int | None = None,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over a PQ codes table.
+
+    The query builds an m×ksub lookup table of squared distances from its
+    subvectors to every codeword (driver-side numpy, index metadata
+    sized); the scan then scores each row as Σ_j LUT[j][code[j]] — pure
+    JVM column expressions (element_at into the LUT literal), whole-stage
+    codegen, no Python in the scan. Top-k by ADC distance, ties to the
+    lowest id. With `rescore_emb`, the top `rescore_c` (default 4k) ADC
+    candidates are exact-rescored by true cosine (semi-join into the
+    vector table — the candidate set is the broadcast side) and the final
+    top-k is exact over them."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError(f"query dim {q.shape[0]} != m*dsub {m * dsub}")
+    lut = np.square(q.reshape(m, 1, dsub) - cb).sum(axis=2)  # (m, ksub)
+    lut_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row])
+                        for row in lut])
+    adc = None
+    for j in range(m):
+        term = F.element_at(F.element_at(lut_lit, j + 1),
+                            F.col("code").getItem(j) + 1)
+        adc = term if adc is None else adc + term
+    scored = codes.select(F.col("id"), adc.alias("adc"))
+    if rescore_emb is None:
+        return scored.orderBy(F.asc("adc"), F.asc("id")).limit(k)
+    c = rescore_c if rescore_c is not None else 4 * k
+    cand = scored.orderBy(F.asc("adc"), F.asc("id")).limit(c).select("id")
+    pruned = rescore_emb.join(
+        F.broadcast(cand.withColumnRenamed("id", id_col)), id_col,
+        "left_semi")
+    return brute_force_cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
 
 def embedding_cosine_dedup_pairs(emb: DataFrame, dim: int,

@@ -192,6 +192,115 @@ def test_ivf_kmeans_matches_numpy_lloyd(spark, emb_df):
     assert top[0] == 3 and 7 in top[:2]
 
 
+def test_pq_encode_and_adc_match_numpy(spark, emb_df):
+    """pq_encode must pick the numpy per-subspace argmin codeword; the ADC
+    scan must rank by the numpy LUT distances; the rescore path must
+    return the exact-cosine order over the ADC candidate set."""
+    from spidey_search_engine_spark.operators.similarity import (
+        pq_adc_topk, pq_codebooks_sampled, pq_encode)
+    df, vecs = emb_df
+    m, ksub = 4, 8
+    dsub = vecs.shape[1] // m
+    cb = pq_codebooks_sampled(df, m=m, ksub=ksub)
+    v = vecs.astype(np.float64)
+    assert np.allclose(
+        cb, np.stack([v[:ksub, j * dsub:(j + 1) * dsub] for j in range(m)]))
+
+    codes = {r["id"]: list(r["code"]) for r in pq_encode(df, cb).collect()}
+    for i in range(60):
+        for j in range(m):
+            d2 = ((v[i, j * dsub:(j + 1) * dsub][None, :] - cb[j]) ** 2) \
+                .sum(axis=1)
+            assert codes[i][j] == int(np.argmin(d2)), (i, j)
+
+    q = v[3]
+    lut = ((q.reshape(m, 1, dsub) - cb) ** 2).sum(axis=2)
+    adc_ref = {i: float(sum(lut[j, codes[i][j]] for j in range(m)))
+               for i in range(60)}
+    got = [(r["id"], r["adc"]) for r in
+           pq_adc_topk(pq_encode(df, cb), cb, q, k=10).collect()]
+    expect = sorted(adc_ref.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+    assert [i for i, _ in got] == [i for i, _ in expect]
+    assert np.allclose([d for _, d in got], [d for _, d in expect])
+
+    # rescore: exact cosine over the ADC top-c candidates, planted
+    # neighbor 7 (≈ vec 3) must surface at rank 2 behind 3 itself
+    top = [r["id"] for r in
+           pq_adc_topk(pq_encode(df, cb), cb, q, k=5, rescore_emb=df,
+                       rescore_c=20).collect()]
+    cand = [i for i, _ in sorted(adc_ref.items(),
+                                 key=lambda kv: (kv[1], kv[0]))[:20]]
+    cos = {i: float(v[i] @ q / (np.linalg.norm(v[i]) * np.linalg.norm(q)))
+           for i in cand}
+    assert top == [i for i, _ in sorted(cos.items(),
+                                        key=lambda kv: (-kv[1], kv[0]))[:5]]
+    assert top[0] == 3
+
+
+def test_pq_train_kmeans_matches_numpy_lloyd(spark, emb_df):
+    """Per-subspace Lloyd training must reproduce a numpy reference with
+    the same sampled init / empty-code rule, and reduce quantization
+    error vs the sampled codebooks."""
+    from spidey_search_engine_spark.operators.similarity import (
+        pq_codebooks_sampled, pq_train_kmeans)
+    df, vecs = emb_df
+    m, ksub, iters = 2, 6, 3
+    dsub = vecs.shape[1] // m
+    got = pq_train_kmeans(df, m=m, ksub=ksub, n_iters=iters)
+
+    v = vecs.astype(np.float64)
+    cb = np.stack([v[:ksub, j * dsub:(j + 1) * dsub] for j in range(m)])
+    for _ in range(iters):
+        new = cb.copy()
+        for j in range(m):
+            sub = v[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            asg = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                if (asg == c).any():
+                    new[j, c] = sub[asg == c].mean(axis=0)
+        if np.allclose(new, cb, rtol=0, atol=1e-12):
+            cb = new
+            break
+        cb = new
+    assert np.allclose(got, cb, atol=1e-9)
+
+    def qerr(codebooks):
+        tot = 0.0
+        for j in range(m):
+            sub = v[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2) \
+                .sum(axis=2)
+            tot += float(d2.min(axis=1).sum())
+        return tot
+    assert qerr(got) <= qerr(pq_codebooks_sampled(df, m=m, ksub=ksub)) + 1e-9
+
+
+def test_pq_index_ivfpq_layout(spark, emb_df, tmp_path):
+    """write_pq_index with coarse centroids produces cluster-partitioned
+    codes (IVF-PQ); reading one cluster back gives the same codes as
+    encoding its members directly."""
+    import os
+
+    from spidey_search_engine_spark.operators.similarity import (
+        ivf_assignments, pq_codebooks_sampled, pq_encode, write_pq_index)
+    df, vecs = emb_df
+    cb = pq_codebooks_sampled(df, m=4, ksub=8)
+    cent = vecs[:3].astype(np.float64)
+    out = str(tmp_path / "ivfpq")
+    write_pq_index(df, cb, out, coarse_centroids=cent)
+    assert any(d.startswith("cluster=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"id", "code", "cluster"}
+    direct_codes = {r["id"]: list(r["code"])
+                    for r in pq_encode(df, cb).collect()}
+    direct_asg = {r["id"]: r["cluster"]
+                  for r in ivf_assignments(df, cent).collect()}
+    for r in back.collect():
+        assert list(r["code"]) == direct_codes[r["id"]]
+        assert r["cluster"] == direct_asg[r["id"]]
+
+
 def test_ann_ivf_materialized_index(spark, emb_df, tmp_path):
     from spidey_search_engine_spark.operators.similarity import (
         ivf_topk, load_ivf_index, write_ivf_index)
