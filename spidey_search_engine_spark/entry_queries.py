@@ -947,6 +947,27 @@ def ann_pq_adc_topk(spark, sf_dir):
             .select("id", _r(F.col("adc")).alias("adc_r")))
 
 
+def hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid lexical+vector retrieval: the BM25 top-20 (bm25_topk_fixed)
+    and the exact-cosine ANN top-20 (ann_cosine_topk) fused by
+    reciprocal-rank fusion (operators/fusion.rrf_fuse, kc=60). Ranks are
+    derived from the ROUNDED scores both entries already hash-match on
+    (score_r/cos_r), so cross-engine float ulps cannot flip a rank; the
+    doc/vec id spaces coincide in the testdata. DuckDB reproduces the
+    whole fusion by nesting the two already-verified oracles as CTEs."""
+    from .operators.fusion import rrf_fuse
+    lex = bm25_topk_fixed(spark, sf_dir)
+    vec = ann_cosine_topk(spark, sf_dir)
+    wl = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    wv = Window.orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    a = (lex.withColumn("rank", F.row_number().over(wl))
+         .select(F.col("doc_id").alias("id"), "rank"))
+    b = (vec.withColumn("rank", F.row_number().over(wv))
+         .select(F.col("vec_id").alias("id"), "rank"))
+    return (rrf_fuse([a, b], k=15)
+            .select("id", _r(F.col("rrf")).alias("rrf_r"), "n_lists"))
+
+
 def doc_fingerprint(spark, sf_dir):
     """Winnowing-style min-hash fingerprint per doc, oracle-paired via the
     injected polynomial gram hash."""
@@ -1045,8 +1066,32 @@ QUERIES.update({
     "simhash_pairs": simhash_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "hybrid_rrf_topk": hybrid_rrf_topk,
     "doc_fingerprint": doc_fingerprint,
 })
+
+# nest the two already-verified oracles as CTE bodies (DuckDB allows a
+# WITH inside a parenthesized CTE definition) and fuse exactly as
+# operators/fusion.rrf_fuse does
+ORACLE_SQL["hybrid_rrf_topk"] = f"""
+WITH lex AS ({ORACLE_SQL["bm25_topk_fixed"]}),
+vec AS ({ORACLE_SQL["ann_cosine_topk"]}),
+lr AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+  FROM lex
+), vr AS (
+  SELECT vec_id AS id,
+         row_number() OVER (ORDER BY cos_r DESC, vec_id ASC) AS rank
+  FROM vec
+), u AS (
+  SELECT * FROM lr UNION ALL SELECT * FROM vr
+), f AS (
+  SELECT id, sum(1.0 / (60.0 + rank)) AS rrf, count(*) AS n_lists
+  FROM u GROUP BY id
+)
+SELECT id, CAST(round(rrf, 6) AS DOUBLE) AS rrf_r, n_lists::INT AS n_lists
+FROM f ORDER BY rrf DESC, id ASC LIMIT 15"""
 
 ORACLE_SQL["ann_pq_adc_topk"] = """
 WITH e AS (

@@ -192,6 +192,27 @@ def test_ivf_kmeans_matches_numpy_lloyd(spark, emb_df):
     assert top[0] == 3 and 7 in top[:2]
 
 
+def test_rrf_fuse_math_and_ties(spark):
+    """rrf_fuse must reproduce Σ 1/(kc+rank) exactly, ignore ids missing
+    from a list, count list membership, and tie-break by lowest id."""
+    from spidey_search_engine_spark.operators.fusion import rrf_fuse
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "id long, rank int")
+    b = spark.createDataFrame([(20, 1), (40, 2), (50, 3)], "id long, rank int")
+    got = {r["id"]: (r["rrf"], r["n_lists"]) for r in
+           rrf_fuse([a, b], k=10, kc=60).collect()}
+    assert got[20] == (1 / 62 + 1 / 61, 2)
+    assert got[10] == (1 / 61, 1)
+    assert got[40] == (1 / 62, 1)
+    # 10 (rank 1 in a only) and 20's components are exact float sums
+    order = [r["id"] for r in rrf_fuse([a, b], k=10, kc=60).collect()]
+    assert order[0] == 20          # in both lists, wins
+    assert order[1:3] == [10, 40]  # same 1/61? no: 10=1/61 > 40=1/62
+    # equal-rrf tie → lowest id first: 30 and 50 both rank 3 in one list
+    i30, i50 = order.index(30), order.index(50)
+    assert i30 < i50
+    assert [r["id"] for r in rrf_fuse([a, b], k=2).collect()] == order[:2]
+
+
 def test_pq_encode_and_adc_match_numpy(spark, emb_df):
     """pq_encode must pick the numpy per-subspace argmin codeword; the ADC
     scan must rank by the numpy LUT distances; the rescore path must
