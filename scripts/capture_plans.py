@@ -124,6 +124,25 @@ def main() -> None:
         "table appears anywhere in the plan.",
         capture(ann)))
 
+    # PQ ADC scan: the approximate-distance scoring over the codes table
+    # must stay in whole-stage codegen — element_at into the LUT literal,
+    # never a Python eval in the scan
+    from spidey_search_engine_spark.operators.similarity import (
+        pq_adc_topk, pq_codebooks_sampled, pq_encode)
+    cbq = pq_codebooks_sampled(e.filter(F.col("vec_id") >= 1), m=4, ksub=16)
+    codes = pq_encode(e.filter(F.col("vec_id") != 0), cbq)
+    adc = pq_adc_topk(codes, cbq, qv, k=20)
+    sections.append((
+        "PQ ADC top-k scan (codes table, JVM-side lookup-table scoring)",
+        "Look for: exactly ONE ArrowEvalPython (the pq_encode of this "
+        "inline demo — at serving time codes are a MATERIALIZED table and "
+        "even that disappears), then the ADC score as pure element_at "
+        "projections inside WholeStageCodegen feeding "
+        "TakeOrderedAndProject. The scan reads only (id, code) — m ints "
+        "per vector, ~dim*4/m x smaller than the embeddings — and no "
+        "Python appears between the codes and the top-k.",
+        capture(adc)))
+
     # compacted chunked index (plans/snapshot.compact_postings): the same
     # Q1 probe over the post-compaction snapshot — one term-sorted file set
     # per bucket instead of per-chunk-per-bucket small files
