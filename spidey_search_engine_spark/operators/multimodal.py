@@ -253,12 +253,9 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1),
     return b"".join(out)
 
 
-def decode_y4m(data: bytes):
-    """Real YUV4MPEG2 decoder: stdlib parse of the plain-text stream
-    header (W/H/F/C tags), FRAME-marker walk, raw plane extraction.
-    Supports mono/420*/422/444 8-bit. Returns (width, height, fps_num,
-    fps_den, y_frames) with y_frames uint8 (n, h, w) — luma only; chroma
-    planes are skipped over (feature extraction here is luma-based)."""
+def _y4m_header(data: bytes):
+    """Parse the YUV4MPEG2 stream header. Returns
+    (w, h, fps_num, fps_den, y_size, frame_size, first_frame_pos)."""
     nl = data.find(b"\n")
     if not data.startswith(Y4M_SIG) or nl < 0:
         raise ValueError("not a Y4M payload")
@@ -281,17 +278,36 @@ def decode_y4m(data: bytes):
     nch, dw, dh = _Y4M_CHROMA_DIV[cs]
     y_size = w * h
     frame_size = y_size + nch * ((w // dw) * (h // dh))
-    pos, frames = nl + 1, []
+    return w, h, fn, fd, y_size, frame_size, nl + 1
+
+
+def _y4m_frame_starts(data: bytes, frame_size: int, pos: int):
+    """Yield the luma-plane start offset of each frame, validating FRAME
+    markers and body length as it walks — no plane bytes are touched, so
+    skipped frames cost nothing."""
     while pos < len(data):
         if data[pos:pos + 5] != b"FRAME":
             raise ValueError(f"bad FRAME marker at offset {pos}")
         fnl = data.find(b"\n", pos)
-        body = data[fnl + 1:fnl + 1 + frame_size]
-        if len(body) < frame_size:
+        if fnl < 0:
+            raise ValueError("truncated Y4M frame header")
+        if len(data) - (fnl + 1) < frame_size:
             raise ValueError("truncated Y4M frame")
-        frames.append(np.frombuffer(body[:y_size],
-                                    dtype=np.uint8).reshape(h, w))
+        yield fnl + 1
         pos = fnl + 1 + frame_size
+
+
+def decode_y4m(data: bytes):
+    """Real YUV4MPEG2 decoder: stdlib parse of the plain-text stream
+    header (W/H/F/C tags), FRAME-marker walk, raw plane extraction.
+    Supports mono/420*/422/444 8-bit. Returns (width, height, fps_num,
+    fps_den, y_frames) with y_frames uint8 (n, h, w) — luma only; chroma
+    planes are skipped over (feature extraction here is luma-based). For
+    frame SAMPLING use _video_frames/video_frame_features, which walk the
+    markers without materializing unsampled planes."""
+    w, h, fn, fd, y_size, frame_size, pos = _y4m_header(data)
+    frames = [np.frombuffer(data[s:s + y_size], dtype=np.uint8).reshape(h, w)
+              for s in _y4m_frame_starts(data, frame_size, pos)]
     return w, h, fn, fd, np.stack(frames) if frames else \
         np.zeros((0, h, w), np.uint8)
 
@@ -313,14 +329,21 @@ def _video_frames(payload: bytes, every_n: int, fake: bool):
     from the payload digest."""
     if payload[:9] == Y4M_SIG:
         try:
-            w, h, _fn, _fd, ys = decode_y4m(payload)
+            w, h, _fn, _fd, y_size, frame_size, pos = _y4m_header(payload)
+            # walk all markers (cheap — validates the stream and counts
+            # frames) but materialize + sum ONLY the sampled luma planes:
+            # at every_n=30 this is 30× less memory than stacking all
+            starts = list(_y4m_frame_starts(payload, frame_size, pos))
+            sums = {f: int(np.frombuffer(
+                        payload[starts[f]:starts[f] + y_size],
+                        dtype=np.uint8).sum(dtype=np.int64))
+                    for f in range(0, len(starts), every_n)}
         except Exception:
             if not fake:
                 raise
         else:
-            n = ys.shape[0]
-            return [(w, h, n, f, int(ys[f].astype(np.int64).sum()))
-                    for f in range(0, n, every_n)]
+            n = len(starts)
+            return [(w, h, n, f, s) for f, s in sorted(sums.items())]
     if not fake:
         raise NotImplementedError(
             "non-Y4M video container not available in this environment; "
@@ -454,6 +477,13 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         tag = data[pos:pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
         body = data[pos + 8:pos + 8 + ln]
+        if tag in (b"fmt ", b"data") and len(body) < ln:
+            # strict contract: a truncated payload must surface, not decode
+            # to a silently-short sample array (declared length is header
+            # truth)
+            raise ValueError(
+                f"truncated WAV {tag!r} chunk: header declares {ln} bytes, "
+                f"{len(body)} present")
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if tag == b"fmt ":
             audio_fmt, ch, sr, _, _, bits = struct.unpack("<HHIIHH",

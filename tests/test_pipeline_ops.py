@@ -654,6 +654,12 @@ def test_wav_roundtrip_and_8bit_decode():
     assert (sr, bits) == (16000, 8)
     assert np.array_equal(raw[:, 0], samples8.astype(np.int32) - 128)
 
+    # a truncated data chunk must raise in the decoder (strict contract:
+    # header-declared length is truth), never return a short sample array
+    whole = encode_wav(np.arange(100, dtype=np.int16), 8000)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(whole[:-50])
+
     # float PCM (format 3) must refuse, not mis-decode
     fmt3 = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
     bad = (b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
@@ -756,6 +762,17 @@ def test_y4m_roundtrip_and_chroma_skip():
         decode_y4m(b"YUV4MPEG2 W4 H2 Cmono\nFRAME\n" + bytes(3))
     with _pytest.raises(ValueError):
         decode_y4m(b"not video")
+    # FRAME marker with NO trailing newline must raise, not loop forever
+    # (and must never decode garbage sliced from the wrong offset)
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W10 H10 Cmono\n" + b"FRAME" + bytes(71)
+                   + b"FRAME")
+    # the fake-mode video pipeline falls back on the same corrupt payload
+    # instead of wedging the executor
+    from spidey_search_engine_spark.operators.multimodal import _video_frames
+    rows = _video_frames(b"YUV4MPEG2 W10 H10 Cmono\n" + b"FRAME" + bytes(71)
+                         + b"FRAME", every_n=5, fake=True)
+    assert rows and all(r[3] % 5 == 0 for r in rows)
 
 
 def test_video_frame_features_real_y4m_kernel(spark):
