@@ -18,10 +18,15 @@
   with vectors co-located; a query reads exactly n_probe lists.
 * pq_encode / pq_train_kmeans / write_pq_index / pq_adc_topk — product
   quantization: m-subspace codebooks compress each vector to m small ints;
-  the ADC scan scores Σ_j LUT[j][code[j]] with pure JVM expressions over
-  the codes table (~dim·4/m× smaller than the vectors), optionally
-  IVF-PQ-partitioned by coarse cluster and exact-rescored on the top
-  candidates — the memory-bound ANN path at 100 TB.
+  the ADC scan scores Σ_j LUT[j][code[j]] over the codes table
+  (~dim·4/m× smaller than the vectors) — the memory-bound ANN path at
+  100 TB.
+* ivf_residuals / write_ivfpq_index / ivfpq_adc_topk — canonical IVF-PQ:
+  codes quantize the RESIDUAL against the assigned coarse centroid, the
+  codes table is partitioned by cluster, and a query ADC-scans only its
+  n_probe partitions with per-cluster lookup tables; partition pruning ×
+  compression compose. (Flat PQ collapses clustered data onto one
+  codeword per cluster — measured in scripts/bench_ann.py.)
 * embedding_cosine_dedup_pairs — near-dup pairs (cos ≥ τ) via bucket
   self-join + exact verify: same-bucket pairs only, so the quadratic blowup
   is bounded per bucket.
@@ -105,7 +110,12 @@ def write_lsh_index(emb: DataFrame, out_dir: str, dim: int, n_bits: int = 8,
     GB and writes stay wide."""
     sig = rhp_signatures(emb, dim, n_bits, seed, id_col, vec_col,
                          keep_vec=True)
-    sig.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+    # repartition on the partition column first: without it every input
+    # partition writes a file into every bucket dir (n_input x 2^n_bits
+    # small files - measured 64x file explosion and a 60s write at 100k
+    # rows); with it, one file per bucket
+    (sig.repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
 
 
 def load_lsh_index(spark, out_dir: str) -> DataFrame:
@@ -263,7 +273,9 @@ def write_ivf_index(emb: DataFrame, centroids: np.ndarray, out_dir: str,
     (np.save / a tiny parquet) — they must be byte-identical at query
     time."""
     asg = ivf_assignments(emb, centroids, id_col, vec_col, keep_vec=True)
-    asg.write.mode("overwrite").partitionBy("cluster").parquet(out_dir)
+    # repartition on the partition column first (see write_lsh_index)
+    (asg.repartition("cluster")
+     .write.mode("overwrite").partitionBy("cluster").parquet(out_dir))
 
 
 def load_ivf_index(spark, out_dir: str) -> DataFrame:
@@ -411,7 +423,108 @@ def write_pq_index(emb: DataFrame, codebooks: np.ndarray, out_dir: str,
     asg = ivf_assignments(emb, coarse_centroids, id_col, vec_col) \
         .withColumnRenamed("id", "aid")
     (enc.join(asg, enc["id"] == F.col("aid")).drop("aid")
+     .repartition("cluster")
      .write.mode("overwrite").partitionBy("cluster").parquet(out_dir))
+
+
+def ivf_residuals(emb: DataFrame, centroids: np.ndarray,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster, residual) — assign each vector to its nearest coarse
+    centroid (direct-form squared distance, ties to the lowest index —
+    identical discipline to ivf_assignments) and subtract it. This is the
+    IVF-PQ transform: PQ codes quantize the RESIDUAL, whose spread is the
+    intra-cluster structure. Flat PQ on clustered data collapses every
+    cluster member onto the same codeword — measured recall@10 = 0.02 on
+    the 256-gaussian bench corpus (scripts/bench_ann.py) — while residual
+    PQ resolves the within-cluster ordering. One Arrow pass, centroids in
+    the closure (index metadata)."""
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out_c = np.empty(mat.shape[0], dtype=np.int32)
+            res = np.empty_like(mat, dtype=np.float32)
+            step = max(1, (1 << 22) // max(1, cent.shape[0]
+                                           * cent.shape[1]))
+            for s in range(0, mat.shape[0], step):
+                d2 = np.square(mat[s:s + step, None, :]
+                               - cent[None, :, :]).sum(axis=2)
+                asg = np.argmin(d2, axis=1)
+                out_c[s:s + step] = asg.astype(np.int32)
+                res[s:s + step] = (mat[s:s + step] - cent[asg]) \
+                    .astype(np.float32)
+            yield pd.DataFrame({"id": pdf[id_col].astype(np.int64),
+                                "cluster": out_c, "residual": list(res)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        gen, "id long, cluster int, residual array<float>")
+
+
+def write_ivfpq_index(emb: DataFrame, centroids: np.ndarray,
+                      codebooks: np.ndarray, out_dir: str,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """Materialize the IVF-PQ index: (id, code) partitioned by coarse
+    `cluster`, codes over RESIDUALS (ivf_residuals). A query then reads
+    only its n_probe partitions AND each partition holds m small ints per
+    vector — the two scale levers (partition pruning × ~dim·4/m
+    compression) compose. Codebooks must be trained/sampled on the same
+    residual distribution (pq_codebooks_sampled / pq_train_kmeans over
+    ivf_residuals output)."""
+    res = ivf_residuals(emb, centroids, id_col, vec_col)
+    enc = pq_encode(res, codebooks, id_col="id", vec_col="residual")
+    keyed = res.select("id", "cluster").join(enc, "id")
+    (keyed.repartition("cluster")
+     .write.mode("overwrite").partitionBy("cluster").parquet(out_dir))
+
+
+def ivfpq_adc_topk(codes: DataFrame, centroids: np.ndarray,
+                   codebooks: np.ndarray, query_vec: Sequence[float],
+                   k: int = 10, n_probe: int = 8,
+                   rescore_emb: DataFrame | None = None,
+                   rescore_c: int | None = None,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ approximate top-k: probe the n_probe nearest coarse
+    clusters; inside each, score codes by ADC against a PER-CLUSTER
+    lookup table built from the query's residual (q − centroid_c) — the
+    canonical IVF-PQ query. The probe is a partition-pruned scan of the
+    codes table (`cluster IN (...)`); scoring is one Arrow-batched numpy
+    gather over (cluster, code); top-k by ADC, ties to the lowest id;
+    optional exact rescore of the top rescore_c (default 4k) via
+    semi-join into the vector table."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2c = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probes = sorted(int(i) for i in
+                    np.argsort(d2c, kind="stable")[:n_probe])
+    luts = np.stack([np.square((q - cent[c]).reshape(m, 1, dsub)
+                               - cb).sum(axis=2) for c in probes])
+    probe_arr = np.asarray(probes, dtype=np.int64)
+
+    @F.pandas_udf("double")
+    def adc_of(cl: pd.Series, cs: pd.Series) -> pd.Series:
+        mat = np.vstack(cs.to_numpy()).astype(np.int64)
+        rows = np.searchsorted(probe_arr, cl.to_numpy().astype(np.int64))
+        return pd.Series(luts[rows[:, None], np.arange(m)[None, :],
+                              mat].sum(axis=1))
+
+    pruned = codes.filter(F.col("cluster").isin(probes))
+    scored = pruned.select(F.col("id"),
+                           adc_of(F.col("cluster"),
+                                  F.col("code")).alias("adc"))
+    if rescore_emb is None:
+        return scored.orderBy(F.asc("adc"), F.asc("id")).limit(k)
+    c = rescore_c if rescore_c is not None else 4 * k
+    cand = scored.orderBy(F.asc("adc"), F.asc("id")).limit(c).select("id")
+    sel = rescore_emb.join(
+        F.broadcast(cand.withColumnRenamed("id", id_col)), id_col,
+        "left_semi")
+    return brute_force_cosine_topk(sel, query_vec, k, id_col, vec_col)
 
 
 def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray,
@@ -424,10 +537,14 @@ def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray,
 
     The query builds an m×ksub lookup table of squared distances from its
     subvectors to every codeword (driver-side numpy, index metadata
-    sized); the scan then scores each row as Σ_j LUT[j][code[j]] — pure
-    JVM column expressions (element_at into the LUT literal), whole-stage
-    codegen, no Python in the scan. Top-k by ADC distance, ties to the
-    lowest id. With `rescore_emb`, the top `rescore_c` (default 4k) ADC
+    sized); the scan then scores each row as Σ_j LUT[j][code[j]]. Small
+    LUTs (m·ksub ≤ 512) stay pure JVM column expressions (element_at into
+    the LUT literal, whole-stage codegen, no Python in the scan —
+    PLANS.md); larger LUTs switch to an Arrow-batched numpy gather
+    (lut[j, codes[:, j]].sum) — measured: at m=8, ksub=256 the 2048-deep
+    literal expression tree costs ~0.8 s of per-query codegen, far more
+    than the vectorized gather. Top-k by ADC distance, ties to the lowest
+    id. With `rescore_emb`, the top `rescore_c` (default 4k) ADC
     candidates are exact-rescored by true cosine (semi-join into the
     vector table — the candidate set is the broadcast side) and the final
     top-k is exact over them."""
@@ -437,13 +554,20 @@ def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray,
     if q.shape[0] != m * dsub:
         raise ValueError(f"query dim {q.shape[0]} != m*dsub {m * dsub}")
     lut = np.square(q.reshape(m, 1, dsub) - cb).sum(axis=2)  # (m, ksub)
-    lut_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row])
-                        for row in lut])
-    adc = None
-    for j in range(m):
-        term = F.element_at(F.element_at(lut_lit, j + 1),
-                            F.col("code").getItem(j) + 1)
-        adc = term if adc is None else adc + term
+    if m * ksub <= 512:
+        lut_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row])
+                            for row in lut])
+        adc = None
+        for j in range(m):
+            term = F.element_at(F.element_at(lut_lit, j + 1),
+                                F.col("code").getItem(j) + 1)
+            adc = term if adc is None else adc + term
+    else:
+        @F.pandas_udf("double")
+        def adc_of(cs: pd.Series) -> pd.Series:
+            mat = np.vstack(cs.to_numpy()).astype(np.int64)  # (B, m)
+            return pd.Series(lut[np.arange(m)[None, :], mat].sum(axis=1))
+        adc = adc_of(F.col("code"))
     scored = codes.select(F.col("id"), adc.alias("adc"))
     if rescore_emb is None:
         return scored.orderBy(F.asc("adc"), F.asc("id")).limit(k)

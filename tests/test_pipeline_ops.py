@@ -297,6 +297,81 @@ def test_pq_train_kmeans_matches_numpy_lloyd(spark, emb_df):
     assert qerr(got) <= qerr(pq_codebooks_sampled(df, m=m, ksub=ksub)) + 1e-9
 
 
+def test_ivfpq_residual_encode_and_adc_match_numpy(spark, emb_df, tmp_path):
+    """ivf_residuals / write_ivfpq_index / ivfpq_adc_topk vs a numpy
+    reference: residual = v − nearest centroid, codes = per-subspace
+    argmin over residual codebooks, ADC uses the PER-CLUSTER lut of
+    (q − centroid_c); rescore returns exact-cosine order."""
+    import os
+
+    from spidey_search_engine_spark.operators.similarity import (
+        ivf_residuals, ivfpq_adc_topk, pq_codebooks_sampled,
+        write_ivfpq_index)
+    df, vecs = emb_df
+    v = vecs.astype(np.float64)
+    cent = v[:3].copy()
+    m, ksub = 2, 4
+    dsub = v.shape[1] // m
+
+    # numpy reference: assignment + residuals
+    d2 = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    asg = np.argmin(d2, axis=1)
+    res = v - cent[asg]
+
+    got_res = {r["id"]: (r["cluster"], np.array(r["residual"]))
+               for r in ivf_residuals(df, cent).collect()}
+    for i in range(60):
+        assert got_res[i][0] == int(asg[i]), i
+        assert np.allclose(got_res[i][1], res[i], atol=1e-6), i
+
+    # residual codebooks sampled from the residuals of the lowest ids
+    rdf = ivf_residuals(df, cent)
+    cb = pq_codebooks_sampled(rdf, m=m, ksub=ksub, id_col="id",
+                              vec_col="residual")
+    assert np.allclose(
+        cb, np.stack([res[:ksub, j * dsub:(j + 1) * dsub]
+                      for j in range(m)]), atol=1e-6)
+
+    out = str(tmp_path / "ivfpq_res")
+    write_ivfpq_index(df, cent, cb, out)
+    assert any(d.startswith("cluster=") for d in os.listdir(out))
+    codes = spark.read.parquet(out)
+
+    # numpy codes over float32-roundtripped residuals (parquet stores
+    # float32), same argmin rule
+    res32 = res.astype(np.float32).astype(np.float64)
+    ref_codes = np.empty((60, m), dtype=int)
+    for j in range(m):
+        sub = res32[:, j * dsub:(j + 1) * dsub]
+        dd = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+        ref_codes[:, j] = np.argmin(dd, axis=1)
+    got_codes = {r["id"]: list(r["code"]) for r in codes.collect()}
+    for i in range(60):
+        assert got_codes[i] == list(ref_codes[i]), i
+
+    q = v[3]
+    qd2 = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probes = sorted(int(x) for x in np.argsort(qd2, kind="stable")[:2])
+    ref_adc = {}
+    for i in range(60):
+        if int(asg[i]) not in probes:
+            continue
+        lut = ((q - cent[asg[i]]).reshape(m, 1, dsub) - cb) ** 2
+        lut = lut.sum(axis=2)
+        ref_adc[i] = float(sum(lut[j, ref_codes[i, j]] for j in range(m)))
+    got = [(r["id"], r["adc"]) for r in
+           ivfpq_adc_topk(codes, cent, cb, q, k=8, n_probe=2).collect()]
+    expect = sorted(ref_adc.items(), key=lambda kv: (kv[1], kv[0]))[:8]
+    assert [i for i, _ in got] == [i for i, _ in expect]
+    assert np.allclose([d for _, d in got], [d for _, d in expect])
+
+    # rescore: exact cosine over the ADC top-c; planted neighbor first
+    top = [r["id"] for r in
+           ivfpq_adc_topk(codes, cent, cb, q, k=3, n_probe=3,
+                          rescore_emb=df, rescore_c=30).collect()]
+    assert top[0] == 3 and 7 in top
+
+
 def test_pq_index_ivfpq_layout(spark, emb_df, tmp_path):
     """write_pq_index with coarse centroids produces cluster-partitioned
     codes (IVF-PQ); reading one cluster back gives the same codes as
