@@ -947,6 +947,44 @@ def ann_pq_adc_topk(spark, sf_dir):
             .select("id", _r(F.col("adc")).alias("adc_r")))
 
 
+def _ann_ivfpq_index(spark, sf_dir, centroids, rcb):
+    """Materialize (once per sf_dir) the cluster-partitioned IVF-PQ
+    residual codes over the non-query embeddings."""
+    from .operators.similarity import write_ivfpq_index
+    out = os.path.join(entry_index_dir(sf_dir), "ann_ivfpq")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        e = load_table(spark, sf_dir, "embeddings") \
+            .filter(F.col("vec_id") != 0)
+        write_ivfpq_index(e, centroids, rcb, out)
+    return spark.read.parquet(out)
+
+
+def ann_ivfpq_topk(spark, sf_dir):
+    """Canonical residual IVF-PQ top-k over the MATERIALIZED
+    cluster-partitioned codes table: coarse centroids = vectors 1..8,
+    residual codebooks sampled from the float32 residuals of vectors
+    9..16 (m=4, ksub=8), ADC against per-cluster lookup tables of
+    (q − centroid_c), n_probe=3. Oracle-paired: DuckDB reproduces
+    assignment, the float32 residual rounding (CAST AS REAL), per-subspace
+    argmin encoding, probing and the ADC rollup from the same closed
+    forms — nothing about the index is opaque to the oracle."""
+    from .operators.similarity import ivf_residuals, ivfpq_adc_topk, \
+        pq_codebooks_sampled
+    import numpy as np
+    e = load_table(spark, sf_dir, "embeddings")
+    head = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in e.filter(F.col("vec_id") <= 16).collect()}
+    q = head[0]
+    centroids = np.array([head[i] for i in range(1, 9)], dtype=np.float64)
+    res_sample = ivf_residuals(e.filter(F.col("vec_id").between(9, 16)),
+                               centroids)
+    rcb = pq_codebooks_sampled(res_sample, m=4, ksub=8, id_col="id",
+                               vec_col="residual")
+    codes = _ann_ivfpq_index(spark, sf_dir, centroids, rcb)
+    return (ivfpq_adc_topk(codes, centroids, rcb, q, k=15, n_probe=3)
+            .select("id", _r(F.col("adc")).alias("adc_r")))
+
+
 def hybrid_rrf_topk(spark, sf_dir):
     """Hybrid lexical+vector retrieval: the BM25 top-20 (bm25_topk_fixed)
     and the exact-cosine ANN top-20 (ann_cosine_topk) fused by
@@ -1066,9 +1104,63 @@ QUERIES.update({
     "simhash_pairs": simhash_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "hybrid_rrf_topk": hybrid_rrf_topk,
     "doc_fingerprint": doc_fingerprint,
 })
+
+ORACLE_SQL["ann_ivfpq_topk"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = 0
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8
+), asg AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+  FROM e CROSS JOIN cent c WHERE e.vec_id <> 0
+), a1 AS (
+  SELECT vec_id, cid FROM asg WHERE rn = 1
+), res AS (
+  -- float32-rounded residual, exactly as the materialized index stores it
+  SELECT a.vec_id, a.cid,
+         list_transform(generate_series(1, 64),
+                        i -> CAST(CAST(e.v[i] - c.cv[i] AS REAL) AS DOUBLE))
+           AS r
+  FROM a1 a JOIN e ON e.vec_id = a.vec_id JOIN cent c ON c.cid = a.cid
+), cb AS (
+  -- sampled residual codebooks: codeword k = residual of vector 9+k
+  SELECT vec_id - 9 AS code, r AS cbr FROM res WHERE vec_id BETWEEN 9 AND 16
+), subs AS (
+  SELECT * FROM (VALUES (0, 1, 16), (1, 17, 32),
+                        (2, 33, 48), (3, 49, 64)) AS t(j, lo, hi)
+), enc AS (
+  SELECT res.vec_id, s.j, cb.code,
+         row_number() OVER (
+           PARTITION BY res.vec_id, s.j
+           ORDER BY list_sum(list_transform(generate_series(s.lo, s.hi),
+                      i -> power(res.r[i] - cb.cbr[i], 2))), cb.code) AS rn
+  FROM res CROSS JOIN subs s CROSS JOIN cb
+), probes AS (
+  SELECT cid FROM cent, q ORDER BY list_distance(cv, qv), cid LIMIT 3
+), adc AS (
+  SELECT en.vec_id,
+         sum(list_sum(list_transform(generate_series(s.lo, s.hi),
+               i -> power((q.qv[i] - c.cv[i]) - cb.cbr[i], 2)))) AS d2
+  FROM enc en
+  JOIN a1 ON a1.vec_id = en.vec_id
+  JOIN probes p ON p.cid = a1.cid
+  JOIN cent c ON c.cid = a1.cid
+  JOIN subs s ON s.j = en.j
+  JOIN cb ON cb.code = en.code
+  CROSS JOIN q
+  WHERE en.rn = 1
+  GROUP BY en.vec_id
+)
+SELECT vec_id AS id, CAST(round(d2, 6) AS DOUBLE) AS adc_r
+FROM adc ORDER BY d2 ASC, vec_id ASC LIMIT 15"""
 
 # nest the two already-verified oracles as CTE bodies (DuckDB allows a
 # WITH inside a parenthesized CTE definition) and fuse exactly as
