@@ -284,10 +284,27 @@ class Searcher:
     def __init__(self, spark: SparkSession, index: dict,
                  cache_postings: bool = True, preload_dict: bool = True,
                  coalesce_to: int | None = None,
-                 head_df_threshold: int | None = None):
+                 head_df_threshold: int | None = None,
+                 disable_wholestage_codegen: bool = True):
         self.spark = spark
         self.index = dict(index)
         self._cached = []
+        self._prev_wholestage = None
+        if disable_wholestage_codegen:
+            # Every query carries fresh literals (idf map, term list), so
+            # whole-stage codegen compiles a NEW generated class per query
+            # - pure planning overhead at serving row counts (the cached
+            # postings a query touches are ~10^5 rows). Interpreted
+            # expression eval over that is cheaper than the compile:
+            # measured p50 0.48->0.42s, p95 0.66->0.46s at sf0.1
+            # (order-controlled, both directions) - crossing the
+            # reference's <500 ms warm anchor. Session-level knob: restored
+            # by close(); build jobs sharing the session while a Searcher
+            # is open would also run interpreted (don't do that - builds
+            # want codegen).
+            self._prev_wholestage = spark.conf.get(
+                "spark.sql.codegen.wholeStage", "true")
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
         self.index["terms"] = index["terms"].cache()
         self._cached.append(self.index["terms"])
         if cache_postings:
@@ -351,6 +368,9 @@ class Searcher:
         # index should share one Searcher.
         for df in self._cached:
             df.unpersist()
+        if self._prev_wholestage is not None:
+            self.spark.conf.set("spark.sql.codegen.wholeStage",
+                                self._prev_wholestage)
 
 
 # ---------------------------------------------------------------------------
