@@ -182,3 +182,52 @@ def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
     assert (2, 150, 150, 1) in got      # closed by event-time timeout
     assert (3, 500, 1000, 2) in got     # late event extended start backward
     assert (3, 1000, 1000, 1) not in got
+
+
+def test_ann_stream_append_matches_batch_index(spark, tmp_path):
+    """Streaming LSH ingest (streaming/ann.append_ann_stream) over two
+    micro-batches must produce the same signature table as the one-shot
+    write_lsh_index batch build — same buckets, same vectors — and
+    ann_topk_lsh over the streamed index returns identical top-k."""
+    import numpy as np
+
+    from spidey_search_engine_spark.operators.similarity import (
+        ann_topk_lsh, load_lsh_index, write_lsh_index)
+    from spidey_search_engine_spark.streaming.ann import append_ann_stream
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    vecs = rng.standard_normal((80, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>")
+
+    src = str(tmp_path / "emb_arrivals")
+    df.filter("vec_id < 40").coalesce(1).write.mode("append").parquet(src)
+    df.filter("vec_id >= 40").coalesce(1).write.mode("append").parquet(src)
+
+    batch_dir = str(tmp_path / "lsh_batch")
+    write_lsh_index(df, batch_dir, dim=16, n_bits=6, seed=5)
+
+    out_dir = str(tmp_path / "lsh_streamed")
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = append_ann_stream(spark, stream, out_dir, dim=16, n_bits=6, seed=5,
+                          checkpoint=str(tmp_path / "ann_ckpt"))
+    q.awaitTermination(120)
+
+    b = {r["id"]: r["bucket"]
+         for r in load_lsh_index(spark, batch_dir).collect()}
+    s = {r["id"]: r["bucket"]
+         for r in load_lsh_index(spark, out_dir).collect()}
+    assert s == b and len(s) == 80
+
+    qv = [float(x) for x in vecs[5]]
+    got_b = [(r["id"], round(r["cos"], 10)) for r in
+             ann_topk_lsh(None, qv, dim=16, k=5, n_bits=6, probe_hamming=1,
+                          signatures=load_lsh_index(spark, batch_dir))
+             .collect()]
+    got_s = [(r["id"], round(r["cos"], 10)) for r in
+             ann_topk_lsh(None, qv, dim=16, k=5, n_bits=6, probe_hamming=1,
+                          signatures=load_lsh_index(spark, out_dir))
+             .collect()]
+    assert got_s == got_b and got_s[0][0] == 5
