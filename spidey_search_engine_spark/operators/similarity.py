@@ -340,7 +340,8 @@ def pq_codebooks_sampled(emb: DataFrame, m: int, ksub: int,
 
 def pq_encode(emb: DataFrame, codebooks: np.ndarray,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              keep_vec: bool = False) -> DataFrame:
+              keep_vec: bool = False,
+              carry: Sequence[str] = ()) -> DataFrame:
     """(id, code: array<int>) — product-quantization encode: split each
     vector into m subvectors, store the index of the nearest codeword per
     subspace (squared euclidean, direct form Σ(v−c)², ties to the lowest
@@ -366,6 +367,7 @@ def pq_encode(emb: DataFrame, codebooks: np.ndarray,
     cols = [F.col(id_col).alias("id"), code_of(F.col(vec_col)).alias("code")]
     if keep_vec:
         cols.insert(1, F.col(vec_col).alias("embedding"))
+    cols += [F.col(c) for c in carry]  # pass-through (e.g. IVF cluster)
     return emb.select(*cols)
 
 
@@ -427,6 +429,24 @@ def write_pq_index(emb: DataFrame, codebooks: np.ndarray, out_dir: str,
      .write.mode("overwrite").partitionBy("cluster").parquet(out_dir))
 
 
+def _adc_topk_or_rescore(scored: DataFrame, query_vec: Sequence[float],
+                         k: int, rescore_emb: DataFrame | None,
+                         rescore_c: int | None, id_col: str,
+                         vec_col: str) -> DataFrame:
+    """Shared ADC tail (pq_adc_topk / ivfpq_adc_topk): top-k by ADC
+    distance, ties to the lowest id; or narrow to the top rescore_c
+    (default 4k) and exact-rescore by true cosine — the tiny candidate
+    set is the broadcast side of the semi-join into the vector table."""
+    if rescore_emb is None:
+        return scored.orderBy(F.asc("adc"), F.asc("id")).limit(k)
+    c = rescore_c if rescore_c is not None else 4 * k
+    cand = scored.orderBy(F.asc("adc"), F.asc("id")).limit(c).select("id")
+    sel = rescore_emb.join(
+        F.broadcast(cand.withColumnRenamed("id", id_col)), id_col,
+        "left_semi")
+    return brute_force_cosine_topk(sel, query_vec, k, id_col, vec_col)
+
+
 def ivf_residuals(emb: DataFrame, centroids: np.ndarray,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
@@ -474,9 +494,11 @@ def write_ivfpq_index(emb: DataFrame, centroids: np.ndarray,
     residual distribution (pq_codebooks_sampled / pq_train_kmeans over
     ivf_residuals output)."""
     res = ivf_residuals(emb, centroids, id_col, vec_col)
-    enc = pq_encode(res, codebooks, id_col="id", vec_col="residual")
-    keyed = res.select("id", "cluster").join(enc, "id")
-    (keyed.repartition("cluster")
+    # carry the cluster through the encode: one pass, no re-derivation of
+    # the residual lineage and no id-shuffle join
+    enc = pq_encode(res, codebooks, id_col="id", vec_col="residual",
+                    carry=("cluster",))
+    (enc.repartition("cluster")
      .write.mode("overwrite").partitionBy("cluster").parquet(out_dir))
 
 
@@ -517,14 +539,8 @@ def ivfpq_adc_topk(codes: DataFrame, centroids: np.ndarray,
     scored = pruned.select(F.col("id"),
                            adc_of(F.col("cluster"),
                                   F.col("code")).alias("adc"))
-    if rescore_emb is None:
-        return scored.orderBy(F.asc("adc"), F.asc("id")).limit(k)
-    c = rescore_c if rescore_c is not None else 4 * k
-    cand = scored.orderBy(F.asc("adc"), F.asc("id")).limit(c).select("id")
-    sel = rescore_emb.join(
-        F.broadcast(cand.withColumnRenamed("id", id_col)), id_col,
-        "left_semi")
-    return brute_force_cosine_topk(sel, query_vec, k, id_col, vec_col)
+    return _adc_topk_or_rescore(scored, query_vec, k, rescore_emb,
+                                rescore_c, id_col, vec_col)
 
 
 def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray,
@@ -569,14 +585,8 @@ def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray,
             return pd.Series(lut[np.arange(m)[None, :], mat].sum(axis=1))
         adc = adc_of(F.col("code"))
     scored = codes.select(F.col("id"), adc.alias("adc"))
-    if rescore_emb is None:
-        return scored.orderBy(F.asc("adc"), F.asc("id")).limit(k)
-    c = rescore_c if rescore_c is not None else 4 * k
-    cand = scored.orderBy(F.asc("adc"), F.asc("id")).limit(c).select("id")
-    pruned = rescore_emb.join(
-        F.broadcast(cand.withColumnRenamed("id", id_col)), id_col,
-        "left_semi")
-    return brute_force_cosine_topk(pruned, query_vec, k, id_col, vec_col)
+    return _adc_topk_or_rescore(scored, query_vec, k, rescore_emb,
+                                rescore_c, id_col, vec_col)
 
 
 def embedding_cosine_dedup_pairs(emb: DataFrame, dim: int,

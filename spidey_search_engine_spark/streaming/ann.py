@@ -11,13 +11,15 @@ are unaffected (immutable files). Small-file accumulation under a bucket
 dir is the same shape postings compaction solves — `compact_postings`'s
 re-layout applies unchanged if a deployment ever needs it.
 
-At 100 TB the append is embarrassingly parallel: each micro-batch is one
-Arrow matmul pass (rhp_signatures) plus a shuffle-free write into
-2^n_bits dirs; the `repartition("bucket")` keeps it to one file per
-touched bucket per batch.
+At 100 TB the append is one Arrow matmul pass (rhp_signatures) plus one
+small per-micro-batch shuffle on `bucket` — that exchange is the price of
+writing exactly one file per touched bucket per batch instead of
+n_input_partitions × buckets small files.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -30,17 +32,23 @@ def append_ann_stream(spark: SparkSession, emb_stream: DataFrame,
                       vec_col: str = "embedding",
                       checkpoint: str | None = None):
     """Start a foreachBatch stream appending signed vectors into the
-    bucket-partitioned LSH index (write_lsh_index layout — same
-    n_bits/seed MUST be used at query time). emb_stream provides
-    (id_col, vec_col). Returns the StreamingQuery."""
+    bucket-partitioned LSH index, laid out
+    ``out_dir/batch=<id>/bucket=<b>/`` (same n_bits/seed MUST be used at
+    query time). Each batch OVERWRITES its own ``batch=<id>`` dir — the
+    same idempotence discipline as the text append's chunk dirs
+    (incremental.py): foreachBatch is at-least-once, and a replay after a
+    post-commit crash must rewrite identical files, never append
+    duplicates that would shrink a probe's effective top-k. emb_stream
+    provides (id_col, vec_col). Returns the StreamingQuery."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
         sig = rhp_signatures(batch_df, dim, n_bits, seed, id_col, vec_col,
                              keep_vec=True)
-        (sig.repartition("bucket").write.mode("append")
-         .partitionBy("bucket").parquet(out_dir))
+        (sig.repartition("bucket").write.mode("overwrite")
+         .partitionBy("bucket")
+         .parquet(os.path.join(out_dir, f"batch={batch_id}")))
 
     writer = emb_stream.writeStream.foreachBatch(process) \
         .trigger(availableNow=True)

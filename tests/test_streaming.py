@@ -221,6 +221,15 @@ def test_ann_stream_append_matches_batch_index(spark, tmp_path):
          for r in load_lsh_index(spark, out_dir).collect()}
     assert s == b and len(s) == 80
 
+    # at-least-once idempotence: replaying the WHOLE stream (fresh
+    # checkpoint) rewrites the same batch=<id> dirs — no duplicate rows
+    q2 = append_ann_stream(spark, stream, out_dir, dim=16, n_bits=6,
+                           seed=5, checkpoint=str(tmp_path / "ann_ckpt2"))
+    q2.awaitTermination(120)
+    replayed = load_lsh_index(spark, out_dir)
+    assert replayed.count() == 80
+    assert {r["id"]: r["bucket"] for r in replayed.collect()} == b
+
     qv = [float(x) for x in vecs[5]]
     got_b = [(r["id"], round(r["cos"], 10)) for r in
              ann_topk_lsh(None, qv, dim=16, k=5, n_bits=6, probe_hamming=1,
