@@ -320,6 +320,35 @@ def lang_markers(spark, sf_dir):
     return d.select("doc_id", hits(en).alias("en_hits"), hits(es).alias("es_hits"))
 
 
+_BATCH_BAGS = {
+    "b1": ["merge", "sort"],
+    "b2": ["data", "fast", "scan"],
+    "b3": ["merge", "data", "merge"],  # duplicate term: 2× idf weight
+}
+
+
+def bm25_batch_topk(spark, sf_dir):
+    """Batch BM25: three queries scored in ONE job (union-term probe +
+    broadcast per-query weights + one aggregation + per-query window
+    rank — operators/search.bm25_scores_batch). The eval-workload shape:
+    shared terms decode once for all queries. Oracle-paired with the
+    same (query_id, term) VALUES bag, duplicates carrying bag-semantics
+    multiplicity on both sides."""
+    idx = entry_index(spark, sf_dir)
+    union_terms = sorted({t for bag in _BATCH_BAGS.values() for t in bag})
+    rows = S.query_term_postings(idx["postings"], union_terms,
+                                 int(idx["stats"]["n_buckets"]))
+    scores = S.bm25_scores_batch(rows, idx["terms"],
+                                 float(idx["stats"]["avgdl"]), _BATCH_BAGS)
+    wnd = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                 F.asc("doc_id"))
+    return (scores.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "doc_id", _r(F.col("score"))
+                    .alias("score_r"), F.col("rank").cast("int")
+                    .alias("rank")))
+
+
 def multimodal_meta(spark, sf_dir):
     """Opaque-binary plumbing check: byte length + sha256 of the payload
     column treated as binary (decode itself is stubbed, operators/multimodal)."""
@@ -493,6 +522,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "text_quality": text_quality,
     "lang_markers": lang_markers,
+    "bm25_batch_topk": bm25_batch_topk,
     "multimodal_meta": multimodal_meta,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_resize_png": multimodal_resize_png,
@@ -700,6 +730,28 @@ SELECT doc_id,
          AS es_hits
 FROM toks""",
 
+    "bm25_batch_topk": _BASE_CTES + """,
+q(query_id, term) AS (VALUES
+  ('b1','merge'),('b1','sort'),
+  ('b2','data'),('b2','fast'),('b2','scan'),
+  ('b3','merge'),('b3','data'),('b3','merge')),
+scores AS (
+  SELECT q.query_id, tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY q.query_id, tfc.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, doc_id, CAST(round(s, 6) AS DOUBLE) AS score_r,
+       rank::INT AS rank
+FROM ranked WHERE rank <= 10""",
     "multimodal_meta": """
 SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
        sha256(text) AS payload_sha

@@ -261,6 +261,70 @@ def bm25_topk(spark: SparkSession, index: dict, query: str, k: int = 10) -> Data
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def bm25_scores_batch(posting_rows: DataFrame, terms_df: DataFrame,
+                      avgdl: float, term_bags: dict[str, list[str]],
+                      idf_cache: dict | None = None) -> DataFrame:
+    """(query_id, doc_id, score) — BM25 for MANY queries in one pass.
+
+    `posting_rows` must cover the UNION of all bags' terms (one decode of
+    each shared hot term serves every query that uses it). Per-query
+    weights (idf × multiplicity, bag semantics as bm25_scores) form a tiny
+    (query_id, term, w) DataFrame broadcast INTO the decoded rows — the
+    batch analog of the single-query literal map. One shuffle on
+    (query_id, doc_id) scores everything."""
+    union_terms = sorted({t for bag in term_bags.values() for t in bag})
+    idf = query_idf(terms_df, union_terms, "idf_bm25", idf_cache)
+    qrows = []
+    for qid, bag in term_bags.items():
+        for term, mult in pd.Series(bag).value_counts().items():
+            if term in idf:
+                qrows.append((qid, term, float(idf[term]) * float(mult)))
+    spark = posting_rows.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double")
+    qdf = spark.createDataFrame(qrows, "query_id string, term string, "
+                                       "w double")
+    return (posting_rows.join(F.broadcast(qdf), "term")
+            .withColumn("partial",
+                        F.col("w") * (F.col("tf") * (K1 + 1)) /
+                        (F.col("tf") + K1 * (1 - B + B * F.col("dl")
+                                             / F.lit(avgdl))))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("partial").alias("score")))
+
+
+def bm25_topk_batch(spark: SparkSession, index: dict,
+                    queries: dict[str, str], k: int = 10) -> DataFrame:
+    """(query_id, doc_id, score, rank) — top-k for a BATCH of queries in
+    ONE job: one partition-pruned probe + decode of the union of query
+    terms, one broadcast of the per-query weights, one (query_id, doc_id)
+    aggregation, one per-query window rank. The eval-workload shape — at
+    10⁴ queries the per-job fixed cost amortizes to ~0 and shared hot
+    terms decode once instead of once per query. Ties break by doc_id ASC
+    per query (same discipline as bm25_topk)."""
+    bags: dict[str, list[str]] = {}
+    for qid, qtext in queries.items():
+        q_terms, phrases = analyze_query(qtext)
+        for p in phrases:
+            q_terms.extend(p)
+        if q_terms:
+            bags[qid] = q_terms
+    if not bags:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int")
+    union_terms = sorted({t for bag in bags.values() for t in bag})
+    rows = query_term_postings(index["postings"], union_terms,
+                               int(index["stats"]["n_buckets"]))
+    scores = bm25_scores_batch(rows, index["terms"],
+                               float(index["stats"]["avgdl"]), bags,
+                               index.get("idf_cache"))
+    wnd = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                 F.asc("doc_id"))
+    return (scores.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= k))
+
+
 # wholeStage-codegen suppression is a SESSION conf, so overlapping
 # Searchers on one session must refcount it: the first to open saves the
 # original value, the last to close restores it (a naive per-instance
@@ -390,6 +454,9 @@ class Searcher:
 
     def bm25(self, query: str, k: int = 10) -> DataFrame:
         return bm25_topk(self.spark, self.index, query, k)
+
+    def bm25_batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        return bm25_topk_batch(self.spark, self.index, queries, k)
 
     def bm25_pruned(self, query: str, k: int = 10, **kw) -> DataFrame:
         from .wand import bm25_topk_pruned

@@ -209,3 +209,39 @@ def test_searcher_head_only_dict(spark, index):
         assert warm2 == cold
     finally:
         s.close()
+
+
+def test_bm25_batch_equals_per_query(spark, index):
+    """bm25_topk_batch must return, per query, exactly the per-query
+    bm25_topk result (ids, scores, rank order), including bag-semantics
+    duplicate terms and a query with only unknown terms (absent from the
+    output); via Searcher too."""
+    from spidey_search_engine_spark.operators.search import (
+        Searcher, bm25_topk, bm25_topk_batch)
+    queries = {
+        "q1": "merge sort",
+        "q2": "hash join scan",
+        "q3": "merge merge data",     # duplicate term -> 2x idf weight
+        "q4": "zzz_unknown_term",     # analyzes to a term with no postings
+    }
+    batch = bm25_topk_batch(spark, index, queries, k=8).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert "q4" not in by_q
+    for qid in ("q1", "q2", "q3"):
+        got = sorted(by_q[qid], key=lambda r: r["rank"])
+        assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+        single = bm25_topk(spark, index, queries[qid], k=8).collect()
+        assert [(r["doc_id"], round(r["score"], 10)) for r in got] == \
+            [(r["doc_id"], round(r["score"], 10)) for r in single], qid
+
+    s = Searcher(spark, index, cache_postings=False)
+    try:
+        warm = s.bm25_batch({"q1": queries["q1"]}, k=8).collect()
+        assert [(r["doc_id"], round(r["score"], 10))
+                for r in sorted(warm, key=lambda r: r["rank"])] == \
+            [(r["doc_id"], round(r["score"], 10))
+             for r in bm25_topk(spark, index, queries["q1"], k=8).collect()]
+    finally:
+        s.close()
