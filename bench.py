@@ -90,6 +90,10 @@ def main() -> None:
     for name, q in list(bm25_queries.items())[:2]:
         timed(name + "_pruned",
               lambda q=q: searcher.bm25_pruned(q, k=10).collect())
+    # batch serving: all 5 queries in ONE job (eval-workload shape)
+    searcher.bm25_batch({"w": "warm up"}, k=10).collect()
+    timed("bm25_batch5",
+          lambda: searcher.bm25_batch(bm25_queries, k=10).collect())
     timed("parity_two_stage",
           lambda: searcher.parity('fast "merge sort" scan').collect())
     # hot-word phrase: both words are frequent, so the two-pass decode's

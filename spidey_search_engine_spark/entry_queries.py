@@ -298,6 +298,29 @@ def ann_cosine_topk(spark, sf_dir):
             .select("vec_id", "cos_r"))
 
 
+def ann_batch_topk(spark, sf_dir):
+    """Batch exact cosine: THREE query vectors scored in ONE scan
+    (operators/similarity.brute_force_cosine_topk_batch — per-Arrow-batch
+    (B×dim)·(dim×Q) matmul, local top-k per query, one global window
+    rank). The eval-workload analog of bm25_batch_topk: at Q queries the
+    embedding table is read once, not Q times."""
+    from .operators.similarity import brute_force_cosine_topk_batch
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = (e.filter(F.col("vec_id").isin(0, 1, 2))
+             .select("vec_id", "embedding").collect())
+    queries = {f"v{r['vec_id']}": [float(x) for x in r["embedding"]]
+               for r in qrows}
+    res = brute_force_cosine_topk_batch(e, queries, k=10)
+    # cos rounded at 5 (not 6) decimals: the batch kernel's numpy matmul
+    # sums pairwise/SIMD while DuckDB's list_cosine_similarity folds
+    # sequentially — last-ulp differences straddle the 1e-6 boundary on
+    # ~1/50 values. 1e-5 granularity is summation-order-stable; ranks
+    # still come from the unrounded scores.
+    return res.select("query_id", F.col("id").alias("vec_id"),
+                      _r(F.col("cos"), 5).alias("cos_r"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def text_quality(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
@@ -520,6 +543,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_batch_topk": ann_batch_topk,
     "text_quality": text_quality,
     "lang_markers": lang_markers,
     "bm25_batch_topk": bm25_batch_topk,
@@ -709,6 +733,24 @@ SELECT vec_id,
          AS cos_r
 FROM embeddings, q WHERE vec_id <> 0
 ORDER BY list_cosine_similarity(embedding, q.qv) DESC, vec_id ASC LIMIT 20""",
+
+    "ann_batch_topk": """
+WITH q AS (
+  SELECT 'v' || vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qv) AS c
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(round(c, 5) AS DOUBLE) AS cos_r,
+       rank::INT AS rank
+FROM ranked WHERE rank <= 10""",
 
     "text_quality": f"""
 WITH toks AS (

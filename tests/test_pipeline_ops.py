@@ -123,6 +123,32 @@ def test_brute_force_cosine_matches_numpy(spark, emb_df):
         assert abs(gcos - cos[i]) < 1e-9
 
 
+def test_batch_cosine_equals_per_query(spark, emb_df):
+    """brute_force_cosine_topk_batch (one scan, Q queries) must return
+    exactly the per-query brute_force_cosine_topk results — same ids,
+    same order, cos within float tolerance — including a k > batch-rows
+    edge (local top-k takes min(k, len))."""
+    from spidey_search_engine_spark.operators.similarity import (
+        brute_force_cosine_topk, brute_force_cosine_topk_batch)
+    df, vecs = emb_df
+    queries = {f"q{i}": [float(x) for x in vecs[i]] for i in (0, 3, 11)}
+    batch = brute_force_cosine_topk_batch(df, queries, k=7).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert sorted(by_q) == ["q0", "q11", "q3"]
+    for qid, qv in queries.items():
+        rows = sorted(by_q[qid], key=lambda r: r["rank"])
+        solo = brute_force_cosine_topk(df, qv, k=7).collect()
+        assert [r["id"] for r in rows] == [r["id"] for r in solo]
+        assert [r["rank"] for r in rows] == list(range(1, 8))
+        for b, s in zip(rows, solo):
+            assert abs(b["cos"] - s["cos"]) < 1e-9
+    # k larger than the table: every row comes back, still ranked
+    big = brute_force_cosine_topk_batch(df, {"q": queries["q0"]}, k=100)
+    assert big.count() == 60
+
+
 def test_ann_lsh_finds_planted_neighbor(spark, emb_df):
     from spidey_search_engine_spark.operators.similarity import ann_topk_lsh
     df, vecs = emb_df
