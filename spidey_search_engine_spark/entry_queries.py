@@ -954,6 +954,44 @@ def minhash_lsh_pairs(spark, sf_dir):
         "id_a", "id_b", _r(F.col("jaccard")).alias("jaccard_r"))
 
 
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic training-mix quota draw: exactly 3 docs per lang,
+    ranked by the salted injectable hash (operators/sampling.
+    stratified_sample) — oracle-paired row-for-row, not statistically."""
+    from .functions.hashing import poly_hash
+    from .operators.sampling import stratified_sample
+    d = load_table(spark, sf_dir, "documents")
+    return (stratified_sample(d, ["lang"], 3, hash_expr=poly_hash)
+            .select("doc_id", "lang", "smp_rank"))
+
+
+def hash_sample_docs(spark, sf_dir):
+    """Shuffle-free deterministic ~10% sample (operators/sampling.
+    hash_fraction_sample): pure scan-local hash-threshold filter — the
+    100-TB sampling path; stable under corpus growth."""
+    from .functions.hashing import poly_hash
+    from .operators.sampling import hash_fraction_sample
+    d = load_table(spark, sf_dir, "documents")
+    return (hash_fraction_sample(d, 0.1, hash_expr=poly_hash)
+            .select("doc_id", "lang"))
+
+
+def dedup_cluster_assign(spark, sf_dir):
+    """Near-dup CLUSTERS from the verified MinHash-LSH pair list:
+    connected components (min-label propagation, operators/dedup.
+    connected_components) + canonical min-id pick — the keep/drop
+    decision a training-data dedup pipeline actually applies (filter
+    canon = 1 → deduplicated corpus). Oracle: recursive-CTE transitive
+    closure (min reachable id per node) over the SAME oracle-verified
+    pair set, singletons included."""
+    from .functions.hashing import poly_hash
+    from .operators.dedup import dedup_clusters, minhash_lsh_dedup
+    d = _planted_docs(spark, sf_dir).withColumnRenamed("text", "content")
+    pairs = minhash_lsh_dedup(d, num_hashes=8, bands=4, threshold=0.2,
+                              hash_expr=poly_hash, band_hash_expr=poly_hash)
+    return dedup_clusters(d, pairs, id_col="doc_id")
+
+
 def simhash_pairs(spark, sf_dir):
     """SimHash fingerprints (single-pass kernel) + pigeonhole near-pair
     search, oracle-paired via the injected 63-bit polynomial token hash."""
@@ -1195,6 +1233,9 @@ QUERIES.update({
     "lang_id_pred": lang_id_pred,
     "bpe_token_estimate": bpe_token_estimate,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_cluster_assign": dedup_cluster_assign,
+    "stratified_sample_docs": stratified_sample_docs,
+    "hash_sample_docs": hash_sample_docs,
     "simhash_pairs": simhash_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
@@ -1580,6 +1621,47 @@ FROM toks"""
 QUERIES["a6_binary_postings"] = a6_binary_postings
 
 ORACLE_SQL.update(_build_lsh_oracles())
+
+from .functions.hashing import duck_poly as _duck_poly  # noqa: E402
+
+# same salted polynomial hash as operators/sampling with hash_expr=poly_hash
+_SAMPLE_KEY = _duck_poly("doc_id::VARCHAR || ':17'")
+
+ORACLE_SQL["stratified_sample_docs"] = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, {_SAMPLE_KEY} AS k FROM documents
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY k ASC, doc_id ASC) AS smp_rank
+  FROM keyed
+)
+SELECT doc_id, lang, smp_rank::INT AS smp_rank
+FROM ranked WHERE smp_rank <= 3"""
+
+ORACLE_SQL["hash_sample_docs"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_SAMPLE_KEY} % 1073741824 < 107374182"""
+
+# transitive closure of the SAME verified pair set (nested-CTE trick as
+# hybrid_rrf_topk): min reachable id per node = cluster id; canonical =
+# the node that IS its cluster id. Singletons seed from the planted list.
+ORACLE_SQL["dedup_cluster_assign"] = f"""
+WITH RECURSIVE pairs AS ({ORACLE_SQL["minhash_lsh_pairs"]}),
+{_PLANTED_SQL_BODY},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+walk(id, label) AS (
+  SELECT doc_id, doc_id FROM planted
+  UNION
+  SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.id
+)
+SELECT id AS doc_id, min(label)::BIGINT AS cluster_id,
+       (CASE WHEN min(label) = id THEN 1 ELSE 0 END)::INT AS canon
+FROM walk GROUP BY id"""
 ORACLE_SQL["a6_binary_postings"] = _BASE_CTES + """
 SELECT term, doc_id FROM tfc"""
 

@@ -309,3 +309,72 @@ def simhash_near_pairs(fp: DataFrame, hamming_max: int = 3) -> DataFrame:
         "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .filter(F.col("hamming") <= hamming_max)
         .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters — connected components over near-dup pairs + canonical
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
+                         src: str = "id_a", dst: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """(id, component) — undirected connected components by min-label
+    propagation ("hash-to-min"), the step that turns pair lists from
+    minhash_lsh_dedup / simhash_near_pairs / embedding-cosine into actual
+    duplicate CLUSTERS a pipeline can act on.
+
+    Scale design: each round is one shuffle — the symmetric edge list joins
+    the current labels on the source endpoint and takes min(label) per
+    destination. Rounds needed = component diameter; LSH near-dup
+    components are near-cliques (every member pairs with the template doc),
+    so 2-4 rounds converge in practice — the driver loop is O(diameter),
+    NOT O(V). Each round ends in an eager localCheckpoint so the plan never
+    grows, and convergence is one count() of still-moving labels. Isolated
+    nodes (no edges) keep their own id. At 10^12 docs the same loop holds:
+    labels and edges are both id-partitioned DataFrames, nothing lands on
+    the driver. (For pathological long-chain graphs — not dedup output —
+    the alternating large-star/small-star variant bounds rounds by
+    log(V); dedup clusters never need it, documented deviation.)
+    """
+    sym = (edges.select(F.col(src).cast("long").alias("s"),
+                        F.col(dst).cast("long").alias("d"))
+           .union(edges.select(F.col(dst).cast("long").alias("s"),
+                               F.col(src).cast("long").alias("d")))
+           .distinct())
+    if nodes is None:
+        base = sym.select(F.col("s").alias("id")).distinct()
+    else:
+        base = nodes.distinct()
+    labels = base.select("id", F.col("id").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (sym.join(labels.withColumnRenamed("id", "s"), "s")
+               .groupBy(F.col("d").alias("id"))
+               .agg(F.min("label").alias("nbr_label")))
+        new = (labels.join(nbr, "id", "left")
+               .select("id", F.least("label", "nbr_label").alias("label"),
+                       (F.col("nbr_label") < F.col("label"))
+                       .alias("_moved")))
+        new = new.localCheckpoint()
+        moved = new.filter(F.col("_moved")).count()
+        labels = new.select("id", "label")
+        if moved == 0:
+            break
+    return labels
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id_col, cluster_id, canon) — assign every doc to its duplicate
+    cluster (transitive closure of the pair list) and pick ONE canonical
+    representative per cluster: the minimum doc id, the deterministic
+    "keep" choice a training-data dedup pipeline applies. canon is int
+    (1 = keep, 0 = drop) for oracle-stable typing. Docs in no pair are
+    their own singleton cluster (canon = 1), so filtering canon = 1
+    yields exactly the deduplicated corpus."""
+    nodes = df.select(F.col(id_col).cast("long").alias("id"))
+    comp = connected_components(pairs, nodes=nodes)
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("id")).cast("int").alias("canon"))

@@ -1,0 +1,67 @@
+"""Deterministic sampling operators for training-data mix construction.
+
+A 100-TB corpus is never trained on whole: pipelines draw per-language /
+per-source / per-quality-band quotas. Two primitives, both deterministic
+functions of (id, seed) — re-running the pipeline reproduces the sample
+bit-for-bit, and adding documents never evicts previously-sampled ones
+from the fraction path (stable under corpus growth, the property that
+makes incremental re-mixes diffable):
+
+* hash_fraction_sample — keep rows whose salted hash falls under the
+  fraction threshold. SHUFFLE-FREE: a scan-local filter Catalyst pushes
+  next to the parquet reader; this is the 100-TB path. Per-stratum
+  fractions join a tiny broadcast quota table instead of using a literal.
+* stratified_sample — EXACTLY n per stratum: rank within stratum by the
+  salted hash (ties by id) and keep rank <= n. One shuffle on the strata
+  columns (window sort). For huge strata, pre-thin with
+  hash_fraction_sample first (oversample ~3n/N), then exact-rank the
+  survivors — the two-phase shape keeps the window sort bounded.
+
+Both default to JVM ``xxhash64(id, seed)`` (production) and accept the
+``hash_expr`` injection the dedup family uses, so the DuckDB oracle runs
+the identical polynomial hash (functions/hashing.py) and the sample is
+value-checked row-for-row, not statistically.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HashExpr = Callable[[Column], Column]
+
+_DENOM = 1 << 30
+
+
+def _sample_key(id_col: str, seed: int,
+                hash_expr: HashExpr | None) -> Column:
+    if hash_expr is None:
+        return F.xxhash64(F.col(id_col), F.lit(seed))
+    return hash_expr(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+
+
+def hash_fraction_sample(df: DataFrame, fraction: float,
+                         id_col: str = "doc_id", seed: int = 17,
+                         hash_expr: HashExpr | None = None) -> DataFrame:
+    """Keep ~fraction of rows, deterministically: pmod(hash(id,seed),
+    2^30) < fraction·2^30. No shuffle, no state — the predicate is a pure
+    column expression evaluated inside the scan stage."""
+    key = F.pmod(_sample_key(id_col, seed, hash_expr), F.lit(_DENOM))
+    return df.filter(key < F.lit(int(fraction * _DENOM)))
+
+
+def stratified_sample(df: DataFrame, strata_cols: Sequence[str],
+                      n_per_stratum: int, id_col: str = "doc_id",
+                      seed: int = 17,
+                      hash_expr: HashExpr | None = None) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, ranked by the salted
+    hash (ties by id ASC) — a deterministic quota draw. Output adds
+    ``smp_rank`` (1-based within stratum)."""
+    key = _sample_key(id_col, seed, hash_expr)
+    wnd = (Window.partitionBy(*strata_cols)
+           .orderBy(key.asc(), F.col(id_col).asc()))
+    return (df.withColumn("smp_rank", F.row_number().over(wnd))
+            .filter(F.col("smp_rank") <= n_per_stratum))

@@ -123,6 +123,65 @@ def test_brute_force_cosine_matches_numpy(spark, emb_df):
         assert abs(gcos - cos[i]) < 1e-9
 
 
+def test_sampling_deterministic_quota_and_growth_stable(spark):
+    """stratified_sample: exactly min(n, |stratum|) per stratum, same
+    rows on re-run. hash_fraction_sample: a doc's keep/drop never changes
+    when the corpus grows (incremental re-mix stability)."""
+    from spidey_search_engine_spark.operators.sampling import (
+        hash_fraction_sample, stratified_sample)
+    rows = [(i, "en" if i % 3 else "de") for i in range(90)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    s1 = stratified_sample(d, ["lang"], 5, seed=23)
+    got = s1.collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by_lang["en"]) == 5 and len(by_lang["de"]) == 5
+    assert sorted(r["smp_rank"] for r in got if r["lang"] == "en") == \
+        [1, 2, 3, 4, 5]
+    # re-run identical; tiny stratum returns all its rows
+    assert sorted((r["lang"], r["doc_id"]) for r in
+                  stratified_sample(d, ["lang"], 5, seed=23).collect()) == \
+        sorted((r["lang"], r["doc_id"]) for r in got)
+    tiny = spark.createDataFrame([(1, "fr"), (2, "fr")],
+                                 "doc_id long, lang string")
+    assert stratified_sample(tiny, ["lang"], 5).count() == 2
+    # fraction path: sample of first 60 docs == restriction of sample of 90
+    small = {r["doc_id"] for r in hash_fraction_sample(
+        d.filter(F.col("doc_id") < 60), 0.3, seed=23).collect()}
+    big = {r["doc_id"] for r in
+           hash_fraction_sample(d, 0.3, seed=23).collect()}
+    assert small == {i for i in big if i < 60}
+    assert 0 < len(big) < 90
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation must close transitive CHAINS (A-B, B-C with
+    no A-C pair — multiple hops), keep disjoint clusters apart, and give
+    isolated docs singleton clusters with canon=1."""
+    from spidey_search_engine_spark.operators.dedup import (
+        connected_components, dedup_clusters)
+    # chain 1-2-3-4, clique 10-11, singletons 20, 21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 20, 21)], "doc_id long")
+    out = {r["doc_id"]: (r["cluster_id"], r["canon"])
+           for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (1, 0),
+                   10: (10, 1), 11: (10, 0), 20: (20, 1), 21: (21, 1)}
+    # components alone (no node list): only edge endpoints appear
+    comp = {r["id"]: r["label"] for r in
+            connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # long chain needs > 2 rounds: 8-node path, reversed pair order
+    chain = spark.createDataFrame(
+        [(i + 1, i) for i in range(100, 107)], "id_a long, id_b long")
+    cc = {r["id"]: r["label"] for r in
+          connected_components(chain).collect()}
+    assert set(cc.values()) == {100}
+
+
 def test_batch_cosine_equals_per_query(spark, emb_df):
     """brute_force_cosine_topk_batch (one scan, Q queries) must return
     exactly the per-query brute_force_cosine_topk results — same ids,
