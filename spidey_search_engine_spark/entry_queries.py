@@ -1031,6 +1031,30 @@ def ann_lsh_topk(spark, sf_dir):
             .select("id", _r(F.col("cos")).alias("cos_r")))
 
 
+def ann_batch_lsh_topk(spark, sf_dir):
+    """Batch ANN on the SERVING path: three queries probe the materialized
+    bucket-partitioned LSH index in ONE partition-pruned scan (union of
+    probe buckets; each candidate scored only against the queries probing
+    its bucket — operators/similarity.ann_topk_lsh_batch). Oracle: the
+    inlined-hyperplane bucket assignment + per-query Hamming-2 multiprobe
+    + exact cosine, over the same vec_id<>0 index universe."""
+    from .operators.similarity import ann_topk_lsh_batch
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = (e.filter(F.col("vec_id").isin(0, 1, 2))
+             .select("vec_id", "embedding").collect())
+    queries = {f"v{r['vec_id']}": [float(x) for x in r["embedding"]]
+               for r in qrows}
+    dim = len(qrows[0]["embedding"])
+    sig = _ann_lsh_index(spark, sf_dir, dim)
+    res = ann_topk_lsh_batch(sig, queries, dim=dim, k=10, n_bits=6,
+                             probe_hamming=2)
+    # 1e-5 rounding: numpy pairwise matmul vs DuckDB sequential fold — see
+    # ann_batch_topk
+    return res.select("query_id", F.col("id").alias("vec_id"),
+                      _r(F.col("cos"), 5).alias("cos_r"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def _ann_ivf_index(spark, sf_dir, centroids):
     """Materialize (once per sf_dir) the cluster-partitioned IVF inverted
     lists over the non-query embeddings."""
@@ -1600,6 +1624,31 @@ SELECT e.vec_id AS id,
 FROM e JOIN cand USING (vec_id), q
 ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id ASC LIMIT 20"""
 
+    ann_batch_sql = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT 'v' || vec_id AS query_id, v AS qv
+  FROM e WHERE vec_id IN (0, 1, 2)
+), qb AS (
+  SELECT query_id, qv, {_bucket_expr('qv')} AS b FROM q
+), sig AS (
+  SELECT vec_id, v, {_bucket_expr('v')} AS b FROM e WHERE vec_id <> 0
+), cand AS (
+  SELECT qb.query_id, s.vec_id,
+         list_cosine_similarity(s.v, qb.qv) AS c
+  FROM sig s, qb
+  WHERE bit_count(xor(s.b::BIGINT, qb.b::BIGINT)) <= 2
+), ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, vec_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, CAST(round(c, 5) AS DOUBLE) AS cos_r,
+       rank::INT AS rank
+FROM ranked WHERE rank <= 10"""
+
     gram = "array_to_string(t[i+1:i+5], ' ')"
     fingerprint_sql = f"""
 WITH toks AS (
@@ -1614,11 +1663,13 @@ FROM toks"""
         "minhash_lsh_pairs": minhash_sql,
         "simhash_pairs": simhash_sql,
         "ann_lsh_topk": ann_sql,
+        "ann_batch_lsh_topk": ann_batch_sql,
         "doc_fingerprint": fingerprint_sql,
     }
 
 
 QUERIES["a6_binary_postings"] = a6_binary_postings
+QUERIES["ann_batch_lsh_topk"] = ann_batch_lsh_topk
 
 ORACLE_SQL.update(_build_lsh_oracles())
 

@@ -223,6 +223,69 @@ def ann_topk_lsh(emb: DataFrame | None, query_vec: Sequence[float], dim: int,
     return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ann_topk_lsh_batch(signatures: DataFrame,
+                       queries: "dict[str, Sequence[float]]", dim: int,
+                       k: int = 10, n_bits: int = 8, seed: int = 5,
+                       probe_hamming: int = 1) -> DataFrame:
+    """(query_id, id, cos, rank) — MANY ANN queries against the
+    MATERIALIZED LSH index in ONE partition-pruned scan.
+
+    The union of every query's probe buckets drives a single
+    ``bucket IN (...)`` scan (PartitionFilters — same pruning as the
+    single-query path); the tiny bucket→probing-queries map rides into
+    the Arrow kernel as a plain dict, so each candidate row is scored
+    ONLY against the queries that actually probe its bucket, and each
+    batch emits just its local top-k rows per query. One per-query
+    window rank finishes globally. The eval-workload shape on the
+    SERVING path: Q queries cost one pruned scan of the union buckets,
+    not Q scans — and the per-row work stays bounded by the number of
+    queries probing that row's bucket, not Q. Requires the
+    ``write_lsh_index`` layout (vectors co-located with buckets)."""
+    if "embedding" not in signatures.columns:
+        raise ValueError("batch probe needs the write_lsh_index layout "
+                         "(embedding co-located with bucket)")
+    planes = _planes(dim, n_bits, seed)
+    qids = sorted(queries)
+    qmat = np.stack([np.asarray(queries[q], dtype=np.float64)
+                     for q in qids])             # (Q, dim)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    q_buckets = [np.asarray(query_buckets(queries[qid], planes,
+                                          probe_hamming), dtype=np.int64)
+                 for qid in qids]
+    union_buckets = sorted({int(b) for bs in q_buckets for b in bs})
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["id"].to_numpy(np.int64)
+            bkt = pdf["bucket"].to_numpy(np.int64)
+            norms = np.linalg.norm(mat, axis=1)
+            out = []
+            for qi, qid in enumerate(qids):
+                mask = np.isin(bkt, q_buckets[qi])
+                if not mask.any():
+                    continue
+                sub_ids, sub = ids[mask], mat[mask]
+                cos = (sub @ qmat[qi]) / np.maximum(
+                    norms[mask] * qnorm[qi], 1e-300)
+                top = np.lexsort((sub_ids, -cos))[:min(k, len(sub_ids))]
+                out.append(pd.DataFrame({"query_id": qid,
+                                         "id": sub_ids[top],
+                                         "cos": cos[top]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    pruned = (signatures.filter(F.col("bucket").isin(union_buckets))
+              .select("id", "embedding", "bucket"))
+    local = pruned.mapInPandas(gen, "query_id string, id long, cos double")
+    from pyspark.sql import Window
+    wnd = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (local.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= k))
+
+
 def ivf_assignments(emb: DataFrame, centroids: np.ndarray,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",

@@ -240,6 +240,34 @@ def test_ann_lsh_materialized_index(spark, emb_df, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan
 
 
+def test_ann_lsh_batch_equals_per_query(spark, emb_df, tmp_path):
+    """ann_topk_lsh_batch (one pruned scan, Q queries) must return, for
+    each query, exactly the single-query materialized-index probe's ids
+    and cosines; the union scan must still partition-prune on bucket."""
+    from spidey_search_engine_spark.operators.similarity import (
+        ann_topk_lsh, ann_topk_lsh_batch, load_lsh_index, write_lsh_index)
+    df, vecs = emb_df
+    out = str(tmp_path / "lsh_idx_b")
+    write_lsh_index(df, out, dim=16, n_bits=6, seed=5)
+    idx = load_lsh_index(spark, out)
+    queries = {f"q{i}": vecs[i].astype(float) for i in (3, 9, 14)}
+    batch = ann_topk_lsh_batch(idx, queries, dim=16, k=4, n_bits=6,
+                               probe_hamming=1)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], round(r["cos"], 9)))
+    assert sorted(got) == ["q14", "q3", "q9"]
+    for i in (3, 9, 14):
+        solo = [(n + 1, r["id"], round(r["cos"], 9)) for n, r in enumerate(
+            ann_topk_lsh(None, vecs[i].astype(float), dim=16, k=4,
+                         n_bits=6, probe_hamming=1,
+                         signatures=idx).collect())]
+        assert sorted(got[f"q{i}"]) == solo
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
 def test_ivf_kmeans_matches_numpy_lloyd(spark, emb_df):
     """Spark-native Lloyd training must reproduce a pure-numpy reference
     (same deterministic init, same assignment/update rules) and reduce
