@@ -124,6 +124,28 @@ def main() -> None:
         "table appears anywhere in the plan.",
         capture(ann)))
 
+    # batch ANN: many queries, ONE partition-pruned scan of the union of
+    # probe buckets; per-bucket query routing happens inside the kernel
+    from spidey_search_engine_spark.operators.similarity import (
+        ann_topk_lsh_batch)
+    qrows3 = (e.filter(F.col("vec_id").isin(0, 1, 2))
+              .select("vec_id", "embedding").collect())
+    q3 = {f"v{r['vec_id']}": [float(x) for x in r["embedding"]]
+          for r in qrows3}
+    annb = ann_topk_lsh_batch(sig, q3, dim=len(qv), k=10, n_bits=6,
+                              probe_hamming=2)
+    sections.append((
+        "Batch ANN probe: 3 queries, one partition-pruned union scan",
+        "Look for: a SINGLE FileScan with PartitionFilters `bucket IN "
+        "(...)` covering the UNION of all queries' multiprobe buckets — "
+        "the signature table is read once for the whole batch, not per "
+        "query — followed by one MapInPandas (per-bucket query routing + "
+        "local top-k inside the Arrow kernel) and one window rank "
+        "partitioned by query_id. Q queries cost one pruned scan, and "
+        "per-row scoring work is bounded by the queries probing that "
+        "row's bucket.",
+        capture(annb)))
+
     # PQ ADC scan: the approximate-distance scoring over the codes table
     # must stay in whole-stage codegen — element_at into the LUT literal,
     # never a Python eval in the scan
