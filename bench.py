@@ -91,7 +91,9 @@ def main() -> None:
         timed(name + "_pruned",
               lambda q=q: searcher.bm25_pruned(q, k=10).collect())
     # batch serving: all 5 queries in ONE job (eval-workload shape)
-    searcher.bm25_batch({"w": "warm up"}, k=10).collect()
+    # warm with an IN-VOCABULARY query: OOV terms short-circuit before the
+    # probe/decode/window stages and would leave the batch path cold
+    searcher.bm25_batch({"w": "merge sort"}, k=10).collect()
     timed("bm25_batch5",
           lambda: searcher.bm25_batch(bm25_queries, k=10).collect())
     timed("parity_two_stage",

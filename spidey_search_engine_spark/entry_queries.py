@@ -976,6 +976,19 @@ def hash_sample_docs(spark, sf_dir):
             .select("doc_id", "lang"))
 
 
+def mix_sample_docs(spark, sf_dir):
+    """Training-mix recipe: per-language fractions (50% en, 20% zh, rest
+    dropped) via the broadcast quota table (operators/sampling.
+    stratified_fraction_sample) — corpus never shuffles; deterministic,
+    oracle-paired row-for-row."""
+    from .functions.hashing import poly_hash
+    from .operators.sampling import stratified_fraction_sample
+    d = load_table(spark, sf_dir, "documents")
+    return (stratified_fraction_sample(d, "lang", {"en": 0.5, "zh": 0.2},
+                                       hash_expr=poly_hash)
+            .select("doc_id", "lang"))
+
+
 def dedup_cluster_assign(spark, sf_dir):
     """Near-dup CLUSTERS from the verified MinHash-LSH pair list:
     connected components (min-label propagation, operators/dedup.
@@ -1260,6 +1273,7 @@ QUERIES.update({
     "dedup_cluster_assign": dedup_cluster_assign,
     "stratified_sample_docs": stratified_sample_docs,
     "hash_sample_docs": hash_sample_docs,
+    "mix_sample_docs": mix_sample_docs,
     "simhash_pairs": simhash_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
@@ -1693,6 +1707,13 @@ FROM ranked WHERE smp_rank <= 3"""
 ORACLE_SQL["hash_sample_docs"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE {_SAMPLE_KEY} % 1073741824 < 107374182"""
+
+# int(0.5 * 2^30) = 536870912, int(0.2 * 2^30) = 214748364, default 0
+ORACLE_SQL["mix_sample_docs"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_SAMPLE_KEY} % 1073741824 <
+      CASE lang WHEN 'en' THEN 536870912
+                WHEN 'zh' THEN 214748364 ELSE 0 END"""
 
 # transitive closure of the SAME verified pair set (nested-CTE trick as
 # hybrid_rrf_topk): min reachable id per node = cluster id; canonical =

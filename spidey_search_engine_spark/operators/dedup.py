@@ -341,12 +341,14 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
                         F.col(dst).cast("long").alias("d"))
            .union(edges.select(F.col(dst).cast("long").alias("s"),
                                F.col(src).cast("long").alias("d")))
-           .distinct())
+           .distinct()
+           .localCheckpoint())  # pay the dedupe shuffle once, not per round
     if nodes is None:
         base = sym.select(F.col("s").alias("id")).distinct()
     else:
         base = nodes.distinct()
     labels = base.select("id", F.col("id").alias("label")).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr = (sym.join(labels.withColumnRenamed("id", "s"), "s")
                .groupBy(F.col("d").alias("id"))
@@ -359,7 +361,15 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         moved = new.filter(F.col("_moved")).count()
         labels = new.select("id", "label")
         if moved == 0:
+            converged = True
             break
+    if not converged:
+        # a silently-split component would let 'filter canon=1' keep
+        # duplicates — fail loudly instead of returning a wrong answer
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter — raise max_iter, or "
+            "use large-star/small-star for pathological chain graphs)")
     return labels
 
 

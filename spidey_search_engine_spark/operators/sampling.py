@@ -9,8 +9,10 @@ makes incremental re-mixes diffable):
 
 * hash_fraction_sample — keep rows whose salted hash falls under the
   fraction threshold. SHUFFLE-FREE: a scan-local filter Catalyst pushes
-  next to the parquet reader; this is the 100-TB path. Per-stratum
-  fractions join a tiny broadcast quota table instead of using a literal.
+  next to the parquet reader; this is the 100-TB path.
+* stratified_fraction_sample — per-stratum fractions (the training-mix
+  recipe: 30% en, 5% de, …) via a tiny broadcast-joined quota table —
+  still no shuffle of the corpus, the join is map-side.
 * stratified_sample — EXACTLY n per stratum: rank within stratum by the
   salted hash (ties by id) and keep rank <= n. One shuffle on the strata
   columns (window sort). For huge strata, pre-thin with
@@ -51,6 +53,30 @@ def hash_fraction_sample(df: DataFrame, fraction: float,
     column expression evaluated inside the scan stage."""
     key = F.pmod(_sample_key(id_col, seed, hash_expr), F.lit(_DENOM))
     return df.filter(key < F.lit(int(fraction * _DENOM)))
+
+
+def stratified_fraction_sample(df: DataFrame, strata_col: str,
+                               fractions: "dict[str, float]",
+                               id_col: str = "doc_id", seed: int = 17,
+                               default: float = 0.0,
+                               hash_expr: HashExpr | None = None
+                               ) -> DataFrame:
+    """Per-stratum deterministic fractions — the training-mix recipe.
+    The {stratum: fraction} dict becomes a tiny quota DataFrame broadcast
+    into the corpus scan (map-side join, corpus never shuffles); rows keep
+    iff their salted hash clears their OWN stratum's threshold. Strata
+    missing from the dict get ``default`` (0.0 = drop). Same stability
+    property as hash_fraction_sample: raising one stratum's fraction only
+    ADDS rows, never swaps them."""
+    spark = df.sparkSession
+    quota = spark.createDataFrame(
+        [(s, int(f * _DENOM)) for s, f in fractions.items()],
+        f"{strata_col} string, _thresh long")
+    key = F.pmod(_sample_key(id_col, seed, hash_expr), F.lit(_DENOM))
+    return (df.join(F.broadcast(quota), strata_col, "left")
+            .filter(key < F.coalesce(F.col("_thresh"),
+                                     F.lit(int(default * _DENOM))))
+            .drop("_thresh"))
 
 
 def stratified_sample(df: DataFrame, strata_cols: Sequence[str],

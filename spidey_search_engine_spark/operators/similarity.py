@@ -40,7 +40,7 @@ from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
@@ -56,13 +56,30 @@ def _norm_expr(vec_col):
         F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _topk_per_query(local: DataFrame, k: int) -> DataFrame:
+    """Shared batch-scoring tail: per-query global rank over the kernels'
+    local top-k rows (desc cos, ties to the lowest id), truncated to k.
+    Spark turns this into WindowGroupLimit partial+final — no full sort."""
+    wnd = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (local.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= k))
+
+
 def brute_force_cosine_topk(emb: DataFrame, query_vec: Sequence[float],
                             k: int = 10, id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.linalg.norm(q))
     qlit = F.array(*[F.lit(float(v)) for v in q])
-    cos = _dot_expr(F.col(vec_col), qlit) / (_norm_expr(F.col(vec_col)) * qn)
+    # try_divide + coalesce: a zero-norm vector is 0/0, which under ANSI
+    # (Spark 4 default) would ABORT the whole query; pin it to cos=0 so the
+    # exact path matches the batch kernels' clamped denominator and
+    # degenerate vectors rank last instead of killing the scan. nanvl
+    # covers non-ANSI sessions, where 0/0 floats to NaN (sorts first).
+    cos = F.nanvl(F.coalesce(
+        F.try_divide(_dot_expr(F.col(vec_col), qlit),
+                     _norm_expr(F.col(vec_col)) * qn),
+        F.lit(0.0)), F.lit(0.0))
     return (emb.select(F.col(id_col).alias("id"), cos.alias("cos"))
             .orderBy(F.desc("cos"), F.asc("id")).limit(k))
 
@@ -77,6 +94,8 @@ def brute_force_cosine_topk_batch(emb: DataFrame,
     rows total — the distributed-top-k shape), then one per-query window
     rank finishes globally. The eval-workload shape: at Q=10³ the scan
     happens once, not Q times. Ties to the lowest id."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
     qids = sorted(queries)
     qmat = np.stack([np.asarray(queries[q], dtype=np.float64)
                      for q in qids])             # (Q, dim)
@@ -84,6 +103,8 @@ def brute_force_cosine_topk_batch(emb: DataFrame,
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             ids = pdf[id_col].to_numpy(np.int64)
             norms = np.linalg.norm(mat, axis=1)
@@ -108,10 +129,7 @@ def brute_force_cosine_topk_batch(emb: DataFrame,
 
     local = emb.select(id_col, vec_col).mapInPandas(
         gen, "query_id string, id long, cos double")
-    from pyspark.sql import Window
-    wnd = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
-    return (local.withColumn("rank", F.row_number().over(wnd))
-            .filter(F.col("rank") <= k))
+    return _topk_per_query(local, k)
 
 
 def _planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
@@ -244,15 +262,18 @@ def ann_topk_lsh_batch(signatures: DataFrame,
     if "embedding" not in signatures.columns:
         raise ValueError("batch probe needs the write_lsh_index layout "
                          "(embedding co-located with bucket)")
+    if not queries:
+        raise ValueError("queries must be non-empty")
     planes = _planes(dim, n_bits, seed)
     qids = sorted(queries)
     qmat = np.stack([np.asarray(queries[q], dtype=np.float64)
                      for q in qids])             # (Q, dim)
     qnorm = np.linalg.norm(qmat, axis=1)
-    q_buckets = [np.asarray(query_buckets(queries[qid], planes,
-                                          probe_hamming), dtype=np.int64)
-                 for qid in qids]
-    union_buckets = sorted({int(b) for bs in q_buckets for b in bs})
+    probing: dict[int, list[int]] = {}           # bucket -> probing queries
+    for qi, qid in enumerate(qids):
+        for b in query_buckets(queries[qid], planes, probe_hamming):
+            probing.setdefault(int(b), []).append(qi)
+    union_buckets = sorted(probing)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -262,28 +283,36 @@ def ann_topk_lsh_batch(signatures: DataFrame,
             ids = pdf["id"].to_numpy(np.int64)
             bkt = pdf["bucket"].to_numpy(np.int64)
             norms = np.linalg.norm(mat, axis=1)
-            out = []
-            for qi, qid in enumerate(qids):
-                mask = np.isin(bkt, q_buckets[qi])
-                if not mask.any():
+            # per-query accumulators across this batch's buckets: a batch
+            # usually covers ONE bucket partition, so the routing dict is
+            # hit once and per-row work is bounded by the queries that
+            # probe that bucket, not Q
+            acc: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
+            for b in np.unique(bkt):
+                qis = probing.get(int(b))
+                if not qis:
                     continue
-                sub_ids, sub = ids[mask], mat[mask]
-                cos = (sub @ qmat[qi]) / np.maximum(
-                    norms[mask] * qnorm[qi], 1e-300)
-                top = np.lexsort((sub_ids, -cos))[:min(k, len(sub_ids))]
-                out.append(pd.DataFrame({"query_id": qid,
-                                         "id": sub_ids[top],
-                                         "cos": cos[top]}))
+                rows = np.nonzero(bkt == b)[0]
+                sub, sub_ids = mat[rows], ids[rows]
+                cos = (sub @ qmat[qis].T) / np.maximum(
+                    norms[rows][:, None] * qnorm[qis][None, :], 1e-300)
+                for j, qi in enumerate(qis):
+                    acc.setdefault(qi, []).append((sub_ids, cos[:, j]))
+            out = []
+            for qi, pieces in acc.items():
+                a_ids = np.concatenate([p[0] for p in pieces])
+                a_cos = np.concatenate([p[1] for p in pieces])
+                top = np.lexsort((a_ids, -a_cos))[:min(k, len(a_ids))]
+                out.append(pd.DataFrame({"query_id": qids[qi],
+                                         "id": a_ids[top],
+                                         "cos": a_cos[top]}))
             if out:
                 yield pd.concat(out, ignore_index=True)
 
     pruned = (signatures.filter(F.col("bucket").isin(union_buckets))
               .select("id", "embedding", "bucket"))
     local = pruned.mapInPandas(gen, "query_id string, id long, cos double")
-    from pyspark.sql import Window
-    wnd = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
-    return (local.withColumn("rank", F.row_number().over(wnd))
-            .filter(F.col("rank") <= k))
+    return _topk_per_query(local, k)
 
 
 def ivf_assignments(emb: DataFrame, centroids: np.ndarray,

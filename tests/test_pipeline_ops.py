@@ -155,6 +155,52 @@ def test_sampling_deterministic_quota_and_growth_stable(spark):
     assert 0 < len(big) < 90
 
 
+def test_stratified_fraction_sample_quota_table(spark):
+    """Per-stratum fractions via the broadcast quota table: strata in the
+    dict sample at their own rate, absent strata drop (default=0), and the
+    result equals applying hash_fraction_sample per stratum."""
+    from spidey_search_engine_spark.operators.sampling import (
+        hash_fraction_sample, stratified_fraction_sample)
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(120)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_fraction_sample(d, "lang", {"en": 0.5, "de": 0.1},
+                                     seed=23).collect()
+    assert all(r["lang"] != "fr" for r in got)
+    for lang, frac in (("en", 0.5), ("de", 0.1)):
+        want = {r["doc_id"] for r in hash_fraction_sample(
+            d.filter(F.col("lang") == lang), frac, seed=23).collect()}
+        assert {r["doc_id"] for r in got if r["lang"] == lang} == want
+    assert "_thresh" not in spark.createDataFrame(got).columns
+
+
+def test_cosine_zero_norm_vector_ranks_last_everywhere(spark):
+    """A zero embedding must score cos=0 (not NaN, which Spark sorts above
+    every real value) in the exact path AND the batch kernel."""
+    from spidey_search_engine_spark.operators.similarity import (
+        brute_force_cosine_topk, brute_force_cosine_topk_batch)
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    solo = [(r["id"], round(r["cos"], 6)) for r in
+            brute_force_cosine_topk(d, [1.0, 0.0], k=3).collect()]
+    assert solo[0][0] == 1 and solo[-1] == (2, 0.0)
+    batch = sorted(
+        ((r["id"], round(r["cos"], 6)) for r in
+         brute_force_cosine_topk_batch(d, {"q": [1.0, 0.0]}, k=3).collect()),
+        key=lambda t: -t[1])
+    assert batch == solo
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    """Exceeding max_iter must fail loudly, never return split clusters."""
+    import pytest as _pt
+    from spidey_search_engine_spark.operators.dedup import (
+        connected_components)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 206)], "id_a long, id_b long")
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+
 def test_connected_components_chain_and_singletons(spark):
     """Min-label propagation must close transitive CHAINS (A-B, B-C with
     no A-C pair — multiple hops), keep disjoint clusters apart, and give
