@@ -1734,6 +1734,43 @@ walk(id, label) AS (
 SELECT id AS doc_id, min(label)::BIGINT AS cluster_id,
        (CASE WHEN min(label) = id THEN 1 ELSE 0 END)::INT AS canon
 FROM walk GROUP BY id"""
+
+# the composed pipeline: cluster closure → canon → quality → lang mix.
+# int(0.8*2^30)=858993459, int(0.5*2^30)=536870912
+ORACLE_SQL["training_corpus"] = f"""
+WITH RECURSIVE pairs AS ({ORACLE_SQL["minhash_lsh_pairs"]}),
+{_PLANTED_SQL_BODY},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+walk(id, label) AS (
+  SELECT doc_id, doc_id FROM planted
+  UNION
+  SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.id
+),
+canon AS (
+  SELECT id AS doc_id FROM walk GROUP BY id HAVING min(label) = id
+),
+toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM planted
+),
+kept AS (
+  SELECT t.doc_id, t.n_tokens, dl.lang
+  FROM toks t
+  JOIN canon USING (doc_id)
+  JOIN documents dl ON dl.doc_id = t.doc_id % 10000
+  WHERE t.n_tokens >= 15
+)
+SELECT doc_id, lang, n_tokens FROM kept
+WHERE {_SAMPLE_KEY} % 1073741824 <
+      CASE lang WHEN 'en' THEN 858993459
+                WHEN 'de' THEN 536870912
+                WHEN 'es' THEN 536870912 ELSE 0 END"""
 ORACLE_SQL["a6_binary_postings"] = _BASE_CTES + """
 SELECT term, doc_id FROM tfc"""
 
@@ -2034,8 +2071,41 @@ def clean_corpus(spark, sf_dir):
                       _r(F.col("alpha_ratio")).alias("alpha_ratio_r"))
 
 
+def training_corpus(spark, sf_dir):
+    """THE canonical LLM-pretraining pipeline, composed end-to-end from
+    the verified operators: planted corpus → near-dup CLUSTER resolution
+    (MinHash-LSH pairs → connected components → keep canon only; removes
+    both exact copies and near-dup edits transitively) → quality gate
+    (≥15 tokens) → per-language mix (broadcast quota table: 80% en, 50%
+    de/es, rest dropped). Every stage is individually oracle-paired
+    (dedup_cluster_assign, text_quality, mix_sample_docs); this entry
+    pins their COMPOSITION with a single nested-CTE oracle."""
+    from .functions.hashing import poly_hash
+    from .operators.dedup import dedup_clusters, minhash_lsh_dedup
+    from .operators.sampling import stratified_fraction_sample
+    d = _planted_docs(spark, sf_dir).withColumnRenamed("text", "content")
+    pairs = minhash_lsh_dedup(d, num_hashes=8, bands=4, threshold=0.2,
+                              hash_expr=poly_hash, band_hash_expr=poly_hash)
+    canon = (dedup_clusters(d, pairs).filter(F.col("canon") == 1)
+             .select("doc_id"))
+    toks = F.filter(F.split(F.lower(F.col("content")), "[^a-z0-9_]+"),
+                    lambda x: x != F.lit(""))
+    langs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("orig_id"), "lang")
+    kept = (d.join(canon, "doc_id")
+            .withColumn("n_tokens", F.size(toks).cast("long"))
+            .filter(F.col("n_tokens") >= 15)
+            .withColumn("orig_id", F.col("doc_id") % 10000)
+            .join(langs, "orig_id"))
+    out = stratified_fraction_sample(
+        kept, "lang", {"en": 0.8, "de": 0.5, "es": 0.5},
+        hash_expr=poly_hash)
+    return out.select("doc_id", "lang", "n_tokens")
+
+
 QUERIES["emb_cosine_dedup"] = emb_cosine_dedup
 QUERIES["clean_corpus"] = clean_corpus
+QUERIES["training_corpus"] = training_corpus
 
 
 def _emb_dedup_oracle() -> str:
