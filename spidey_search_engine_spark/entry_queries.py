@@ -989,6 +989,19 @@ def mix_sample_docs(spark, sf_dir):
             .select("doc_id", "lang"))
 
 
+def token_budget_docs(spark, sf_dir):
+    """Per-language TOKEN budgets (operators/sampling.token_budget_sample):
+    docs taken in salted-hash order while the stratum's running char total
+    stays within its budget — mixes specified the way trainers specify
+    them. Deterministic, oracle-paired row-for-row."""
+    from .functions.hashing import poly_hash
+    from .operators.sampling import token_budget_sample
+    d = load_table(spark, sf_dir, "documents")
+    return (token_budget_sample(d, "lang", {"en": 5000, "zh": 2000},
+                                weight_col="n_chars", hash_expr=poly_hash)
+            .select("doc_id", "lang", "cum_tokens"))
+
+
 def dedup_cluster_assign(spark, sf_dir):
     """Near-dup CLUSTERS from the verified MinHash-LSH pair list:
     connected components (min-label propagation, operators/dedup.
@@ -1274,6 +1287,7 @@ QUERIES.update({
     "stratified_sample_docs": stratified_sample_docs,
     "hash_sample_docs": hash_sample_docs,
     "mix_sample_docs": mix_sample_docs,
+    "token_budget_docs": token_budget_docs,
     "simhash_pairs": simhash_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
@@ -1707,6 +1721,19 @@ FROM ranked WHERE smp_rank <= 3"""
 ORACLE_SQL["hash_sample_docs"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE {_SAMPLE_KEY} % 1073741824 < 107374182"""
+
+ORACLE_SQL["token_budget_docs"] = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars, {_SAMPLE_KEY} AS k FROM documents
+  WHERE lang IN ('en', 'zh')
+), cum AS (
+  SELECT doc_id, lang,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY k ASC, doc_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM keyed
+)
+SELECT doc_id, lang, cum_tokens::BIGINT AS cum_tokens FROM cum
+WHERE cum_tokens <= CASE lang WHEN 'en' THEN 5000 ELSE 2000 END"""
 
 # int(0.5 * 2^30) = 536870912, int(0.2 * 2^30) = 214748364, default 0
 ORACLE_SQL["mix_sample_docs"] = f"""

@@ -91,3 +91,31 @@ def stratified_sample(df: DataFrame, strata_cols: Sequence[str],
            .orderBy(key.asc(), F.col(id_col).asc()))
     return (df.withColumn("smp_rank", F.row_number().over(wnd))
             .filter(F.col("smp_rank") <= n_per_stratum))
+
+
+def token_budget_sample(df: DataFrame, strata_col: str,
+                        budgets: "dict[str, int]",
+                        weight_col: str = "n_tokens",
+                        id_col: str = "doc_id", seed: int = 17,
+                        hash_expr: HashExpr | None = None) -> DataFrame:
+    """Per-stratum TOKEN budgets, not row counts — how training mixes are
+    actually specified ("200B tokens of en, 50B of de"). Docs are taken in
+    salted-hash order (deterministic, growth-stable head) while the
+    stratum's running token total stays ≤ its budget; the first doc that
+    crosses the line is excluded. One window (cumulative sum over the
+    stratum partition) + the broadcast budget table — same single-shuffle
+    shape as stratified_sample. Output adds ``cum_tokens`` (this doc's
+    inclusive running total within its stratum)."""
+    spark = df.sparkSession
+    quota = spark.createDataFrame(
+        [(s, int(b)) for s, b in budgets.items()],
+        f"{strata_col} string, _budget long")
+    key = _sample_key(id_col, seed, hash_expr)
+    wnd = (Window.partitionBy(strata_col)
+           .orderBy(key.asc(), F.col(id_col).asc())
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.join(F.broadcast(quota), strata_col, "inner")
+            .withColumn("cum_tokens",
+                        F.sum(F.col(weight_col).cast("long")).over(wnd))
+            .filter(F.col("cum_tokens") <= F.col("_budget"))
+            .drop("_budget"))

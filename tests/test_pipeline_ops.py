@@ -173,6 +173,43 @@ def test_stratified_fraction_sample_quota_table(spark):
     assert "_thresh" not in spark.createDataFrame(got).columns
 
 
+def test_token_budget_sample_respects_budgets(spark):
+    """Per-stratum running totals never exceed the budget; the crossing
+    doc is excluded; strata without a budget are dropped; deterministic."""
+    from spidey_search_engine_spark.operators.sampling import (
+        token_budget_sample)
+    rows = [(i, ["en", "de", "fr"][i % 3], 10 + (i % 7)) for i in range(90)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    from spidey_search_engine_spark.functions.hashing import M1, P1, poly_hash
+
+    def py_poly(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * M1 + ord(ch)) % P1
+        return acc
+
+    got = token_budget_sample(d, "lang", {"en": 100, "de": 37}, seed=23,
+                              hash_expr=poly_hash).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) <= {"en", "de"}
+    # expected = the maximal budget-fitting PREFIX in (hash, id) order,
+    # replicated with the same polynomial hash in pure python
+    for lang, budget in (("en", 100), ("de", 37)):
+        order = sorted(((py_poly(f"{i}:23"), i, w) for i, lg, w in rows
+                        if lg == lang))
+        cum, expect = 0, {}
+        for _, i, w in order:
+            cum += w
+            if cum > budget:
+                break
+            expect[i] = cum
+        assert {r["doc_id"]: r["cum_tokens"]
+                for r in by_lang[lang]} == expect
+        assert max(expect.values()) <= budget
+
+
 def test_cosine_zero_norm_vector_ranks_last_everywhere(spark):
     """A zero embedding must score cos=0 (not NaN, which Spark sorts above
     every real value) in the exact path AND the batch kernel."""
