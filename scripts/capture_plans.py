@@ -146,6 +146,22 @@ def main() -> None:
         "row's bucket.",
         capture(annb)))
 
+    # deterministic sampling: the fraction filter must be scan-local (no
+    # shuffle, no window) — the 100-TB sampling path
+    from spidey_search_engine_spark.operators.sampling import (
+        hash_fraction_sample)
+    docs_t = EQ.load_table(spark, sf_dir, "documents")
+    samp = hash_fraction_sample(docs_t, 0.1).select("doc_id", "lang")
+    sections.append((
+        "Hash-fraction sample: shuffle-free scan-local filter",
+        "Look for: a single WholeStageCodegen span containing Scan "
+        "parquet -> Filter (the salted-hash threshold predicate) -> "
+        "Project, and NO Exchange anywhere — sampling a 100-TB corpus "
+        "costs exactly one map-only pass, and the deterministic "
+        "hash(id, seed) predicate means re-runs and corpus growth never "
+        "reshuffle previously-sampled rows.",
+        capture(samp)))
+
     # PQ ADC scan: the approximate-distance scoring over the codes table
     # must stay in whole-stage codegen — element_at into the LUT literal,
     # never a Python eval in the scan
