@@ -1110,6 +1110,27 @@ def ann_ivf_topk(spark, sf_dir):
             .select("id", _r(F.col("cos")).alias("cos_r")))
 
 
+def ann_batch_ivf_topk(spark, sf_dir):
+    """Batch IVF on the serving path: three queries, each probing its own
+    4 nearest clusters, resolved in ONE partition-pruned scan of the
+    union clusters (operators/similarity.ivf_topk_batch — shared batch
+    kernel with ann_batch_lsh_topk). Sampled-centroid quantizer keeps the
+    whole path SQL-expressible for the oracle."""
+    import numpy as np
+    from .operators.similarity import ivf_topk_batch
+    e = load_table(spark, sf_dir, "embeddings")
+    head = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in e.filter(F.col("vec_id") <= 32).collect()}
+    centroids = np.array([head[i] for i in range(1, 33)], dtype=np.float64)
+    queries = {f"v{i}": head[i] for i in (0, 1, 2)}
+    lists = _ann_ivf_index(spark, sf_dir, centroids)
+    res = ivf_topk_batch(lists, centroids, queries, k=10, n_probe=4)
+    # 1e-5 rounding: numpy matmul vs DuckDB fold — see ann_batch_topk
+    return res.select("query_id", F.col("id").alias("vec_id"),
+                      _r(F.col("cos"), 5).alias("cos_r"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def ann_pq_adc_topk(spark, sf_dir):
     """Product-quantization ADC approximate top-k (the memory-bound ANN
     path: codes are m=4 ints per 64-float vector; the scan reads ONLY the
@@ -1698,6 +1719,7 @@ FROM toks"""
 
 QUERIES["a6_binary_postings"] = a6_binary_postings
 QUERIES["ann_batch_lsh_topk"] = ann_batch_lsh_topk
+QUERIES["ann_batch_ivf_topk"] = ann_batch_ivf_topk
 
 ORACLE_SQL.update(_build_lsh_oracles())
 
@@ -1825,6 +1847,45 @@ SELECT e.vec_id AS id,
        CAST(round(list_cosine_similarity(e.v, q.qv), 6) AS DOUBLE) AS cos_r
 FROM e JOIN cand USING (vec_id), q
 ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id ASC LIMIT 20"""
+
+ORACLE_SQL["ann_batch_ivf_topk"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT 'v' || vec_id AS query_id, v AS qv
+  FROM e WHERE vec_id IN (0, 1, 2)
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 32
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_distance(c.cv, q.qv), c.cid)
+             AS pr
+    FROM cent c, q)
+  WHERE pr <= 4
+), asg AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_distance(v, cv), cid) AS rn
+  FROM e, cent WHERE vec_id <> 0
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM asg a JOIN probes p ON a.cid = p.cid WHERE a.rn = 1
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(e.v, q.qv) AS cs
+  FROM cand c JOIN e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(round(cs, 5) AS DOUBLE) AS cos_r,
+       rank::INT AS rank
+FROM ranked WHERE rank <= 10"""
 
 
 def q14_user_create(spark, sf_dir):

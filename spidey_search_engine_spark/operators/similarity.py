@@ -259,21 +259,35 @@ def ann_topk_lsh_batch(signatures: DataFrame,
     not Q scans — and the per-row work stays bounded by the number of
     queries probing that row's bucket, not Q. Requires the
     ``write_lsh_index`` layout (vectors co-located with buckets)."""
-    if "embedding" not in signatures.columns:
-        raise ValueError("batch probe needs the write_lsh_index layout "
-                         "(embedding co-located with bucket)")
     if not queries:
         raise ValueError("queries must be non-empty")
     planes = _planes(dim, n_bits, seed)
+    probing: dict[int, list[int]] = {}           # bucket -> probing queries
+    for qi, qid in enumerate(sorted(queries)):
+        for b in query_buckets(queries[qid], planes, probe_hamming):
+            probing.setdefault(int(b), []).append(qi)
+    return _batch_pruned_probe(signatures, "bucket", probing, queries, k)
+
+
+def _batch_pruned_probe(index: DataFrame, part_col: str,
+                        probing: "dict[int, list[int]]",
+                        queries: "dict[str, Sequence[float]]",
+                        k: int) -> DataFrame:
+    """Shared batch-ANN probe: ONE partition-pruned scan of the union of
+    every query's probe partitions (`part_col IN (...)`), per-partition
+    query routing inside the Arrow kernel (probing: part value → indices
+    into the sorted query-id list), local top-k per (batch, query), one
+    global per-query window rank. Used by ann_topk_lsh_batch (bucket) and
+    ivf_topk_batch (cluster)."""
+    if "embedding" not in index.columns:
+        raise ValueError(
+            "batch probe needs vectors co-located with the partition "
+            "column (the write_lsh_index / write_ivf_index layout)")
     qids = sorted(queries)
     qmat = np.stack([np.asarray(queries[q], dtype=np.float64)
                      for q in qids])             # (Q, dim)
     qnorm = np.linalg.norm(qmat, axis=1)
-    probing: dict[int, list[int]] = {}           # bucket -> probing queries
-    for qi, qid in enumerate(qids):
-        for b in query_buckets(queries[qid], planes, probe_hamming):
-            probing.setdefault(int(b), []).append(qi)
-    union_buckets = sorted(probing)
+    union_parts = sorted(probing)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -281,18 +295,18 @@ def ann_topk_lsh_batch(signatures: DataFrame,
                 continue
             mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["id"].to_numpy(np.int64)
-            bkt = pdf["bucket"].to_numpy(np.int64)
+            prt = pdf[part_col].to_numpy(np.int64)
             norms = np.linalg.norm(mat, axis=1)
-            # per-query accumulators across this batch's buckets: a batch
-            # usually covers ONE bucket partition, so the routing dict is
+            # per-query accumulators across this batch's partitions: a
+            # batch usually covers ONE partition, so the routing dict is
             # hit once and per-row work is bounded by the queries that
-            # probe that bucket, not Q
+            # probe that partition, not Q
             acc: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
-            for b in np.unique(bkt):
+            for b in np.unique(prt):
                 qis = probing.get(int(b))
                 if not qis:
                     continue
-                rows = np.nonzero(bkt == b)[0]
+                rows = np.nonzero(prt == b)[0]
                 sub, sub_ids = mat[rows], ids[rows]
                 cos = (sub @ qmat[qis].T) / np.maximum(
                     norms[rows][:, None] * qnorm[qis][None, :], 1e-300)
@@ -309,10 +323,31 @@ def ann_topk_lsh_batch(signatures: DataFrame,
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    pruned = (signatures.filter(F.col("bucket").isin(union_buckets))
-              .select("id", "embedding", "bucket"))
+    pruned = (index.filter(F.col(part_col).isin(union_parts))
+              .select("id", "embedding", part_col))
     local = pruned.mapInPandas(gen, "query_id string, id long, cos double")
     return _topk_per_query(local, k)
+
+
+def ivf_topk_batch(assignments: DataFrame, centroids: np.ndarray,
+                   queries: "dict[str, Sequence[float]]", k: int = 10,
+                   n_probe: int = 4) -> DataFrame:
+    """(query_id, id, cos, rank) — MANY IVF queries against the
+    materialized cluster-partitioned inverted lists in ONE partition-
+    pruned scan. Each query probes its own n_probe nearest clusters
+    (squared-distance argsort, ties to the lowest centroid index — same
+    rule as ivf_topk); the union of probe clusters drives the scan and
+    the shared kernel routes rows to the queries probing their cluster."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    cent = np.asarray(centroids, dtype=np.float64)
+    probing: dict[int, list[int]] = {}
+    for qi, qid in enumerate(sorted(queries)):
+        q = np.asarray(queries[qid], dtype=np.float64)
+        d2 = ((cent - q[None, :]) ** 2).sum(axis=1)
+        for c in np.argsort(d2, kind="stable")[:n_probe]:
+            probing.setdefault(int(c), []).append(qi)
+    return _batch_pruned_probe(assignments, "cluster", probing, queries, k)
 
 
 def ivf_assignments(emb: DataFrame, centroids: np.ndarray,

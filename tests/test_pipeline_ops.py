@@ -842,6 +842,31 @@ def test_ivf_topk_planted_neighbor(spark, emb_df):
         assert asg[i] == int(np.argmin(d2[i]))
 
 
+def test_ivf_batch_equals_per_query(spark, emb_df, tmp_path):
+    """ivf_topk_batch (one pruned union-cluster scan) must return, per
+    query, exactly the single-query materialized-lists probe."""
+    from spidey_search_engine_spark.operators.similarity import (
+        ivf_topk, ivf_topk_batch, load_ivf_index, write_ivf_index)
+    df, vecs = emb_df
+    centroids = vecs[:8].astype(np.float64)
+    out = str(tmp_path / "ivf_idx_b")
+    write_ivf_index(df, centroids, out)
+    lists = load_ivf_index(spark, out)
+    queries = {f"q{i}": vecs[i].astype(float) for i in (3, 9, 14)}
+    batch = ivf_topk_batch(lists, centroids, queries, k=4, n_probe=3)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], round(r["cos"], 9)))
+    for i in (3, 9, 14):
+        solo = [(n + 1, r["id"], round(r["cos"], 9)) for n, r in enumerate(
+            ivf_topk(None, centroids, vecs[i].astype(float), k=4,
+                     n_probe=3, assignments=lists).collect())]
+        assert sorted(got[f"q{i}"]) == solo
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+
 def test_multimodal_resize_and_audio(spark):
     from spidey_search_engine_spark.operators.multimodal import (
         audio_features, resize_images, text_as_binary)
