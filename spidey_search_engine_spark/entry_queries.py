@@ -1002,6 +1002,35 @@ def token_budget_docs(spark, sf_dir):
             .select("doc_id", "lang", "cum_tokens"))
 
 
+def contamination_docs(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.contamination_check):
+    flag planted-corpus docs sharing ≥5 distinct 3-gram shingles with a
+    small 'benchmark' set (docs 0-4) — the train/test-leak guard. The
+    planted exact copies (+20000) and near-dups (+10000) of those docs
+    are guaranteed hits, so the entry is non-vacuous."""
+    from .operators.dedup import contamination_check, shingles_df
+    d = _planted_docs(spark, sf_dir).withColumnRenamed("text", "content")
+    bench = (load_table(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") < 5)
+             .select("doc_id", F.col("text").alias("content")))
+    out = contamination_check(shingles_df(d), shingles_df(bench),
+                              min_shared=5)
+    return out.select(F.col("id").alias("doc_id"),
+                      F.col("shared_shingles"), "contaminated")
+
+
+def repetition_docs(spark, sf_dir):
+    """Degenerate-text detector (operators/dedup.repetition_stats): the
+    fraction of each doc's 3-grams occupied by its most repeated 3-gram."""
+    from .operators.dedup import repetition_stats
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", F.col("text").alias("content")))
+    out = repetition_stats(d)
+    return out.select(F.col("id").alias("doc_id"), "n_grams",
+                      "max_gram_count",
+                      _r(F.col("rep_ratio")).alias("rep_ratio_r"))
+
+
 def dedup_cluster_assign(spark, sf_dir):
     """Near-dup CLUSTERS from the verified MinHash-LSH pair list:
     connected components (min-label propagation, operators/dedup.
@@ -1309,6 +1338,8 @@ QUERIES.update({
     "hash_sample_docs": hash_sample_docs,
     "mix_sample_docs": mix_sample_docs,
     "token_budget_docs": token_budget_docs,
+    "contamination_docs": contamination_docs,
+    "repetition_docs": repetition_docs,
     "simhash_pairs": simhash_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
@@ -1743,6 +1774,36 @@ FROM ranked WHERE smp_rank <= 3"""
 ORACLE_SQL["hash_sample_docs"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE {_SAMPLE_KEY} % 1073741824 < 107374182"""
+
+ORACLE_SQL["contamination_docs"] = f"""
+WITH {_PLANTED_SQL_BODY},
+{_SHINGLE_SQL},
+btoks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 5
+), bsh AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(list_transform(range(len(t) - 2),
+                  i -> array_to_string(t[i+1:i+3], ' '))) AS shingle
+    FROM btoks WHERE len(t) >= 3)
+)
+SELECT id AS doc_id, count(*)::BIGINT AS shared_shingles,
+       (CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END)::INT AS contaminated
+FROM sh JOIN bsh USING (shingle)
+GROUP BY id"""
+
+ORACLE_SQL["repetition_docs"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+                 i -> array_to_string(t[i+1:i+3], ' '))) AS gram
+  FROM toks WHERE len(t) >= 3
+), pg AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS c FROM g GROUP BY 1, 2
+)
+SELECT doc_id, sum(c)::BIGINT AS n_grams, max(c)::BIGINT AS max_gram_count,
+       CAST(round(max(c) * 1.0 / sum(c), 6) AS DOUBLE) AS rep_ratio_r
+FROM pg GROUP BY doc_id"""
 
 ORACLE_SQL["token_budget_docs"] = f"""
 WITH keyed AS (

@@ -311,6 +311,52 @@ def simhash_near_pairs(fp: DataFrame, hamming_max: int = 3) -> DataFrame:
         .select("id_a", "id_b", "hamming"))
 
 
+def contamination_check(corpus_sh: DataFrame, bench_sh: DataFrame,
+                        min_shared: int = 5) -> DataFrame:
+    """(id, shared_shingles, contaminated) — benchmark decontamination:
+    flag corpus docs sharing ≥ min_shared distinct n-gram shingles with an
+    evaluation/benchmark set, the standard guard against train/test leak
+    in pretraining pipelines.
+
+    Both inputs are shingles_df output (id, shingle). Scale shape: the
+    benchmark side is small by definition (an eval set, not a corpus) —
+    its DISTINCT shingles broadcast into the corpus-shingle scan, so the
+    check is one map-side semi-join + one groupBy(id) count; the 100-TB
+    corpus streams through once and never shuffles on the shingle key. A
+    boilerplate shingle ubiquitous in BOTH sides only inflates counts
+    linearly (no self-join); drop hot shingles from the benchmark side
+    first if its distinct set is itself skew-heavy."""
+    b = bench_sh.select("shingle").distinct()
+    return (corpus_sh.join(F.broadcast(b), "shingle")
+            .groupBy("id")
+            .agg(F.count("*").alias("shared_shingles"))
+            .withColumn("contaminated",
+                        (F.col("shared_shingles") >= min_shared)
+                        .cast("int")))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "content", n: int = 3) -> DataFrame:
+    """(id, n_grams, max_gram_count, rep_ratio) — degenerate-text
+    detector: the fraction of a doc's n-grams occupied by its single most
+    repeated n-gram. Generated/spammy text repeats phrases; natural text
+    and code keep rep_ratio low. Shape: one explode + one (id, gram)
+    count + one (id) rollup — all map-side-combinable aggregations; no
+    joins, no skew (keys are (doc, gram) pairs, bounded per doc)."""
+    t = tokens_col(text_col)
+    grams = F.transform(F.sequence(F.lit(0), F.size(t) - n),
+                        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+    per_gram = (df.withColumn("_t", t).filter(F.size("_t") >= n)
+                .select(F.col(id_col).alias("id"),
+                        F.explode(grams).alias("gram"))
+                .groupBy("id", "gram").agg(F.count("*").alias("c")))
+    return (per_gram.groupBy("id")
+            .agg(F.sum("c").alias("n_grams"),
+                 F.max("c").alias("max_gram_count"))
+            .withColumn("rep_ratio",
+                        F.col("max_gram_count") / F.col("n_grams")))
+
+
 # ---------------------------------------------------------------------------
 # Duplicate clusters — connected components over near-dup pairs + canonical
 # ---------------------------------------------------------------------------

@@ -173,6 +173,34 @@ def test_stratified_fraction_sample_quota_table(spark):
     assert "_thresh" not in spark.createDataFrame(got).columns
 
 
+def test_contamination_and_repetition(spark):
+    """contamination_check flags the doc containing a benchmark passage
+    (and not the unrelated doc); repetition_stats scores a phrase-looping
+    doc near 1 and a no-repeat doc at 1/n_grams."""
+    from spidey_search_engine_spark.operators.dedup import (
+        contamination_check, repetition_stats, shingles_df)
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, content string")
+    corpus = spark.createDataFrame(
+        [(1, "intro text then the quick brown fox jumps over the lazy "
+             "dog today and more"),
+         (2, "completely different words about spark shuffles and joins"),
+         (3, "spam spam spam spam spam spam spam spam spam spam")],
+        "doc_id long, content string")
+    got = {r["id"]: (r["shared_shingles"], r["contaminated"]) for r in
+           contamination_check(shingles_df(corpus), shingles_df(bench),
+                               min_shared=5).collect()}
+    assert got[1][1] == 1 and got[1][0] >= 5
+    assert 2 not in got  # zero shared shingles -> no row at all
+    rep = {r["id"]: (r["n_grams"], r["max_gram_count"],
+                     round(r["rep_ratio"], 6)) for r in
+           repetition_stats(corpus).collect()}
+    assert rep[3] == (8, 8, 1.0)          # 10 tokens -> 8 identical grams
+    assert rep[2][1] == 1                 # no repeated gram
+    assert rep[2][2] == round(1 / rep[2][0], 6)
+
+
 def test_token_budget_sample_respects_budgets(spark):
     """Per-stratum running totals never exceed the budget; the crossing
     doc is excluded; strata without a budget are dropped; deterministic."""
