@@ -155,8 +155,9 @@ def main() -> None:
     sections.append((
         "Hash-fraction sample: shuffle-free scan-local filter",
         "Look for: a single WholeStageCodegen span containing Scan "
-        "parquet -> Filter (the salted-hash threshold predicate) -> "
-        "Project, and NO Exchange anywhere — sampling a 100-TB corpus "
+        "parquet -> Filter (the salted-hash threshold predicate; the "
+        "projection collapses into the scan's ReadSchema), and NO "
+        "Exchange anywhere — sampling a 100-TB corpus "
         "costs exactly one map-only pass, and the deterministic "
         "hash(id, seed) predicate means re-runs and corpus growth never "
         "reshuffle previously-sampled rows.",

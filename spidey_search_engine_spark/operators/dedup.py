@@ -52,14 +52,20 @@ def tokens_col(text_col: str = "content"):
                     lambda x: x != F.lit(""))
 
 
+def ngrams_col(t, n: int):
+    """n-gram strings over a token-array column (the one shingle/gram
+    definition shared by shingles_df and repetition_stats)."""
+    return F.transform(F.sequence(F.lit(0), F.size(t) - n),
+                       lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+
+
 def shingles_df(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "content", n: int = 3) -> DataFrame:
     """Distinct n-gram token shingles, one row per (id, shingle)."""
     t = tokens_col(text_col)
-    sh = F.transform(F.sequence(F.lit(0), F.size(t) - n),
-                     lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
     return (df.withColumn("_t", t).filter(F.size("_t") >= n)
-            .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+            .select(F.col(id_col).alias("id"),
+                    F.explode(ngrams_col(F.col("_t"), n)).alias("shingle"))
             .distinct())
 
 
@@ -343,12 +349,10 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     and code keep rep_ratio low. Shape: one explode + one (id, gram)
     count + one (id) rollup — all map-side-combinable aggregations; no
     joins, no skew (keys are (doc, gram) pairs, bounded per doc)."""
-    t = tokens_col(text_col)
-    grams = F.transform(F.sequence(F.lit(0), F.size(t) - n),
-                        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
-    per_gram = (df.withColumn("_t", t).filter(F.size("_t") >= n)
+    per_gram = (df.withColumn("_t", tokens_col(text_col))
+                .filter(F.size("_t") >= n)
                 .select(F.col(id_col).alias("id"),
-                        F.explode(grams).alias("gram"))
+                        F.explode(ngrams_col(F.col("_t"), n)).alias("gram"))
                 .groupBy("id", "gram").agg(F.count("*").alias("c")))
     return (per_gram.groupBy("id")
             .agg(F.sum("c").alias("n_grams"),

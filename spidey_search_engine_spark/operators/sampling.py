@@ -103,9 +103,17 @@ def token_budget_sample(df: DataFrame, strata_col: str,
     salted-hash order (deterministic, growth-stable head) while the
     stratum's running token total stays ≤ its budget; the first doc that
     crosses the line is excluded. One window (cumulative sum over the
-    stratum partition) + the broadcast budget table — same single-shuffle
-    shape as stratified_sample. Output adds ``cum_tokens`` (this doc's
-    inclusive running total within its stratum)."""
+    stratum partition) + the broadcast budget table. Output adds
+    ``cum_tokens`` (this doc's inclusive running total within its
+    stratum).
+
+    Scale caveat: the running sum serializes each stratum through ONE
+    window task (sort + spill, not OOM — but a bottleneck when a stratum
+    is many TB and the budget covers a small head). For that shape,
+    pre-thin with hash_fraction_sample at roughly
+    budget/stratum_total_tokens × safety_factor first and budget the
+    survivors — still a deterministic quota draw, but over the thinned
+    hash order, so record the pre-thin fraction with the mix recipe."""
     spark = df.sparkSession
     quota = spark.createDataFrame(
         [(s, int(b)) for s, b in budgets.items()],

@@ -262,28 +262,30 @@ def ann_topk_lsh_batch(signatures: DataFrame,
     if not queries:
         raise ValueError("queries must be non-empty")
     planes = _planes(dim, n_bits, seed)
-    probing: dict[int, list[int]] = {}           # bucket -> probing queries
-    for qi, qid in enumerate(sorted(queries)):
+    probing: dict[int, list[str]] = {}           # bucket -> probing qids
+    for qid in queries:
         for b in query_buckets(queries[qid], planes, probe_hamming):
-            probing.setdefault(int(b), []).append(qi)
+            probing.setdefault(int(b), []).append(qid)
     return _batch_pruned_probe(signatures, "bucket", probing, queries, k)
 
 
 def _batch_pruned_probe(index: DataFrame, part_col: str,
-                        probing: "dict[int, list[int]]",
+                        probing: "dict[int, list[str]]",
                         queries: "dict[str, Sequence[float]]",
                         k: int) -> DataFrame:
     """Shared batch-ANN probe: ONE partition-pruned scan of the union of
     every query's probe partitions (`part_col IN (...)`), per-partition
-    query routing inside the Arrow kernel (probing: part value → indices
-    into the sorted query-id list), local top-k per (batch, query), one
-    global per-query window rank. Used by ann_topk_lsh_batch (bucket) and
+    query routing inside the Arrow kernel (probing: part value → QUERY
+    IDS probing it — keyed by id, not position, so callers owe no
+    ordering contract), local top-k per (batch, query), one global
+    per-query window rank. Used by ann_topk_lsh_batch (bucket) and
     ivf_topk_batch (cluster)."""
     if "embedding" not in index.columns:
         raise ValueError(
             "batch probe needs vectors co-located with the partition "
             "column (the write_lsh_index / write_ivf_index layout)")
     qids = sorted(queries)
+    qpos = {qid: i for i, qid in enumerate(qids)}
     qmat = np.stack([np.asarray(queries[q], dtype=np.float64)
                      for q in qids])             # (Q, dim)
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -303,9 +305,10 @@ def _batch_pruned_probe(index: DataFrame, part_col: str,
             # probe that partition, not Q
             acc: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
             for b in np.unique(prt):
-                qis = probing.get(int(b))
-                if not qis:
+                probe_qids = probing.get(int(b))
+                if not probe_qids:
                     continue
+                qis = [qpos[q] for q in probe_qids]
                 rows = np.nonzero(prt == b)[0]
                 sub, sub_ids = mat[rows], ids[rows]
                 cos = (sub @ qmat[qis].T) / np.maximum(
@@ -341,12 +344,12 @@ def ivf_topk_batch(assignments: DataFrame, centroids: np.ndarray,
     if not queries:
         raise ValueError("queries must be non-empty")
     cent = np.asarray(centroids, dtype=np.float64)
-    probing: dict[int, list[int]] = {}
-    for qi, qid in enumerate(sorted(queries)):
+    probing: dict[int, list[str]] = {}
+    for qid in queries:
         q = np.asarray(queries[qid], dtype=np.float64)
         d2 = ((cent - q[None, :]) ** 2).sum(axis=1)
         for c in np.argsort(d2, kind="stable")[:n_probe]:
-            probing.setdefault(int(c), []).append(qi)
+            probing.setdefault(int(c), []).append(qid)
     return _batch_pruned_probe(assignments, "cluster", probing, queries, k)
 
 
