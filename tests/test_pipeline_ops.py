@@ -255,6 +255,40 @@ def test_cosine_zero_norm_vector_ranks_last_everywhere(spark):
     assert batch == solo
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check: on seeded random graphs (varying density, isolated
+    nodes included) the propagation result must equal a pure-python
+    union-find's min-id components."""
+    from spidey_search_engine_spark.operators.dedup import dedup_clusters
+    rng = np.random.Generator(np.random.PCG64(41))
+    for trial in range(3):
+        n = 40 + 20 * trial
+        m = int(n * (0.5 + 0.7 * trial))
+        edges = [(int(rng.integers(n)), int(rng.integers(n)))
+                 for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+        pairs = spark.createDataFrame(edges or [(0, 0)],
+                                      "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n)],
+                                      "doc_id long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup_clusters(nodes, pairs).collect()}
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
 def test_connected_components_raises_past_max_iter(spark):
     """Exceeding max_iter must fail loudly, never return split clusters."""
     import pytest as _pt
