@@ -2301,3 +2301,126 @@ FROM feats
 WHERE n_tokens >= 20 AND alpha_ratio >= 0.5
   AND greatest(h_en, h_es, h_fr, h_de) > 0
   AND h_en = greatest(h_en, h_es, h_fr, h_de)"""
+
+
+# --- P20 PII redaction + P21 line-level dedup -------------------------------
+
+def _pii_docs(spark, sf_dir):
+    """Deterministic PII-planted corpus: both engines append the same
+    synthetic email / phone / IPv4 / hex-secret suffixes keyed off doc_id,
+    so the redaction oracle compares non-vacuous match sets."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    tag = lambda m, col: F.when(i % m == 0, col).otherwise(F.lit(""))
+    planted = F.concat(
+        F.col("text"),
+        tag(3, F.concat(F.lit(" mail user"), i.cast("string"),
+                        F.lit("@example.com"))),
+        tag(5, F.concat(F.lit(" tel +1-555-"),
+                        F.lpad((i % 10000).cast("string"), 4, "0"),
+                        F.lit("-0000"))),
+        tag(7, F.concat(F.lit(" host 10."), (i % 200).cast("string"),
+                        F.lit(".0."), (i % 250).cast("string"))),
+        tag(11, F.concat(F.lit(" key "),
+                         F.substring(F.sha2(F.col("text"), 256), 1, 40))))
+    return d.select("doc_id", planted.alias("content"))
+
+
+def pii_redact_docs(spark, sf_dir):
+    """P20 PII redaction (functions/redact.py): regexp-tag emails, phones,
+    IPv4s and long hex secrets over the PII-planted corpus; per-type match
+    counts from the raw text. Pure JVM column expressions — the 100-TB
+    shape is one codegen'd scan."""
+    from .functions.redact import redact_pii_df
+    out = redact_pii_df(_pii_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", F.col("content").alias("redacted"),
+        *[F.col(c).cast("int").alias(c)
+          for c in out.columns if c.startswith("n_")])
+
+
+def _multiline_docs(spark, sf_dir):
+    """Deterministic multi-line corpus: a header shared by every doc, a
+    unique line, a 50%-share generated banner vs a unique 'rare' line, and
+    a blank line vs a ~19-doc-share tail line — covers drop-everywhere,
+    keep-unique, threshold-boundary and blank-drop in one table."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    i = F.col("doc_id")
+    text = F.concat_ws(
+        "\n",
+        F.lit("// shared copyright header"),
+        F.concat(F.lit("unique "), i.cast("string"), F.lit(" "),
+                 F.substring(F.col("text"), 1, 40)),
+        F.when(i % 2 == 0, F.lit("generated by tool v1"))
+         .otherwise(F.concat(F.lit("rare line "), i.cast("string"))),
+        F.when(i % 3 == 0, F.lit("   "))
+         .otherwise(F.concat(F.lit("tail "), (i % 7).cast("string"))))
+    return d.select("doc_id", text.alias("content"))
+
+
+def line_dedup_docs(spark, sf_dir):
+    """P21 CCNet-style line-level dedup (operators/dedup.line_dedup):
+    lines occurring in > 30 distinct docs are boilerplate and dropped,
+    whitespace-only lines dropped, docs reassembled in original line
+    order. The 200-doc planted corpus drops its shared header and the
+    100-doc banner, keeps the ~19-doc tail lines and every unique line."""
+    from .operators.dedup import line_dedup
+    out = line_dedup(_multiline_docs(spark, sf_dir), max_docs=30)
+    return out.select("doc_id", F.col("content").alias("text"))
+
+
+QUERIES["pii_redact_docs"] = pii_redact_docs
+QUERIES["line_dedup_docs"] = line_dedup_docs
+
+from .functions.redact import PII_PATTERNS as _PII_PATTERNS  # noqa: E402
+
+_PII_RED_SQL = "content"
+for _n, _p, _r_ in _PII_PATTERNS:
+    _PII_RED_SQL = f"regexp_replace({_PII_RED_SQL}, '{_p}', '{_r_}', 'g')"
+_PII_CNT_SQL = ",\n       ".join(
+    f"len(regexp_extract_all(content, '{_p}'))::INT AS n_{_n}"
+    for _n, _p, _r_ in _PII_PATTERNS)
+
+ORACLE_SQL["pii_redact_docs"] = f"""
+WITH pii AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0
+         THEN ' mail user' || doc_id || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+         THEN ' tel +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              || '-0000' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' host 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+         ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0
+         THEN ' key ' || substr(sha256(text), 1, 40) ELSE '' END AS content
+  FROM documents
+)
+SELECT doc_id, {_PII_RED_SQL} AS redacted,
+       {_PII_CNT_SQL}
+FROM pii"""
+
+ORACLE_SQL["line_dedup_docs"] = """
+WITH ml AS (
+  SELECT doc_id,
+         '// shared copyright header' || chr(10) ||
+         'unique ' || doc_id || ' ' || substr(text, 1, 40) || chr(10) ||
+         CASE WHEN doc_id % 2 = 0 THEN 'generated by tool v1'
+              ELSE 'rare line ' || doc_id END || chr(10) ||
+         CASE WHEN doc_id % 3 = 0 THEN '   '
+              ELSE 'tail ' || (doc_id % 7) END AS content
+  FROM documents WHERE doc_id < 200
+), lines AS (
+  SELECT doc_id, unnest(string_split(content, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(content, chr(10)))))
+           AS pos
+  FROM ml
+), kept AS (
+  SELECT * FROM lines WHERE trim(line) <> ''
+), freq AS (
+  SELECT line, count(DISTINCT doc_id) AS n_docs FROM kept GROUP BY line
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+FROM kept JOIN freq USING (line)
+WHERE n_docs <= 30
+GROUP BY doc_id"""

@@ -438,3 +438,66 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
         F.col("id").alias(id_col),
         F.col("label").alias("cluster_id"),
         (F.col("label") == F.col("id")).cast("int").alias("canon"))
+
+
+def exploded_lines(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "content",
+                   drop_blank: bool = True) -> DataFrame:
+    """(id, pos, line) — one row per newline-delimited line of each doc.
+
+    Whitespace-only lines are dropped by default: they carry no training
+    signal AND the empty line is the one guaranteed hot key of the
+    line-frequency shuffle (it appears in virtually every document, so at
+    10^12 files it alone would funnel the corpus through one reducer).
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    if drop_blank:
+        lines = lines.filter(F.trim(F.col("line")) != "")
+    return lines
+
+
+def line_dedup(df: DataFrame, max_docs: int, id_col: str = "doc_id",
+               text_col: str = "content",
+               count_distinct_docs: bool = True) -> DataFrame:
+    """CCNet-style line-level deduplication: drop every line that occurs
+    in more than ``max_docs`` distinct documents (boilerplate license
+    headers, generated-code banners, nav chrome), then reassemble each
+    document from its surviving lines in original order.
+
+    Returns (id_col, text_col) for documents with >= 1 surviving line;
+    documents whose every line is boilerplate disappear (the downstream
+    quality gate would drop empty docs anyway).
+
+    Scale shape — three shuffles, all on uniform keys:
+      1. line frequency: groupBy sha256(line) (lines are shuffled by their
+         hash, never by raw text, so a 4 KB boilerplate line costs 32
+         bytes on the wire). count(DISTINCT id) plans as two partial-agg
+         phases, so a line present in 10^9 docs sends per-partition
+         partial counts to its reducer, not 10^9 rows.
+      2. join lines <-> freq on the same sha key (AQE picks the strategy;
+         the freq side carries only lines, counts).
+      3. rebuild: groupBy id + array_sort(collect_list(struct(pos, line)))
+         — bounded by the max lines of a single document.
+
+    count_distinct_docs=False counts total occurrences instead (a line
+    repeated inside ONE file then counts every repetition), matching the
+    stricter "drop if the corpus contains it > max_docs times" policy.
+    """
+    lines = exploded_lines(df, id_col, text_col)
+    key = F.sha2(F.col("line"), 256).alias("line_sha")
+    counted = (F.count_distinct("id") if count_distinct_docs
+               else F.count("*"))
+    freq = (lines.select(key, "id")
+            .groupBy("line_sha").agg(counted.alias("n_docs")))
+    kept = (lines.withColumn("line_sha", key)
+            .join(freq, "line_sha")
+            .filter(F.col("n_docs") <= max_docs))
+    rebuilt = (kept.groupBy("id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                       lambda s: s["line"]),
+                   "\n").alias(text_col)))
+    return rebuilt.select(F.col("id").alias(id_col), text_col)

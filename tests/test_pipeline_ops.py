@@ -1188,3 +1188,65 @@ def test_audio_features_real_wav_kernel(spark):
         assert r["sample_rate"] == sr
         assert abs(r["duration_sec"] - dur) < 1e-6
         assert np.allclose(r["mfcc"], mf, atol=1e-5)
+
+
+def test_redact_pii(spark):
+    from spidey_search_engine_spark.functions.redact import redact_pii_df
+    rows = [
+        (0, "reach me at a.b+c@test.org or admin@sub.example.co today"),
+        (1, "server 10.0.200.13 token deadbeefcafebabe0123456789abcdef00 ok"),
+        (2, "call +1-555-0100-1234 plain text no pii here"),
+        (3, "nothing sensitive in this line at all"),
+        (4, "not-an-ip 1.2.3 short hex deadbeef not-an-email foo@bar"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = {r["doc_id"]: r for r in redact_pii_df(df).collect()}
+    assert out[0]["content"] == "reach me at <EMAIL> or <EMAIL> today"
+    assert out[0]["n_email"] == 2 and out[0]["n_ipv4"] == 0
+    assert out[1]["content"] == "server <IPV4> token <SECRET> ok"
+    assert out[1]["n_ipv4"] == 1 and out[1]["n_secret"] == 1
+    assert out[2]["content"] == "call <PHONE> plain text no pii here"
+    assert out[2]["n_phone"] == 1
+    # clean text and near-miss shapes pass through untouched, all counts 0
+    for i in (3, 4):
+        assert out[i]["content"] == rows[i][1]
+        assert all(out[i][c] == 0 for c in out[i].asDict()
+                   if c.startswith("n_"))
+
+
+def test_line_dedup(spark):
+    from spidey_search_engine_spark.operators.dedup import line_dedup
+    boiler = "// copyright megacorp"
+    rows = [(i, f"{boiler}\nunique line {i}\n   \nshared pair line"
+             if i < 2 else f"{boiler}\nunique line {i}")
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    # boiler in 5 docs > max_docs=3 → dropped; "shared pair line" in 2 → kept;
+    # whitespace-only line dropped; order preserved
+    out = {r["doc_id"]: r["content"]
+           for r in line_dedup(df, max_docs=3).collect()}
+    assert out[0] == "unique line 0\nshared pair line"
+    assert out[1] == "unique line 1\nshared pair line"
+    assert out[4] == "unique line 4"
+    # doc whose every line is boilerplate disappears
+    only_boiler = spark.createDataFrame(
+        [(9, boiler)], "doc_id long, content string")
+    both = df.unionByName(only_boiler)
+    ids = {r["doc_id"] for r in line_dedup(both, max_docs=3).collect()}
+    assert 9 not in ids and ids == {0, 1, 2, 3, 4}
+
+
+def test_line_dedup_occurrence_mode(spark):
+    """count_distinct_docs=False counts repetitions inside one doc too."""
+    from spidey_search_engine_spark.operators.dedup import line_dedup
+    df = spark.createDataFrame(
+        [(0, "spam\nspam\nspam\nkeep me"), (1, "keep me too")],
+        "doc_id long, content string")
+    per_doc = {r["doc_id"]: r["content"]
+               for r in line_dedup(df, max_docs=2,
+                                   count_distinct_docs=True).collect()}
+    assert per_doc[0] == "spam\nspam\nspam\nkeep me"  # 1 distinct doc ≤ 2
+    per_occ = {r["doc_id"]: r["content"]
+               for r in line_dedup(df, max_docs=2,
+                                   count_distinct_docs=False).collect()}
+    assert per_occ[0] == "keep me"                    # 3 occurrences > 2
