@@ -2424,3 +2424,45 @@ SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
 FROM kept JOIN freq USING (line)
 WHERE n_docs <= 30
 GROUP BY doc_id"""
+
+
+# --- P22 hashed linear quality classifier -----------------------------------
+
+def quality_model_docs(spark, sf_dir):
+    """P22 model-based quality gate (functions/quality_model.py):
+    sigmoid(mean hashed-token weight) per doc — fastText-style inference
+    as a broadcast join, weights regenerated from the deterministic
+    formula on both sides, bucket math via the injectable poly hash."""
+    from .functions.hashing import poly_hash
+    from .functions.quality_model import (deterministic_weights,
+                                          linear_quality_scores)
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", F.col("text").alias("content")))
+    out = linear_quality_scores(d, deterministic_weights(spark, 1024),
+                                1024, hash_expr=poly_hash)
+    return out.select("doc_id", "n_tokens",
+                      _r(F.col("q_score")).alias("q_score_r"))
+
+
+QUERIES["quality_model_docs"] = quality_model_docs
+
+from .functions.hashing import duck_poly as _duck_poly_qm  # noqa: E402
+from .functions.quality_model import (WEIGHT_A as _QM_A,   # noqa: E402
+                                      WEIGHT_M as _QM_M)
+
+ORACLE_SQL["quality_model_docs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), b AS (
+  SELECT doc_id, {_duck_poly_qm('tok')} % 1024 AS bucket FROM toks
+), w AS (
+  SELECT i::INT AS bucket,
+         (i * {_QM_A}) % {_QM_M} / 1000000.0 - 1.0 AS w
+  FROM range(1024) t(i)
+), s AS (
+  SELECT doc_id, avg(w.w) AS s_raw, count(*)::BIGINT AS n_tokens
+  FROM b JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(round(1.0 / (1.0 + exp(-s_raw)), 6) AS DOUBLE) AS q_score_r
+FROM s"""

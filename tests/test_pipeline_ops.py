@@ -1250,3 +1250,37 @@ def test_line_dedup_occurrence_mode(spark):
                for r in line_dedup(df, max_docs=2,
                                    count_distinct_docs=False).collect()}
     assert per_occ[0] == "keep me"                    # 3 occurrences > 2
+
+
+def test_linear_quality_model(spark):
+    """Model score == python replica (injected length-hash makes bucket
+    assignment trivially replicable); quality_filter keep/drop semantics."""
+    import math
+    from pyspark.sql import functions as F
+    from spidey_search_engine_spark.functions.quality_model import (
+        WEIGHT_A, WEIGHT_M, deterministic_weights, linear_quality_scores,
+        quality_filter)
+    rows = [(0, "aa bbb c aa"), (1, "dddd ee"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    dim = 7
+    hash_len = lambda c: F.length(c)
+    out = {r["doc_id"]: r for r in
+           linear_quality_scores(df, deterministic_weights(spark, dim),
+                                 dim, hash_expr=hash_len).collect()}
+    w = lambda b: ((b * WEIGHT_A) % WEIGHT_M) / 1e6 - 1.0
+    for doc_id, text in rows[:2]:
+        toks = [t for t in text.split() if t]
+        exp_s = sum(w(len(t) % dim) for t in toks) / len(toks)
+        exp_q = 1.0 / (1.0 + math.exp(-exp_s))
+        assert out[doc_id]["n_tokens"] == len(toks)
+        assert abs(out[doc_id]["q_score"] - exp_q) < 1e-12
+    assert 2 not in out  # zero-token doc produces no row
+    # filter: keep docs clearing the threshold, semantics via planted
+    # weights — one row per bucket ("ee" shares bucket 2 with "aa", so
+    # doc 1's negative dddd weight must dominate its mean)
+    wdf = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0), (4, -20.0)], "bucket int, w double")
+    kept = {r["doc_id"] for r in
+            quality_filter(df, wdf, dim, threshold=0.5,
+                           hash_expr=hash_len).collect()}
+    assert kept == {0}
