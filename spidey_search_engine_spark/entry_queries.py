@@ -2466,3 +2466,99 @@ WITH toks AS (
 SELECT doc_id, n_tokens,
        CAST(round(1.0 / (1.0 + exp(-s_raw)), 6) AS DOUBLE) AS q_score_r
 FROM s"""
+
+
+# --- P23 exact substring-span dedup ------------------------------------------
+
+_LICENSE_BLOCK = (" BEGIN LICENSE apache license version two point zero"
+                  " all rights reserved END ")
+
+
+def _blockdup_docs(spark, sf_dir):
+    """Corpus with a shared license block injected at char offset 81 of
+    every even doc — fixed offset keeps the strided windows of every copy
+    on the same alignment grid, the case substring dedup targets."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    content = F.concat(
+        F.substring(F.col("text"), 1, 80),
+        F.when(i % 2 == 0, F.lit(_LICENSE_BLOCK)).otherwise(F.lit(" ")),
+        F.expr("substring(text, 81)"))
+    return d.select("doc_id", content.alias("content"))
+
+
+def substring_dedup_docs(spark, sf_dir):
+    """P23 exact substring-span dedup (operators/dedup.substring_dedup):
+    strided 40-char windows, >= 5 corpus-wide occurrences, corpus-first
+    occurrence kept, overlapping windows merged to spans and excised.
+    The planted license block vanishes from every even doc but the
+    first; odd docs pass through byte-identical."""
+    from .operators.dedup import substring_dedup
+    out = substring_dedup(_blockdup_docs(spark, sf_dir),
+                          k=40, stride=20, min_count=5)
+    return out.select("doc_id", F.col("content").alias("text"))
+
+
+QUERIES["substring_dedup_docs"] = substring_dedup_docs
+
+ORACLE_SQL["substring_dedup_docs"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 80) ||
+         CASE WHEN doc_id % 2 = 0 THEN '{_LICENSE_BLOCK}' ELSE ' ' END ||
+         substr(text, 81) AS content
+  FROM documents
+), win AS (
+  SELECT doc_id, content,
+         unnest(generate_series(1, greatest(length(content) - 40 + 1, 1),
+                                20)) AS off
+  FROM d
+), wtext AS (
+  SELECT doc_id, off, substr(content, off, 40) AS wtxt,
+         least(off + 40 - 1, length(content)) AS e
+  FROM win
+), marked AS (
+  SELECT doc_id, off, e,
+         count(*) OVER (PARTITION BY wtxt) AS n,
+         row_number() OVER (PARTITION BY wtxt
+                            ORDER BY doc_id, off) AS rn
+  FROM wtext
+), dup AS (
+  SELECT doc_id, off AS s, e FROM marked WHERE n >= 5 AND rn > 1
+), isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+                ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+), isl2 AS (
+  SELECT doc_id, s, e,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+), merged AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e FROM isl2 GROUP BY doc_id, island
+), gaps AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+           AS gs,
+         s - 1 AS ge
+  FROM merged
+  UNION ALL
+  SELECT doc_id, max(e) + 1, NULL FROM merged GROUP BY doc_id
+), rebuilt AS (
+  SELECT g.doc_id,
+         string_agg(substr(d.content, g.gs::INT,
+                    (coalesce(g.ge, length(d.content)) - g.gs + 1)::INT),
+                    '' ORDER BY g.gs) AS txt
+  FROM gaps g JOIN d USING (doc_id)
+  WHERE coalesce(g.ge, length(d.content)) >= g.gs
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN m.doc_id IS NULL THEN d.content
+            ELSE coalesce(r.txt, '') END AS text
+FROM d
+LEFT JOIN (SELECT DISTINCT doc_id FROM merged) m USING (doc_id)
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id"""

@@ -501,3 +501,116 @@ def line_dedup(df: DataFrame, max_docs: int, id_col: str = "doc_id",
                        lambda s: s["line"]),
                    "\n").alias(text_col)))
     return rebuilt.select(F.col("id").alias(id_col), text_col)
+
+
+def duplicate_windows(df: DataFrame, k: int = 100, stride: int = 50,
+                      min_count: int = 2, id_col: str = "doc_id",
+                      text_col: str = "content",
+                      count_distinct_docs: bool = False,
+                      keep_first: bool = True) -> DataFrame:
+    """(id, start, end) — 1-based inclusive char spans of k-char windows
+    whose text occurs >= min_count times corpus-wide.
+
+    The strided-window relaxation of exact substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    suffix-array construction is inherently sequential, but k-char windows
+    every `stride` chars are pure DataFrame ops, and any duplicated run
+    >= k + stride chars long is guaranteed to contain a shared window on
+    both sides of the copy when the copies are alignment-compatible
+    (same offsets mod stride — e.g. whole-block copy-paste at a fixed
+    template position, the dominant corpus case). Detection granularity
+    is `stride` chars; run substring_dedup with smaller stride for recall
+    at proportionally more exploded rows (len/stride per doc).
+
+    keep_first=True exempts the corpus-wide first occurrence (min
+    (id, start) per window text) so exactly one copy survives — the
+    Lee-et-al. policy. Windows are grouped by sha2 of the window text
+    (32-byte shuffle keys, never the raw k chars). Docs shorter than k
+    yield one whole-doc window. count_distinct_docs=True requires the
+    window to appear in >= min_count distinct docs instead of >= min_count
+    total occurrences (ignores self-repetition)."""
+    length = F.length(F.col(text_col))
+    offs = F.sequence(F.lit(1), F.greatest(length - k + 1, F.lit(1)),
+                      F.lit(stride))
+    win = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(offs).alias("off"),
+        F.col(text_col))
+    win = win.select(
+        "id", "off",
+        F.sha2(F.col(text_col).substr(F.col("off"), F.lit(k)), 256)
+         .alias("h"),
+        F.least(F.col("off") + (k - 1), F.length(text_col)).alias("end"))
+    counted = (F.count_distinct("id") if count_distinct_docs
+               else F.count("*"))
+    stats = win.groupBy("h").agg(
+        counted.alias("n"),
+        F.min(F.struct(F.col("id"), F.col("off"))).alias("first"))
+    dup = win.join(stats, "h").filter(F.col("n") >= min_count)
+    if keep_first:
+        dup = dup.filter(~((F.col("id") == F.col("first.id"))
+                           & (F.col("off") == F.col("first.off"))))
+    return dup.select("id", F.col("off").alias("start"), "end")
+
+
+def merge_spans(spans: DataFrame) -> DataFrame:
+    """Merge overlapping/adjacent (id, start, end) spans — classic
+    gaps-and-islands: a span starts a new island iff it begins past the
+    running max end + 1 of everything before it."""
+    w = Window.partitionBy("id").orderBy("start", "end")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    island = F.sum(
+        F.when(prev_end.isNull() | (F.col("start") > prev_end + 1), 1)
+         .otherwise(0)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (spans.withColumn("island", island)
+            .groupBy("id", "island")
+            .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+            .drop("island"))
+
+
+def remove_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "content") -> DataFrame:
+    """Cut merged 1-based inclusive (id, start, end) spans out of each
+    doc's text. Docs with no spans pass through unchanged; a fully-covered
+    doc comes back as ''. The cut is a single JVM fold over each doc's
+    sorted span array (substr + concat) — no Python, no explode."""
+    spans_arr = (spans.groupBy("id")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("start", "end"))).alias("_spans")))
+    joined = df.join(spans_arr,
+                     df[id_col] == spans_arr["id"], "left").drop("id")
+    text = F.col(text_col)
+    init = F.struct(F.lit(1).alias("cur"), F.lit("").alias("acc"))
+    folded = F.aggregate(
+        "_spans", init,
+        lambda a, sp: F.struct(
+            (sp["end"] + 1).alias("cur"),
+            F.concat(a["acc"],
+                     text.substr(a["cur"], sp["start"] - a["cur"]))
+             .alias("acc")),
+        lambda a: F.concat(a["acc"],
+                           text.substr(a["cur"],
+                                       F.length(text) - a["cur"] + 1)))
+    cleaned = F.when(F.col("_spans").isNull(), text).otherwise(folded)
+    return joined.select(id_col, cleaned.alias(text_col))
+
+
+def substring_dedup(df: DataFrame, k: int = 100, stride: int = 50,
+                    min_count: int = 2, id_col: str = "doc_id",
+                    text_col: str = "content",
+                    count_distinct_docs: bool = False,
+                    keep_first: bool = True) -> DataFrame:
+    """Exact substring-span dedup, end to end: strided duplicate windows →
+    merged spans → span removal. Returns every input doc with duplicated
+    runs excised (first corpus-wide occurrence kept when keep_first).
+
+    Scale shape: the window explode is len/stride rows per doc (2× corpus
+    volume at stride=k/2), shuffled once on the 32-byte window hash with
+    map-side partial aggs; span merge shuffles only the duplicate spans
+    (tiny); removal shuffles spans by doc id and joins back to the corpus
+    scan. No step is quadratic in corpus size or in hot-window frequency
+    except the dup-row fan-out itself, which is the answer size."""
+    spans = duplicate_windows(df, k, stride, min_count, id_col, text_col,
+                              count_distinct_docs, keep_first)
+    return remove_spans(df, merge_spans(spans), id_col, text_col)

@@ -1284,3 +1284,64 @@ def test_linear_quality_model(spark):
             quality_filter(df, wdf, dim, threshold=0.5,
                            hash_expr=hash_len).collect()}
     assert kept == {0}
+
+
+def test_merge_spans(spark):
+    from spidey_search_engine_spark.operators.dedup import merge_spans
+    spans = spark.createDataFrame(
+        [(0, 1, 10), (0, 5, 12), (0, 13, 20), (0, 30, 35),
+         (1, 2, 4)], "id long, start int, end int")
+    out = sorted((r["id"], r["start"], r["end"])
+                 for r in merge_spans(spans).collect())
+    # 1-10 ∪ 5-12 overlap, 13-20 adjacent → one island 1-20; 30-35 apart
+    assert out == [(0, 1, 20), (0, 30, 35), (1, 2, 4)]
+
+
+def test_remove_spans_edges(spark):
+    from spidey_search_engine_spark.operators.dedup import remove_spans
+    docs = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, "untouched"), (2, "gone")],
+        "doc_id long, content string")
+    spans = spark.createDataFrame(
+        [(0, 3, 5), (0, 8, 9), (2, 1, 4)], "id long, start int, end int")
+    out = {r["doc_id"]: r["content"]
+           for r in remove_spans(docs, spans).collect()}
+    assert out[0] == "abfgj"       # cut cde and hi
+    assert out[1] == "untouched"   # no spans → byte-identical
+    assert out[2] == ""            # fully covered → empty, row kept
+
+
+def test_substring_dedup_keep_first(spark):
+    from spidey_search_engine_spark.operators.dedup import substring_dedup
+    blk = "0123456789" * 6  # 60 chars, aperiodic at window scale
+    rows = [(0, "AAAA" + blk + "ZZZZ"), (1, "BBBB" + blk + "YYYY"),
+            (2, "totally unique text with no shared windows anywhere at"),
+            (3, "CCCC" + blk + "XXXX")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = {r["doc_id"]: r["content"]
+           for r in substring_dedup(df, k=20, stride=10,
+                                    min_count=2).collect()}
+    assert out[2] == rows[2][1]
+    # copies lose the interior of the block; the first occurrence holds on
+    # to strictly more of it than the copies do
+    assert len(out[0]) > len(out[1]) and out[1] == out[3].replace(
+        "CCCC", "BBBB").replace("XXXX", "YYYY")
+    assert blk not in out[1] and blk not in out[3]
+
+
+def test_substring_dedup_distinct_docs_mode(spark):
+    """A block repeated only WITHIN one doc: occurrence mode excises the
+    repeats, distinct-docs mode leaves the doc alone."""
+    from spidey_search_engine_spark.operators.dedup import substring_dedup
+    blk = "qwertyuiopasdfghjklz" * 2  # 40 chars
+    df = spark.createDataFrame(
+        [(0, blk + blk + blk), (1, "some other unrelated padding text")],
+        "doc_id long, content string")
+    occ = {r["doc_id"]: r["content"] for r in
+           substring_dedup(df, k=20, stride=20, min_count=2,
+                           count_distinct_docs=False).collect()}
+    dis = {r["doc_id"]: r["content"] for r in
+           substring_dedup(df, k=20, stride=20, min_count=2,
+                           count_distinct_docs=True).collect()}
+    assert len(occ[0]) < len(blk) * 3
+    assert dis[0] == blk + blk + blk and dis[1] == occ[1]
