@@ -1,10 +1,16 @@
 """Source/sink table access (SURVEY.md §2.1 S3/S10/S11).
 
 The reference reads HTML files + MySQL tables; here every source is a
-columnar table scan (Parquet in the sandbox; the layout is Iceberg-shaped —
-partition column `bucket` on postings, snapshot ids in the lineage table —
-so swapping `format("parquet")` for `format("iceberg")` is a one-line
-change, isolated here per SURVEY.md §7 risk 6).
+columnar table scan. The storage format is a runtime switch
+(``SPARK_GRAFT_TABLE_FORMAT``, default ``parquet``): with an Iceberg
+runtime jar on the classpath (``--packages org.apache.iceberg:
+iceberg-spark-runtime-...``), ``iceberg`` reads/writes path-based
+(hadoop-catalog) Iceberg tables through the exact same call sites — the
+north-rule input shape. The sandbox ships no Iceberg jar, so requesting
+it raises the documented RuntimeError (checked by test), and the default
+layout stays Iceberg-SHAPED parquet: partition column `bucket` on
+postings, snapshot ids in the lineage manifest (plans/snapshot.py) giving
+readers an immutable file-list pin exactly like an Iceberg snapshot.
 """
 
 from __future__ import annotations
@@ -17,9 +23,44 @@ from pyspark.sql import functions as F
 TESTDATA_TABLES = ("region", "nation", "customer", "supplier", "part",
                    "orders", "lineitem", "events", "documents", "embeddings")
 
+_ICEBERG_SOURCE = "org.apache.iceberg.spark.source.IcebergSource"
+
+
+def table_format() -> str:
+    """Storage format for engine tables — read per call so tests and
+    spark-submit launches can flip it without re-importing."""
+    return os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+
+
+def format_available(spark: SparkSession, fmt: str) -> bool:
+    """True when the DataSource for ``fmt`` is loadable in this JVM."""
+    if fmt == "parquet":
+        return True
+    if fmt == "iceberg":
+        try:
+            spark._jvm.java.lang.Class.forName(_ICEBERG_SOURCE)  # noqa: SLF001
+            return True
+        except Exception:
+            return False
+    return True  # unknown formats: let Spark resolve (and error) itself
+
+
+def _require(spark: SparkSession, fmt: str) -> None:
+    if not format_available(spark, fmt):
+        raise RuntimeError(
+            f"table format {fmt!r} requested via SPARK_GRAFT_TABLE_FORMAT "
+            "but its DataSource is not on the classpath — launch with "
+            "--packages org.apache.iceberg:iceberg-spark-runtime-"
+            "<spark-ver>_<scala-ver>:<iceberg-ver> (or unset the variable "
+            "to use the parquet layout)")
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    fmt = table_format()
+    if fmt == "parquet":
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _require(spark, fmt)
+    return spark.read.format(fmt).load(os.path.join(sf_dir, name))
 
 
 def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,9 +78,22 @@ def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
-                  mode: str = "overwrite") -> None:
+def write_table(df: DataFrame, path: str,
+                partition_by: list[str] | None = None,
+                mode: str = "overwrite") -> None:
+    fmt = table_format()
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    if fmt == "parquet":
+        w.parquet(path)
+    else:
+        _require(df.sparkSession, fmt)
+        w.format(fmt).save(path)
+
+
+def write_parquet(df: DataFrame, path: str,
+                  partition_by: list[str] | None = None,
+                  mode: str = "overwrite") -> None:
+    """Backwards-compatible alias for write_table (parquet-era name)."""
+    write_table(df, path, partition_by, mode)

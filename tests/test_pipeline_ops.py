@@ -1345,3 +1345,24 @@ def test_substring_dedup_distinct_docs_mode(spark):
                            count_distinct_docs=True).collect()}
     assert len(occ[0]) < len(blk) * 3
     assert dis[0] == blk + blk + blk and dis[1] == occ[1]
+
+
+def test_table_format_switch(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_TABLE_FORMAT flips engine-table IO at call time;
+    requesting iceberg in a jar-less JVM raises the documented error
+    instead of a bare ClassNotFound."""
+    from spidey_search_engine_spark.sources import tables as T
+    monkeypatch.delenv("SPARK_GRAFT_TABLE_FORMAT", raising=False)
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    T.write_table(df, str(tmp_path / "t.parquet"))
+    assert T.load_table(spark, str(tmp_path), "t").count() == 5
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "iceberg")
+    if T.format_available(spark, "iceberg"):  # real Iceberg runtime present
+        T.write_table(df, str(tmp_path / "t_ice"))
+        assert spark.read.format("iceberg").load(
+            str(tmp_path / "t_ice")).count() == 5
+    else:
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            T.load_table(spark, str(tmp_path), "t")
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            T.write_table(df, str(tmp_path / "t_ice"))
