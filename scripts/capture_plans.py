@@ -213,6 +213,51 @@ def main() -> None:
             "skips whole files, not just row groups.",
             capture(rows_c)))
 
+    # substring-span dedup: the whole operator (window explode → global
+    # hash counts → keep-first filter → gaps-and-islands merge → fold
+    # excision) must be JVM-only — no Python node anywhere in the plan
+    from spidey_search_engine_spark.operators.dedup import substring_dedup
+    ssd = substring_dedup(EQ._blockdup_docs(spark, sf_dir),
+                          k=40, stride=20, min_count=5)
+    sections.append((
+        "Exact substring-span dedup (strided windows, keep-first policy)",
+        "Look for: Generate (the sequence/explode of window offsets) "
+        "feeding sha2 window hashes; ONE hash-partitioned Exchange for "
+        "the global window counts with partial (map-side) "
+        "count+min(struct) before it; the keep-first exemption as a join "
+        "condition (NOT first.id/off), not a second shuffle; two Window "
+        "nodes (running max-end, island sum) over the duplicate spans "
+        "only; and the final span excision as an `aggregate(...)` fold "
+        "inside a Project — NO ArrowEvalPython/MapInPandas anywhere. The "
+        "join strategies here are AQE picks at demo scale (broadcast); "
+        "at corpus scale the same plan degrades gracefully to "
+        "sort-merge because nothing in the code forces a broadcast. The "
+        "window lineage is evaluated twice (stats + probe side) — both "
+        "are map-only extraction passes; the one O(#windows) shuffle is "
+        "the price of exact global counts, and `stride` is the knob "
+        "that scales it.",
+        capture(ssd)))
+
+    # hashed linear quality classifier: inference must be a broadcast
+    # join against the weight table, never a literal LUT in codegen and
+    # never a Python eval
+    from spidey_search_engine_spark.functions.quality_model import (
+        deterministic_weights, linear_quality_scores)
+    qm_docs = (docs_t.select("doc_id", F.col("text").alias("content")))
+    qm = linear_quality_scores(qm_docs, deterministic_weights(spark, 1024),
+                               1024)
+    sections.append((
+        "Hashed linear quality classifier (broadcast weight join)",
+        "Look for: Generate (token explode) → pmod bucket projection → "
+        "BroadcastHashJoin against the 1024-row weight table "
+        "(BroadcastExchange of the Range-derived weights — a trained "
+        "table broadcasts the same way) → two-phase HashAggregate "
+        "(partial avg+count map-side, final after one Exchange on "
+        "doc_id) with the sigmoid folded into the final projection. "
+        "Zero Python nodes; per-doc cost is the token explode the index "
+        "build already pays.",
+        capture(qm)))
+
     out = ["# PLANS — physical-plan evidence (generated by "
            "scripts/capture_plans.py)", ""]
     for title, what, plan in sections:
