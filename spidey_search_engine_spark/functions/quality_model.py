@@ -53,17 +53,19 @@ def linear_quality_scores(df: DataFrame, weights: DataFrame, dim: int,
     """(id, n_tokens, q_score) — sigmoid(mean token weight) per document.
 
     Docs with zero tokens produce no row (nothing to score; the upstream
-    quality gate drops empty docs regardless). Out-of-vocabulary never
-    happens by construction: pmod(hash, dim) always lands in the table.
+    quality gate drops empty docs regardless). SPARSE weight tables are
+    fine: buckets absent from the table contribute weight 0.0 (the
+    standard hashing-trick OOV treatment, via left join + coalesce), and
+    n_tokens always counts every token of the doc.
     """
     toks = df.select(F.col(id_col).alias("id"),
                      F.explode(tokens_col(text_col)).alias("tok"))
     bucketed = toks.select(
         "id", F.pmod(hash_expr(F.col("tok")), F.lit(dim))
                 .cast("int").alias("bucket"))
-    scored = (bucketed.join(F.broadcast(weights), "bucket")
+    scored = (bucketed.join(F.broadcast(weights), "bucket", "left")
               .groupBy("id")
-              .agg(F.avg("w").alias("s_raw"),
+              .agg(F.avg(F.coalesce(F.col("w"), F.lit(0.0))).alias("s_raw"),
                    F.count("*").alias("n_tokens")))
     sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s_raw")))
     return scored.select(F.col("id").alias(id_col), "n_tokens",

@@ -577,9 +577,10 @@ def remove_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
     sorted span array (substr + concat) — no Python, no explode."""
     spans_arr = (spans.groupBy("id")
                  .agg(F.array_sort(F.collect_list(
-                     F.struct("start", "end"))).alias("_spans")))
-    joined = df.join(spans_arr,
-                     df[id_col] == spans_arr["id"], "left").drop("id")
+                     F.struct("start", "end"))).alias("_spans"))
+                 .withColumnRenamed("id", "_span_id"))  # never collides
+    joined = df.join(spans_arr, df[id_col] == F.col("_span_id"),
+                     "left").drop("_span_id")
     text = F.col(text_col)
     init = F.struct(F.lit(1).alias("cur"), F.lit("").alias("acc"))
     folded = F.aggregate(

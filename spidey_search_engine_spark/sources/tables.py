@@ -1,16 +1,21 @@
 """Source/sink table access (SURVEY.md §2.1 S3/S10/S11).
 
-The reference reads HTML files + MySQL tables; here every source is a
-columnar table scan. The storage format is a runtime switch
-(``SPARK_GRAFT_TABLE_FORMAT``, default ``parquet``): with an Iceberg
-runtime jar on the classpath (``--packages org.apache.iceberg:
-iceberg-spark-runtime-...``), ``iceberg`` reads/writes path-based
-(hadoop-catalog) Iceberg tables through the exact same call sites — the
-north-rule input shape. The sandbox ships no Iceberg jar, so requesting
-it raises the documented RuntimeError (checked by test), and the default
-layout stays Iceberg-SHAPED parquet: partition column `bucket` on
-postings, snapshot ids in the lineage manifest (plans/snapshot.py) giving
-readers an immutable file-list pin exactly like an Iceberg snapshot.
+The reference reads HTML files + MySQL tables; here every SOURCE table
+(the north-rule corpus input and the testdata tables) is a columnar scan
+whose storage format is a runtime switch: ``SPARK_GRAFT_TABLE_FORMAT``
+(default ``parquet``; ``iceberg`` with an Iceberg runtime jar on the
+classpath, e.g. ``--packages org.apache.iceberg:iceberg-spark-runtime-
+...``). ``load_table``/``write_table`` own the format-dependent on-disk
+naming (``<dir>/<name>.parquet`` vs path-based ``<dir>/<name>`` Iceberg),
+so a write_table → load_table round trip works under either format.
+
+Scope: this switch governs the corpus/source tables read through this
+module. The INDEX store (postings/terms/docs/lineage under an index dir)
+is deliberately its own layout — bucket-partitioned parquet plus the
+snapshot manifest (plans/snapshot.py), which gives readers an immutable
+file-list pin exactly like an Iceberg snapshot — and does not flip with
+the env var. The sandbox ships no Iceberg jar, so requesting iceberg
+raises the documented RuntimeError (pinned by test).
 """
 
 from __future__ import annotations
@@ -27,18 +32,34 @@ _ICEBERG_SOURCE = "org.apache.iceberg.spark.source.IcebergSource"
 
 
 def table_format() -> str:
-    """Storage format for engine tables — read per call so tests and
+    """Storage format for source tables — read per call so tests and
     spark-submit launches can flip it without re-importing."""
     return os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
 
 
+def table_path(sf_dir: str, name: str, fmt: str | None = None) -> str:
+    """Format-owned naming: parquet tables live at <dir>/<name>.parquet
+    (the driver's testdata convention), other formats at <dir>/<name>."""
+    fmt = fmt or table_format()
+    suffix = ".parquet" if fmt == "parquet" else ""
+    return os.path.join(sf_dir, f"{name}{suffix}")
+
+
 def format_available(spark: SparkSession, fmt: str) -> bool:
-    """True when the DataSource for ``fmt`` is loadable in this JVM."""
+    """True when the DataSource for ``fmt`` is loadable in this JVM.
+
+    On sessions without a JVM handle (Spark Connect), the classpath can't
+    be probed from the client — report available and let Spark itself
+    raise at use time rather than emitting a false 'jar missing' error.
+    """
     if fmt == "parquet":
         return True
     if fmt == "iceberg":
+        jvm = getattr(spark, "_jvm", None)  # noqa: SLF001
+        if jvm is None:
+            return True
         try:
-            spark._jvm.java.lang.Class.forName(_ICEBERG_SOURCE)  # noqa: SLF001
+            jvm.java.lang.Class.forName(_ICEBERG_SOURCE)
             return True
         except Exception:
             return False
@@ -57,10 +78,11 @@ def _require(spark: SparkSession, fmt: str) -> None:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     fmt = table_format()
+    path = table_path(sf_dir, name, fmt)
     if fmt == "parquet":
-        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return spark.read.parquet(path)
     _require(spark, fmt)
-    return spark.read.format(fmt).load(os.path.join(sf_dir, name))
+    return spark.read.format(fmt).load(path)
 
 
 def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,10 +100,14 @@ def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def write_table(df: DataFrame, path: str,
+def write_table(df: DataFrame, sf_dir: str, name: str,
                 partition_by: list[str] | None = None,
-                mode: str = "overwrite") -> None:
+                mode: str = "overwrite") -> str:
+    """Write a source-shaped table under the format-owned path for
+    ``name`` and return that path (so write → load round-trips under
+    either format)."""
     fmt = table_format()
+    path = table_path(sf_dir, name, fmt)
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -90,10 +116,14 @@ def write_table(df: DataFrame, path: str,
     else:
         _require(df.sparkSession, fmt)
         w.format(fmt).save(path)
+    return path
 
 
 def write_parquet(df: DataFrame, path: str,
                   partition_by: list[str] | None = None,
                   mode: str = "overwrite") -> None:
-    """Backwards-compatible alias for write_table (parquet-era name)."""
-    write_table(df, path, partition_by, mode)
+    """Raw-path parquet write (format-independent legacy helper)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

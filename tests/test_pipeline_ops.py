@@ -1284,6 +1284,14 @@ def test_linear_quality_model(spark):
             quality_filter(df, wdf, dim, threshold=0.5,
                            hash_expr=hash_len).collect()}
     assert kept == {0}
+    # sparse table: tokens in missing buckets weigh 0.0 and still count —
+    # an all-OOV doc scores sigmoid(0) = 0.5, not "no row"
+    oov = spark.createDataFrame([(7, "zz zz zz")],
+                                "doc_id long, content string")
+    row = linear_quality_scores(
+        oov, spark.createDataFrame([(0, 9.9)], "bucket int, w double"),
+        dim, hash_expr=hash_len).collect()[0]
+    assert row["n_tokens"] == 3 and abs(row["q_score"] - 0.5) < 1e-12
 
 
 def test_merge_spans(spark):
@@ -1309,6 +1317,11 @@ def test_remove_spans_edges(spark):
     assert out[0] == "abfgj"       # cut cde and hi
     assert out[1] == "untouched"   # no spans → byte-identical
     assert out[2] == ""            # fully covered → empty, row kept
+    # id_col literally named "id" must not collide with the span side
+    docs_id = docs.withColumnRenamed("doc_id", "id")
+    out_id = {r["id"]: r["content"]
+              for r in remove_spans(docs_id, spans, id_col="id").collect()}
+    assert out_id == out
 
 
 def test_substring_dedup_keep_first(spark):
@@ -1354,15 +1367,63 @@ def test_table_format_switch(spark, tmp_path, monkeypatch):
     from spidey_search_engine_spark.sources import tables as T
     monkeypatch.delenv("SPARK_GRAFT_TABLE_FORMAT", raising=False)
     df = spark.range(5).select(F.col("id").alias("doc_id"))
-    T.write_table(df, str(tmp_path / "t.parquet"))
+    # write → load round-trips by (dir, name): the module owns the
+    # format-dependent on-disk naming
+    assert T.write_table(df, str(tmp_path), "t").endswith("t.parquet")
     assert T.load_table(spark, str(tmp_path), "t").count() == 5
     monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "iceberg")
+    assert T.table_path(str(tmp_path), "t") == str(tmp_path / "t")
     if T.format_available(spark, "iceberg"):  # real Iceberg runtime present
-        T.write_table(df, str(tmp_path / "t_ice"))
-        assert spark.read.format("iceberg").load(
-            str(tmp_path / "t_ice")).count() == 5
+        T.write_table(df, str(tmp_path), "t_ice")
+        assert T.load_table(spark, str(tmp_path), "t_ice").count() == 5
     else:
         with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
             T.load_table(spark, str(tmp_path), "t")
         with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
-            T.write_table(df, str(tmp_path / "t_ice"))
+            T.write_table(df, str(tmp_path), "t_ice")
+
+
+def test_substring_dedup_matches_python_reference(spark):
+    """Pin the whole window→count→keep-first→merge→excise pipeline to an
+    independent pure-python replica on seeded random corpora (alphabet of
+    4 chars makes accidental window collisions common — the hard case)."""
+    import random
+    from spidey_search_engine_spark.operators.dedup import substring_dedup
+
+    def reference(docs, k, stride, min_count):
+        wins = []  # (doc, off0) -> text, in (doc, off) order
+        for did in sorted(docs):
+            t = docs[did]
+            offs = range(0, max(len(t) - k, 0) + 1, stride) \
+                if len(t) >= k else [0]
+            for off in offs:
+                wins.append((did, off, t[off:off + k]))
+        counts = {}
+        for _, _, w in wins:
+            counts[w] = counts.get(w, 0) + 1
+        first = {}
+        for did, off, w in sorted(wins):
+            first.setdefault(w, (did, off))
+        cut = {did: set() for did in docs}
+        for did, off, w in wins:
+            if counts[w] >= min_count and first[w] != (did, off):
+                end = min(off + k, len(docs[did]))
+                cut[did].update(range(off, end))
+        return {did: "".join(c for i, c in enumerate(t) if i not in cut[did])
+                for did, t in docs.items()}
+
+    rng = random.Random(42)
+    for trial in range(3):
+        docs = {}
+        shared = "".join(rng.choice("abcd") for _ in range(30))
+        for did in range(12):
+            body = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 60)))
+            # half the docs embed the shared block at a stride-aligned spot
+            docs[did] = (body[:10] + shared + body[10:]
+                         if did % 2 == 0 else body)
+        df = spark.createDataFrame(list(docs.items()),
+                                   "doc_id long, content string")
+        got = {r["doc_id"]: r["content"]
+               for r in substring_dedup(df, k=10, stride=5,
+                                        min_count=2).collect()}
+        assert got == reference(docs, 10, 5, 2), f"trial {trial}"
