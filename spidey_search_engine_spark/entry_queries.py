@@ -2501,21 +2501,18 @@ def substring_dedup_docs(spark, sf_dir):
 
 QUERIES["substring_dedup_docs"] = substring_dedup_docs
 
-ORACLE_SQL["substring_dedup_docs"] = f"""
-WITH d AS (
-  SELECT doc_id,
-         substr(text, 1, 80) ||
-         CASE WHEN doc_id % 2 = 0 THEN '{_LICENSE_BLOCK}' ELSE ' ' END ||
-         substr(text, 81) AS content
-  FROM documents
-), win AS (
+def _ssd_sql_chain(k: int, stride: int, min_count: int) -> str:
+    """DuckDB CTE chain replicating operators/dedup.substring_dedup over a
+    CTE ``d(doc_id, content)``; terminates with ``cleaned(doc_id,
+    content)``. Factored so composed-pipeline oracles can reuse it."""
+    return f"""win AS (
   SELECT doc_id, content,
-         unnest(generate_series(1, greatest(length(content) - 40 + 1, 1),
-                                20)) AS off
+         unnest(generate_series(1, greatest(length(content) - {k} + 1, 1),
+                                {stride})) AS off
   FROM d
 ), wtext AS (
-  SELECT doc_id, off, substr(content, off, 40) AS wtxt,
-         least(off + 40 - 1, length(content)) AS e
+  SELECT doc_id, off, substr(content, off, {k}) AS wtxt,
+         least(off + {k} - 1, length(content)) AS e
   FROM win
 ), marked AS (
   SELECT doc_id, off, e,
@@ -2524,7 +2521,7 @@ WITH d AS (
                             ORDER BY doc_id, off) AS rn
   FROM wtext
 ), dup AS (
-  SELECT doc_id, off AS s, e FROM marked WHERE n >= 5 AND rn > 1
+  SELECT doc_id, off AS s, e FROM marked WHERE n >= {min_count} AND rn > 1
 ), isl AS (
   SELECT doc_id, s, e,
          CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
@@ -2555,10 +2552,119 @@ WITH d AS (
   FROM gaps g JOIN d USING (doc_id)
   WHERE coalesce(g.ge, length(d.content)) >= g.gs
   GROUP BY g.doc_id
+), cleaned AS (
+  SELECT d.doc_id,
+         CASE WHEN m.doc_id IS NULL THEN d.content
+              ELSE coalesce(r.txt, '') END AS content
+  FROM d
+  LEFT JOIN (SELECT DISTINCT doc_id FROM merged) m USING (doc_id)
+  LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+)"""
+
+
+ORACLE_SQL["substring_dedup_docs"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 80) ||
+         CASE WHEN doc_id % 2 = 0 THEN '{_LICENSE_BLOCK}' ELSE ' ' END ||
+         substr(text, 81) AS content
+  FROM documents
+), {_ssd_sql_chain(40, 20, 5)}
+SELECT doc_id, content AS text FROM cleaned"""
+
+
+# --- P15+ composed pipeline v2: the full modern cleaning chain ---------------
+
+def _pipeline_docs(spark, sf_dir):
+    """Corpus with BOTH a shared license block (fixed offset 81, even
+    docs) AND planted PII suffixes — the input shape for the composed v2
+    pipeline; each engine rebuilds it identically."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    base = F.concat(
+        F.substring(F.col("text"), 1, 80),
+        F.when(i % 2 == 0, F.lit(_LICENSE_BLOCK)).otherwise(F.lit(" ")),
+        F.expr("substring(text, 81)"))
+    content = F.concat(
+        base,
+        F.when(i % 3 == 0,
+               F.concat(F.lit(" mail user"), i.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(i % 7 == 0,
+               F.concat(F.lit(" host 10."), (i % 200).cast("string"),
+                        F.lit(".0."), (i % 250).cast("string")))
+         .otherwise(F.lit("")))
+    return d.select("doc_id", content.alias("content"))
+
+
+def training_corpus_v2(spark, sf_dir):
+    """The full modern training-data cleaning chain composed end to end —
+    substring-span dedup (license block excised, P23) → PII redaction
+    (P20) → hashed-linear quality gate at sigmoid ≥ 0.5 (P22) → exact
+    dedup keep-first on the CLEANED text — verified by ONE nested-CTE
+    oracle. Each stage is individually oracle-paired elsewhere; this
+    entry pins their composition (stage ordering, column threading, the
+    gate applying to post-redaction text)."""
+    from .functions.hashing import poly_hash
+    from .functions.quality_model import (deterministic_weights,
+                                          linear_quality_scores)
+    from .functions.redact import redact_pii
+    from .operators.dedup import substring_dedup
+    d = _pipeline_docs(spark, sf_dir)
+    cleaned = substring_dedup(d, k=40, stride=20, min_count=5)
+    red = cleaned.select("doc_id", redact_pii("content").alias("content"))
+    scores = linear_quality_scores(red, deterministic_weights(spark, 1024),
+                                   1024, hash_expr=poly_hash)
+    kept = red.join(scores.filter(F.col("q_score") >= 0.5)
+                    .select("doc_id", "q_score"), "doc_id")
+    w = Window.partitionBy(F.sha2(F.col("content"), 256)).orderBy("doc_id")
+    uniq = (kept.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    return uniq.select("doc_id", F.col("content").alias("text"),
+                       _r(F.col("q_score")).alias("q_score_r"))
+
+
+QUERIES["training_corpus_v2"] = training_corpus_v2
+
+_PIPE_TOKS = _TOKS.replace("lower(text)", "lower(content)")
+
+ORACLE_SQL["training_corpus_v2"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 80) ||
+         CASE WHEN doc_id % 2 = 0 THEN '{_LICENSE_BLOCK}' ELSE ' ' END ||
+         substr(text, 81) ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' mail user' || doc_id || '@example.com' ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' host 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+              ELSE '' END AS content
+  FROM documents
+), {_ssd_sql_chain(40, 20, 5)},
+red AS (
+  SELECT doc_id, {_PII_RED_SQL} AS content FROM cleaned
+), qtoks AS (
+  SELECT doc_id, unnest({_PIPE_TOKS}) AS tok FROM red
+), qb AS (
+  SELECT doc_id, {_duck_poly_qm('tok')} % 1024 AS bucket FROM qtoks
+), qw AS (
+  SELECT i::INT AS bucket,
+         (i * {_QM_A}) % {_QM_M} / 1000000.0 - 1.0 AS w
+  FROM range(1024) t(i)
+), qs AS (
+  SELECT qb.doc_id, avg(coalesce(qw.w, 0.0)) AS s_raw
+  FROM qb LEFT JOIN qw USING (bucket) GROUP BY qb.doc_id
+), keepq AS (
+  SELECT doc_id, 1.0 / (1.0 + exp(-s_raw)) AS q FROM qs
+  WHERE 1.0 / (1.0 + exp(-s_raw)) >= 0.5
+), j AS (
+  SELECT red.doc_id, red.content, keepq.q
+  FROM red JOIN keepq USING (doc_id)
+), rnq AS (
+  SELECT doc_id, content, q,
+         row_number() OVER (PARTITION BY sha256(content)
+                            ORDER BY doc_id) AS rnn
+  FROM j
 )
-SELECT d.doc_id,
-       CASE WHEN m.doc_id IS NULL THEN d.content
-            ELSE coalesce(r.txt, '') END AS text
-FROM d
-LEFT JOIN (SELECT DISTINCT doc_id FROM merged) m USING (doc_id)
-LEFT JOIN rebuilt r ON r.doc_id = d.doc_id"""
+SELECT doc_id, content AS text, CAST(round(q, 6) AS DOUBLE) AS q_score_r
+FROM rnq WHERE rnn = 1"""
