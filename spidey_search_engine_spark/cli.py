@@ -9,6 +9,9 @@ Then e.g.:
   spark-submit ... query --index /data/index --q 'merge sort' --k 10
   spark-submit ... query --index /data/index --q '"hash map" lookup' --parity
   spark-submit ... bench --sf-dir /root/testdata/sf0.1
+  spark-submit ... clean --input /data/corpus --output /data/cleaned \
+      --substring-min-count 2 --redact-pii --quality-threshold 0.5 \
+      --exact-dedup
 
 In the sandbox the same commands run with ``python -m`` on local[N]
 (master comes from SPARK_GRAFT_MASTER / SPARK_GRAFT_CPUS or the
@@ -49,6 +52,30 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("bench", help="run bench.py suite")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.1")
 
+    c = sub.add_parser(
+        "clean", help="training-corpus cleaning pipeline: substring-span "
+        "dedup -> line dedup -> PII redaction -> model quality gate -> "
+        "exact dedup (each stage optional); reads (doc_id, content), "
+        "writes (doc_id, content)")
+    c.add_argument("--input", required=True, help="corpus parquet dir")
+    c.add_argument("--output", required=True)
+    c.add_argument("--substring-min-count", type=int, default=0,
+                   help="excise runs occurring >= N times corpus-wide "
+                        "(0 = stage off)")
+    c.add_argument("--substring-k", type=int, default=100)
+    c.add_argument("--substring-stride", type=int, default=50)
+    c.add_argument("--line-max-docs", type=int, default=0,
+                   help="drop lines present in > N docs (0 = stage off)")
+    c.add_argument("--redact-pii", action="store_true")
+    c.add_argument("--quality-threshold", type=float, default=None,
+                   help="keep docs with model score >= T (stage off when "
+                        "unset)")
+    c.add_argument("--quality-dim", type=int, default=65536)
+    c.add_argument("--weights", default=None,
+                   help="parquet (bucket int, w double) trained table; "
+                        "default: deterministic formula weights")
+    c.add_argument("--exact-dedup", action="store_true")
+
     args = p.parse_args(argv)
     if args.cmd == "query":
         # explicit --k 0 (or negative) is a user error, not "use default" —
@@ -57,7 +84,13 @@ def main(argv: list[str] | None = None) -> int:
             p.error(f"--k must be a positive integer (got {args.k})")
         args.k = args.k if args.k is not None else (20 if args.parity else 10)
 
+    from pyspark.sql import SparkSession
+
     from .session import get_spark
+
+    # only stop a session this invocation created: embedding callers
+    # (tests, notebooks) pass through getOrCreate and must keep theirs
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app=f"spidey-{args.cmd}")
 
     if args.cmd == "build":
@@ -95,7 +128,45 @@ def main(argv: list[str] | None = None) -> int:
         os.environ["SPARK_GRAFT_SF_DIR"] = args.sf_dir
         import bench
         bench.main()
-    spark.stop()
+    elif args.cmd == "clean":
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(args.input).select("doc_id", "content")
+        n_in, c_in = df.select(
+            F.count("*"), F.coalesce(F.sum(F.length("content")),
+                                     F.lit(0))).collect()[0]
+        if args.substring_min_count > 0:
+            from .operators.dedup import substring_dedup
+            df = substring_dedup(df, k=args.substring_k,
+                                 stride=args.substring_stride,
+                                 min_count=args.substring_min_count)
+        if args.line_max_docs > 0:
+            from .operators.dedup import line_dedup
+            df = line_dedup(df, max_docs=args.line_max_docs)
+        if args.redact_pii:
+            from .functions.redact import redact_pii
+            df = df.select("doc_id", redact_pii("content").alias("content"))
+        if args.quality_threshold is not None:
+            from .functions.quality_model import (deterministic_weights,
+                                                  quality_filter)
+            w = (spark.read.parquet(args.weights) if args.weights
+                 else deterministic_weights(spark, args.quality_dim))
+            df = quality_filter(df, w, args.quality_dim,
+                                threshold=args.quality_threshold)
+        if args.exact_dedup:
+            from .operators.dedup import exact_dedup
+            keep = (exact_dedup(df).filter(F.col("keep"))
+                    .select(F.col("id").alias("doc_id")))
+            df = df.join(keep, "doc_id", "left_semi")
+        df.write.mode("overwrite").parquet(args.output)
+        out_df = spark.read.parquet(args.output)
+        n_out, c_out = out_df.select(
+            F.count("*"), F.coalesce(F.sum(F.length("content")),
+                                     F.lit(0))).collect()[0]
+        print(json.dumps({"docs_in": n_in, "docs_out": n_out,
+                          "chars_in": int(c_in), "chars_out": int(c_out)}))
+    if owns_session:
+        spark.stop()
     return 0
 
 

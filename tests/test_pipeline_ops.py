@@ -1427,3 +1427,45 @@ def test_substring_dedup_matches_python_reference(spark):
                for r in substring_dedup(df, k=10, stride=5,
                                         min_count=2).collect()}
         assert got == reference(docs, 10, 5, 2), f"trial {trial}"
+
+
+def test_cli_clean_pipeline(spark, tmp_path, capsys):
+    """The `clean` CLI subcommand runs the composed pipeline end to end:
+    planted whole-doc copies vanish via exact dedup, the shared block via
+    substring dedup, PII via redaction — one stats JSON line out."""
+    import json
+    from spidey_search_engine_spark.cli import main
+
+    blk = "SHARED LICENSE BLOCK " * 4  # 84 chars, > k
+    rows = [(0, "intro text one " + blk + "body zero user0@example.com"),
+            (1, "intro text two " + blk + "body one distinct"),
+            (2, "a fully unique document body with nothing planted"),
+            (3, "a fully unique document body with nothing planted")]
+    src, dst = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id long, content string") \
+        .coalesce(1).write.parquet(src)
+    rc = main(["clean", "--input", src, "--output", dst,
+               "--substring-min-count", "2", "--substring-k", "20",
+               "--substring-stride", "10", "--redact-pii",
+               "--exact-dedup"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # substring dedup excises doc 3 (whole-doc copy of 2) down to a
+    # boundary residue BEFORE exact dedup runs, so all 4 ids survive but
+    # the chars shrink; the shared block survives in at most one doc
+    assert stats["docs_in"] == 4 and stats["docs_out"] == 4
+    assert stats["chars_out"] < stats["chars_in"]
+    out = {r["doc_id"]: r["content"]
+           for r in spark.read.parquet(dst).collect()}
+    assert len(out[3]) < len(out[2])
+    assert all("@example.com" not in t for t in out.values())
+    assert any("<EMAIL>" in t for t in out.values())
+    assert sum(blk in t for t in out.values()) <= 1
+    # exact dedup alone: the whole-doc copy (3) is dropped outright
+    dst2 = str(tmp_path / "out2")
+    rc = main(["clean", "--input", src, "--output", dst2, "--exact-dedup"])
+    assert rc == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["docs_out"] == 3
+    assert {r["doc_id"] for r in spark.read.parquet(dst2).collect()} \
+        == {0, 1, 2}

@@ -240,3 +240,39 @@ def test_ann_stream_append_matches_batch_index(spark, tmp_path):
                           signatures=load_lsh_index(spark, out_dir))
              .collect()]
     assert got_s == got_b and got_s[0][0] == 5
+
+
+def test_stream_dedup_drops_later_copies(spark, tmp_path):
+    """Streaming exact dedup: the first copy of a content hash passes,
+    later copies drop — in both the unbounded and the watermark-bounded
+    (dropDuplicatesWithinWatermark) variants."""
+    from spidey_search_engine_spark.streaming.dedup import dedup_stream
+
+    schema = "doc_id long, ts timestamp, content string"
+
+    def write_batch(src, rows):
+        spark.createDataFrame(rows, "doc_id long, sec long, content string") \
+            .select("doc_id", F.col("sec").cast("timestamp").alias("ts"),
+                    "content").coalesce(1).write.mode("append").parquet(src)
+
+    for name, wm in (("sd_unbounded", None), ("sd_watermark", "1 hour")):
+        src = str(tmp_path / f"src_{name}")
+        write_batch(src, [(0, 100, "alpha text"), (1, 200, "beta text")])
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = dedup_stream(stream, watermark=wm)
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName(name).option(
+                 "checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+             .start())
+        try:
+            q.processAllAvailable()
+            # batch 2: one exact copy of doc 0 (within the watermark
+            # horizon) and one fresh doc
+            write_batch(src, [(2, 300, "alpha text"), (3, 400, "gamma")])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        ids = sorted(r["doc_id"]
+                     for r in spark.sql(f"select * from {name}").collect())
+        assert ids == [0, 1, 3], name
