@@ -109,15 +109,15 @@ def minhash_coeffs(num_hashes: int, seed: int = 7):
     return a, b
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
-                        num_hashes: int = 32,
-                        band_hash_expr: HashExpr | None = None) -> DataFrame:
-    """Band the signature and self-join on (band, band_hash) → (id_a, id_b)."""
+def banded_signatures(sig: DataFrame, bands: int = 8,
+                      num_hashes: int = 32,
+                      band_hash_expr: HashExpr | None = None) -> DataFrame:
+    """(id, band, bh) — one hash per signature band; the LSH join key."""
     rows_per_band = num_hashes // bands
     if band_hash_expr is None:
         def band_hash_expr(c):
             return F.hash(c)
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -128,6 +128,13 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
                         F.slice("sig", bnd * rows_per_band + 1, rows_per_band),
                         lambda v: v.cast("string")))).alias("bh")))
         ).alias("z")).select("id", "z.band", "z.bh")
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
+                        num_hashes: int = 32,
+                        band_hash_expr: HashExpr | None = None) -> DataFrame:
+    """Band the signature and self-join on (band, band_hash) → (id_a, id_b)."""
+    banded = banded_signatures(sig, bands, num_hashes, band_hash_expr)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -193,6 +200,100 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     sig = minhash_signatures(sh, num_hashes, seed, hash_expr)
     cand = lsh_candidate_pairs(sig, bands, num_hashes, band_hash_expr)
     return jaccard_pairs(sh, cand, threshold)
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-corpus near-dedup: materialized MinHash band index
+# ---------------------------------------------------------------------------
+
+def write_minhash_index(df: DataFrame, out_dir: str,
+                        id_col: str = "doc_id", text_col: str = "content",
+                        n: int = 3, num_hashes: int = 32, bands: int = 8,
+                        seed: int = 7, n_buckets: int = 64,
+                        hash_expr: HashExpr | None = None,
+                        band_hash_expr: HashExpr | None = None) -> None:
+    """Materialize the base corpus's MinHash band table for incremental
+    dedup: (id, band, bh) written ``partitionBy("bucket")`` with
+    bucket = pmod(bh, n_buckets).
+
+    This is the text analog of the materialized LSH ANN index
+    (similarity.write_lsh_index) and the bucket-partitioned postings (Q1):
+    dedup-against-existing-corpus is an every-ingest operation at 100 TB,
+    and re-minhashing the base corpus per incoming batch is the same
+    anti-pattern as re-hashing the embedding table per ANN query (round-2
+    verdict #1). Band hashes are uniform by construction, so the
+    n_buckets partitions are balanced; pick n_buckets so one partition is
+    a few GB at the target corpus size. repartition on bucket first: one
+    file per bucket, not one per (input partition x bucket)."""
+    sh = shingles_df(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, num_hashes, seed, hash_expr)
+    banded = banded_signatures(sig, bands, num_hashes, band_hash_expr)
+    (banded.withColumn("bucket", F.pmod(F.col("bh"), F.lit(n_buckets)))
+     .repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
+
+
+def load_minhash_index(spark, out_dir: str) -> DataFrame:
+    return spark.read.parquet(out_dir)
+
+
+def incremental_lsh_pairs(new_df: DataFrame, base_df: DataFrame,
+                          index: DataFrame, *,
+                          id_col: str = "doc_id", text_col: str = "content",
+                          n: int = 3, num_hashes: int = 32, bands: int = 8,
+                          threshold: float = 0.7, seed: int = 7,
+                          n_buckets: int = 64,
+                          hash_expr: HashExpr | None = None,
+                          band_hash_expr: HashExpr | None = None) -> DataFrame:
+    """Near-dup pairs (id_a = base doc, id_b = incoming doc) between an
+    incoming batch and an already-indexed base corpus, WITHOUT
+    re-minhashing the base corpus.
+
+    Plan shape (the incremental-ingest hot path at 100 TB):
+    1. MinHash + band ONLY the incoming batch (cost ∝ batch size).
+    2. Collect the batch's distinct probe buckets — bounded by n_buckets
+       (≤64 values by default), never by corpus or batch size — and prune
+       the index scan with `bucket IN (...)` (PartitionFilters, same trick
+       as the Q1 dictionary probe).
+    3. Equi-join (band, bh) → candidate (base_id, new_id) pairs.
+    4. Exact-Jaccard verify CANDIDATE-FIRST: base shingles are recomputed
+       only for candidate base docs (left-semi prune of the base scan) —
+       the verify cost is proportional to the candidate set, not the
+       corpus.
+
+    Ids must be unique across the two corpora (pairs with id_a == id_b
+    are dropped as self-matches). Parameters must match the ones the
+    index was written with; they are not self-describing in the table.
+
+    The batch's band table and the candidate pair set are persist()ed:
+    both are batch-sized (never corpus-sized), and each is consumed by
+    several downstream joins — without the persist, Spark replays the
+    whole minhash lineage (and the pruned index scan) once per consumer.
+    """
+    sh_new = shingles_df(new_df, id_col, text_col, n)
+    sig_new = minhash_signatures(sh_new, num_hashes, seed, hash_expr)
+    banded_new = (banded_signatures(sig_new, bands, num_hashes,
+                                    band_hash_expr)
+                  .withColumn("bucket",
+                              F.pmod(F.col("bh"), F.lit(n_buckets)))
+                  .persist())
+    probe = [r["bucket"]
+             for r in banded_new.select("bucket").distinct().collect()]
+    idx = index.filter(F.col("bucket").isin(probe)) if probe else index
+    cand = (banded_new.alias("q")
+            .join(idx.alias("i"),
+                  (F.col("q.band") == F.col("i.band"))
+                  & (F.col("q.bh") == F.col("i.bh"))
+                  & (F.col("q.id") != F.col("i.id")))
+            .select(F.col("i.id").alias("id_a"),
+                    F.col("q.id").alias("id_b"))
+            .distinct()
+            .persist())
+    base_cand = base_df.join(
+        cand.select(F.col("id_a").alias(id_col)).distinct(),
+        id_col, "left_semi")
+    sh_all = shingles_df(base_cand, id_col, text_col, n).unionByName(sh_new)
+    return jaccard_pairs(sh_all, cand, threshold)
 
 
 # ---------------------------------------------------------------------------

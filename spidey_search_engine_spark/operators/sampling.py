@@ -127,3 +127,49 @@ def token_budget_sample(df: DataFrame, strata_col: str,
                         F.sum(F.col(weight_col).cast("long")).over(wnd))
             .filter(F.col("cum_tokens") <= F.col("_budget"))
             .drop("_budget"))
+
+
+def assign_shards(df: DataFrame, n_shards: int,
+                  id_col: str = "doc_id", seed: int = 17,
+                  hash_expr: HashExpr | None = None) -> DataFrame:
+    """Deterministic training-shard assignment: adds (shard, pos).
+
+    Trainers read fixed shard files in order; the assignment must be (a)
+    uniform, (b) a pure function of (id, seed) so re-runs and resumed
+    builds produce byte-identical shards, and (c) free of any global sort.
+    shard = pmod(hash(id, seed), n_shards) — uniform by hash construction,
+    computed inside the scan. pos = dense 0-based position within the
+    shard in salted-hash order (ties by id): one window per shard
+    partition, i.e. ONE shuffle on a uniform key — never a global
+    row_number, whose single ordered partition is the classic 100-TB
+    anti-pattern. The (hash, id) order also globally shuffles the corpus
+    across and within shards — exactly the train-time document shuffle —
+    without a separate orderBy(rand()) pass.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive (got {n_shards})")
+    key = _sample_key(id_col, seed, hash_expr)
+    wnd = Window.partitionBy("shard").orderBy(F.col("_skey").asc(),
+                                              F.col(id_col).asc())
+    return (df.withColumn("_skey", key)
+            .withColumn("shard",
+                        F.pmod(F.col("_skey"), F.lit(n_shards)).cast("int"))
+            .withColumn("pos", (F.row_number().over(wnd) - 1).cast("long"))
+            .drop("_skey"))
+
+
+def write_training_shards(df: DataFrame, out_dir: str, n_shards: int,
+                          id_col: str = "doc_id", seed: int = 17,
+                          hash_expr: HashExpr | None = None) -> None:
+    """Materialize the shard table: one directory per shard, rows stored
+    in `pos` order within each shard file.
+
+    repartition on the partition column BEFORE partitionBy — without it
+    every input partition writes a file into every shard dir (measured
+    64x file explosion on the LSH index write); with it, one file per
+    shard, sorted by pos via sortWithinPartitions so a sequential reader
+    streams the shard in training order."""
+    shards = assign_shards(df, n_shards, id_col, seed, hash_expr)
+    (shards.repartition(n_shards, "shard")
+     .sortWithinPartitions("shard", "pos")
+     .write.mode("overwrite").partitionBy("shard").parquet(out_dir))

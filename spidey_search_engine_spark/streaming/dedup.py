@@ -41,3 +41,120 @@ def dedup_stream(docs: DataFrame, text_col: str = "content",
         return keyed.dropDuplicates(["content_sha"])
     return (keyed.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["content_sha"]))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup at ingest: per-batch MinHash probe + index append (P26/P16)
+# ---------------------------------------------------------------------------
+
+def _committed_batch_dirs(root: str, before_batch: int) -> "list[str]":
+    """batch=<id> dirs with id < before_batch — the replay-safe base set.
+
+    foreachBatch is at-least-once: when batch N replays after a
+    post-commit crash, ``root`` already holds batch=N's own output, and
+    reading it back as "base corpus" would make every replayed doc a
+    perfect duplicate of itself. Listing only ids < N keeps the batch's
+    input invisible to its own probe, so a replay reproduces identical
+    keep decisions."""
+    import os
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in sorted(os.listdir(root)):
+        if d.startswith("batch="):
+            try:
+                if int(d.split("=", 1)[1]) < before_batch:
+                    out.append(os.path.join(root, d))
+            except ValueError:
+                continue
+    return out
+
+
+def near_dedup_ingest_stream(docs_stream: DataFrame, store_dir: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "content",
+                             n: int = 3, num_hashes: int = 32,
+                             bands: int = 8, threshold: float = 0.7,
+                             seed: int = 7, n_buckets: int = 64,
+                             hash_expr=None, band_hash_expr=None,
+                             checkpoint: str | None = None):
+    """Continuous NEAR-duplicate dedup at ingest: each micro-batch is
+    LSH-probed against everything kept so far, survivors are appended to
+    the doc store AND to the bucket-partitioned MinHash band index — the
+    streaming composition of dedup.write_minhash_index +
+    incremental_lsh_pairs (P26), so the kept corpus is never re-minhashed.
+
+    Per batch:
+    1. within-batch pairs via minhash_lsh_dedup; the higher id of each
+       verified pair drops (keep-first-by-id — the greedy batch policy;
+       run dedup_clusters downstream when transitive canonical picks
+       matter).
+    2. cross-corpus pairs via incremental_lsh_pairs against the
+       PARTITION-PRUNED band index of previously committed batches; any
+       batch doc matching a kept doc drops.
+    3. survivors append under ``store_dir/docs/batch=<id>/`` and their
+       band rows under ``store_dir/minhash/batch=<id>/`` (bucket-
+       partitioned). Each batch OVERWRITES its own dirs and probes only
+       ids < its own (the incremental.py idempotence discipline), so
+       at-least-once replays rewrite identical files and identical keep
+       decisions.
+
+    State lives entirely in the store layout — no streaming state store;
+    the watermarkless shape is exact w.r.t. everything kept so far, at
+    the cost of probe work per batch (bounded: batch bands × pruned
+    partitions). Returns the StreamingQuery.
+    """
+    import os
+
+    from ..operators.dedup import (banded_signatures, incremental_lsh_pairs,
+                                   minhash_lsh_dedup, minhash_signatures,
+                                   shingles_df)
+
+    docs_root = os.path.join(store_dir, "docs")
+    idx_root = os.path.join(store_dir, "minhash")
+    mh = dict(n=n, num_hashes=num_hashes, bands=bands, seed=seed)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        # 1. within-batch greedy keep-first
+        pairs_in = minhash_lsh_dedup(batch_df, id_col, text_col,
+                                     threshold=threshold,
+                                     hash_expr=hash_expr,
+                                     band_hash_expr=band_hash_expr, **mh)
+        drop_in = pairs_in.select(F.col("id_b").alias(id_col)).distinct()
+        kept = batch_df.join(drop_in, id_col, "left_anti")
+        # 2. vs previously committed batches (replay-safe listing)
+        base_dirs = _committed_batch_dirs(docs_root, int(batch_id))
+        if base_dirs:
+            base = spark.read.option("basePath", docs_root) \
+                .parquet(*base_dirs).select(id_col, text_col)
+            idx = spark.read.option("basePath", idx_root).parquet(
+                *_committed_batch_dirs(idx_root, int(batch_id)))
+            cross = incremental_lsh_pairs(
+                kept, base, idx, id_col=id_col, text_col=text_col,
+                threshold=threshold, n_buckets=n_buckets,
+                hash_expr=hash_expr, band_hash_expr=band_hash_expr, **mh)
+            drop_x = cross.select(F.col("id_b").alias(id_col)).distinct()
+            kept = kept.join(drop_x, id_col, "left_anti")
+        kept = kept.persist()
+        # 3. commit survivors: docs + band rows, idempotent per-batch dirs
+        (kept.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(docs_root, f"batch={batch_id}")))
+        sh = shingles_df(kept, id_col, text_col, n)
+        sig = minhash_signatures(sh, num_hashes, seed, hash_expr)
+        banded = banded_signatures(sig, bands, num_hashes, band_hash_expr)
+        (banded.withColumn("bucket", F.pmod(F.col("bh"), F.lit(n_buckets)))
+         .repartition("bucket").write.mode("overwrite")
+         .partitionBy("bucket")
+         .parquet(os.path.join(idx_root, f"batch={batch_id}")))
+        kept.unpersist()
+        batch_df.unpersist()
+
+    writer = docs_stream.writeStream.foreachBatch(process) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

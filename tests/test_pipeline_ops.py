@@ -1469,3 +1469,99 @@ def test_cli_clean_pipeline(spark, tmp_path, capsys):
     assert stats2["docs_out"] == 3
     assert {r["doc_id"] for r in spark.read.parquet(dst2).collect()} \
         == {0, 1, 2}
+
+
+# ---------------------------------------------------------------------------
+# chunking / shard assignment / incremental cross-corpus dedup (P24-P26)
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_windows(spark):
+    from spidey_search_engine_spark.operators.chunking import chunk_documents
+    long = " ".join(f"tok{i}" for i in range(25))
+    rows = [(1, "a short doc"), (2, long), (3, "   "), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=8, overlap=2)
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+           for r in out.collect()}
+    # short doc: one whole chunk
+    assert got[(1, 0)] == ("a short doc", 3)
+    # empty / whitespace docs: no chunks at all
+    assert not any(k[0] in (3, 4) for k in got)
+    # long doc: python-reference stride windows (stride = 8 - 2 = 6)
+    toks = long.split()
+    starts = [0, 6, 12, 18]           # 18 + 8 > 25 -> last window
+    for ci, s in enumerate(starts):
+        w = toks[s:s + 8]
+        assert got[(2, ci)] == (" ".join(w), len(w))
+    assert len([k for k in got if k[0] == 2]) == len(starts)
+    # coverage + overlap properties
+    assert got[(2, len(starts) - 1)][1] == 25 - 18
+    for ci in range(len(starts) - 1):
+        a = got[(2, ci)][0].split()
+        b = got[(2, ci + 1)][0].split()
+        assert a[-2:] == b[:2]        # consecutive chunks share `overlap`
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from spidey_search_engine_spark.operators.chunking import chunk_documents
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_assign_shards_partition_of_corpus(spark, tmp_path):
+    from spidey_search_engine_spark.operators.sampling import (
+        assign_shards, write_training_shards)
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"),
+                                    F.concat(F.lit("doc "), "id")
+                                    .alias("text"))
+    a = assign_shards(df, 8, seed=3).collect()
+    b = assign_shards(df, 8, seed=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    assert sorted(r["doc_id"] for r in a) == list(range(500))  # a partition
+    by_shard = {}
+    for r in a:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0..k-1
+    # uniformity sanity: no empty shard at 500/8
+    assert len(by_shard) == 8
+    # materialized shards: read-back equals the assignment, pos-ordered
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, 8, seed=3)
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.select(*a[0].__fields__).collect())) \
+        == sorted(map(tuple, a))
+
+
+def test_incremental_lsh_matches_full_dedup(spark, dup_docs, tmp_path):
+    from spidey_search_engine_spark.operators.dedup import (
+        incremental_lsh_pairs, load_minhash_index, minhash_lsh_dedup,
+        write_minhash_index)
+    params = dict(n=3, num_hashes=16, bands=8, threshold=0.2, seed=7)
+    # incoming batch: a near copy of base doc 0, an exact copy of doc 4,
+    # and a novel doc that matches nothing
+    inc_rows = [(100, dup_docs.filter("doc_id = 0").first()["content"]
+                 + " tail words appended"),
+                (101, dup_docs.filter("doc_id = 4").first()["content"]),
+                (102, "nothing in common with any base document "
+                      "entirely novel tokens everywhere")]
+    inc = spark.createDataFrame(inc_rows, "doc_id long, content string")
+    out = str(tmp_path / "mh_idx")
+    write_minhash_index(dup_docs, out, n_buckets=16, **{
+        k: v for k, v in params.items() if k != "threshold"})
+    idx = load_minhash_index(spark, out)
+    got = sorted(map(tuple, incremental_lsh_pairs(
+        inc, dup_docs, idx, n_buckets=16, **params)
+        .select("id_a", "id_b", "jaccard").collect()))
+    # reference: full-corpus LSH dedup restricted to cross pairs
+    full = minhash_lsh_dedup(dup_docs.unionByName(inc), **params)
+    want = sorted(map(tuple, full.filter((F.col("id_a") < 100)
+                                         & (F.col("id_b") >= 100))
+                      .select("id_a", "id_b", "jaccard").collect()))
+    assert got == want and len(got) >= 2   # planted near + exact recovered
+    assert not any(r[1] == 102 for r in got)
+    # the index landed bucket-partitioned on disk
+    import os
+    assert any(d.startswith("bucket=") for d in os.listdir(out))

@@ -276,3 +276,57 @@ def test_stream_dedup_drops_later_copies(spark, tmp_path):
         ids = sorted(r["doc_id"]
                      for r in spark.sql(f"select * from {name}").collect())
         assert ids == [0, 1, 3], name
+
+
+def test_near_dedup_ingest_stream(spark, tmp_path):
+    """Near-dup dedup at ingest: per-batch LSH probe against everything
+    kept so far (partition-pruned MinHash band index), within-batch
+    keep-first, survivors appended. A fresh re-run over the same source
+    (a full at-least-once replay) reproduces the identical kept set."""
+    from spidey_search_engine_spark.streaming.dedup import (
+        near_dedup_ingest_stream)
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest to find food for winter")
+    other = ("completely different text about spark dataframes shuffles "
+             "partitions joins aggregations and columnar parquet readers")
+    third = ("a third unrelated document mentioning streaming watermarks "
+             "state stores checkpoints and exactly once commit semantics")
+    src = str(tmp_path / "src")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "doc_id long, content string") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    # b0: 1 is an exact copy of 0 (within-batch drop)
+    write_batch([(0, base), (1, base), (2, other)])
+    # b1: 10 is a near copy of 0 (cross-batch drop), 11 is fresh
+    write_batch([(10, base + " with a small suffix"), (11, third)])
+    # b2: 20 near-copies 11, 21 copies 2, 22 is fresh
+    write_batch([(20, third + " trailing words"), (21, other),
+                 (22, "entirely novel final document with unique tokens "
+                      "nothing shares any shingle with this text at all")])
+
+    params = dict(num_hashes=16, bands=8, threshold=0.2, n_buckets=16)
+
+    def run(store, ckpt=None):
+        stream = (spark.readStream.schema("doc_id long, content string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = near_dedup_ingest_stream(stream, store, checkpoint=ckpt,
+                                     **params)
+        q.awaitTermination()
+        return sorted(r["doc_id"] for r in
+                      spark.read.parquet(store + "/docs").collect())
+
+    store = str(tmp_path / "store")
+    kept = run(store, str(tmp_path / "ckpt"))
+    assert kept == [0, 2, 11, 22]
+    # index landed bucket-partitioned per batch
+    import os
+    bdirs = os.listdir(store + "/minhash")
+    assert any(d.startswith("batch=") for d in bdirs)
+    assert any(d.startswith("bucket=") for d in os.listdir(
+        store + "/minhash/" + sorted(bdirs)[0]))
+    # full replay (no checkpoint): every batch reprocesses and overwrites
+    # its own dirs — identical keep decisions, no duplicates
+    assert run(store) == kept
