@@ -2721,23 +2721,48 @@ def incremental_dedup_pairs(spark, sf_dir):
     answer to the round-2 ANN re-hash verdict. Oracle: DuckDB rebuilds
     both corpora's band tables with the injected polynomial hash and
     cross-joins them, reproducing the identical pair set + Jaccard."""
+    idx, base = _planted_minhash_index(spark, sf_dir)
     from .functions.hashing import poly_hash
-    from .operators.dedup import (incremental_lsh_pairs,
-                                  load_minhash_index, write_minhash_index)
-    base = (load_table(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 60)
-            .select("doc_id", F.col("text").alias("content")))
-    out = os.path.join(entry_index_dir(sf_dir), "minhash_poly")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        write_minhash_index(base, out, num_hashes=8, bands=4, seed=7,
-                            n_buckets=16, hash_expr=poly_hash,
-                            band_hash_expr=poly_hash)
-    idx = load_minhash_index(spark, out)
+    from .operators.dedup import incremental_lsh_pairs
     inc = _planted_incoming(spark, sf_dir).withColumnRenamed("text",
                                                              "content")
     return (incremental_lsh_pairs(inc, base, idx, num_hashes=8, bands=4,
                                   threshold=0.2, seed=7, n_buckets=16,
                                   hash_expr=poly_hash,
+                                  band_hash_expr=poly_hash)
+            .select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard_r")))
+
+
+def _planted_minhash_index(spark, sf_dir):
+    """Materialize (once per sf_dir) the bucket-partitioned MinHash band
+    index over the base slice (doc_id < 60), signatures included."""
+    from .functions.hashing import poly_hash
+    from .operators.dedup import load_minhash_index, write_minhash_index
+    base = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 60)
+            .select("doc_id", F.col("text").alias("content")))
+    out = os.path.join(entry_index_dir(sf_dir), "minhash_poly_sig")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_minhash_index(base, out, num_hashes=8, bands=4, seed=7,
+                            n_buckets=16, hash_expr=poly_hash,
+                            band_hash_expr=poly_hash)
+    return load_minhash_index(spark, out), base
+
+
+def incremental_dedup_mh_pairs(spark, sf_dir):
+    """The 100-TB verify mode of the incremental probe: candidates verify
+    by SIGNATURE AGREEMENT carried on the index rows (standard MinHash
+    Jaccard estimator, join-free, base text never read). Oracle: DuckDB
+    rebuilds both signature sets with the injected polynomial hash and
+    counts agreeing components per candidate pair."""
+    idx, _ = _planted_minhash_index(spark, sf_dir)
+    from .functions.hashing import poly_hash
+    from .operators.dedup import incremental_lsh_pairs
+    inc = _planted_incoming(spark, sf_dir).withColumnRenamed("text",
+                                                             "content")
+    return (incremental_lsh_pairs(inc, None, idx, num_hashes=8, bands=4,
+                                  threshold=0.2, seed=7, n_buckets=16,
+                                  verify="minhash", hash_expr=poly_hash,
                                   band_hash_expr=poly_hash)
             .select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard_r")))
 
@@ -2776,7 +2801,7 @@ SELECT doc_id, (k % 8)::INT AS shard,
 FROM keyed"""
 
 
-def _build_incremental_oracle() -> str:
+def _build_incremental_oracle() -> "dict[str, str]":
     from .operators.dedup import _MERSENNE, minhash_coeffs
     m31 = (1 << 31) - 1
     a, b = minhash_coeffs(8, seed=7)
@@ -2810,8 +2835,7 @@ def _build_incremental_oracle() -> str:
 {bands}
 )"""
 
-    return f"""
-WITH base AS (
+    corpora = """WITH base AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 60
 ), inc AS (
   SELECT doc_id + 30000 AS doc_id,
@@ -2822,13 +2846,14 @@ WITH base AS (
   UNION ALL
   SELECT doc_id, text FROM documents WHERE doc_id >= 60 AND doc_id < 70
 ),
-{chain('base', 'b_')},
-{chain('inc', 'q_')},
+""" + chain('base', 'b_') + ",\n" + chain('inc', 'q_') + """,
 cand AS (
   SELECT DISTINCT b.id AS id_a, q.id AS id_b
   FROM b_banded b JOIN q_banded q
     ON b.band = q.band AND b.bh = q.bh AND b.id <> q.id
-), allsh AS (
+)"""
+
+    exact_sql = corpora + """, allsh AS (
   SELECT * FROM b_sh UNION ALL SELECT * FROM q_sh
 ), cnt AS (
   SELECT id, count(*)::BIGINT AS n FROM allsh GROUP BY 1
@@ -2846,5 +2871,29 @@ JOIN cnt ca ON ca.id = id_a
 JOIN cnt cb ON cb.id = id_b
 WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2"""
 
+    # selection-debiased estimator (rows_per_band = 2, band of h_i =
+    # i // 2): agreement counted only over components of UNMATCHED bands;
+    # all-bands-matched pairs score 1.0 — mirrors incremental_lsh_pairs
+    agree_x = " + ".join(
+        f"(CASE WHEN NOT list_contains(c.mb, {i // 2}) "
+        f"AND bs.h{i} = qs.h{i} THEN 1 ELSE 0 END)" for i in range(8))
+    est = (f"CASE WHEN 8 - 2 * len(c.mb) > 0 THEN ({agree_x}) * 1.0 / "
+           f"(8 - 2 * len(c.mb)) ELSE 1.0 END")
+    mh_sql = corpora + f""", candm AS (
+  SELECT b.id AS id_a, q.id AS id_b, list(DISTINCT b.band) AS mb
+  FROM b_banded b JOIN q_banded q
+    ON b.band = q.band AND b.bh = q.bh AND b.id <> q.id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       CAST(round({est}, 6) AS DOUBLE) AS jaccard_r
+FROM candm c
+JOIN b_sig bs ON bs.id = c.id_a
+JOIN q_sig qs ON qs.id = c.id_b
+WHERE {est} >= 0.2"""
+    return {"incremental_dedup_pairs": exact_sql,
+            "incremental_dedup_mh_pairs": mh_sql}
 
-ORACLE_SQL["incremental_dedup_pairs"] = _build_incremental_oracle()
+
+QUERIES["incremental_dedup_mh_pairs"] = incremental_dedup_mh_pairs
+ORACLE_SQL.update(_build_incremental_oracle())

@@ -111,14 +111,20 @@ def minhash_coeffs(num_hashes: int, seed: int = 7):
 
 def banded_signatures(sig: DataFrame, bands: int = 8,
                       num_hashes: int = 32,
-                      band_hash_expr: HashExpr | None = None) -> DataFrame:
-    """(id, band, bh) — one hash per signature band; the LSH join key."""
+                      band_hash_expr: HashExpr | None = None,
+                      keep_sig: bool = False) -> DataFrame:
+    """(id, band, bh[, sig]) — one hash per signature band; the LSH join
+    key. ``keep_sig`` carries the full signature on every band row so a
+    candidate join can verify by signature agreement WITHOUT any further
+    lookup (bands× storage for join-free verification — the trade the
+    incremental index makes)."""
     rows_per_band = num_hashes // bands
     if band_hash_expr is None:
         def band_hash_expr(c):
             return F.hash(c)
+    cols = ["id", "z.band", "z.bh"] + (["sig"] if keep_sig else [])
     return sig.select(
-        "id",
+        "id", "sig",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda bnd: F.struct(
@@ -127,7 +133,7 @@ def banded_signatures(sig: DataFrame, bands: int = 8,
                     ",", F.transform(
                         F.slice("sig", bnd * rows_per_band + 1, rows_per_band),
                         lambda v: v.cast("string")))).alias("bh")))
-        ).alias("z")).select("id", "z.band", "z.bh")
+        ).alias("z")).select(*cols)
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
@@ -224,10 +230,17 @@ def write_minhash_index(df: DataFrame, out_dir: str,
     verdict #1). Band hashes are uniform by construction, so the
     n_buckets partitions are balanced; pick n_buckets so one partition is
     a few GB at the target corpus size. repartition on bucket first: one
-    file per bucket, not one per (input partition x bucket)."""
+    file per bucket, not one per (input partition x bucket).
+
+    Each band row carries the doc's FULL signature (bands× storage of
+    num_hashes longs): the probe's candidate join then has both
+    signatures in hand and can verify by signature agreement without any
+    base-corpus lookup (verify="minhash" below) — at 100 TB the verify
+    otherwise costs a text fetch + re-shingle per candidate base doc."""
     sh = shingles_df(df, id_col, text_col, n)
     sig = minhash_signatures(sh, num_hashes, seed, hash_expr)
-    banded = banded_signatures(sig, bands, num_hashes, band_hash_expr)
+    banded = banded_signatures(sig, bands, num_hashes, band_hash_expr,
+                               keep_sig=True)
     (banded.withColumn("bucket", F.pmod(F.col("bh"), F.lit(n_buckets)))
      .repartition("bucket")
      .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
@@ -237,12 +250,12 @@ def load_minhash_index(spark, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
-def incremental_lsh_pairs(new_df: DataFrame, base_df: DataFrame,
+def incremental_lsh_pairs(new_df: DataFrame, base_df: DataFrame | None,
                           index: DataFrame, *,
                           id_col: str = "doc_id", text_col: str = "content",
                           n: int = 3, num_hashes: int = 32, bands: int = 8,
                           threshold: float = 0.7, seed: int = 7,
-                          n_buckets: int = 64,
+                          n_buckets: int = 64, verify: str = "exact",
                           hash_expr: HashExpr | None = None,
                           band_hash_expr: HashExpr | None = None) -> DataFrame:
     """Near-dup pairs (id_a = base doc, id_b = incoming doc) between an
@@ -256,44 +269,101 @@ def incremental_lsh_pairs(new_df: DataFrame, base_df: DataFrame,
        the index scan with `bucket IN (...)` (PartitionFilters, same trick
        as the Q1 dictionary probe).
     3. Equi-join (band, bh) → candidate (base_id, new_id) pairs.
-    4. Exact-Jaccard verify CANDIDATE-FIRST: base shingles are recomputed
-       only for candidate base docs (left-semi prune of the base scan) —
-       the verify cost is proportional to the candidate set, not the
-       corpus.
+    4. Verify:
+       * ``verify="minhash"`` (the 100-TB path) — both full signatures
+         already ride on the joined rows (the index stores the signature
+         per band row; the batch side carries its own), so the estimated
+         Jaccard is computed JOIN-FREE, never touching base text.
+         DEBIASED: candidates exist BECAUSE a band matched, so the naive
+         agreement fraction conditions on those components agreeing and
+         overestimates borderline pairs (measured: a 0.5 threshold kept
+         2395 of 2397 candidates where exact Jaccard kept 488 — every
+         true-J≈0.4 candidate cleared 0.5). The estimator here counts
+         agreement only over components OUTSIDE the matched bands,
+         removing the dominant upward selection bias (a small downward
+         residual remains: unmatched bands are conditioned on
+         not-all-agreeing). It stays a high-variance estimate —
+         stderr ≈ sqrt(J(1−J)/m) on the m remaining components
+         (≈0.09 at m=28), so near-threshold pairs still pass/fail
+         probabilistically (measured post-debias at 0.5: 2138 kept vs
+         488 exact — the remaining surplus is borderline-J variance,
+         not bias). A pair whose every band matched is scored 1.0.
+         Use it to cheaply DROP obvious dups at ingest; route
+         keep/borderline decisions through verify="exact".
+       * ``verify="exact"`` (default; the oracle-paired mode) — exact
+         Jaccard CANDIDATE-FIRST: base shingles are recomputed only for
+         candidate base docs (broadcast left-semi prune of the base
+         scan), cost proportional to the candidate set, not the corpus.
+         Requires ``base_df``; "minhash" ignores it.
 
     Ids must be unique across the two corpora (pairs with id_a == id_b
     are dropped as self-matches). Parameters must match the ones the
     index was written with; they are not self-describing in the table.
 
-    The batch's band table and the candidate pair set are persist()ed:
-    both are batch-sized (never corpus-sized), and each is consumed by
-    several downstream joins — without the persist, Spark replays the
-    whole minhash lineage (and the pruned index scan) once per consumer.
+    The batch's band table (and, in exact mode, the candidate pair set
+    and the verify shingle table) are persist()ed: each is batch-scale
+    and consumed by several downstream subtrees that share no reusable
+    exchange (measured 3× lineage replay without it). Long-running
+    callers (the ingest stream processes one batch per trigger, forever)
+    must release them once the result is consumed: the handles ride on
+    the returned DataFrame as ``result._persisted`` — call
+    ``.unpersist()`` on each after the final action.
     """
+    if verify not in ("exact", "minhash"):
+        raise ValueError(f"verify must be 'exact' or 'minhash' ({verify!r})")
     sh_new = shingles_df(new_df, id_col, text_col, n)
     sig_new = minhash_signatures(sh_new, num_hashes, seed, hash_expr)
     banded_new = (banded_signatures(sig_new, bands, num_hashes,
-                                    band_hash_expr)
+                                    band_hash_expr,
+                                    keep_sig=(verify == "minhash"))
                   .withColumn("bucket",
                               F.pmod(F.col("bh"), F.lit(n_buckets)))
                   .persist())
     probe = [r["bucket"]
              for r in banded_new.select("bucket").distinct().collect()]
     idx = index.filter(F.col("bucket").isin(probe)) if probe else index
-    cand = (banded_new.alias("q")
-            .join(idx.alias("i"),
-                  (F.col("q.band") == F.col("i.band"))
-                  & (F.col("q.bh") == F.col("i.bh"))
-                  & (F.col("q.id") != F.col("i.id")))
-            .select(F.col("i.id").alias("id_a"),
-                    F.col("q.id").alias("id_b"))
+    joined = (banded_new.alias("q")
+              .join(idx.alias("i"),
+                    (F.col("q.band") == F.col("i.band"))
+                    & (F.col("q.bh") == F.col("i.bh"))
+                    & (F.col("q.id") != F.col("i.id"))))
+    if verify == "minhash":
+        rpb = num_hashes // bands
+        grouped = (joined.groupBy(F.col("i.id").alias("id_a"),
+                                  F.col("q.id").alias("id_b"))
+                   .agg(F.collect_set(F.col("q.band")).alias("mb"),
+                        F.first(F.col("i.sig")).alias("sig_a"),
+                        F.first(F.col("q.sig")).alias("sig_b")))
+        eq = F.zip_with("sig_a", "sig_b", lambda x, y: x == y)
+        # component c belongs to band c // rows_per_band; count agreement
+        # only on components of UNMATCHED bands (selection-debiased)
+        agree_excl = F.size(F.filter(
+            eq, lambda v, c: v & ~F.array_contains(
+                F.col("mb"), F.floor(c / F.lit(rpb)).cast("int"))))
+        n_excl = F.lit(num_hashes) - F.lit(rpb) * F.size("mb")
+        est = F.when(n_excl > 0, agree_excl / n_excl.cast("double")) \
+            .otherwise(F.lit(1.0))
+        out = (grouped.select("id_a", "id_b", est.alias("jaccard"))
+               .filter(F.col("jaccard") >= threshold))
+        out._persisted = [banded_new]
+        return out
+    if base_df is None:
+        raise ValueError("verify='exact' needs base_df for the "
+                         "candidate-first shingle verify")
+    cand = (joined.select(F.col("i.id").alias("id_a"),
+                          F.col("q.id").alias("id_b"))
             .distinct()
             .persist())
+    # candidate ids are batch-scale (O(batch × matches)) — broadcast them
+    # into the base scan so the semi-join never shuffles the corpus
     base_cand = base_df.join(
-        cand.select(F.col("id_a").alias(id_col)).distinct(),
+        F.broadcast(cand.select(F.col("id_a").alias(id_col)).distinct()),
         id_col, "left_semi")
-    sh_all = shingles_df(base_cand, id_col, text_col, n).unionByName(sh_new)
-    return jaccard_pairs(sh_all, cand, threshold)
+    sh_all = (shingles_df(base_cand, id_col, text_col, n)
+              .unionByName(sh_new).persist())
+    out = jaccard_pairs(sh_all, cand, threshold)
+    out._persisted = [banded_new, cand, sh_all]  # release hooks (streaming)
+    return out
 
 
 # ---------------------------------------------------------------------------

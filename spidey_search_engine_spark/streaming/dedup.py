@@ -76,6 +76,7 @@ def near_dedup_ingest_stream(docs_stream: DataFrame, store_dir: str,
                              n: int = 3, num_hashes: int = 32,
                              bands: int = 8, threshold: float = 0.7,
                              seed: int = 7, n_buckets: int = 64,
+                             verify: str = "exact",
                              hash_expr=None, band_hash_expr=None,
                              checkpoint: str | None = None):
     """Continuous NEAR-duplicate dedup at ingest: each micro-batch is
@@ -126,18 +127,26 @@ def near_dedup_ingest_stream(docs_stream: DataFrame, store_dir: str,
                                      band_hash_expr=band_hash_expr, **mh)
         drop_in = pairs_in.select(F.col("id_b").alias(id_col)).distinct()
         kept = batch_df.join(drop_in, id_col, "left_anti")
-        # 2. vs previously committed batches (replay-safe listing)
+        # 2. vs previously committed batches (replay-safe listing);
+        # verify="minhash" skips the base-text read entirely — the
+        # committed band index carries the signatures
         base_dirs = _committed_batch_dirs(docs_root, int(batch_id))
         if base_dirs:
-            base = spark.read.option("basePath", docs_root) \
-                .parquet(*base_dirs).select(id_col, text_col)
+            base = None
+            if verify == "exact":
+                base = spark.read.option("basePath", docs_root) \
+                    .parquet(*base_dirs).select(id_col, text_col)
             idx = spark.read.option("basePath", idx_root).parquet(
                 *_committed_batch_dirs(idx_root, int(batch_id)))
             cross = incremental_lsh_pairs(
                 kept, base, idx, id_col=id_col, text_col=text_col,
-                threshold=threshold, n_buckets=n_buckets,
+                threshold=threshold, n_buckets=n_buckets, verify=verify,
                 hash_expr=hash_expr, band_hash_expr=band_hash_expr, **mh)
-            drop_x = cross.select(F.col("id_b").alias(id_col)).distinct()
+            drop_x = (cross.select(F.col("id_b").alias(id_col)).distinct()
+                      .localCheckpoint())  # cut the lineage so the probe's
+            # persisted intermediates can be released before the writes
+            for h in getattr(cross, "_persisted", []):
+                h.unpersist()
             kept = kept.join(drop_x, id_col, "left_anti")
         kept = kept.persist()
         # 3. commit survivors: docs + band rows, idempotent per-batch dirs
@@ -145,7 +154,9 @@ def near_dedup_ingest_stream(docs_stream: DataFrame, store_dir: str,
          .parquet(os.path.join(docs_root, f"batch={batch_id}")))
         sh = shingles_df(kept, id_col, text_col, n)
         sig = minhash_signatures(sh, num_hashes, seed, hash_expr)
-        banded = banded_signatures(sig, bands, num_hashes, band_hash_expr)
+        banded = banded_signatures(sig, bands, num_hashes, band_hash_expr,
+                                   keep_sig=True)  # later batches may
+        # probe this index with the join-free signature verify
         (banded.withColumn("bucket", F.pmod(F.col("bh"), F.lit(n_buckets)))
          .repartition("bucket").write.mode("overwrite")
          .partitionBy("bucket")

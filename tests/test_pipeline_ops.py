@@ -1565,3 +1565,32 @@ def test_incremental_lsh_matches_full_dedup(spark, dup_docs, tmp_path):
     # the index landed bucket-partitioned on disk
     import os
     assert any(d.startswith("bucket=") for d in os.listdir(out))
+
+
+def test_incremental_lsh_minhash_verify(spark, dup_docs, tmp_path):
+    """verify='minhash': candidates verify by signature agreement carried
+    on the index rows — no base_df, no base-text access. Exact copies
+    estimate jaccard 1.0; the pair set agrees with exact-verify at a
+    threshold loose enough for the estimator's granularity."""
+    from spidey_search_engine_spark.operators.dedup import (
+        incremental_lsh_pairs, load_minhash_index, write_minhash_index)
+    params = dict(n=3, num_hashes=16, bands=8, seed=7)
+    inc_rows = [(101, dup_docs.filter("doc_id = 4").first()["content"]),
+                (102, "nothing in common with any base document "
+                      "entirely novel tokens everywhere")]
+    inc = spark.createDataFrame(inc_rows, "doc_id long, content string")
+    out = str(tmp_path / "mh_idx_sig")
+    write_minhash_index(dup_docs, out, n_buckets=16, **params)
+    idx = load_minhash_index(spark, out)
+    assert "sig" in idx.columns
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in incremental_lsh_pairs(
+               inc, None, idx, n_buckets=16, threshold=0.2,
+               verify="minhash", **params).collect()}
+    assert got[(4, 101)] == 1.0          # exact copy: all components agree
+    assert not any(b == 102 for (_, b) in got)
+    exact = {(r["id_a"], r["id_b"])
+             for r in incremental_lsh_pairs(
+                 inc, dup_docs, idx, n_buckets=16, threshold=0.2,
+                 verify="exact", **params).collect()}
+    assert set(got) >= exact             # estimator keeps every real pair

@@ -309,11 +309,11 @@ def test_near_dedup_ingest_stream(spark, tmp_path):
 
     params = dict(num_hashes=16, bands=8, threshold=0.2, n_buckets=16)
 
-    def run(store, ckpt=None):
+    def run(store, ckpt=None, verify="exact"):
         stream = (spark.readStream.schema("doc_id long, content string")
                   .option("maxFilesPerTrigger", 1).parquet(src))
         q = near_dedup_ingest_stream(stream, store, checkpoint=ckpt,
-                                     **params)
+                                     verify=verify, **params)
         q.awaitTermination()
         return sorted(r["doc_id"] for r in
                       spark.read.parquet(store + "/docs").collect())
@@ -321,6 +321,8 @@ def test_near_dedup_ingest_stream(spark, tmp_path):
     store = str(tmp_path / "store")
     kept = run(store, str(tmp_path / "ckpt"))
     assert kept == [0, 2, 11, 22]
+    # signature-agreement verify never reads base text; same keeps here
+    assert run(str(tmp_path / "store_mh"), verify="minhash") == kept
     # index landed bucket-partitioned per batch
     import os
     bdirs = os.listdir(store + "/minhash")
