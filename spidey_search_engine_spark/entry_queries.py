@@ -2897,3 +2897,103 @@ WHERE {est} >= 0.2"""
 
 QUERIES["incremental_dedup_mh_pairs"] = incremental_dedup_mh_pairs
 ORACLE_SQL.update(_build_incremental_oracle())
+
+
+def semdedup_docs(spark, sf_dir):
+    """Semantic dedup (SemDeDup, Abbas et al. 2023) over the embeddings
+    table (operators/similarity.semdedup_survivors): k-means-cluster the
+    vectors, same-cluster pairs with cos ≥ 0.99 are semantic duplicates,
+    each pair drops the member CLOSER to its centroid (the paper's
+    diversity-preserving keep-rule; exact ties drop the higher id).
+    Exact-copy vectors are planted (vec_id+10000 for vec_id<10) so the
+    drop set is non-empty — survivors = N rows from N+10 planted inputs.
+    Oracle-paired end-to-end: the deterministic sampled-centroid
+    quantizer (centroids = vectors 1..32) keeps assignment, centroid-
+    cosine, and the pairwise verify SQL-expressible in DuckDB."""
+    import numpy as np
+    from .operators.similarity import semdedup_survivors
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.unionByName(
+        e.filter(F.col("vec_id") < 10)
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding"))
+    head = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in e.filter(F.col("vec_id").between(1, 32)).collect()}
+    centroids = np.array([head[i] for i in range(1, 33)], dtype=np.float64)
+    return (semdedup_survivors(planted, centroids, threshold=0.99)
+            .select(F.col("id").alias("vec_id"), "cluster",
+                    _r(F.col("ccos")).alias("ccos_r")))
+
+
+def pack_chunks(spark, sf_dir):
+    """Training-sequence packing (operators/chunking.pack_sequences) over
+    the P24 chunk table: shard = pmod(hash(doc:chunk,seed), 8) in the
+    scan, then NEXT-FIT greedy per shard in salted-hash order — every
+    (shard, seq) group sums to ≤ 64 tokens. Oracle-paired row-for-row:
+    the injectable polynomial hash reproduces the shard + order, and a
+    DuckDB recursive CTE replays the running-total recurrence exactly."""
+    from .functions.hashing import poly_hash
+    from .operators.chunking import chunk_documents, pack_sequences
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(d, chunk_tokens=16, overlap=4)
+    return pack_sequences(ch, budget=64, n_shards=8, hash_expr=poly_hash)
+
+
+QUERIES["semdedup_docs"] = semdedup_docs
+QUERIES["pack_chunks"] = pack_chunks
+
+ORACLE_SQL["semdedup_docs"] = """
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), e AS (
+  SELECT vec_id, v FROM e0
+  UNION ALL
+  SELECT vec_id + 10000, v FROM e0 WHERE vec_id < 10
+), cent AS (
+  SELECT vec_id - 1 AS cluster, v AS cv FROM e0 WHERE vec_id BETWEEN 1 AND 32
+), asg AS (
+  SELECT e.vec_id, c.cluster, e.v,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.v, c.cv), c.cluster)
+           AS rn
+  FROM e, cent c
+), scored AS (
+  SELECT a.vec_id, a.cluster, a.v,
+         list_cosine_similarity(a.v, c.cv) AS ccos
+  FROM asg a JOIN cent c ON c.cluster = a.cluster WHERE a.rn = 1
+), pairs AS (
+  SELECT x.vec_id AS ia, y.vec_id AS ib, x.ccos AS ca, y.ccos AS cb
+  FROM scored x JOIN scored y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.v, y.v) >= 0.99
+), losers AS (
+  SELECT DISTINCT CASE WHEN ca > cb OR (ca = cb AND ia > ib)
+                       THEN ia ELSE ib END AS vec_id
+  FROM pairs
+)
+SELECT s.vec_id, s.cluster::INT AS cluster,
+       CAST(round(s.ccos, 6) AS DOUBLE) AS ccos_r
+FROM scored s WHERE s.vec_id NOT IN (SELECT vec_id FROM losers)"""
+
+_PACK_KEY = _duck_poly("doc_id::VARCHAR || ':' || chunk_id::VARCHAR || ':17'")
+
+ORACLE_SQL["pack_chunks"] = f"""
+WITH RECURSIVE chunks AS (
+  SELECT doc_id, chunk_id, n_tokens FROM ({ORACLE_SQL["chunk_docs"]})
+), ordered AS (
+  SELECT doc_id, chunk_id, n_tokens, (k % 8)::INT AS shard,
+         row_number() OVER (PARTITION BY k % 8
+                            ORDER BY k ASC, doc_id ASC, chunk_id ASC) AS rn
+  FROM (SELECT *, {_PACK_KEY} AS k FROM chunks)
+), r AS (
+  SELECT shard, rn, doc_id, chunk_id, n_tokens,
+         0::BIGINT AS seq, 0::BIGINT AS pos, n_tokens::BIGINT AS acc
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.chunk_id, o.n_tokens,
+         CASE WHEN r.acc + o.n_tokens > 64 THEN r.seq + 1 ELSE r.seq END,
+         CASE WHEN r.acc + o.n_tokens > 64 THEN 0::BIGINT ELSE r.pos + 1 END,
+         CASE WHEN r.acc + o.n_tokens > 64 THEN o.n_tokens::BIGINT
+              ELSE r.acc + o.n_tokens END
+  FROM r JOIN ordered o ON o.shard = r.shard AND o.rn = r.rn + 1
+)
+SELECT doc_id, chunk_id, n_tokens, shard, seq, pos FROM r"""

@@ -32,6 +32,7 @@ part of the mandated beyond-reference training-data family (SURVEY §2.8).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -68,3 +69,73 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
                     .alias("chunk_text"),
                     F.least(F.lit(chunk_tokens), F.size("_t") - start)
                     .cast("int").alias("n_tokens")))
+
+
+def pack_sequences(chunks: DataFrame, budget: int, n_shards: int,
+                   id_col: str = "doc_id", chunk_col: str = "chunk_id",
+                   tokens_col: str = "n_tokens", seed: int = 17,
+                   hash_expr=None) -> DataFrame:
+    """Pack chunks into fixed-budget training sequences: adds
+    (shard, seq, pos) where each (shard, seq) groups consecutive chunks
+    whose token counts sum to ≤ budget.
+
+    Trainers consume fixed-length contexts; after chunking, the packing
+    step decides which chunks share a context. The scalable layout is the
+    same two-level trick as assign_shards: shard = pmod(hash(doc:chunk,
+    seed), n_shards) — computed in the scan, uniform, no global sort —
+    then NEXT-FIT greedy within the shard in salted-hash order (the
+    train-time shuffle for free): walk the shard's chunks, keep a running
+    token total, start a new sequence whenever the next chunk would
+    overflow the budget. A chunk longer than the budget gets a sequence
+    of its own (the trainer truncates; it is never silently dropped).
+    Sequence ids are dense from 0 per shard; `pos` is the chunk's 0-based
+    slot within its sequence.
+
+    Next-fit is inherently sequential PER SHARD, so the kernel is an
+    applyInPandas over the shard groups — one shuffle on a uniform key,
+    each group a few hundred MB at sensible n_shards (pick n_shards so a
+    shard's (id, tokens) columns fit an executor core; the TEXT never
+    rides through the kernel, only ids + counts — join the payload back
+    afterwards). Deterministic: a pure function of (ids, seed), so re-runs
+    and resumes reproduce byte-identical packing. Waste is bounded by the
+    classic next-fit guarantee (each sealed sequence is > budget/2 full
+    when chunk sizes ≤ budget/2, as chunk_documents emits).
+
+    Reference parity: beyond-reference training-data family (SURVEY §2.8);
+    composes with chunk_documents (P24) and write_training_shards (P25).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive (got {budget})")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive (got {n_shards})")
+    from .sampling import _sample_key
+    key = _sample_key("_pk", seed, hash_expr)
+    keyed = (chunks
+             .withColumn("_pk", F.concat_ws(":", F.col(id_col).cast("string"),
+                                            F.col(chunk_col).cast("string")))
+             .withColumn("_skey", key)
+             .withColumn("shard",
+                         F.pmod(F.col("_skey"), F.lit(n_shards)).cast("int"))
+             .select(id_col, chunk_col, tokens_col, "shard", "_skey"))
+
+    def pack(pdf):
+        pdf = pdf.sort_values(["_skey", id_col, chunk_col],
+                              kind="mergesort", ignore_index=True)
+        toks = pdf[tokens_col].to_numpy()
+        seq = np.empty(len(pdf), dtype=np.int64)
+        pos = np.empty(len(pdf), dtype=np.int64)
+        s, p, acc = 0, 0, 0
+        for i, t in enumerate(toks):
+            t = int(t)
+            if p > 0 and acc + t > budget:
+                s, p, acc = s + 1, 0, 0
+            seq[i], pos[i] = s, p
+            acc += t
+            p += 1
+        out = pdf[[id_col, chunk_col, tokens_col, "shard"]].copy()
+        out["seq"], out["pos"] = seq, pos
+        return out
+
+    schema = (f"{id_col} long, {chunk_col} int, {tokens_col} int, "
+              "shard int, seq long, pos long")
+    return keyed.groupBy("shard").applyInPandas(pack, schema)

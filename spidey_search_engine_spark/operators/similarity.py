@@ -786,3 +786,66 @@ def embedding_cosine_dedup_pairs(emb: DataFrame, dim: int,
     return (pairs.select(F.col(f"a.{id_col}").alias("id_a"),
                          F.col(f"b.{id_col}").alias("id_b"), cos.alias("cos"))
             .filter(F.col("cos") >= threshold))
+
+
+def semdedup_survivors(emb: DataFrame, centroids: np.ndarray,
+                       threshold: float = 0.95,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
+    embeddings, call same-cluster pairs with cosine ≥ threshold semantic
+    duplicates, and within every duplicate pair KEEP the member farther
+    from its cluster centroid (lower centroid-cosine — the paper's
+    keep-rule: "far" examples preserve diversity; prototypical ones are
+    redundant). Returns the survivor table (id, cluster, ccos).
+
+    Scale shape: one assignment pass (vectorized pandas UDF, the IVF
+    coarse quantizer), one broadcast join to the k×dim centroid table for
+    centroid-cosines, then a cluster-keyed self-join — the quadratic
+    verify is bounded per cluster exactly like the LSH-bucket verify in
+    embedding_cosine_dedup_pairs, and cluster sizes are ~n/k by k-means
+    construction (train with ivf_train_kmeans; pick k so n/k pairs fit an
+    executor). All cosines are sequential-fold JVM expressions (zip_with/
+    aggregate), matching DuckDB's list arithmetic for the oracle.
+
+    Drop rule per pair: the higher-ccos member loses; exact ccos ties
+    (e.g. planted identical vectors) drop the higher id. Pairwise-drop
+    keeps at least one member of every duplicate clique — the clique's
+    min-ccos member never loses a comparison. Deterministic end-to-end:
+    re-runs reproduce the identical keep-set.
+
+    Reference parity: beyond-reference training-data family (SURVEY
+    §2.8); the reference's nearest analog is the image binary index
+    dedupe-by-equality (Indexer.java), which has no semantic notion."""
+    spark = emb.sparkSession
+    cent = np.asarray(centroids, dtype=np.float64)
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)],
+        "cluster int, _cv array<double>")
+    asg = ivf_assignments(emb, cent, id_col, vec_col, keep_vec=True)
+    dotc = F.aggregate(
+        F.zip_with("embedding", "_cv",
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (asg.join(F.broadcast(cdf), "cluster")
+              .select("id", "cluster", "embedding",
+                      (dotc / (_norm_expr(F.col("embedding"))
+                               * _norm_expr(F.col("_cv")))).alias("ccos")))
+    a, b = scored.alias("a"), scored.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (_norm_expr(F.col("a.embedding"))
+                 * _norm_expr(F.col("b.embedding")))
+    pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .filter(cos >= F.lit(threshold)))
+    loser = F.when(
+        (F.col("a.ccos") > F.col("b.ccos"))
+        | ((F.col("a.ccos") == F.col("b.ccos"))
+           & (F.col("a.id") > F.col("b.id"))),
+        F.col("a.id")).otherwise(F.col("b.id"))
+    losers = pairs.select(loser.alias("id")).distinct()
+    return (scored.join(losers, "id", "left_anti")
+            .select("id", "cluster", "ccos"))

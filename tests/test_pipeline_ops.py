@@ -1594,3 +1594,63 @@ def test_incremental_lsh_minhash_verify(spark, dup_docs, tmp_path):
                  inc, dup_docs, idx, n_buckets=16, threshold=0.2,
                  verify="exact", **params).collect()}
     assert set(got) >= exact             # estimator keeps every real pair
+
+
+def test_semdedup_keep_rule(spark):
+    """SemDeDup keeps the pair member FARTHER from its centroid; exact
+    ties (planted identical vectors) drop the higher id; every duplicate
+    clique keeps at least its min-ccos member."""
+    import numpy as np
+    from spidey_search_engine_spark.operators.similarity import (
+        semdedup_survivors)
+    # cluster 0 = e0-ish, cluster 1 = e1-ish (8-dim)
+    def v(axis, eps):
+        x = [0.0] * 8
+        x[axis] = 1.0
+        x[(axis + 2) % 8] = eps
+        return x
+    rows = [(0, v(0, 0.0)),      # prototypical: ccos max -> loses
+            (1, v(0, 0.2)),      # farther from centroid -> survives
+            (2, v(1, 0.0)),
+            (3, v(1, 0.5)),      # far: cos(2,3) < thr, both survive
+            (4, v(0, 0.2))]      # identical to 1: tie -> higher id drops
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in xs]) for i, xs in rows],
+        "vec_id long, embedding array<float>")
+    cent = np.array([v(0, 0.0), v(1, 0.0)], dtype=np.float64)
+    sur = semdedup_survivors(emb, cent, threshold=0.98)
+    got = sorted(r["id"] for r in sur.collect())
+    # pair (0,1): cos≈0.981 dup, 0 is the centroid itself (ccos=1) -> drops
+    # pair (1,4): identical, tie -> 4 drops; pair (0,4) same as (0,1)
+    # pair (2,3): cos≈0.894 < 0.98 -> no dup, both stay
+    assert got == [1, 2, 3]
+    clusters = {r["id"]: r["cluster"] for r in sur.collect()}
+    assert clusters[1] == 0 and clusters[2] == 1 and clusters[3] == 1
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing is a partition of the chunk table; every sequence fits the
+    budget unless it is a single oversize chunk; pos is dense per
+    sequence; re-runs are byte-identical."""
+    from spidey_search_engine_spark.operators.chunking import pack_sequences
+    rows = [(d, c, 30 + 7 * ((d * 3 + c) % 9)) for d in range(40)
+            for c in range(2)] + [(99, 0, 500)]   # oversize chunk
+    ch = spark.createDataFrame(rows, "doc_id long, chunk_id int, "
+                                     "n_tokens int")
+    got = pack_sequences(ch, budget=128, n_shards=4).toPandas()
+    assert len(got) == len(rows)
+    assert set(zip(got["doc_id"], got["chunk_id"])) == {
+        (d, c) for d, c, _ in rows}
+    for (sh, sq), grp in got.groupby(["shard", "seq"]):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+        if grp["n_tokens"].sum() > 128:      # only an oversize singleton
+            assert len(grp) == 1
+    big = got[got["doc_id"] == 99]
+    assert len(big) == 1
+    again = pack_sequences(ch, budget=128, n_shards=4).toPandas()
+    key = ["doc_id", "chunk_id"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True))
+    import pytest
+    with pytest.raises(ValueError):
+        pack_sequences(ch, budget=0, n_shards=4)
