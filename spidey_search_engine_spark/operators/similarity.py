@@ -827,10 +827,17 @@ def semdedup_survivors(emb: DataFrame, centroids: np.ndarray,
         F.zip_with("embedding", "_cv",
                    lambda x, y: x.cast("double") * y),
         F.lit(0.0), lambda acc, x: acc + x)
+    # persist: the scored table (whose lineage embeds the assignment UDF
+    # over every vector) feeds BOTH self-join branches and the final
+    # anti-join — without it the assignment pass runs 3x (measured 100k
+    # vectors: ~74s -> see BENCH_SEMDEDUP.json). Release via the
+    # result._persisted hook after the final action (same contract as
+    # dedup.incremental_lsh_pairs).
     scored = (asg.join(F.broadcast(cdf), "cluster")
               .select("id", "cluster", "embedding",
                       (dotc / (_norm_expr(F.col("embedding"))
-                               * _norm_expr(F.col("_cv")))).alias("ccos")))
+                               * _norm_expr(F.col("_cv")))).alias("ccos"))
+              .persist())
     a, b = scored.alias("a"), scored.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
@@ -847,5 +854,7 @@ def semdedup_survivors(emb: DataFrame, centroids: np.ndarray,
            & (F.col("a.id") > F.col("b.id"))),
         F.col("a.id")).otherwise(F.col("b.id"))
     losers = pairs.select(loser.alias("id")).distinct()
-    return (scored.join(losers, "id", "left_anti")
-            .select("id", "cluster", "ccos"))
+    out = (scored.join(losers, "id", "left_anti")
+           .select("id", "cluster", "ccos"))
+    out._persisted = [scored]
+    return out
