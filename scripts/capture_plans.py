@@ -334,7 +334,6 @@ def main() -> None:
     # kernel sees only ids + token counts
     from spidey_search_engine_spark.operators.chunking import (
         chunk_documents, pack_sequences)
-    from spidey_search_engine_spark.functions.hashing import poly_hash
     pk = pack_sequences(
         chunk_documents(docs_t, chunk_tokens=16, overlap=4),
         budget=64, n_shards=8, hash_expr=poly_hash)

@@ -2726,11 +2726,14 @@ def incremental_dedup_pairs(spark, sf_dir):
     from .operators.dedup import incremental_lsh_pairs
     inc = _planted_incoming(spark, sf_dir).withColumnRenamed("text",
                                                              "content")
-    return (incremental_lsh_pairs(inc, base, idx, num_hashes=8, bands=4,
-                                  threshold=0.2, seed=7, n_buckets=16,
-                                  hash_expr=poly_hash,
-                                  band_hash_expr=poly_hash)
-            .select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard_r")))
+    raw = incremental_lsh_pairs(inc, base, idx, num_hashes=8, bands=4,
+                                threshold=0.2, seed=7, n_buckets=16,
+                                hash_expr=poly_hash,
+                                band_hash_expr=poly_hash)
+    out = raw.select("id_a", "id_b",
+                     _r(F.col("jaccard")).alias("jaccard_r"))
+    out._persisted = getattr(raw, "_persisted", [])  # keep releasable
+    return out
 
 
 def _planted_minhash_index(spark, sf_dir):
@@ -2760,11 +2763,14 @@ def incremental_dedup_mh_pairs(spark, sf_dir):
     from .operators.dedup import incremental_lsh_pairs
     inc = _planted_incoming(spark, sf_dir).withColumnRenamed("text",
                                                              "content")
-    return (incremental_lsh_pairs(inc, None, idx, num_hashes=8, bands=4,
-                                  threshold=0.2, seed=7, n_buckets=16,
-                                  verify="minhash", hash_expr=poly_hash,
-                                  band_hash_expr=poly_hash)
-            .select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard_r")))
+    raw = incremental_lsh_pairs(inc, None, idx, num_hashes=8, bands=4,
+                                threshold=0.2, seed=7, n_buckets=16,
+                                verify="minhash", hash_expr=poly_hash,
+                                band_hash_expr=poly_hash)
+    out = raw.select("id_a", "id_b",
+                     _r(F.col("jaccard")).alias("jaccard_r"))
+    out._persisted = getattr(raw, "_persisted", [])  # keep releasable
+    return out
 
 
 QUERIES["chunk_docs"] = chunk_docs
@@ -2919,9 +2925,11 @@ def semdedup_docs(spark, sf_dir):
     head = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
             for r in e.filter(F.col("vec_id").between(1, 32)).collect()}
     centroids = np.array([head[i] for i in range(1, 33)], dtype=np.float64)
-    return (semdedup_survivors(planted, centroids, threshold=0.99)
-            .select(F.col("id").alias("vec_id"), "cluster",
-                    _r(F.col("ccos")).alias("ccos_r")))
+    raw = semdedup_survivors(planted, centroids, threshold=0.99)
+    out = raw.select(F.col("id").alias("vec_id"), "cluster",
+                     _r(F.col("ccos")).alias("ccos_r"))
+    out._persisted = getattr(raw, "_persisted", [])  # keep releasable
+    return out
 
 
 def pack_chunks(spark, sf_dir):

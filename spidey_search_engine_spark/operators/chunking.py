@@ -136,6 +136,18 @@ def pack_sequences(chunks: DataFrame, budget: int, n_shards: int,
         out["seq"], out["pos"] = seq, pos
         return out
 
-    schema = (f"{id_col} long, {chunk_col} int, {tokens_col} int, "
+    # carry the caller's actual column types through (id_col may be a
+    # string url, tokens a bigint — hardcoding long/int/int would fail
+    # inside every pandas group at runtime, or overflow on coercion)
+    in_types = {f.name: f.dataType.simpleString()
+                for f in chunks.schema.fields}
+    missing = [c for c in (id_col, chunk_col, tokens_col)
+               if c not in in_types]
+    if missing:
+        raise ValueError(f"chunks table lacks column(s) {missing}; have "
+                         f"{sorted(in_types)}")
+    schema = (f"{id_col} {in_types[id_col]}, "
+              f"{chunk_col} {in_types[chunk_col]}, "
+              f"{tokens_col} {in_types[tokens_col]}, "
               "shard int, seq long, pos long")
     return keyed.groupBy("shard").applyInPandas(pack, schema)

@@ -216,6 +216,7 @@ def write_minhash_index(df: DataFrame, out_dir: str,
                         id_col: str = "doc_id", text_col: str = "content",
                         n: int = 3, num_hashes: int = 32, bands: int = 8,
                         seed: int = 7, n_buckets: int = 64,
+                        keep_sig: bool = True,
                         hash_expr: HashExpr | None = None,
                         band_hash_expr: HashExpr | None = None) -> None:
     """Materialize the base corpus's MinHash band table for incremental
@@ -232,15 +233,17 @@ def write_minhash_index(df: DataFrame, out_dir: str,
     a few GB at the target corpus size. repartition on bucket first: one
     file per bucket, not one per (input partition x bucket).
 
-    Each band row carries the doc's FULL signature (bands× storage of
-    num_hashes longs): the probe's candidate join then has both
-    signatures in hand and can verify by signature agreement without any
-    base-corpus lookup (verify="minhash" below) — at 100 TB the verify
-    otherwise costs a text fetch + re-shingle per candidate base doc."""
+    With ``keep_sig`` (default) each band row carries the doc's FULL
+    signature (bands× storage of num_hashes longs): the probe's candidate
+    join then has both signatures in hand and can verify by signature
+    agreement without any base-corpus lookup (verify="minhash" below) —
+    at 100 TB the verify otherwise costs a text fetch + re-shingle per
+    candidate base doc. Callers that will only ever verify="exact" can
+    pass keep_sig=False and skip that storage tax entirely."""
     sh = shingles_df(df, id_col, text_col, n)
     sig = minhash_signatures(sh, num_hashes, seed, hash_expr)
     banded = banded_signatures(sig, bands, num_hashes, band_hash_expr,
-                               keep_sig=True)
+                               keep_sig=keep_sig)
     (banded.withColumn("bucket", F.pmod(F.col("bh"), F.lit(n_buckets)))
      .repartition("bucket")
      .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
@@ -307,7 +310,11 @@ def incremental_lsh_pairs(new_df: DataFrame, base_df: DataFrame | None,
     callers (the ingest stream processes one batch per trigger, forever)
     must release them once the result is consumed: the handles ride on
     the returned DataFrame as ``result._persisted`` — call
-    ``.unpersist()`` on each after the final action.
+    ``.unpersist()`` on each after the final action. CAVEAT: the
+    attribute lives on THIS DataFrame object only; any transformation
+    (.select/.filter/...) returns a new object without it, so keep a
+    reference to the original (or re-attach the list) when you wrap the
+    result.
     """
     if verify not in ("exact", "minhash"):
         raise ValueError(f"verify must be 'exact' or 'minhash' ({verify!r})")
@@ -328,11 +335,31 @@ def incremental_lsh_pairs(new_df: DataFrame, base_df: DataFrame | None,
                     & (F.col("q.bh") == F.col("i.bh"))
                     & (F.col("q.id") != F.col("i.id"))))
     if verify == "minhash":
+        if "sig" not in index.columns:
+            raise ValueError(
+                "verify='minhash' needs signatures on the index rows — "
+                "this index was written without them (keep_sig=False or "
+                "a pre-signature layout); rebuild with "
+                "write_minhash_index(..., keep_sig=True) or use "
+                "verify='exact'")
         rpb = num_hashes // bands
+        # a NULL sig (mixed old/new parquet schemas merged at read time)
+        # would make the estimate NULL and the >= filter silently KEEP a
+        # known duplicate — fail the job loudly instead. assert_true
+        # returns NULL on success, so the when() wrapper keeps the check
+        # inside the consumed expression (an unused column would be
+        # pruned away, assertion and all).
+        checked_sig = F.when(
+            F.assert_true(
+                F.col("i.sig").isNotNull(),
+                F.lit("minhash verify hit a NULL index signature — the "
+                      "index mixes pre-signature batches; rebuild it with "
+                      "write_minhash_index(keep_sig=True)")).isNull(),
+            F.col("i.sig"))
         grouped = (joined.groupBy(F.col("i.id").alias("id_a"),
                                   F.col("q.id").alias("id_b"))
                    .agg(F.collect_set(F.col("q.band")).alias("mb"),
-                        F.first(F.col("i.sig")).alias("sig_a"),
+                        F.first(checked_sig).alias("sig_a"),
                         F.first(F.col("q.sig")).alias("sig_b")))
         eq = F.zip_with("sig_a", "sig_b", lambda x, y: x == y)
         # component c belongs to band c // rows_per_band; count agreement
@@ -354,10 +381,15 @@ def incremental_lsh_pairs(new_df: DataFrame, base_df: DataFrame | None,
                           F.col("q.id").alias("id_b"))
             .distinct()
             .persist())
-    # candidate ids are batch-scale (O(batch × matches)) — broadcast them
-    # into the base scan so the semi-join never shuffles the corpus
+    # candidate ids are normally batch-scale, and AQE picks a broadcast
+    # semi-join for them on its own; no explicit F.broadcast hint — a
+    # boilerplate-heavy batch whose band bucket collides with a large
+    # slice of the base corpus makes the candidate set corpus-scale, and
+    # a forced hint would drive that through the driver (8 GB broadcast
+    # cap / OOM) where the planner would have degraded to a shuffle
+    # semi-join (review finding; same rule as the WAND segment join)
     base_cand = base_df.join(
-        F.broadcast(cand.select(F.col("id_a").alias(id_col)).distinct()),
+        cand.select(F.col("id_a").alias(id_col)).distinct(),
         id_col, "left_semi")
     sh_all = (shingles_df(base_cand, id_col, text_col, n)
               .unionByName(sh_new).persist())

@@ -831,7 +831,8 @@ def semdedup_survivors(emb: DataFrame, centroids: np.ndarray,
     # over every vector) feeds BOTH self-join branches and the final
     # anti-join — without it the assignment pass runs 3x (measured 100k
     # vectors: ~74s -> see BENCH_SEMDEDUP.json). Release via the
-    # result._persisted hook after the final action (same contract as
+    # result._persisted hook after the final action (same contract — and
+    # same transformation-drops-the-attribute caveat — as
     # dedup.incremental_lsh_pairs).
     scored = (asg.join(F.broadcast(cdf), "cluster")
               .select("id", "cluster", "embedding",

@@ -136,8 +136,15 @@ def near_dedup_ingest_stream(docs_stream: DataFrame, store_dir: str,
             if verify == "exact":
                 base = spark.read.option("basePath", docs_root) \
                     .parquet(*base_dirs).select(id_col, text_col)
-            idx = spark.read.option("basePath", idx_root).parquet(
-                *_committed_batch_dirs(idx_root, int(batch_id)))
+            # mergeSchema: a store restarted with verify='minhash' may mix
+            # pre-signature batch dirs (no `sig` column) with new ones —
+            # merging surfaces the column everywhere (NULL on old rows),
+            # and the probe's assert_true turns those NULLs into a loud
+            # rebuild-the-index error instead of silently keeping dups
+            idx = (spark.read.option("basePath", idx_root)
+                   .option("mergeSchema", "true")
+                   .parquet(*_committed_batch_dirs(idx_root,
+                                                   int(batch_id))))
             cross = incremental_lsh_pairs(
                 kept, base, idx, id_col=id_col, text_col=text_col,
                 threshold=threshold, n_buckets=n_buckets, verify=verify,

@@ -1654,3 +1654,29 @@ def test_pack_sequences_invariants(spark):
     import pytest
     with pytest.raises(ValueError):
         pack_sequences(ch, budget=0, n_shards=4)
+
+
+def test_minhash_index_keep_sig_false(spark, dup_docs, tmp_path):
+    """keep_sig=False writes the lean (no-signature) index: exact verify
+    still works against it; verify='minhash' fails fast with an
+    actionable error instead of an AnalysisException mid-plan."""
+    from spidey_search_engine_spark.operators.dedup import (
+        incremental_lsh_pairs, load_minhash_index, write_minhash_index)
+    params = dict(n=3, num_hashes=16, bands=8, seed=7)
+    out = str(tmp_path / "mh_idx_lean")
+    write_minhash_index(dup_docs, out, n_buckets=16, keep_sig=False,
+                        **params)
+    idx = load_minhash_index(spark, out)
+    assert "sig" not in idx.columns
+    inc = spark.createDataFrame(
+        [(101, dup_docs.filter("doc_id = 4").first()["content"])],
+        "doc_id long, content string")
+    exact = incremental_lsh_pairs(inc, dup_docs, idx, n_buckets=16,
+                                  threshold=0.2, verify="exact", **params)
+    assert {(r["id_a"], r["id_b"]) for r in exact.collect()} >= {(4, 101)}
+    for h in getattr(exact, "_persisted", []):
+        h.unpersist()
+    import pytest
+    with pytest.raises(ValueError, match="keep_sig"):
+        incremental_lsh_pairs(inc, None, idx, n_buckets=16, threshold=0.2,
+                              verify="minhash", **params)
