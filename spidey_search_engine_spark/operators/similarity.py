@@ -791,7 +791,8 @@ def embedding_cosine_dedup_pairs(emb: DataFrame, dim: int,
 def semdedup_survivors(emb: DataFrame, centroids: np.ndarray,
                        threshold: float = 0.95,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       max_cluster_size: int | None = None) -> DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
     embeddings, call same-cluster pairs with cosine ≥ threshold semantic
     duplicates, and within every duplicate pair KEEP the member farther
@@ -813,6 +814,17 @@ def semdedup_survivors(emb: DataFrame, centroids: np.ndarray,
     keeps at least one member of every duplicate clique — the clique's
     min-ccos member never loses a comparison. Deterministic end-to-end:
     re-runs reproduce the identical keep-set.
+
+    ``max_cluster_size`` is the skew guard: a degenerate corpus (or a
+    too-small k) can concentrate a huge fraction of rows in one cluster
+    and make its quadratic verify the straggler. When set, any cluster
+    larger than the cap is deterministically SUB-SPLIT into
+    ceil(size/cap) hash buckets and pairs are compared within
+    (cluster, sub-bucket) only — per-task pair count stays ≤ ~cap²/2 at
+    the cost of missing dup pairs that straddle sub-buckets of an
+    oversize cluster (the standard recall trade; tighten by raising k on
+    the quantizer instead of relying on the cap). Default None compares
+    every same-cluster pair (the oracle-paired mode).
 
     Reference parity: beyond-reference training-data family (SURVEY
     §2.8); the reference's nearest analog is the image binary index
@@ -839,6 +851,21 @@ def semdedup_survivors(emb: DataFrame, centroids: np.ndarray,
                       (dotc / (_norm_expr(F.col("embedding"))
                                * _norm_expr(F.col("_cv")))).alias("ccos"))
               .persist())
+    scored_handle = scored          # the persisted object (unpersist this;
+    # the sub-split reassignment below builds ON it, it doesn't replace it)
+    pair_keys = ["cluster"]
+    if max_cluster_size is not None:
+        if max_cluster_size <= 1:
+            raise ValueError("max_cluster_size must be > 1 "
+                             f"(got {max_cluster_size})")
+        sizes = scored.groupBy("cluster").agg(F.count("*").alias("_csz"))
+        nsub = F.ceil(F.col("_csz") / F.lit(max_cluster_size))
+        scored = (scored.join(F.broadcast(sizes), "cluster")
+                  .withColumn("_sub",
+                              F.pmod(F.xxhash64(F.col("id"), F.lit(1733)),
+                                     nsub).cast("int"))
+                  .drop("_csz"))
+        pair_keys = ["cluster", "_sub"]
     a, b = scored.alias("a"), scored.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
@@ -846,9 +873,10 @@ def semdedup_survivors(emb: DataFrame, centroids: np.ndarray,
         F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (_norm_expr(F.col("a.embedding"))
                  * _norm_expr(F.col("b.embedding")))
-    pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
-                    & (F.col("a.id") < F.col("b.id")))
-             .filter(cos >= F.lit(threshold)))
+    join_cond = F.col("a.id") < F.col("b.id")
+    for kcol in pair_keys:
+        join_cond = (F.col(f"a.{kcol}") == F.col(f"b.{kcol}")) & join_cond
+    pairs = a.join(b, join_cond).filter(cos >= F.lit(threshold))
     loser = F.when(
         (F.col("a.ccos") > F.col("b.ccos"))
         | ((F.col("a.ccos") == F.col("b.ccos"))
@@ -857,5 +885,5 @@ def semdedup_survivors(emb: DataFrame, centroids: np.ndarray,
     losers = pairs.select(loser.alias("id")).distinct()
     out = (scored.join(losers, "id", "left_anti")
            .select("id", "cluster", "ccos"))
-    out._persisted = [scored]
+    out._persisted = [scored_handle]
     return out

@@ -1680,3 +1680,35 @@ def test_minhash_index_keep_sig_false(spark, dup_docs, tmp_path):
     with pytest.raises(ValueError, match="keep_sig"):
         incremental_lsh_pairs(inc, None, idx, n_buckets=16, threshold=0.2,
                               verify="minhash", **params)
+
+
+def test_semdedup_max_cluster_size(spark):
+    """The skew guard sub-splits oversize clusters: with a cap >= the
+    cluster size results are identical to the exact mode; with a tiny cap
+    the survivor set can only GROW (pairs straddling sub-buckets are no
+    longer compared), never lose non-duplicates; re-runs deterministic."""
+    import numpy as np
+    from spidey_search_engine_spark.operators.similarity import (
+        semdedup_survivors)
+    rng = np.random.default_rng(11)
+    base = np.zeros(8); base[0] = 1.0
+    rows = [(i, [float(x) for x in base + 0.01 * rng.standard_normal(8)])
+            for i in range(30)]                 # one dense cluster
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = np.array([rows[0][1]], dtype=np.float64)
+
+    def run(**kw):
+        out = semdedup_survivors(emb, cent, threshold=0.9995, **kw)
+        got = sorted(r["id"] for r in out.collect())
+        for h in getattr(out, "_persisted", []):
+            h.unpersist()
+        return got
+
+    exact = run()
+    assert run(max_cluster_size=100) == exact    # cap above size: no-op
+    capped = run(max_cluster_size=5)
+    assert set(capped) >= set(exact)             # only fewer comparisons
+    assert run(max_cluster_size=5) == capped     # deterministic
+    import pytest
+    with pytest.raises(ValueError):
+        run(max_cluster_size=1)
