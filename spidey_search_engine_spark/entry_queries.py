@@ -3005,3 +3005,41 @@ WITH RECURSIVE chunks AS (
   FROM r JOIN ordered o ON o.shard = r.shard AND o.rn = r.rn + 1
 )
 SELECT doc_id, chunk_id, n_tokens, shard, seq, pos FROM r"""
+
+
+def jsonl_ingest_docs(spark, sf_dir):
+    """JSONL ingest with quarantine (sources/ingest.read_jsonl_docs): the
+    documents table is dumped to a real JSONL file ONCE per sf_dir with
+    deterministically planted damage — doc_id % 97 == 3 lines are
+    syntactically corrupted, % 97 == 5 lines get a null text — then read
+    back through the schema-enforced PERMISSIVE reader. Returns the
+    VALID half (id, lang, content sha); the oracle reproduces the
+    expected keep-set straight from the documents view, pinning (a) the
+    JSON round-trip is byte-exact (sha match), (b) corrupt and
+    null-required rows are quarantined, (c) no valid row is lost."""
+    import os as _os
+    from .sources.ingest import read_jsonl_docs
+    d = load_table(spark, sf_dir, "documents")
+    dump = os.path.join(entry_index_dir(sf_dir), "ingest_jsonl")
+    if not _os.path.exists(_os.path.join(dump, "_SUCCESS")):
+        line = F.to_json(F.struct(
+            F.col("doc_id"),
+            F.when(F.col("doc_id") % 97 != 5, F.col("text")).alias("text"),
+            F.col("lang")))
+        damaged = F.when(F.col("doc_id") % 97 == 3,
+                         F.concat(F.lit("{corrupt!"), line)).otherwise(line)
+        (d.select(damaged.alias("value")).coalesce(4)
+         .write.mode("overwrite").text(dump))
+    valid, _quar = read_jsonl_docs(
+        spark, dump, "doc_id long, text string, lang string",
+        required=("doc_id", "text"))
+    return valid.select("doc_id", "lang",
+                        F.sha2(F.col("text"), 256).alias("content_sha"))
+
+
+QUERIES["jsonl_ingest_docs"] = jsonl_ingest_docs
+
+ORACLE_SQL["jsonl_ingest_docs"] = """
+SELECT doc_id, lang, sha256(text) AS content_sha
+FROM documents
+WHERE doc_id % 97 <> 3 AND doc_id % 97 <> 5"""

@@ -1,0 +1,59 @@
+"""Raw-ingest sources for training-data pipelines.
+
+Real corpora arrive as JSONL dumps (one document object per line, often
+hand-assembled, often partially malformed). The ingest reader enforces a
+schema and QUARANTINES bad rows instead of silently nulling or aborting:
+
+* syntactically corrupt lines are captured by Spark's PERMISSIVE
+  columnNameOfCorruptRecord channel;
+* syntactically valid lines missing a REQUIRED field (e.g. null content)
+  are quarantined too — downstream operators (tokenize, sha, dedup)
+  assume those fields non-null.
+
+Both halves return as DataFrames so the caller can write the quarantine
+aside for inspection (the standard audit trail) while the clean half
+flows into the corpus pipeline. Scale shape: one pass, scan-local
+filters, no shuffle; JSONL splits by line so the read parallelizes like
+any text source.
+
+Reference parity: the reference ingests via its crawler (Crawler.java
+fetch -> html_docs/<id>.html); file-dump ingest is part of the mandated
+beyond-reference training-data family (SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CORRUPT = "_corrupt_record"
+
+
+def read_jsonl_docs(spark: SparkSession, path: str, schema_ddl: str,
+                    required: tuple[str, ...] = ("doc_id", "text"),
+                    ) -> "tuple[DataFrame, DataFrame]":
+    """(valid, quarantined) from a JSONL dump at ``path``.
+
+    ``schema_ddl`` is the expected document schema as a DDL string (the
+    read NEVER infers — inference is a full extra pass and schema drift
+    should fail loudly, not reshape the table). ``required`` fields must
+    be non-null for a row to count as valid. The quarantine half carries
+    the raw offending line in `_corrupt_record` for corrupt rows (null
+    for required-field violations, whose parsed columns are intact).
+    """
+    cols = [f.strip().split()[0] for f in schema_ddl.split(",")]
+    missing = [c for c in required if c not in cols]
+    if missing:
+        raise ValueError(f"required fields {missing} not in schema "
+                         f"({schema_ddl!r})")
+    raw = (spark.read
+           .schema(f"{schema_ddl}, {_CORRUPT} string")
+           .option("mode", "PERMISSIVE")
+           .option("columnNameOfCorruptRecord", _CORRUPT)
+           .json(path))
+    ok = F.col(_CORRUPT).isNull()
+    for c in required:
+        ok = ok & F.col(c).isNotNull()
+    valid = raw.filter(ok).drop(_CORRUPT)
+    quarantined = raw.filter(~ok)
+    return valid, quarantined

@@ -1712,3 +1712,32 @@ def test_semdedup_max_cluster_size(spark):
     import pytest
     with pytest.raises(ValueError):
         run(max_cluster_size=1)
+
+
+def test_read_jsonl_docs_quarantine(spark, tmp_path):
+    """JSONL ingest: corrupt lines land in quarantine with the raw line
+    attached; schema-valid rows missing a required field quarantine too;
+    valid rows round-trip exactly (unicode, quotes, newlines)."""
+    import json
+    from spidey_search_engine_spark.sources.ingest import read_jsonl_docs
+    tricky = 'quote " backslash \\ newline \n tab \t arabic م'
+    lines = [json.dumps({"doc_id": 1, "text": "plain"}),
+             json.dumps({"doc_id": 2, "text": tricky}),
+             '{"doc_id": 3, "text": "unterminated',          # corrupt
+             json.dumps({"doc_id": 4, "text": None}),        # null required
+             json.dumps({"doc_id": None, "text": "x"}),      # null required
+             json.dumps({"doc_id": 6})]                      # missing field
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+    valid, quar = read_jsonl_docs(spark, str(src),
+                                  "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in valid.collect()}
+    assert got == {1: "plain", 2: tricky}
+    q = quar.collect()
+    assert len(q) == 4
+    raw = [r["_corrupt_record"] for r in q if r["_corrupt_record"]]
+    assert any("unterminated" in x for x in raw)   # raw line kept
+    import pytest
+    with pytest.raises(ValueError, match="required"):
+        read_jsonl_docs(spark, str(src), "doc_id long, text string",
+                        required=("nope",))
