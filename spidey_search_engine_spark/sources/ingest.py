@@ -57,3 +57,63 @@ def read_jsonl_docs(spark: SparkSession, path: str, schema_ddl: str,
     valid = raw.filter(ok).drop(_CORRUPT)
     quarantined = raw.filter(~ok)
     return valid, quarantined
+
+
+def jsonl_ingest_stream(spark: SparkSession, src_dir: str, store_dir: str,
+                        schema_ddl: str,
+                        required: tuple[str, ...] = ("doc_id", "text"),
+                        checkpoint: str | None = None,
+                        max_files_per_trigger: int | None = None):
+    """Continuous JSONL ingest with the same quarantine contract as
+    read_jsonl_docs, over a directory where dump files keep ARRIVING:
+    valid rows append to <store_dir>/docs (parquet), rejects to
+    <store_dir>/quarantine with the micro-batch id attached (the audit
+    trail that tells which delivery brought the damage).
+
+    One readStream feeds both sinks through foreachBatch — the file is
+    parsed once per trigger, not once per sink, and the checkpoint makes
+    delivery exactly-once per batch dir. Compose with
+    streaming.dedup.near_dedup_ingest_stream by pointing it at the clean
+    docs output. Availability triggers (processAll semantics in tests)
+    terminate when the directory is drained.
+    """
+    import os
+
+    cols = [f.strip().split()[0] for f in schema_ddl.split(",")]
+    missing = [c for c in required if c not in cols]
+    if missing:
+        raise ValueError(f"required fields {missing} not in schema "
+                         f"({schema_ddl!r})")
+    reader = (spark.readStream
+              .schema(f"{schema_ddl}, {_CORRUPT} string")
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", _CORRUPT))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    raw = reader.json(src_dir)
+
+    ok = F.col(_CORRUPT).isNull()
+    for c in required:
+        ok = ok & F.col(c).isNotNull()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            (batch_df.filter(ok).drop(_CORRUPT)
+             .write.mode("overwrite")
+             .parquet(os.path.join(store_dir, "docs",
+                                   f"batch={batch_id}")))
+            (batch_df.filter(~ok)
+             .withColumn("_batch_id", F.lit(int(batch_id)))
+             .write.mode("overwrite")
+             .parquet(os.path.join(store_dir, "quarantine",
+                                   f"batch={batch_id}")))
+        finally:
+            batch_df.unpersist()
+
+    writer = raw.writeStream.foreachBatch(process) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -332,3 +332,40 @@ def test_near_dedup_ingest_stream(spark, tmp_path):
     # full replay (no checkpoint): every batch reprocesses and overwrites
     # its own dirs — identical keep decisions, no duplicates
     assert run(store) == kept
+
+
+def test_jsonl_ingest_stream(spark, tmp_path):
+    """Streaming JSONL ingest: per-batch exactly-once split into clean
+    docs and a quarantine with batch provenance; restart from checkpoint
+    does not duplicate."""
+    import json
+    import os
+    from spidey_search_engine_spark.sources.ingest import jsonl_ingest_stream
+    src = tmp_path / "drops"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join([
+        json.dumps({"doc_id": 1, "text": "alpha"}),
+        '{"doc_id": 2, "text": "broken',
+        json.dumps({"doc_id": 3, "text": None})]) + "\n")
+    (src / "b.jsonl").write_text(
+        json.dumps({"doc_id": 4, "text": "beta"}) + "\n")
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    def run():
+        q = jsonl_ingest_stream(spark, str(src), store,
+                                "doc_id long, text string",
+                                checkpoint=ckpt, max_files_per_trigger=1)
+        q.awaitTermination()
+
+    run()
+    docs = spark.read.parquet(store + "/docs")
+    assert sorted((r["doc_id"], r["text"]) for r in docs.collect()) \
+        == [(1, "alpha"), (4, "beta")]
+    quar = spark.read.parquet(store + "/quarantine").collect()
+    assert sorted(r["doc_id"] for r in quar if r["doc_id"] is not None) \
+        == [3]
+    assert any(r["_corrupt_record"] and "broken" in r["_corrupt_record"]
+               for r in quar)
+    assert {r["_batch_id"] for r in quar} <= {0, 1}
+    run()                                      # replay: checkpoint makes it a no-op
+    assert spark.read.parquet(store + "/docs").count() == 2
