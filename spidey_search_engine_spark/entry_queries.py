@@ -3017,11 +3017,10 @@ def jsonl_ingest_docs(spark, sf_dir):
     expected keep-set straight from the documents view, pinning (a) the
     JSON round-trip is byte-exact (sha match), (b) corrupt and
     null-required rows are quarantined, (c) no valid row is lost."""
-    import os as _os
     from .sources.ingest import read_jsonl_docs
-    d = load_table(spark, sf_dir, "documents")
     dump = os.path.join(entry_index_dir(sf_dir), "ingest_jsonl")
-    if not _os.path.exists(_os.path.join(dump, "_SUCCESS")):
+    if not os.path.exists(os.path.join(dump, "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents")
         line = F.to_json(F.struct(
             F.col("doc_id"),
             F.when(F.col("doc_id") % 97 != 5, F.col("text")).alias("text"),

@@ -829,6 +829,9 @@ def semdedup_survivors(emb: DataFrame, centroids: np.ndarray,
     Reference parity: beyond-reference training-data family (SURVEY
     §2.8); the reference's nearest analog is the image binary index
     dedupe-by-equality (Indexer.java), which has no semantic notion."""
+    if max_cluster_size is not None and max_cluster_size <= 1:
+        raise ValueError("max_cluster_size must be > 1 "
+                         f"(got {max_cluster_size})")
     spark = emb.sparkSession
     cent = np.asarray(centroids, dtype=np.float64)
     cdf = spark.createDataFrame(
@@ -855,9 +858,6 @@ def semdedup_survivors(emb: DataFrame, centroids: np.ndarray,
     # the sub-split reassignment below builds ON it, it doesn't replace it)
     pair_keys = ["cluster"]
     if max_cluster_size is not None:
-        if max_cluster_size <= 1:
-            raise ValueError("max_cluster_size must be > 1 "
-                             f"(got {max_cluster_size})")
         sizes = scored.groupBy("cluster").agg(F.count("*").alias("_csz"))
         nsub = F.ceil(F.col("_csz") / F.lit(max_cluster_size))
         scored = (scored.join(F.broadcast(sizes), "cluster")

@@ -29,6 +29,43 @@ from pyspark.sql import functions as F
 _CORRUPT = "_corrupt_record"
 
 
+def _top_level_fields(schema_ddl: str) -> "list[str]":
+    """Top-level field names from a DDL string, splitting only on commas
+    at nesting depth 0 (decimal(p,s), struct<...>, map<...> carry commas
+    of their own)."""
+    fields, depth, start = [], 0, 0
+    for i, ch in enumerate(schema_ddl):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(schema_ddl[start:i])
+            start = i + 1
+    fields.append(schema_ddl[start:])
+    names = []
+    for f in fields:
+        parts = f.strip().split()
+        if not parts:
+            raise ValueError(f"empty field in schema DDL {schema_ddl!r}")
+        names.append(parts[0])
+    return names
+
+
+def _valid_predicate(schema_ddl: str, required: "tuple[str, ...]"):
+    """Shared batch/streaming contract: validate `required` against the
+    top-level schema fields and return the row-is-valid Column."""
+    names = _top_level_fields(schema_ddl)
+    missing = [c for c in required if c not in names]
+    if missing:
+        raise ValueError(f"required fields {missing} not in schema "
+                         f"({schema_ddl!r})")
+    ok = F.col(_CORRUPT).isNull()
+    for c in required:
+        ok = ok & F.col(c).isNotNull()
+    return ok
+
+
 def read_jsonl_docs(spark: SparkSession, path: str, schema_ddl: str,
                     required: tuple[str, ...] = ("doc_id", "text"),
                     ) -> "tuple[DataFrame, DataFrame]":
@@ -41,19 +78,12 @@ def read_jsonl_docs(spark: SparkSession, path: str, schema_ddl: str,
     the raw offending line in `_corrupt_record` for corrupt rows (null
     for required-field violations, whose parsed columns are intact).
     """
-    cols = [f.strip().split()[0] for f in schema_ddl.split(",")]
-    missing = [c for c in required if c not in cols]
-    if missing:
-        raise ValueError(f"required fields {missing} not in schema "
-                         f"({schema_ddl!r})")
+    ok = _valid_predicate(schema_ddl, required)
     raw = (spark.read
            .schema(f"{schema_ddl}, {_CORRUPT} string")
            .option("mode", "PERMISSIVE")
            .option("columnNameOfCorruptRecord", _CORRUPT)
            .json(path))
-    ok = F.col(_CORRUPT).isNull()
-    for c in required:
-        ok = ok & F.col(c).isNotNull()
     valid = raw.filter(ok).drop(_CORRUPT)
     quarantined = raw.filter(~ok)
     return valid, quarantined
@@ -79,11 +109,7 @@ def jsonl_ingest_stream(spark: SparkSession, src_dir: str, store_dir: str,
     """
     import os
 
-    cols = [f.strip().split()[0] for f in schema_ddl.split(",")]
-    missing = [c for c in required if c not in cols]
-    if missing:
-        raise ValueError(f"required fields {missing} not in schema "
-                         f"({schema_ddl!r})")
+    ok = _valid_predicate(schema_ddl, required)
     reader = (spark.readStream
               .schema(f"{schema_ddl}, {_CORRUPT} string")
               .option("mode", "PERMISSIVE")
@@ -92,10 +118,6 @@ def jsonl_ingest_stream(spark: SparkSession, src_dir: str, store_dir: str,
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))
     raw = reader.json(src_dir)
-
-    ok = F.col(_CORRUPT).isNull()
-    for c in required:
-        ok = ok & F.col(c).isNotNull()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()

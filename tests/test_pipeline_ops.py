@@ -1728,7 +1728,7 @@ def test_read_jsonl_docs_quarantine(spark, tmp_path):
              json.dumps({"doc_id": None, "text": "x"}),      # null required
              json.dumps({"doc_id": 6})]                      # missing field
     src = tmp_path / "docs.jsonl"
-    src.write_text("\n".join(lines) + "\n")
+    src.write_text("\n".join(lines) + "\n", encoding="utf-8")
     valid, quar = read_jsonl_docs(spark, str(src),
                                   "doc_id long, text string")
     got = {r["doc_id"]: r["text"] for r in valid.collect()}
