@@ -1,0 +1,107 @@
+"""Byte-pair-encoding tokenizer APPLICATION, distributed.
+
+`textstats.with_bpe_token_estimate` budgets corpora cheaply; this module
+actually tokenizes, with an injectable trained merges table — the op a
+training pipeline runs right before chunking/packing, and the source of
+the REAL `n_tokens` those stages consume.
+
+Semantics are standard greedy BPE (Sennrich et al. 2016 / GPT-2 shape):
+
+* pre-tokenize to words with a GPT-2-ish regex (leading-space words,
+  letter/digit/punct runs) — kept as a plain Python regex so the
+  pure-python reference in tests is the same code path;
+* each word starts as its character sequence; repeatedly merge the
+  adjacent pair with the LOWEST merge rank until no mergeable pair
+  remains;
+* tokens of all words concatenate in order.
+
+Scale shape: one mapInPandas pass (Arrow batches, no shuffle) with a
+per-executor WORD memo — corpora are Zipfian, so the per-word merge loop
+runs once per distinct word per executor, not once per occurrence (the
+same memo trick the index tokenizer uses). The merges table rides the
+UDF closure (a trained table is vocab-sized, i.e. broadcastable
+metadata, like the dictionary head or ANN centroids).
+
+Determinism: pure function of (text, merges). Not SQL-expressible (the
+merge loop is unbounded-depth recursion over rank order), so this op is
+pinned by a pure-python reference + golden tests instead of a DuckDB
+oracle — same verification tier as ivf_train_kmeans.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PRETOKEN = re.compile(
+    r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+
+
+def bpe_word(word: str, ranks: "dict[tuple[str, str], int]") -> "list[str]":
+    """Greedy BPE of one pre-token: merge the lowest-rank adjacent pair
+    until none applies. Pure python — the distributed kernel and the
+    test reference both call THIS function."""
+    parts = list(word)
+    while len(parts) > 1:
+        best, best_i = None, -1
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, best_i = r, i
+        if best is None:
+            break
+        parts[best_i:best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+    return parts
+
+
+def bpe_tokenize(text: str, ranks: "dict[tuple[str, str], int]",
+                 memo: "dict[str, list[str]] | None" = None) -> "list[str]":
+    """All BPE tokens of ``text`` in order (pure-python reference)."""
+    out: "list[str]" = []
+    for w in _PRETOKEN.findall(text):
+        if memo is not None:
+            toks = memo.get(w)
+            if toks is None:
+                toks = bpe_word(w, ranks)
+                memo[w] = toks
+        else:
+            toks = bpe_word(w, ranks)
+        out.extend(toks)
+    return out
+
+
+def apply_bpe(df: DataFrame, merges: "list[tuple[str, str]]",
+              text_col: str = "text", out_col: str = "bpe_tokens",
+              memo_cap: int = 1 << 20) -> DataFrame:
+    """Adds ``out_col`` (array<string> of BPE tokens) and
+    ``{out_col}_n`` (int count) — ONE Arrow pass, no shuffle.
+
+    ``merges`` is the trained merge list in rank order (element 0 merges
+    first). ``memo_cap`` bounds the per-executor word memo (reset when
+    full — Zipf means the hot head stays resident either way).
+    """
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    if len(ranks) != len(merges):
+        raise ValueError("duplicate pairs in merges table")
+    passthrough = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                            for f in df.schema.fields)
+    schema = (f"{passthrough}, {out_col} array<string>, "
+              f"{out_col}_n int")
+
+    def gen(batches):
+        memo: "dict[str, list[str]]" = {}
+        for pdf in batches:
+            toks = []
+            for t in pdf[text_col]:
+                if len(memo) > memo_cap:
+                    memo.clear()
+                toks.append(bpe_tokenize(t if t is not None else "",
+                                         ranks, memo))
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            pdf[f"{out_col}_n"] = [len(t) for t in toks]
+            yield pdf
+
+    return df.mapInPandas(gen, schema)

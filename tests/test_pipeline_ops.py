@@ -1741,3 +1741,37 @@ def test_read_jsonl_docs_quarantine(spark, tmp_path):
     with pytest.raises(ValueError, match="required"):
         read_jsonl_docs(spark, str(src), "doc_id long, text string",
                         required=("nope",))
+
+
+def test_apply_bpe(spark):
+    """Distributed BPE application matches the pure-python reference
+    word-for-word; merge priority follows rank order; untrained pairs
+    stay single characters; round-trip: concat(tokens) == pretoken
+    concat == original text."""
+    from spidey_search_engine_spark.functions.bpe import (apply_bpe,
+                                                          bpe_tokenize,
+                                                          bpe_word)
+    merges = [("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er"),
+              (" ", "l"), (" l", "ower")]
+    ranks = {m: i for i, m in enumerate(merges)}
+    # rank order decides: 'l o w' -> 'lo w' -> 'low' (not 'l ow')
+    assert bpe_word("low", ranks) == ["low"]
+    assert bpe_word("lower", ranks) == ["lower"]
+    assert bpe_word("lowest", ranks) == ["low", "e", "s", "t"]
+    texts = ["low lower lowest", "", "unrelated xyz", "low\nlower",
+             "lower lower lower"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["bpe_tokens"], r["bpe_tokens_n"])
+           for r in apply_bpe(df, merges).collect()}
+    for i, t in enumerate(texts):
+        ref = bpe_tokenize(t, ranks)
+        assert got[i][0] == ref, (t, got[i][0], ref)
+        assert got[i][1] == len(ref)
+        assert "".join(got[i][0]) == t         # lossless round-trip
+    # rank 0 merges 'l o' before (' ', 'l') can ever fire, so the leading
+    # space stays its own token: greedy-by-rank, not left-to-right
+    assert got[0][0] == ["low", " ", "lower", " ", "low", "e", "s", "t"]
+    import pytest
+    with pytest.raises(ValueError):
+        apply_bpe(df, [("a", "b"), ("a", "b")])
