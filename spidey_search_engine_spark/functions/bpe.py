@@ -105,3 +105,94 @@ def apply_bpe(df: DataFrame, merges: "list[tuple[str, str]]",
             yield pdf
 
     return df.mapInPandas(gen, schema)
+
+
+def word_counts(df: DataFrame, text_col: str = "text",
+                max_words: int = 1_000_000) -> "list[tuple[str, int]]":
+    """(word, count) head of the corpus pretoken frequency table, by ONE
+    distributed pass (mapInPandas pretokenize -> hash agg) + a bounded
+    head collect ordered (count desc, word asc — deterministic).
+
+    BPE training operates on word FREQUENCIES, not the corpus: the word
+    table is vocab-scale, and its Zipf head carries almost all pair mass,
+    so training on the top `max_words` is the standard 100-TB strategy
+    (the same head-vs-tail cut as the dictionary preload). The corpus is
+    read once regardless of n_merges.
+    """
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            counts: "dict[str, int]" = {}
+            for t in pdf[text_col]:
+                if t is None:
+                    continue
+                for w in _PRETOKEN.findall(t):
+                    counts[w] = counts.get(w, 0) + 1
+            yield pd.DataFrame({"word": list(counts),
+                                "n": list(counts.values())})
+
+    wc = (df.mapInPandas(gen, "word string, n long")
+          .groupBy("word").agg(F.sum("n").alias("n"))
+          .orderBy(F.desc("n"), F.asc("word")).limit(max_words))
+    return [(r["word"], int(r["n"])) for r in wc.collect()]
+
+
+def train_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
+              max_words: int = 1_000_000) -> "list[tuple[str, str]]":
+    """Learn a merges table from the corpus (Sennrich et al. 2016).
+
+    One distributed word-count pass (word_counts), then driver-side
+    training over the frequency head with INCREMENTAL pair-count updates:
+    a pair->count table plus a pair->{word ids} index, so each merge
+    re-scans only the words containing the merged pair — the classic
+    fast-BPE shape, not the O(vocab) rescan per merge. Tie-break on
+    (count desc, pair asc) makes training fully deterministic.
+
+    Stops early when no pair repeats. The result feeds apply_bpe.
+    """
+    words = word_counts(df, text_col, max_words)
+    seqs = [list(w) for w, _ in words]
+    freqs = [n for _, n in words]
+    pair_n: "dict[tuple[str, str], int]" = {}
+    pair_w: "dict[tuple[str, str], set[int]]" = {}
+    for wi, seq in enumerate(seqs):
+        for a, b in zip(seq, seq[1:]):
+            p = (a, b)
+            pair_n[p] = pair_n.get(p, 0) + freqs[wi]
+            pair_w.setdefault(p, set()).add(wi)
+    merges: "list[tuple[str, str]]" = []
+    for _ in range(n_merges):
+        # deterministic argmax: count desc, ties to the lexicographically
+        # smallest pair (min over (-count, pair))
+        best = min(((-n, p) for p, n in pair_n.items() if n >= 2),
+                   default=None)
+        if best is None:
+            break
+        bp = best[1]
+        merges.append(bp)
+        merged = bp[0] + bp[1]
+        for wi in list(pair_w.get(bp, ())):
+            seq, f = seqs[wi], freqs[wi]
+            # remove this word's contribution, rewrite, re-add
+            for a, b in zip(seq, seq[1:]):
+                p = (a, b)
+                pair_n[p] -= f
+                if wi in pair_w.get(p, ()) and p != bp:
+                    pair_w[p].discard(wi)
+            new = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == bp:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(seq[i])
+                    i += 1
+            seqs[wi] = new
+            for a, b in zip(new, new[1:]):
+                p = (a, b)
+                pair_n[p] = pair_n.get(p, 0) + f
+                pair_w.setdefault(p, set()).add(wi)
+        pair_w.pop(bp, None)
+        pair_n.pop(bp, None)
+    return merges

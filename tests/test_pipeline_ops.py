@@ -1775,3 +1775,49 @@ def test_apply_bpe(spark):
     import pytest
     with pytest.raises(ValueError):
         apply_bpe(df, [("a", "b"), ("a", "b")])
+
+
+def test_train_bpe(spark):
+    """Trained merges match a brute-force reference trainer (full rescan
+    per merge) on the same corpus; train -> apply compresses repeated
+    words to single tokens; incremental pair bookkeeping survives
+    overlapping pairs (aaa) and multi-occurrence words."""
+    from spidey_search_engine_spark.functions.bpe import (
+        _PRETOKEN, apply_bpe, train_bpe)
+    texts = ["the quick brown fox the quick", "aaa aaa the the the",
+             "quickest quicker quick", "fox box fox"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = train_bpe(df, n_merges=12)
+
+    # brute-force reference: recount every pair over all words each round
+    counts = {}
+    for t in texts:
+        for w in _PRETOKEN.findall(t):
+            counts[w] = counts.get(w, 0) + 1
+    seqs = {w: list(w) for w in counts}
+    ref = []
+    for _ in range(12):
+        pn = {}
+        for w, seq in seqs.items():
+            for p in zip(seq, seq[1:]):
+                pn[p] = pn.get(p, 0) + counts[w]
+        cand = min(((-n, p) for p, n in pn.items() if n >= 2),
+                   default=None)
+        if cand is None:
+            break
+        bp = cand[1]
+        ref.append(bp)
+        for w, seq in seqs.items():
+            new, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == bp:
+                    new.append(bp[0] + bp[1]); i += 2
+                else:
+                    new.append(seq[i]); i += 1
+            seqs[w] = new
+    assert got == ref
+    out = {r["doc_id"]: r["bpe_tokens"]
+           for r in apply_bpe(df, got).collect()}
+    assert "the" in out[0]                    # hot word fully merged
+    assert len(got) <= 12 and len(got) > 0
