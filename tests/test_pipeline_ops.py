@@ -1821,3 +1821,24 @@ def test_train_bpe(spark):
            for r in apply_bpe(df, got).collect()}
     assert "the" in out[0]                    # hot word fully merged
     assert len(got) <= 12 and len(got) > 0
+
+
+def test_bpe_pack_compose(spark):
+    """End-to-end tokenizer pipeline: train merges on the corpus, apply
+    them, pack documents into sequences by REAL BPE token counts —
+    every sequence fits the budget measured in trained-tokenizer tokens."""
+    from spidey_search_engine_spark.functions.bpe import apply_bpe, train_bpe
+    from spidey_search_engine_spark.operators.chunking import pack_sequences
+    texts = [("doc %d the quick brown fox jumps over the lazy dog " % i) * 3
+             for i in range(20)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges = train_bpe(df, n_merges=50)
+    tok = (apply_bpe(df, merges)
+           .select("doc_id", F.lit(0).alias("chunk_id"),
+                   F.col("bpe_tokens_n").alias("n_tokens")))
+    packed = pack_sequences(tok, budget=100, n_shards=2,
+                            tokens_col="n_tokens").toPandas()
+    assert len(packed) == 20
+    for (_, _), grp in packed.groupby(["shard", "seq"]):
+        assert grp["n_tokens"].sum() <= 100 or len(grp) == 1
