@@ -76,6 +76,28 @@ def main(argv: list[str] | None = None) -> int:
                         "default: deterministic formula weights")
     c.add_argument("--exact-dedup", action="store_true")
 
+    t = sub.add_parser(
+        "prepare", help="training-data preparation: [ingest JSONL ->] "
+        "tokenize (trained BPE or whitespace) -> chunk -> pack -> "
+        "hash-sharded sequence table; reads (doc_id, content) parquet or "
+        "--jsonl dumps, writes chunk rows laid out by (shard, seq, pos)")
+    t.add_argument("--input", required=True,
+                   help="corpus parquet dir, or JSONL dir with --jsonl")
+    t.add_argument("--output", required=True)
+    t.add_argument("--jsonl", action="store_true",
+                   help="input is a JSONL dump; corrupt/null rows land in "
+                        "<output>/_quarantine")
+    t.add_argument("--chunk-tokens", type=int, default=2048)
+    t.add_argument("--overlap", type=int, default=0)
+    t.add_argument("--budget", type=int, default=8192,
+                   help="max tokens per packed sequence")
+    t.add_argument("--n-shards", type=int, default=1024)
+    t.add_argument("--bpe-merges", type=int, default=0,
+                   help="train a BPE table with N merges and budget the "
+                        "pack by real subword counts (0 = whitespace "
+                        "tokens)")
+    t.add_argument("--bpe-max-words", type=int, default=1_000_000)
+
     args = p.parse_args(argv)
     if args.cmd == "query":
         # explicit --k 0 (or negative) is a user error, not "use default" —
@@ -165,6 +187,58 @@ def main(argv: list[str] | None = None) -> int:
                                      F.lit(0))).collect()[0]
         print(json.dumps({"docs_in": n_in, "docs_out": n_out,
                           "chars_in": int(c_in), "chars_out": int(c_out)}))
+    elif args.cmd == "prepare":
+        import os
+
+        from pyspark.sql import functions as F
+
+        quarantined = 0
+        if args.jsonl:
+            from .sources.ingest import read_jsonl_docs
+            df, quar = read_jsonl_docs(
+                spark, args.input, "doc_id long, content string",
+                required=("doc_id", "content"))
+            quar.write.mode("overwrite").parquet(
+                os.path.join(args.output, "_quarantine"))
+            quarantined = spark.read.parquet(
+                os.path.join(args.output, "_quarantine")).count()
+        else:
+            df = spark.read.parquet(args.input).select("doc_id", "content")
+        n_docs = df.count()
+
+        from .operators.chunking import chunk_documents, pack_sequences
+        chunks = chunk_documents(df, text_col="content",
+                                 chunk_tokens=args.chunk_tokens,
+                                 overlap=args.overlap)
+        n_merges = 0
+        if args.bpe_merges > 0:
+            from .functions.bpe import apply_bpe, train_bpe
+            merges = train_bpe(df, args.bpe_merges, text_col="content",
+                               max_words=args.bpe_max_words)
+            n_merges = len(merges)
+            # budget the pack by REAL subword counts of each chunk
+            chunks = (apply_bpe(chunks, merges, text_col="chunk_text")
+                      .drop("n_tokens", "bpe_tokens")
+                      .withColumnRenamed("bpe_tokens_n", "n_tokens"))
+        # the pack kernel sees only ids+counts; chunk_text joins back after
+        packed = pack_sequences(
+            chunks.select("doc_id", "chunk_id", "n_tokens"),
+            budget=args.budget, n_shards=args.n_shards)
+        laid = (chunks.select("doc_id", "chunk_id", "chunk_text")
+                .join(packed, ["doc_id", "chunk_id"])
+                .repartition("shard")
+                .sortWithinPartitions("seq", "pos"))
+        (laid.write.mode("overwrite").partitionBy("shard")
+         .parquet(os.path.join(args.output, "sequences")))
+        seqs = spark.read.parquet(os.path.join(args.output, "sequences"))
+        n_chunks, n_seqs = seqs.select(
+            F.count("*"),
+            F.countDistinct("shard", "seq")).collect()[0]
+        print(json.dumps({
+            "docs_in": n_docs, "quarantined": quarantined,
+            "chunks": n_chunks, "sequences": n_seqs,
+            "n_shards": args.n_shards, "budget": args.budget,
+            "bpe_merges": n_merges}))
     if owns_session:
         spark.stop()
     return 0

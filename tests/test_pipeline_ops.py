@@ -1842,3 +1842,35 @@ def test_bpe_pack_compose(spark):
     assert len(packed) == 20
     for (_, _), grp in packed.groupby(["shard", "seq"]):
         assert grp["n_tokens"].sum() <= 100 or len(grp) == 1
+
+
+def test_cli_prepare_pipeline(spark, tmp_path, capsys):
+    """The `prepare` CLI subcommand: JSONL ingest (quarantine aside) ->
+    chunk -> trained-BPE budget -> pack -> (shard, seq, pos)-laid-out
+    sequence table; every multi-chunk sequence fits the budget."""
+    import json
+    from spidey_search_engine_spark.cli import main
+
+    src = tmp_path / "dumps"
+    src.mkdir()
+    lines = [json.dumps({"doc_id": i,
+                         "content": ("alpha beta gamma " * (4 + i % 5))
+                         .strip()}) for i in range(30)]
+    lines.append('{"doc_id": 77, "content": "broken')
+    (src / "d.jsonl").write_text("\n".join(lines) + "\n", encoding="utf-8")
+    dst = str(tmp_path / "prep")
+    rc = main(["prepare", "--input", str(src), "--output", dst, "--jsonl",
+               "--chunk-tokens", "8", "--overlap", "2", "--budget", "32",
+               "--n-shards", "4", "--bpe-merges", "50"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_in"] == 30 and stats["quarantined"] == 1
+    assert stats["chunks"] > 30 and stats["sequences"] >= 1
+    seqs = spark.read.parquet(dst + "/sequences")
+    import pandas as pd
+    pdf = seqs.toPandas()
+    assert len(pdf) == stats["chunks"]
+    for (_, _), g in pdf.groupby(["shard", "seq"]):
+        assert g["n_tokens"].sum() <= 32 or len(g) == 1
+        assert sorted(g["pos"]) == list(range(len(g)))
+    assert (pdf["chunk_text"].str.len() > 0).all()
