@@ -12,6 +12,8 @@ Then e.g.:
   spark-submit ... clean --input /data/corpus --output /data/cleaned \
       --substring-min-count 2 --redact-pii --quality-threshold 0.5 \
       --exact-dedup
+  spark-submit ... prepare --input /data/dumps --output /data/train \
+      --jsonl --chunk-tokens 2048 --budget 8192 --bpe-merges 32000
 
 In the sandbox the same commands run with ``python -m`` on local[N]
 (master comes from SPARK_GRAFT_MASTER / SPARK_GRAFT_CPUS or the
