@@ -212,24 +212,34 @@ def main(argv: list[str] | None = None) -> int:
         chunks = chunk_documents(df, text_col="content",
                                  chunk_tokens=args.chunk_tokens,
                                  overlap=args.overlap)
+        counts = chunks.select("doc_id", "chunk_id", "n_tokens")
         n_merges = 0
         if args.bpe_merges > 0:
             from .functions.bpe import apply_bpe, train_bpe
             merges = train_bpe(df, args.bpe_merges, text_col="content",
                                max_words=args.bpe_max_words)
             n_merges = len(merges)
-            # budget the pack by REAL subword counts of each chunk
-            chunks = (apply_bpe(chunks, merges, text_col="chunk_text")
-                      .drop("n_tokens", "bpe_tokens")
-                      .withColumnRenamed("bpe_tokens_n", "n_tokens"))
+            # budget the pack by REAL subword counts of each chunk —
+            # only the counts lineage pays the BPE pass; the text side
+            # below joins from the pre-BPE chunks (mapInPandas can't be
+            # column-pruned, so routing text through it would tokenize
+            # the corpus twice)
+            counts = (apply_bpe(
+                chunks.select("doc_id", "chunk_id", "chunk_text"),
+                merges, text_col="chunk_text")
+                .select("doc_id", "chunk_id",
+                        F.col("bpe_tokens_n").alias("n_tokens")))
         # the pack kernel sees only ids+counts; chunk_text joins back after
-        packed = pack_sequences(
-            chunks.select("doc_id", "chunk_id", "n_tokens"),
-            budget=args.budget, n_shards=args.n_shards)
+        packed = pack_sequences(counts, budget=args.budget,
+                                n_shards=args.n_shards)
+        # sort includes the partition column: partitionBy requires an
+        # ordering on it, and without 'shard' leading, Spark inserts its
+        # own (unstable) sort that can break the per-shard (seq, pos)
+        # file order under spill (same pattern as write_training_shards)
         laid = (chunks.select("doc_id", "chunk_id", "chunk_text")
                 .join(packed, ["doc_id", "chunk_id"])
-                .repartition("shard")
-                .sortWithinPartitions("seq", "pos"))
+                .repartition(args.n_shards, "shard")
+                .sortWithinPartitions("shard", "seq", "pos"))
         (laid.write.mode("overwrite").partitionBy("shard")
          .parquet(os.path.join(args.output, "sequences")))
         seqs = spark.read.parquet(os.path.join(args.output, "sequences"))

@@ -56,14 +56,32 @@ def bpe_word(word: str, ranks: "dict[tuple[str, str], int]") -> "list[str]":
     return parts
 
 
+MAX_WORD_LEN = 1024
+
+
 def bpe_tokenize(text: str, ranks: "dict[tuple[str, str], int]",
-                 memo: "dict[str, list[str]] | None" = None) -> "list[str]":
-    """All BPE tokens of ``text`` in order (pure-python reference)."""
+                 memo: "dict[str, list[str]] | None" = None,
+                 memo_cap: "int | None" = None,
+                 max_word_len: int = MAX_WORD_LEN) -> "list[str]":
+    """All BPE tokens of ``text`` in order (pure-python reference).
+
+    Pretokens longer than ``max_word_len`` are emitted as raw characters
+    (= BPE with no applicable merges): bpe_word is O(L^2), so one
+    megabyte-long uniform junk run (crawl garbage is full of them) would
+    otherwise stall an executor for hours; a real corpus word never
+    approaches the cap. ``memo_cap`` is enforced per WORD insert, not per
+    document, so a single document with millions of distinct pretokens
+    cannot grow the memo past the cap either."""
     out: "list[str]" = []
     for w in _PRETOKEN.findall(text):
+        if len(w) > max_word_len:
+            out.extend(w)
+            continue
         if memo is not None:
             toks = memo.get(w)
             if toks is None:
+                if memo_cap is not None and len(memo) >= memo_cap:
+                    memo.clear()
                 toks = bpe_word(w, ranks)
                 memo[w] = toks
         else:
@@ -80,7 +98,9 @@ def apply_bpe(df: DataFrame, merges: "list[tuple[str, str]]",
 
     ``merges`` is the trained merge list in rank order (element 0 merges
     first). ``memo_cap`` bounds the per-executor word memo (reset when
-    full — Zipf means the hot head stays resident either way).
+    full, enforced per word insert — Zipf means the hot head stays
+    resident either way); pretokens over MAX_WORD_LEN chars skip the
+    quadratic merge loop and emit as characters (see bpe_tokenize).
     """
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     if len(ranks) != len(merges):
@@ -95,10 +115,8 @@ def apply_bpe(df: DataFrame, merges: "list[tuple[str, str]]",
         for pdf in batches:
             toks = []
             for t in pdf[text_col]:
-                if len(memo) > memo_cap:
-                    memo.clear()
                 toks.append(bpe_tokenize(t if t is not None else "",
-                                         ranks, memo))
+                                         ranks, memo, memo_cap=memo_cap))
             pdf = pdf.copy()
             pdf[out_col] = toks
             pdf[f"{out_col}_n"] = [len(t) for t in toks]
@@ -144,12 +162,17 @@ def train_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
     One distributed word-count pass (word_counts), then driver-side
     training over the frequency head with INCREMENTAL pair-count updates:
     a pair->count table plus a pair->{word ids} index, so each merge
-    re-scans only the words containing the merged pair — the classic
-    fast-BPE shape, not the O(vocab) rescan per merge. Tie-break on
-    (count desc, pair asc) makes training fully deterministic.
+    re-scans only the words containing the merged pair, and selection is
+    a lazy-invalidation max-heap (entries re-pushed on count change;
+    stale tops discarded against pair_n on pop) — O(log n) per merge, the
+    classic fast-BPE shape, NOT an O(|pairs|) rescan per merge (at the
+    1M-word head with a 32k-merge run the linear scan costs hours).
+    Tie-break on (count desc, pair asc) is fully deterministic.
 
     Stops early when no pair repeats. The result feeds apply_bpe.
     """
+    import heapq
+
     words = word_counts(df, text_col, max_words)
     seqs = [list(w) for w, _ in words]
     freqs = [n for _, n in words]
@@ -160,15 +183,26 @@ def train_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
             p = (a, b)
             pair_n[p] = pair_n.get(p, 0) + freqs[wi]
             pair_w.setdefault(p, set()).add(wi)
+    heap = [(-n, p) for p, n in pair_n.items()]
+    heapq.heapify(heap)
     merges: "list[tuple[str, str]]" = []
     for _ in range(n_merges):
-        # deterministic argmax: count desc, ties to the lexicographically
-        # smallest pair (min over (-count, pair))
-        best = min(((-n, p) for p, n in pair_n.items() if n >= 2),
-                   default=None)
-        if best is None:
+        # deterministic argmax (count desc, pair asc): pop until the top
+        # entry's count matches the live table — stale entries from
+        # count updates are discarded here (lazy invalidation)
+        bp = None
+        while heap:
+            negn, p = heap[0]
+            if pair_n.get(p, 0) != -negn:
+                heapq.heappop(heap)
+                continue
+            if -negn < 2:
+                heap = []
+                break
+            bp = p
             break
-        bp = best[1]
+        if bp is None:
+            break
         merges.append(bp)
         merged = bp[0] + bp[1]
         for wi in list(pair_w.get(bp, ())):
@@ -177,8 +211,9 @@ def train_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
             for a, b in zip(seq, seq[1:]):
                 p = (a, b)
                 pair_n[p] -= f
-                if wi in pair_w.get(p, ()) and p != bp:
-                    pair_w[p].discard(wi)
+                if p != bp:
+                    heapq.heappush(heap, (-pair_n[p], p))
+                    pair_w.get(p, set()).discard(wi)
             new = []
             i = 0
             while i < len(seq):
@@ -192,6 +227,7 @@ def train_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
             for a, b in zip(new, new[1:]):
                 p = (a, b)
                 pair_n[p] = pair_n.get(p, 0) + f
+                heapq.heappush(heap, (-pair_n[p], p))
                 pair_w.setdefault(p, set()).add(wi)
         pair_w.pop(bp, None)
         pair_n.pop(bp, None)

@@ -1874,3 +1874,29 @@ def test_cli_prepare_pipeline(spark, tmp_path, capsys):
         assert g["n_tokens"].sum() <= 32 or len(g) == 1
         assert sorted(g["pos"]) == list(range(len(g)))
     assert (pdf["chunk_text"].str.len() > 0).all()
+    # ON-DISK order inside each shard file is (seq, pos) — a sequential
+    # trainer read must stream sequences contiguously, in order
+    import glob
+    import pyarrow.parquet as pq
+    for f in glob.glob(dst + "/sequences/shard=*/*.parquet"):
+        tb = pq.read_table(f, columns=["seq", "pos"]).to_pandas()
+        assert list(tb.itertuples(index=False)) == sorted(
+            tb.itertuples(index=False))
+
+
+def test_bpe_long_junk_run(spark):
+    """A megabyte uniform junk run must not stall the tokenizer: pretokens
+    past MAX_WORD_LEN bypass the quadratic merge loop and emit as
+    characters (= BPE with no applicable merges)."""
+    import time
+    from spidey_search_engine_spark.functions.bpe import apply_bpe
+    junk = "a" * 1_000_000
+    df = spark.createDataFrame([(0, junk), (1, "aaa aaa normal")],
+                               "doc_id long, text string")
+    merges = [("a", "a"), ("aa", "aa"), ("aaaa", "aaaa")]
+    t0 = time.monotonic()
+    got = {r["doc_id"]: r["bpe_tokens_n"]
+           for r in apply_bpe(df, merges).collect()}
+    assert time.monotonic() - t0 < 60          # would be hours unguarded
+    assert got[0] == 1_000_000                 # raw characters
+    assert got[1] < 15                         # short words still merge
