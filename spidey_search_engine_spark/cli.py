@@ -77,6 +77,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="parquet (bucket int, w double) trained table; "
                         "default: deterministic formula weights")
     c.add_argument("--exact-dedup", action="store_true")
+    c.add_argument("--max-ppl", type=float, default=None,
+                   help="keep docs with unigram-LM perplexity <= T under "
+                        "the --ppl-ref corpus (stage off when unset)")
+    c.add_argument("--ppl-ref", default=None,
+                   help="parquet dir of reference (doc_id, content) docs "
+                        "the LM trains on; defaults to the input corpus "
+                        "itself (self-referential filtering)")
+    c.add_argument("--ppl-vocab", type=int, default=1 << 20)
 
     t = sub.add_parser(
         "prepare", help="training-data preparation: [ingest JSONL ->] "
@@ -177,6 +185,14 @@ def main(argv: list[str] | None = None) -> int:
                  else deterministic_weights(spark, args.quality_dim))
             df = quality_filter(df, w, args.quality_dim,
                                 threshold=args.quality_threshold)
+        if args.max_ppl is not None:
+            from .functions.lm import perplexity_filter, train_unigram_lm
+            ref = (spark.read.parquet(args.ppl_ref).select("content")
+                   if args.ppl_ref else df.select("content"))
+            vocab, oov = train_unigram_lm(ref, text_col="content",
+                                          max_vocab=args.ppl_vocab)
+            df = perplexity_filter(df, vocab, oov, args.max_ppl,
+                                   text_col="content")
         if args.exact_dedup:
             from .operators.dedup import exact_dedup
             keep = (exact_dedup(df).filter(F.col("keep"))

@@ -3042,3 +3042,56 @@ ORACLE_SQL["jsonl_ingest_docs"] = """
 SELECT doc_id, lang, sha256(text) AS content_sha
 FROM documents
 WHERE doc_id % 97 <> 3 AND doc_id % 97 <> 5"""
+
+
+def lm_ppl_docs(spark, sf_dir):
+    """CCNet-style unigram-LM perplexity scoring (functions/lm.py): train
+    add-1-smoothed token log-probs on the reference slice (doc_id % 5 ==
+    0) with a 500-token head vocab (rarer tokens fold into OOV), score
+    every document's perplexity under it, flag the keeps at ppl <= 600.
+    Whitespace-only docs (NULL ppl) are excluded on both sides. Fully
+    SQL-expressible (counts, ln, exp) — value-hash oracle-paired."""
+    from .functions.lm import lm_perplexity, train_unigram_lm
+    d = load_table(spark, sf_dir, "documents")
+    vocab, oov = train_unigram_lm(d.filter(F.col("doc_id") % 5 == 0),
+                                  text_col="text", max_vocab=500)
+    ppl = lm_perplexity(d, vocab, oov, text_col="text")
+    return (ppl.filter(F.col("ppl").isNotNull())
+            .select(F.col("id").alias("doc_id"), "n_tokens",
+                    _r(F.col("avg_logp")).alias("avg_logp_r"),
+                    _r(F.col("ppl"), 4).alias("ppl_r"),
+                    (F.col("ppl") <= 600).cast("int").alias("keep")))
+
+
+QUERIES["lm_ppl_docs"] = lm_ppl_docs
+
+ORACLE_SQL["lm_ppl_docs"] = r"""
+WITH rtoks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents WHERE doc_id % 5 = 0
+), counts AS (
+  SELECT token, count(*)::BIGINT AS c FROM rtoks GROUP BY 1
+  ORDER BY c DESC, token ASC LIMIT 500
+), tot AS (
+  SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM counts
+), vocab AS (
+  SELECT token, ln((c + 1.0) / (n + (v + 1))) AS logp FROM counts, tot
+), oov AS (
+  SELECT ln(1.0 / (n + (v + 1))) AS lp FROM tot
+), dtoks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), scored AS (
+  SELECT d.doc_id, count(*)::BIGINT AS n_tokens,
+         avg(coalesce(v.logp, o.lp)) AS al
+  FROM dtoks d LEFT JOIN vocab v USING (token), oov o
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       CAST(round(al, 6) AS DOUBLE) AS avg_logp_r,
+       CAST(round(exp(-al), 4) AS DOUBLE) AS ppl_r,
+       (exp(-al) <= 600)::INT AS keep
+FROM scored"""

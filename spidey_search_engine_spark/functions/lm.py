@@ -1,0 +1,95 @@
+"""Unigram language-model perplexity scoring — the CCNet-style quality
+stage: train token log-probabilities on a REFERENCE slice (the "good"
+corpus — wiki-grade text), score every candidate document's perplexity
+under it, and keep the low-perplexity (reference-like) half.
+
+Everything is JVM column expressions + one broadcastable vocab table:
+
+* train: one pass over the reference slice — token explode, hash-agg
+  counts, add-alpha smoothing, log-probability column. The vocab table
+  is index METADATA (like the dictionary head / quality weights), sized
+  by `max_vocab`; rarer tokens fold into the OOV mass.
+* score: token explode on the candidate corpus, broadcast join to the
+  vocab (OOV -> the smoothed unseen log-prob), per-doc avg log-prob,
+  perplexity = exp(-avg). One scan, one broadcast join, one groupBy(id)
+  — the same shape as the hashed quality classifier (P22), but with
+  probabilities a user can train on any slice in one line.
+
+Deterministic and SQL-expressible end-to-end (counts, log, exp), so the
+entry is value-hash oracle-paired in DuckDB — unlike real KenLM-style
+n-gram LMs, the unigram model needs no backoff state.
+
+Reference parity: beyond-reference training-data family (SURVEY §2.8);
+the reference engine has no notion of corpus quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str):
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""))
+
+
+def train_unigram_lm(ref: DataFrame, text_col: str = "text",
+                     max_vocab: int = 1 << 20,
+                     alpha: float = 1.0) -> "tuple[DataFrame, float]":
+    """(vocab_df(token, logp), oov_logp) — add-alpha-smoothed unigram LM
+    over the reference slice.
+
+    p(tok) = (count + alpha) / (N + alpha * (V + 1)); the +1 is the OOV
+    bucket, whose probability (count 0) is returned as the scalar
+    ``oov_logp``. The vocab keeps the `max_vocab` most frequent tokens
+    (ties to token asc — deterministic); everything rarer scores as OOV.
+    N and V are computed over the KEPT vocab so probabilities stay a
+    proper distribution over vocab ∪ {OOV}.
+    """
+    counts = (ref.select(F.explode(_tokens(text_col)).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("c"))
+              .orderBy(F.desc("c"), F.asc("token")).limit(max_vocab))
+    tot = counts.agg(F.sum("c").alias("n"),
+                     F.count("*").alias("v")).collect()[0]
+    n, v = int(tot["n"] or 0), int(tot["v"] or 0)
+    denom = n + alpha * (v + 1)
+    if denom <= 0:
+        raise ValueError("reference slice has no tokens")
+    import math
+    oov_logp = math.log(alpha / denom)
+    vocab = counts.select(
+        "token", F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))
+        .alias("logp"))
+    return vocab, oov_logp
+
+
+def lm_perplexity(df: DataFrame, vocab: DataFrame, oov_logp: float,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, avg_logp, ppl) per document — perplexity under the
+    trained unigram LM. Empty documents score NULL ppl (no tokens to
+    judge; route them to a length filter, not a quality one)."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.posexplode_outer(_tokens(text_col))
+                     .alias("pos", "token"))
+    scored = (toks.join(F.broadcast(vocab), "token", "left")
+              .groupBy("id")
+              .agg(F.count("token").alias("n_tokens"),
+                   F.avg(F.coalesce(F.col("logp"), F.lit(oov_logp)))
+                   .alias("avg_logp")))
+    return scored.select(
+        "id", "n_tokens", "avg_logp",
+        F.when(F.col("n_tokens") > 0,
+               F.exp(-F.col("avg_logp"))).alias("ppl"))
+
+
+def perplexity_filter(df: DataFrame, vocab: DataFrame, oov_logp: float,
+                      max_ppl: float, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Keep documents with ppl <= max_ppl (reference-like text). Empty
+    docs (NULL ppl) are dropped — they carry no trainable signal."""
+    ppl = lm_perplexity(df, vocab, oov_logp, id_col, text_col)
+    keep = ppl.filter(F.col("ppl") <= max_ppl) \
+        .select(F.col("id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")

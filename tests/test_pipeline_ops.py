@@ -1900,3 +1900,51 @@ def test_bpe_long_junk_run(spark):
     assert time.monotonic() - t0 < 60          # would be hours unguarded
     assert got[0] == 1_000_000                 # raw characters
     assert got[1] < 15                         # short words still merge
+
+
+def test_unigram_lm_perplexity(spark):
+    """Perplexity ranks reference-like text below gibberish; OOV mass is
+    a proper probability (vocab ∪ OOV sums to 1); empty docs score NULL
+    and are dropped by the filter; head-cut vocab folds rare tokens into
+    OOV."""
+    import math
+    from spidey_search_engine_spark.functions.lm import (lm_perplexity,
+                                                         perplexity_filter,
+                                                         train_unigram_lm)
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in
+         range(5)], "doc_id long, text string")
+    vocab, oov = train_unigram_lm(ref, max_vocab=4)   # head cut: 4 of 8
+    rows = {r["token"]: r["logp"] for r in vocab.collect()}
+    assert len(rows) == 4 and "the" in rows           # 'the' is hottest
+    # distribution check: sum of vocab probs + oov prob <= 1 (strictly,
+    # = 1 minus the folded tail mass share over the same denominator)
+    assert sum(math.exp(x) for x in rows.values()) + math.exp(oov) <= 1.0
+    cand = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "zzz qqq xxx www"), (2, "   ")],
+        "doc_id long, text string")
+    ppl = {r["id"]: r["ppl"] for r in
+           lm_perplexity(cand, vocab, oov, text_col="text").collect()}
+    assert ppl[0] < ppl[1]                            # ref-like beats junk
+    assert ppl[2] is None                             # empty -> NULL
+    kept = perplexity_filter(cand, vocab, oov,
+                             max_ppl=(ppl[0] + ppl[1]) / 2)
+    assert [r["doc_id"] for r in kept.collect()] == [0]
+
+
+def test_cli_clean_max_ppl(spark, tmp_path, capsys):
+    """clean --max-ppl: the self-trained unigram LM drops the gibberish
+    outlier and keeps the reference-like majority."""
+    import json
+    from spidey_search_engine_spark.cli import main
+    rows = [(i, "the quick brown fox jumps over the lazy dog again")
+            for i in range(9)] + [(9, "zq9 xv7 qqj wkz bbp mmt rrn vvx")]
+    src, dst = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id long, content string") \
+        .coalesce(1).write.parquet(src)
+    rc = main(["clean", "--input", src, "--output", dst,
+               "--max-ppl", "50"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_out"] == 9
+    assert 9 not in {r["doc_id"] for r in spark.read.parquet(dst).collect()}
