@@ -3095,3 +3095,47 @@ SELECT doc_id, n_tokens,
        CAST(round(exp(-al), 4) AS DOUBLE) AS ppl_r,
        (exp(-al) <= 600)::INT AS keep
 FROM scored"""
+
+
+def token_ids_docs(spark, sf_dir):
+    """Trainer-ready token ids (functions/bpe.build_vocab/tokens_to_ids):
+    frequency-ranked 300-token vocab (id 0 reserved for OOV) over the
+    whitespace tokens of `documents`, every doc's token sequence mapped
+    to ids through the closure dict. Output exploded to (doc_id, pos,
+    token_id) scalar rows so the value-hash pins every position. DuckDB
+    reproduces the rank and the lookup with a zipped unnest + left join."""
+    from .functions.bpe import build_vocab, tokens_to_ids
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                 lambda x: x != F.lit("")).alias("toks"))
+    vocab = build_vocab(toks, tokens_col="toks", max_vocab=300, reserve=1)
+    ids = tokens_to_ids(toks, vocab, tokens_col="toks", oov_id=0)
+    return (ids.select("doc_id", F.posexplode("token_ids")
+                       .alias("pos", "token_id"))
+            .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                    "token_id"))
+
+
+QUERIES["token_ids_docs"] = token_ids_docs
+
+ORACLE_SQL["token_ids_docs"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), flat AS (
+  SELECT doc_id, unnest(t) AS token,
+         unnest(range(len(t))) AS pos
+  FROM toks
+), vocab AS (
+  SELECT token,
+         row_number() OVER (ORDER BY count(*) DESC, token ASC)::INT AS id
+  FROM flat GROUP BY token
+  ORDER BY count(*) DESC, token ASC LIMIT 300
+)
+SELECT f.doc_id, f.pos::INT AS pos,
+       coalesce(v.id, 0)::INT AS token_id
+FROM flat f LEFT JOIN vocab v USING (token)"""

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _PRETOKEN = re.compile(
@@ -232,3 +232,48 @@ def train_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
         pair_w.pop(bp, None)
         pair_n.pop(bp, None)
     return merges
+
+
+def build_vocab(df: DataFrame, tokens_col: str = "bpe_tokens",
+                max_vocab: int = 1 << 20, reserve: int = 1) -> DataFrame:
+    """(token, id) — frequency-ranked vocabulary over a token-array
+    column. id = reserve + rank-1 (count desc, token asc — deterministic);
+    ids below `reserve` stay free for specials (0 = OOV/unk by default).
+    One explode + hash agg + a top-`max_vocab` rank: the vocab table is
+    bounded metadata, the same tier as the dictionary head."""
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    return (df.select(F.explode(tokens_col).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("token")).limit(max_vocab)
+            .select("token", (F.row_number().over(w) + reserve - 1)
+                    .cast("int").alias("id")))
+
+
+def tokens_to_ids(df: DataFrame, vocab: DataFrame,
+                  tokens_col: str = "bpe_tokens",
+                  out_col: str = "token_ids",
+                  oov_id: int = 0) -> DataFrame:
+    """Adds ``out_col`` (array<int>): each token mapped through the vocab,
+    misses to ``oov_id`` — the final step that makes a sequence table
+    trainer-ready (int ids, not strings).
+
+    The vocab ships as a plain dict in the kernel closure (bounded by
+    build_vocab's max_vocab — broadcast-sized metadata, NOT a join: a
+    per-token join would explode + shuffle + reassemble the whole corpus
+    to look up a dictionary that fits in executor memory)."""
+    mapping = {r["token"]: int(r["id"]) for r in vocab.collect()}
+
+    passthrough = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                            for f in df.schema.fields)
+    schema = f"{passthrough}, {out_col} array<int>"
+
+    def gen(batches):
+        get = mapping.get
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [[get(t, oov_id) for t in toks]
+                            if toks is not None else []
+                            for toks in pdf[tokens_col]]
+            yield pdf
+
+    return df.mapInPandas(gen, schema)

@@ -1948,3 +1948,30 @@ def test_cli_clean_max_ppl(spark, tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["docs_out"] == 9
     assert 9 not in {r["doc_id"] for r in spark.read.parquet(dst).collect()}
+
+
+def test_vocab_and_ids(spark):
+    """build_vocab ranks by frequency with deterministic ties and
+    reserved specials; tokens_to_ids maps through the closure dict with
+    OOV fallback; BPE -> vocab -> ids composes losslessly (id sequence
+    decodes back to the token sequence)."""
+    from spidey_search_engine_spark.functions.bpe import (apply_bpe,
+                                                          build_vocab,
+                                                          tokens_to_ids)
+    df = spark.createDataFrame(
+        [(0, "low low low lower"), (1, "lowest low")],
+        "doc_id long, text string")
+    tok = apply_bpe(df, [("l", "o"), ("lo", "w")])
+    vocab = build_vocab(tok, max_vocab=3, reserve=2)   # ids from 2
+    v = {r["token"]: r["id"] for r in vocab.collect()}
+    assert min(v.values()) == 2 and len(v) == 3
+    assert v["low"] == 2                                # hottest token
+    ids = {r["doc_id"]: r["token_ids"]
+           for r in tokens_to_ids(tok, vocab, oov_id=0).collect()}
+    rev = {i: t for t, i in v.items()}
+    toks = {r["doc_id"]: r["bpe_tokens"] for r in tok.collect()}
+    for d in (0, 1):
+        assert len(ids[d]) == len(toks[d])
+        for i, t in zip(ids[d], toks[d]):
+            assert (rev.get(i) == t) or (i == 0 and t not in v)
+    assert 0 in ids[1]                                  # OOV hit
