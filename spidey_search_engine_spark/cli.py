@@ -57,8 +57,8 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser(
         "clean", help="training-corpus cleaning pipeline: substring-span "
         "dedup -> line dedup -> PII redaction -> model quality gate -> "
-        "exact dedup (each stage optional); reads (doc_id, content), "
-        "writes (doc_id, content)")
+        "LM perplexity gate -> exact dedup (each stage optional); "
+        "reads (doc_id, content), writes (doc_id, content)")
     c.add_argument("--input", required=True, help="corpus parquet dir")
     c.add_argument("--output", required=True)
     c.add_argument("--substring-min-count", type=int, default=0,
@@ -82,8 +82,8 @@ def main(argv: list[str] | None = None) -> int:
                         "the --ppl-ref corpus (stage off when unset)")
     c.add_argument("--ppl-ref", default=None,
                    help="parquet dir of reference (doc_id, content) docs "
-                        "the LM trains on; defaults to the input corpus "
-                        "itself (self-referential filtering)")
+                        "the LM trains on; default: the corpus AS CLEANED "
+                        "by the preceding stages (self-referential)")
     c.add_argument("--ppl-vocab", type=int, default=1 << 20)
 
     t = sub.add_parser(
@@ -187,6 +187,10 @@ def main(argv: list[str] | None = None) -> int:
                                 threshold=args.quality_threshold)
         if args.max_ppl is not None:
             from .functions.lm import perplexity_filter, train_unigram_lm
+            # pin the (possibly expensive) upstream cleaning lineage:
+            # the self-referential LM training, the keep-side semi-join
+            # and the final write would each replay it otherwise
+            df = df.persist()
             ref = (spark.read.parquet(args.ppl_ref).select("content")
                    if args.ppl_ref else df.select("content"))
             vocab, oov = train_unigram_lm(ref, text_col="content",
@@ -199,6 +203,8 @@ def main(argv: list[str] | None = None) -> int:
                     .select(F.col("id").alias("doc_id")))
             df = df.join(keep, "doc_id", "left_semi")
         df.write.mode("overwrite").parquet(args.output)
+        if args.max_ppl is not None:
+            df.unpersist()   # embedded callers share the session
         out_df = spark.read.parquet(args.output)
         n_out, c_out = out_df.select(
             F.count("*"), F.coalesce(F.sum(F.length("content")),

@@ -90,6 +90,16 @@ def bpe_tokenize(text: str, ranks: "dict[tuple[str, str], int]",
     return out
 
 
+def _passthrough_schema(df: DataFrame, extra: str) -> str:
+    """mapInPandas output DDL = the input columns (backtick-escaped --
+    names with spaces/dashes must survive the DDL parse) + extra
+    fields. Shared by apply_bpe / tokens_to_ids so the escaping fix
+    lives once."""
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in df.schema.fields)
+    return f"{cols}, {extra}"
+
+
 def apply_bpe(df: DataFrame, merges: "list[tuple[str, str]]",
               text_col: str = "text", out_col: str = "bpe_tokens",
               memo_cap: int = 1 << 20) -> DataFrame:
@@ -105,10 +115,10 @@ def apply_bpe(df: DataFrame, merges: "list[tuple[str, str]]",
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     if len(ranks) != len(merges):
         raise ValueError("duplicate pairs in merges table")
-    passthrough = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                            for f in df.schema.fields)
-    schema = (f"{passthrough}, {out_col} array<string>, "
-              f"{out_col}_n int")
+    if out_col in df.columns or f"{out_col}_n" in df.columns:
+        raise ValueError(f"output column {out_col!r} already present")
+    schema = _passthrough_schema(
+        df, f"`{out_col}` array<string>, `{out_col}_n` int")
 
     def gen(batches):
         memo: "dict[str, list[str]]" = {}
@@ -263,9 +273,9 @@ def tokens_to_ids(df: DataFrame, vocab: DataFrame,
     to look up a dictionary that fits in executor memory)."""
     mapping = {r["token"]: int(r["id"]) for r in vocab.collect()}
 
-    passthrough = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                            for f in df.schema.fields)
-    schema = f"{passthrough}, {out_col} array<int>"
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already present")
+    schema = _passthrough_schema(df, f"`{out_col}` array<int>")
 
     def gen(batches):
         get = mapping.get

@@ -47,20 +47,29 @@ def train_unigram_lm(ref: DataFrame, text_col: str = "text",
     N and V are computed over the KEPT vocab so probabilities stay a
     proper distribution over vocab ∪ {OOV}.
     """
-    counts = (ref.select(F.explode(_tokens(text_col)).alias("token"))
-              .groupBy("token").agg(F.count("*").alias("c"))
-              .orderBy(F.desc("c"), F.asc("token")).limit(max_vocab))
-    tot = counts.agg(F.sum("c").alias("n"),
-                     F.count("*").alias("v")).collect()[0]
-    n, v = int(tot["n"] or 0), int(tot["v"] or 0)
-    denom = n + alpha * (v + 1)
-    if denom <= 0:
-        raise ValueError("reference slice has no tokens")
     import math
+
+    spark = ref.sparkSession
+    # ONE evaluation of the reference lineage: the count head is bounded
+    # by max_vocab, so collect it and rebuild the vocab as a local table
+    # — otherwise every consumer of the returned vocab (the scoring join,
+    # a keep-side semi-join, the final write) replays the whole upstream
+    # lineage to recompute the same counts (measured 3-4x in the clean
+    # CLI with a self-referential reference)
+    rows = (ref.select(F.explode(_tokens(text_col)).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("token")).limit(max_vocab)
+            .collect())
+    n = sum(int(r["c"]) for r in rows)
+    v = len(rows)
+    if n == 0:
+        raise ValueError("reference slice has no tokens — the LM would "
+                         "score every document identically")
+    denom = n + alpha * (v + 1)
     oov_logp = math.log(alpha / denom)
-    vocab = counts.select(
-        "token", F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))
-        .alias("logp"))
+    vocab = spark.createDataFrame(
+        [(r["token"], math.log((int(r["c"]) + alpha) / denom))
+         for r in rows], "token string, logp double")
     return vocab, oov_logp
 
 
@@ -77,11 +86,14 @@ def lm_perplexity(df: DataFrame, vocab: DataFrame, oov_logp: float,
               .groupBy("id")
               .agg(F.count("token").alias("n_tokens"),
                    F.avg(F.coalesce(F.col("logp"), F.lit(oov_logp)))
-                   .alias("avg_logp")))
+                   .alias("_al")))
+    # guard BOTH outputs on n_tokens: posexplode_outer emits one
+    # NULL-token row for an empty doc, whose coalesce would otherwise
+    # fabricate avg_logp = oov_logp for a doc that was never scored
+    al = F.when(F.col("n_tokens") > 0, F.col("_al"))
     return scored.select(
-        "id", "n_tokens", "avg_logp",
-        F.when(F.col("n_tokens") > 0,
-               F.exp(-F.col("avg_logp"))).alias("ppl"))
+        "id", "n_tokens", al.alias("avg_logp"),
+        F.exp(-al).alias("ppl"))
 
 
 def perplexity_filter(df: DataFrame, vocab: DataFrame, oov_logp: float,
