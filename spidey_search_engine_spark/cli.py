@@ -55,12 +55,19 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--sf-dir", default="/root/testdata/sf0.1")
 
     c = sub.add_parser(
-        "clean", help="training-corpus cleaning pipeline: substring-span "
-        "dedup -> line dedup -> PII redaction -> model quality gate -> "
-        "LM perplexity gate -> exact dedup (each stage optional); "
+        "clean", help="training-corpus cleaning pipeline: unicode "
+        "normalize -> substring-span dedup -> line dedup -> PII redaction "
+        "-> model quality gate -> LM perplexity gate -> exact dedup "
+        "(each stage optional); "
         "reads (doc_id, content), writes (doc_id, content)")
     c.add_argument("--input", required=True, help="corpus parquet dir")
     c.add_argument("--output", required=True)
+    c.add_argument("--normalize", default=None,
+                   choices=["NFC", "NFD", "NFKC", "NFKD"],
+                   help="unicode-normalize content (and strip C0/DEL "
+                        "control chars) BEFORE all other stages, so "
+                        "NFC/NFD variants of the same text dedupe "
+                        "together (stage off when unset)")
     c.add_argument("--substring-min-count", type=int, default=0,
                    help="excise runs occurring >= N times corpus-wide "
                         "(0 = stage off)")
@@ -167,6 +174,9 @@ def main(argv: list[str] | None = None) -> int:
         n_in, c_in = df.select(
             F.count("*"), F.coalesce(F.sum(F.length("content")),
                                      F.lit(0))).collect()[0]
+        if args.normalize:
+            from .functions.normalize import normalize_text
+            df = normalize_text(df, "content", form=args.normalize)
         if args.substring_min_count > 0:
             from .operators.dedup import substring_dedup
             df = substring_dedup(df, k=args.substring_k,

@@ -3139,3 +3139,50 @@ WITH toks AS (
 SELECT f.doc_id, f.pos::INT AS pos,
        coalesce(v.id, 0)::INT AS token_id
 FROM flat f LEFT JOIN vocab v USING (token)"""
+
+
+def normalize_docs(spark, sf_dir):
+    """P33 unicode normalization (functions/normalize.normalize_text):
+    plant decomposed-combining / control-char / compose-less suffixes onto
+    the ASCII synthetic corpus with a pure SQL-expressible concat (the
+    oracle replays the identical chr() planting), then NFC-normalize
+    (Arrow-batched, ASCII rows skipped inside the kernel) and strip
+    C0/DEL controls JVM-side. `changed` audits which rows the pass
+    touched: %4==0 composes e+U+0301 -> é, %4==1 loses two control bytes,
+    %4==2 keeps the compose-less e+U+030A but drops DEL, %4==3 is
+    untouched ASCII."""
+    from .functions.normalize import normalize_text
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 4
+    suffix = (F.when(m == 0, F.lit(" caf" + chr(101) + chr(769)))
+              .when(m == 1, F.lit(" x" + chr(1) + "y" + chr(31) + "z"))
+              .when(m == 2, F.lit(" e" + chr(778) + chr(127) + "q"))
+              .otherwise(F.lit("")))
+    d = d.withColumn("content", F.concat(F.col("text"), suffix))
+    out = normalize_text(d, "content", out_col="content_norm",
+                         form="NFC", with_changed=True)
+    return out.select("doc_id", "content_norm",
+                      F.col("content_norm_changed").alias("changed"))
+
+
+QUERIES["normalize_docs"] = normalize_docs
+
+
+def _duck_norm_oracle():
+    from .functions.normalize import duck_normalize_sql
+    norm = duck_normalize_sql("content")
+    return f"""
+WITH planted AS (
+  SELECT doc_id, text ||
+    CASE doc_id % 4
+      WHEN 0 THEN ' caf' || chr(101) || chr(769)
+      WHEN 1 THEN ' x' || chr(1) || 'y' || chr(31) || 'z'
+      WHEN 2 THEN ' e' || chr(778) || chr(127) || 'q'
+      ELSE '' END AS content
+  FROM documents)
+SELECT doc_id, {norm} AS content_norm,
+       (CASE WHEN {norm} <> content THEN 1 ELSE 0 END)::INT AS changed
+FROM planted"""
+
+
+ORACLE_SQL["normalize_docs"] = _duck_norm_oracle()
