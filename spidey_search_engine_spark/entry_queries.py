@@ -3186,3 +3186,55 @@ FROM planted"""
 
 
 ORACLE_SQL["normalize_docs"] = _duck_norm_oracle()
+
+
+def dedup_cluster_best(spark, sf_dir):
+    """P34 quality-aware canonical pick: same planted near-dup clusters as
+    dedup_cluster_assign, but the keep policy is argmax(content length,
+    ties -> min id) instead of min id — the planted near-dups carry an
+    appended suffix, so they are LONGER than their base doc and win the
+    pick, proving the policy actually diverges from min-id on this corpus.
+    One hash agg (struct-max) + one join back on cluster_id; no window,
+    no per-cluster sort (operators/dedup.dedup_clusters prefer_col path).
+    Oracle: recursive-CTE closure + row_number window replay."""
+    from .functions.hashing import poly_hash
+    from .operators.dedup import dedup_clusters, minhash_lsh_dedup
+    d = _planted_docs(spark, sf_dir).withColumnRenamed("text", "content")
+    pairs = minhash_lsh_dedup(d, num_hashes=8, bands=4, threshold=0.2,
+                              hash_expr=poly_hash, band_hash_expr=poly_hash)
+    d = d.withColumn("pref", F.length("content"))
+    return dedup_clusters(d, pairs, id_col="doc_id", prefer_col="pref")
+
+
+QUERIES["dedup_cluster_best"] = dedup_cluster_best
+
+ORACLE_SQL["dedup_cluster_best"] = f"""
+WITH RECURSIVE pairs AS ({ORACLE_SQL["minhash_lsh_pairs"]}),
+{_PLANTED_SQL_BODY},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+walk(id, label) AS (
+  SELECT doc_id, doc_id FROM planted
+  UNION
+  SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.id
+),
+clusters AS (
+  SELECT id AS doc_id, min(label)::BIGINT AS cluster_id
+  FROM walk GROUP BY id
+),
+scored AS (
+  SELECT c.doc_id, c.cluster_id, length(p.text) AS pref
+  FROM clusters c JOIN planted p USING (doc_id)
+),
+rn AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY pref DESC, doc_id ASC) AS r
+  FROM scored
+)
+SELECT doc_id, cluster_id,
+       (CASE WHEN r = 1 THEN 1 ELSE 0 END)::INT AS canon
+FROM rn"""

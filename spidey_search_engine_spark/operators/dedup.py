@@ -627,20 +627,53 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
 
 
 def dedup_clusters(df: DataFrame, pairs: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   prefer_col: str | None = None) -> DataFrame:
     """(id_col, cluster_id, canon) — assign every doc to its duplicate
     cluster (transitive closure of the pair list) and pick ONE canonical
-    representative per cluster: the minimum doc id, the deterministic
-    "keep" choice a training-data dedup pipeline applies. canon is int
-    (1 = keep, 0 = drop) for oracle-stable typing. Docs in no pair are
-    their own singleton cluster (canon = 1), so filtering canon = 1
-    yields exactly the deduplicated corpus."""
+    representative per cluster. canon is int (1 = keep, 0 = drop) for
+    oracle-stable typing. Docs in no pair are their own singleton cluster
+    (canon = 1), so filtering canon = 1 yields exactly the deduplicated
+    corpus.
+
+    Keep policy (P34): by default the minimum doc id — cheap and
+    replayable. With ``prefer_col`` (any numeric column of ``df``, e.g. a
+    quality-classifier score or content length) the canonical member is
+    instead the cluster's argmax of that column, ties to the lowest id —
+    what a real pipeline wants: when near-dups differ, keep the BEST copy,
+    not the accidentally-lowest-id one. NULL preference ranks below every
+    non-NULL value.
+
+    Scale shape of the prefer path: one hash aggregation per cluster
+    (argmax via struct-max — no per-cluster sort, no window, so a
+    pathological giant cluster costs a partial-aggregated max, not a
+    single-task sort) plus one join of the winner table back on
+    cluster_id.
+    """
     nodes = df.select(F.col(id_col).cast("long").alias("id"))
     comp = connected_components(pairs, nodes=nodes)
-    return comp.select(
-        F.col("id").alias(id_col),
-        F.col("label").alias("cluster_id"),
-        (F.col("label") == F.col("id")).cast("int").alias("canon"))
+    if prefer_col is None:
+        return comp.select(
+            F.col("id").alias(id_col),
+            F.col("label").alias("cluster_id"),
+            (F.col("label") == F.col("id")).cast("int").alias("canon"))
+    scored = comp.join(
+        df.select(F.col(id_col).cast("long").alias("id"),
+                  F.col(prefer_col).cast("double").alias("_pref")), "id")
+    # argmax(prefer, tie -> min id) as max(struct(prefer, -id)): struct
+    # comparison is lexicographic, so -id makes equal-preference ties
+    # resolve to the LOWEST id. coalesce pins NULL preference to -inf.
+    key = F.struct(
+        F.coalesce(F.col("_pref"), F.lit(float("-inf"))).alias("p"),
+        (-F.col("id")).alias("ni"))
+    winners = (scored.groupBy(F.col("label").alias("cluster_id"))
+               .agg(F.max(key).alias("_w"))
+               .select("cluster_id", (-F.col("_w.ni")).alias("_win")))
+    return (scored.withColumnRenamed("label", "cluster_id")
+            .join(winners, "cluster_id")
+            .select(F.col("id").alias(id_col), "cluster_id",
+                    (F.col("id") == F.col("_win")).cast("int")
+                    .alias("canon")))
 
 
 def exploded_lines(df: DataFrame, id_col: str = "doc_id",

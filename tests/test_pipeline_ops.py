@@ -1975,3 +1975,28 @@ def test_vocab_and_ids(spark):
         for i, t in zip(ids[d], toks[d]):
             assert (rev.get(i) == t) or (i == 0 and t not in v)
     assert 0 in ids[1]                                  # OOV hit
+
+
+def test_dedup_clusters_prefer_col_keeps_best(spark):
+    """P34 quality-aware canonical pick: prefer_col makes the cluster
+    argmax win (not the min id), ties resolve to the lowest id, NULL
+    preference ranks below every value, and singletons always keep."""
+    from spidey_search_engine_spark.operators.dedup import dedup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        # cluster {1,2,3}: 3 has the top score -> wins over min-id 1
+        # cluster {10,11}: tie on score -> lowest id 10 wins
+        # cluster {20,21}: 20 is NULL -> 21 wins despite higher id
+        # 30: singleton, NULL score, still canon=1
+        [(1, 0.2), (2, 0.5), (3, 0.9), (10, 1.0), (11, 1.0),
+         (20, None), (21, 0.1), (30, None)],
+        "doc_id long, q double")
+    out = {r["doc_id"]: (r["cluster_id"], r["canon"])
+           for r in dedup_clusters(docs, pairs, prefer_col="q").collect()}
+    assert out == {1: (1, 0), 2: (1, 0), 3: (1, 1),
+                   10: (10, 1), 11: (10, 0),
+                   20: (20, 0), 21: (20, 1), 30: (30, 1)}
+    # every cluster keeps exactly one member
+    kept = [d for d, (_, c) in out.items() if c == 1]
+    assert sorted(kept) == [3, 10, 21, 30]
