@@ -62,6 +62,11 @@ def main(argv: list[str] | None = None) -> int:
         "reads (doc_id, content), writes (doc_id, content)")
     c.add_argument("--input", required=True, help="corpus parquet dir")
     c.add_argument("--output", required=True)
+    c.add_argument("--audit", default=None, metavar="DIR",
+                   help="also write a (doc_id, stage) rejection trail: "
+                        "for every dropped document, the FIRST stage that "
+                        "rejected it (doc-dropping stages only — "
+                        "text-rewriting stages keep every doc)")
     c.add_argument("--normalize", default=None,
                    choices=["NFC", "NFD", "NFKC", "NFKD"],
                    help="unicode-normalize content (and strip C0/DEL "
@@ -174,6 +179,22 @@ def main(argv: list[str] | None = None) -> int:
         n_in, c_in = df.select(
             F.count("*"), F.coalesce(F.sum(F.length("content")),
                                      F.lit(0))).collect()[0]
+        # --audit bookkeeping: pin the input of every doc-dropping stage so
+        # the drop_log anti-join and the final write never replay upstream
+        # stages; all pins released after the writes.
+        audit_logs, pinned = [], []
+
+        def _pin_for_audit(cur):
+            if args.audit:
+                cur = cur.persist()
+                pinned.append(cur)
+            return cur
+
+        def _log_drops(prev, cur, stage):
+            if args.audit:
+                from .operators.audit import drop_log
+                audit_logs.append(drop_log(prev, cur, stage))
+
         if args.normalize:
             from .functions.normalize import normalize_text
             df = normalize_text(df, "content", form=args.normalize)
@@ -184,7 +205,9 @@ def main(argv: list[str] | None = None) -> int:
                                  min_count=args.substring_min_count)
         if args.line_max_docs > 0:
             from .operators.dedup import line_dedup
+            prev = df = _pin_for_audit(df)
             df = line_dedup(df, max_docs=args.line_max_docs)
+            _log_drops(prev, df, "line_dedup")
         if args.redact_pii:
             from .functions.redact import redact_pii
             df = df.select("doc_id", redact_pii("content").alias("content"))
@@ -193,34 +216,53 @@ def main(argv: list[str] | None = None) -> int:
                                                   quality_filter)
             w = (spark.read.parquet(args.weights) if args.weights
                  else deterministic_weights(spark, args.quality_dim))
+            prev = df = _pin_for_audit(df)
             df = quality_filter(df, w, args.quality_dim,
                                 threshold=args.quality_threshold)
+            _log_drops(prev, df, "quality")
         if args.max_ppl is not None:
             from .functions.lm import perplexity_filter, train_unigram_lm
             # pin the (possibly expensive) upstream cleaning lineage:
             # the self-referential LM training, the keep-side semi-join
             # and the final write would each replay it otherwise
-            df = df.persist()
+            prev = df = df.persist()
+            pinned.append(df)
             ref = (spark.read.parquet(args.ppl_ref).select("content")
                    if args.ppl_ref else df.select("content"))
             vocab, oov = train_unigram_lm(ref, text_col="content",
                                           max_vocab=args.ppl_vocab)
             df = perplexity_filter(df, vocab, oov, args.max_ppl,
                                    text_col="content")
+            _log_drops(prev, df, "perplexity")
         if args.exact_dedup:
             from .operators.dedup import exact_dedup
+            prev = df = _pin_for_audit(df)
             keep = (exact_dedup(df).filter(F.col("keep"))
                     .select(F.col("id").alias("doc_id")))
             df = df.join(keep, "doc_id", "left_semi")
+            _log_drops(prev, df, "exact_dedup")
         df.write.mode("overwrite").parquet(args.output)
-        if args.max_ppl is not None:
-            df.unpersist()   # embedded callers share the session
+        dropped = {}
+        if args.audit:
+            from .operators.audit import union_logs
+            log = union_logs(audit_logs)
+            if log is None:
+                log = spark.createDataFrame([], "doc_id long, stage string")
+            log.write.mode("overwrite").parquet(args.audit)
+            dropped = {r["stage"]: r["n"] for r in
+                       spark.read.parquet(args.audit).groupBy("stage")
+                       .agg(F.count("*").alias("n")).collect()}
+        for p_df in pinned:
+            p_df.unpersist()   # embedded callers share the session
         out_df = spark.read.parquet(args.output)
         n_out, c_out = out_df.select(
             F.count("*"), F.coalesce(F.sum(F.length("content")),
                                      F.lit(0))).collect()[0]
-        print(json.dumps({"docs_in": n_in, "docs_out": n_out,
-                          "chars_in": int(c_in), "chars_out": int(c_out)}))
+        stats = {"docs_in": n_in, "docs_out": n_out,
+                 "chars_in": int(c_in), "chars_out": int(c_out)}
+        if args.audit:
+            stats["dropped"] = dropped
+        print(json.dumps(stats))
     elif args.cmd == "prepare":
         import os
 

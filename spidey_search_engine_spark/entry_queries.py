@@ -3238,3 +3238,63 @@ rn AS (
 SELECT doc_id, cluster_id,
        (CASE WHEN r = 1 THEN 1 ELSE 0 END)::INT AS canon
 FROM rn"""
+
+
+def clean_audit_docs(spark, sf_dir):
+    """P35 rejection audit trail (operators/audit.drop_log): run a two-
+    stage cleaning chain — min-token gate (>= 15 tokens, same split as
+    training_corpus) then exact dedup (keep min id per content sha) — over
+    the planted corpus plus two identical TINY docs, and return the
+    (doc_id, stage) trail of every dropped document labeled with the FIRST
+    stage that rejected it. The tiny twins prove the first-stage
+    semantics: both fail the token gate, so both log 'min_tokens' and
+    NEITHER logs 'exact_dedup' even though they are also exact dupes; the
+    planted exact copies (+20000 ids) log 'exact_dedup'. Each log is one
+    left-anti join of stage-boundary id sets."""
+    from .functions.textstats import with_token_count
+    from .operators.audit import drop_log, union_logs
+    from .operators.dedup import exact_dedup
+    d = _planted_docs(spark, sf_dir).withColumnRenamed("text", "content")
+    tiny = spark.range(2).select(
+        (F.col("id") + 30000).alias("doc_id"),
+        F.lit("tiny dup doc").alias("content"))
+    d0 = d.unionByName(tiny)
+    d1 = (with_token_count(d0, "content")
+          .filter(F.col("n_tokens") >= 15).select("doc_id", "content"))
+    keep = (exact_dedup(d1).filter(F.col("keep"))
+            .select(F.col("id").alias("doc_id")))
+    d2 = d1.join(keep, "doc_id", "left_semi")
+    return union_logs([drop_log(d0, d1, "min_tokens"),
+                       drop_log(d1, d2, "exact_dedup")])
+
+
+QUERIES["clean_audit_docs"] = clean_audit_docs
+
+ORACLE_SQL["clean_audit_docs"] = f"""
+WITH {_PLANTED_SQL_BODY},
+corpus AS (
+  SELECT doc_id, text FROM planted
+  UNION ALL
+  SELECT 30000 + i, 'tiny dup doc'
+  FROM generate_series(0, 1) AS t(i)
+),
+toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM corpus
+),
+short AS (SELECT doc_id FROM toks WHERE n_tokens < 15),
+kept1 AS (
+  SELECT c.doc_id, c.text FROM corpus c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM short)
+),
+dups AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY sha256(text)
+                                      ORDER BY doc_id) AS r
+    FROM kept1) WHERE r > 1
+)
+SELECT doc_id, 'min_tokens' AS stage FROM short
+UNION ALL
+SELECT doc_id, 'exact_dedup' AS stage FROM dups"""

@@ -2000,3 +2000,53 @@ def test_dedup_clusters_prefer_col_keeps_best(spark):
     # every cluster keeps exactly one member
     kept = [d for d, (_, c) in out.items() if c == 1]
     assert sorted(kept) == [3, 10, 21, 30]
+
+
+def test_cli_clean_audit_trail(spark, tmp_path, capsys):
+    """P35 --audit: every dropped doc lands in the (doc_id, stage) trail
+    labeled with the FIRST stage that rejected it, per-stage counts ride
+    the stats line, and surviving docs are untouched by the bookkeeping."""
+    import json
+    from spidey_search_engine_spark.cli import main
+
+    rows = [(0, "shared banner line\nunique zero content"),
+            (1, "shared banner line\nunique one content"),
+            (2, "shared banner line"),          # banner-only -> line_dedup
+            (3, "dup body text"),
+            (4, "dup body text")]               # exact twin -> exact_dedup
+    src, dst, audit = (str(tmp_path / d) for d in ("in", "out", "audit"))
+    spark.createDataFrame(rows, "doc_id long, content string") \
+        .coalesce(1).write.parquet(src)
+    rc = main(["clean", "--input", src, "--output", dst,
+               "--line-max-docs", "2", "--exact-dedup", "--audit", audit])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_in"] == 5 and stats["docs_out"] == 3
+    assert stats["dropped"] == {"line_dedup": 1, "exact_dedup": 1}
+    trail = {r["doc_id"]: r["stage"]
+             for r in spark.read.parquet(audit).collect()}
+    assert trail == {2: "line_dedup", 4: "exact_dedup"}
+    out = {r["doc_id"]: r["content"]
+           for r in spark.read.parquet(dst).collect()}
+    # the banner line is stripped from survivors; doc 3 keeps its text
+    assert out == {0: "unique zero content", 1: "unique one content",
+                   3: "dup body text"}
+
+
+def test_cli_clean_audit_empty_when_nothing_drops(spark, tmp_path, capsys):
+    """--audit with only text-rewriting stages writes an EMPTY trail with
+    the contract schema (doc_id long, stage string)."""
+    import json
+    from spidey_search_engine_spark.cli import main
+
+    src, dst, audit = (str(tmp_path / d) for d in ("in", "out", "audit"))
+    spark.createDataFrame([(0, "plain body")], "doc_id long, content string") \
+        .coalesce(1).write.parquet(src)
+    rc = main(["clean", "--input", src, "--output", dst,
+               "--redact-pii", "--audit", audit])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["dropped"] == {}
+    log = spark.read.parquet(audit)
+    assert log.count() == 0
+    assert dict(log.dtypes) == {"doc_id": "bigint", "stage": "string"}
