@@ -3298,3 +3298,38 @@ dups AS (
 SELECT doc_id, 'min_tokens' AS stage FROM short
 UNION ALL
 SELECT doc_id, 'exact_dedup' AS stage FROM dups"""
+
+
+def corpus_report_docs(spark, sf_dir):
+    """P36 corpus statistics report (operators/report.corpus_report): per
+    (source, lang) slice — doc count, char/token totals, mean and exact
+    p50/p90 token quantiles — in ONE hash aggregation over the corpus scan
+    (no join/window; quantile state is bounded by DISTINCT doc lengths,
+    exact=False switches to the t-digest sketch for unbounded domains).
+    Oracle: DuckDB quantile_cont, the same linear interpolation as Spark's
+    exact percentile."""
+    from .operators.report import corpus_report
+    d = load_table(spark, sf_dir, "documents")
+    rep = corpus_report(d, group_cols=("source", "lang"), text_col="text")
+    return rep.select(
+        "source", "lang", "n_docs", "total_chars", "total_tokens",
+        _r(F.col("avg_tokens")).alias("avg_tokens_r"),
+        _r(F.col("q50_tokens")).alias("q50_tokens_r"),
+        _r(F.col("q90_tokens")).alias("q90_tokens_r"))
+
+
+QUERIES["corpus_report_docs"] = corpus_report_docs
+
+ORACLE_SQL["corpus_report_docs"] = """
+WITH toks AS (
+  SELECT source, lang, length(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> ''))::BIGINT AS n
+  FROM documents)
+SELECT source, lang, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(n)::BIGINT AS total_tokens,
+       round(avg(n), 6)::DOUBLE AS avg_tokens_r,
+       round(quantile_cont(n, 0.5), 6)::DOUBLE AS q50_tokens_r,
+       round(quantile_cont(n, 0.9), 6)::DOUBLE AS q90_tokens_r
+FROM toks GROUP BY source, lang"""

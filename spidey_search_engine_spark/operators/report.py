@@ -1,0 +1,57 @@
+"""Corpus statistics report (P36) — pipeline observability in one pass.
+
+Before and after every cleaning/dedup/mixing stage, a training-data
+pipeline needs the same dashboard: how many documents, characters, and
+tokens does each (source, lang) slice hold, and how are document lengths
+distributed? This operator computes that as ONE hash aggregation over the
+corpus scan — no joins, no window, map-side partial aggregation all the
+way — so it can be appended to any stage's lineage for the cost of a
+reduce over |groups| rows.
+
+Quantiles: ``exact=True`` (default, oracle-paired) uses Spark's exact
+``percentile`` — its per-group state is a value→count map, bounded by the
+number of DISTINCT token counts (document lengths), not row count, so it
+holds even at 10^12 docs unless lengths are unbounded. For a truly
+unbounded domain, ``exact=False`` switches to ``percentile_approx``
+(t-digest sketch, constant memory), the standard trade at 100 TB.
+
+The reference has a one-row analog (Indexer.java keeps global doc-count /
+avg-length stats for BM25); this generalizes it to the grouped report the
+training-data family needs (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import with_token_count
+
+
+def corpus_report(df: DataFrame, group_cols: Sequence[str] = ("source",),
+                  text_col: str = "text",
+                  quantiles: Sequence[float] = (0.5, 0.9),
+                  exact: bool = True) -> DataFrame:
+    """(group_cols..., n_docs, total_chars, total_tokens, avg_tokens,
+    q<NN>_tokens...) — one row per group, one aggregation job.
+
+    ``avg_tokens`` and the quantiles are doubles; quantile columns are
+    named ``q50_tokens``-style from the requested fractions.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    toks = with_token_count(df, text_col, out="_n_tokens")
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(F.length(text_col)), F.lit(0)).alias("total_chars"),
+        F.coalesce(F.sum("_n_tokens"), F.lit(0)).alias("total_tokens"),
+        F.avg("_n_tokens").alias("avg_tokens"),
+    ]
+    for q in quantiles:
+        name = f"q{int(round(q * 100)):02d}_tokens"
+        col = (F.percentile("_n_tokens", F.lit(q)) if exact
+               else F.percentile_approx("_n_tokens", F.lit(q)))
+        aggs.append(col.cast("double").alias(name))
+    return toks.groupBy(*group_cols).agg(*aggs)

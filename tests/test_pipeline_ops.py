@@ -2050,3 +2050,28 @@ def test_cli_clean_audit_empty_when_nothing_drops(spark, tmp_path, capsys):
     log = spark.read.parquet(audit)
     assert log.count() == 0
     assert dict(log.dtypes) == {"doc_id": "bigint", "stage": "string"}
+
+
+def test_corpus_report_grouped_quantiles(spark):
+    """P36 corpus report: one-row-per-group totals and exact interpolated
+    quantiles; approx mode stays within the value range; empty group_cols
+    rejected."""
+    import pytest as _pytest
+    from spidey_search_engine_spark.operators.report import corpus_report
+    # group (a): token counts 1,2,3,4 -> p50 = 2.5, p90 = 3.7 (linear
+    # interpolation at rank p*(n-1)); group (b): single 2-token doc
+    rows = [("a", "one"), ("a", "one two"), ("a", "one two three"),
+            ("a", "one two three four"), ("b", "solo doc")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in corpus_report(df).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["total_tokens"], a["avg_tokens"]) == (4, 10, 2.5)
+    assert a["total_chars"] == sum(len(t) for s, t in rows if s == "a")
+    assert (a["q50_tokens"], a["q90_tokens"]) == (2.5, 3.7)
+    assert (b["n_docs"], b["q50_tokens"], b["q90_tokens"]) == (1, 2.0, 2.0)
+    # sketch mode: discrete values from the data, same single-doc answer
+    approx = {r["source"]: r for r in corpus_report(df, exact=False).collect()}
+    assert approx["a"]["q50_tokens"] in (2.0, 3.0)
+    assert approx["b"]["q90_tokens"] == 2.0
+    with _pytest.raises(ValueError):
+        corpus_report(df, group_cols=())
