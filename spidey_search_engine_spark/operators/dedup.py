@@ -657,9 +657,13 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
             F.col("id").alias(id_col),
             F.col("label").alias("cluster_id"),
             (F.col("label") == F.col("id")).cast("int").alias("canon"))
+    # scored feeds BOTH the winner aggregation and the output join; pin it
+    # so df's upstream lineage (often an expensive quality-score pipeline)
+    # is computed once, mirroring connected_components' checkpointing.
     scored = comp.join(
         df.select(F.col(id_col).cast("long").alias("id"),
-                  F.col(prefer_col).cast("double").alias("_pref")), "id")
+                  F.col(prefer_col).cast("double").alias("_pref")), "id"
+    ).localCheckpoint(eager=False)
     # argmax(prefer, tie -> min id) as max(struct(prefer, -id)): struct
     # comparison is lexicographic, so -id makes equal-preference ties
     # resolve to the LOWEST id. coalesce pins NULL preference to -inf.

@@ -42,16 +42,30 @@ def corpus_report(df: DataFrame, group_cols: Sequence[str] = ("source",),
     """
     if not group_cols:
         raise ValueError("group_cols must name at least one column")
+    names = []
+    for q in quantiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        # %g keeps sub-percent precision (0.999 -> q99_9, not q100 = max)
+        names.append(f"q{q * 100:g}_tokens".replace(".", "_"))
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantiles {tuple(quantiles)} produce duplicate "
+                         f"column names {names}")
     toks = with_token_count(df, text_col, out="_n_tokens")
-    aggs = [
+    # One percentile aggregate over an array of fractions shares a single
+    # per-group value->count map (or one t-digest) across all requested
+    # quantiles, instead of N independent states.
+    q_arr = F.array(*[F.lit(float(q)) for q in quantiles])
+    q_agg = (F.percentile("_n_tokens", q_arr) if exact
+             else F.percentile_approx("_n_tokens", q_arr))
+    rep = toks.groupBy(*group_cols).agg(
         F.count("*").alias("n_docs"),
         F.coalesce(F.sum(F.length(text_col)), F.lit(0)).alias("total_chars"),
         F.coalesce(F.sum("_n_tokens"), F.lit(0)).alias("total_tokens"),
         F.avg("_n_tokens").alias("avg_tokens"),
-    ]
-    for q in quantiles:
-        name = f"q{int(round(q * 100)):02d}_tokens"
-        col = (F.percentile("_n_tokens", F.lit(q)) if exact
-               else F.percentile_approx("_n_tokens", F.lit(q)))
-        aggs.append(col.cast("double").alias(name))
-    return toks.groupBy(*group_cols).agg(*aggs)
+        q_agg.alias("_qs"),
+    )
+    q_cols = [F.col("_qs")[i].cast("double").alias(name)
+              for i, name in enumerate(names)]
+    return rep.select(*group_cols, "n_docs", "total_chars", "total_tokens",
+                      "avg_tokens", *q_cols)

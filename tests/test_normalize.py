@@ -70,7 +70,6 @@ def test_duckdb_parity_full_pipeline(spark):
                                "id long, content string")
     got = {r["id"]: r["n"] for r in df.select(
         "id", normalize_expr(F.col("content")).alias("n")).collect()}
-    sql = f"SELECT {duck_normalize_sql('?')} "
     for i, s in enumerate(CASES):
         want = con.execute(f"SELECT {duck_normalize_sql('$1')}",
                            {"1": s}).fetchone()[0]

@@ -2075,3 +2075,11 @@ def test_corpus_report_grouped_quantiles(spark):
     assert approx["b"]["q90_tokens"] == 2.0
     with _pytest.raises(ValueError):
         corpus_report(df, group_cols=())
+    # sub-percent fractions keep distinct labels instead of rounding into
+    # a collision (0.999 must not alias q100 = max)
+    sub = corpus_report(df, quantiles=(0.999, 1.0)).columns
+    assert "q99_9_tokens" in sub and "q100_tokens" in sub
+    with _pytest.raises(ValueError, match="duplicate"):
+        corpus_report(df, quantiles=(0.5, 0.5))
+    with _pytest.raises(ValueError, match="outside"):
+        corpus_report(df, quantiles=(1.5,))
