@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--n-buckets", type=int, default=1024)
     b.add_argument("--resumable", action="store_true")
     b.add_argument("--chunk-segments", type=int, default=16)
+    b.add_argument("--fuzzy-index", action="store_true",
+                   help="also materialize the SymSpell delete-neighborhood "
+                        "index under <output>/fuzzy for `query --fuzzy`")
+    b.add_argument("--fuzzy-buckets", type=int, default=64)
 
     q = sub.add_parser("query", help="top-k search")
     q.add_argument("--index", required=True)
@@ -50,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="reference-parity ranker instead of BM25")
     q.add_argument("--pruned", action="store_true",
                    help="block-max pruned BM25 path")
+    q.add_argument("--fuzzy", action="store_true",
+                   help="correct out-of-dictionary query terms via the "
+                        "SymSpell index (<index>/fuzzy if materialized, "
+                        "else derived inline) before BM25 scoring")
 
     s = sub.add_parser("bench", help="run bench.py suite")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -127,6 +135,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.k is not None and args.k <= 0:
             p.error(f"--k must be a positive integer (got {args.k})")
         args.k = args.k if args.k is not None else (20 if args.parity else 10)
+        if args.fuzzy and (args.parity or args.pruned):
+            p.error("--fuzzy is supported on the default BM25 path only")
 
     from pyspark.sql import SparkSession
 
@@ -150,6 +160,15 @@ def main(argv: list[str] | None = None) -> int:
             stats = build_index(spark, corpus, args.output,
                                 profile=args.profile, seg_bits=args.seg_bits,
                                 n_buckets=args.n_buckets)
+        if args.fuzzy_index:
+            import os
+
+            from .operators.build import load_index
+            from .operators.fuzzy import write_deletion_index
+            write_deletion_index(load_index(spark, args.output)["terms"],
+                                 os.path.join(args.output, "fuzzy"),
+                                 n_buckets=args.fuzzy_buckets)
+            stats["fuzzy_buckets"] = args.fuzzy_buckets
         print(json.dumps(stats))
     elif args.cmd == "query":
         from .operators.build import load_index
@@ -162,6 +181,51 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.wand import bm25_topk_pruned
             rows = bm25_topk_pruned(spark, index, args.q,
                                     k=args.k).collect()
+        elif args.fuzzy:
+            import os
+
+            from pyspark.sql import functions as F
+
+            from .functions.analysis import analyze_query
+            from .operators.fuzzy import (build_deletion_index,
+                                          correct_tokens,
+                                          load_deletion_index)
+            from .operators.search import bm25_scores, query_term_postings
+            fuzzy_dir = os.path.join(args.index, "fuzzy")
+            if os.path.exists(os.path.join(fuzzy_dir, "meta.json")):
+                fz = load_deletion_index(spark, fuzzy_dir)
+            else:
+                # inline fallback: correct but unpruned (no materialized
+                # bucket partitions) — `build --fuzzy-index` is the scale
+                # path
+                print("fuzzy index not materialized; deriving inline "
+                      "(run build --fuzzy-index)", file=sys.stderr)
+                fz = {"variants": build_deletion_index(
+                    index["terms"], n_buckets=64), "max_del": 1,
+                    "n_buckets": 64}
+            q_terms, phrases = analyze_query(args.q)
+            for ph in phrases:
+                q_terms.extend(ph)
+            known = {r["term"] for r in index["terms"].filter(
+                F.col("term").isin(list(set(q_terms))))
+                .select("term").collect()} if q_terms else set()
+            fixes = correct_tokens(fz["variants"], q_terms, known,
+                                   n_buckets=fz["n_buckets"],
+                                   index_max_del=fz["max_del"])
+            if fixes:
+                print(json.dumps({"corrected": fixes}))
+            q_terms = [fixes.get(t, t) for t in q_terms]
+            if q_terms:
+                posting_rows = query_term_postings(
+                    index["postings"], q_terms,
+                    int(index["stats"]["n_buckets"]))
+                scores = bm25_scores(posting_rows, index["terms"],
+                                     float(index["stats"]["avgdl"]),
+                                     q_terms, index.get("idf_cache"))
+                rows = (scores.orderBy(F.desc("score"), F.asc("doc_id"))
+                        .limit(args.k).collect())
+            else:
+                rows = []
         else:
             from .operators.search import bm25_topk
             rows = bm25_topk(spark, index, args.q, k=args.k).collect()

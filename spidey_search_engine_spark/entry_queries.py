@@ -3333,3 +3333,47 @@ SELECT source, lang, count(*)::BIGINT AS n_docs,
        round(quantile_cont(n, 0.5), 6)::DOUBLE AS q50_tokens_r,
        round(quantile_cont(n, 0.9), 6)::DOUBLE AS q90_tokens_r
 FROM toks GROUP BY source, lang"""
+
+
+def fuzzy_term_lookup(spark, sf_dir):
+    """P37 SymSpell fuzzy dictionary lookup (operators/fuzzy.py): top-5
+    terms within levenshtein 1 of each (typo'd) query token, ranked
+    (dist ASC, df DESC, term ASC), served from the MATERIALIZED
+    bucket-partitioned delete-neighborhood index — one equi-join probe
+    with partition pruning, never a full-vocabulary distance scan. The
+    reference has no typo tolerance (QueryRepository.java:14-15 is
+    prefix-LIKE only); this is the gap-closing operator. Oracle: DuckDB
+    brute-force levenshtein over the full dfreq vocabulary — equality
+    proves the SymSpell neighborhood join is COMPLETE at distance 1."""
+    from .operators.fuzzy import (fuzzy_lookup, load_deletion_index,
+                                  write_deletion_index)
+    idx = entry_index(spark, sf_dir)
+    out = entry_index_dir(sf_dir) + "_fuzzy"
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        write_deletion_index(idx["terms"], out, max_del=1, n_buckets=16)
+    fz = load_deletion_index(spark, out)
+    # engineered over the sf vocab: multi-candidate typos (hast -> fast
+    # AND hash; sart -> part AND sort; spart -> part AND spark; ag -> a
+    # AND agg), one exact hit (scan, dist 0) and one miss (zzz, absent)
+    toks = ["hast", "sart", "spart", "ag", "merg", "scan", "zzz"]
+    return fuzzy_lookup(fz["variants"], toks, n_buckets=fz["n_buckets"],
+                        index_max_del=fz["max_del"], max_d=1, k=5)
+
+
+QUERIES["fuzzy_term_lookup"] = fuzzy_term_lookup
+
+ORACLE_SQL["fuzzy_term_lookup"] = _BASE_CTES + """,
+fq(q) AS (VALUES ('hast'), ('sart'), ('spart'), ('ag'), ('merg'),
+                 ('scan'), ('zzz')),
+cand AS (
+  SELECT fq.q, dfreq.term,
+         levenshtein(fq.q, dfreq.term)::INT AS dist, dfreq.df
+  FROM fq CROSS JOIN dfreq
+  WHERE levenshtein(fq.q, dfreq.term) <= 1
+)
+SELECT q, term, dist, df, rk FROM (
+  SELECT q, term, dist, df,
+         row_number() OVER (PARTITION BY q
+                            ORDER BY dist ASC, df DESC, term ASC)::INT AS rk
+  FROM cand
+) WHERE rk <= 5"""

@@ -1,0 +1,190 @@
+"""P37 SymSpell fuzzy term lookup: Column/python variant lockstep, brute
+force equivalence, completeness at distance 1, write/load round trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spidey_search_engine_spark.operators.fuzzy import (
+    build_deletion_index, correct_tokens, deletion_variants, fuzzy_lookup,
+    load_deletion_index, py_deletion_variants, write_deletion_index)
+
+EDGE = ["", "a", "ab", "abc", "abca", "mergesort", "x" * 40, "héllo", "a_b0"]
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize("max_del", [0, 1, 2])
+def test_variants_column_matches_python(spark, max_del):
+    df = spark.createDataFrame([(s,) for s in EDGE], "s string")
+    got = {r["s"]: sorted(r["v"]) for r in df.select(
+        "s", deletion_variants(F.col("s"), max_del).alias("v")).collect()}
+    for s in EDGE:
+        assert got[s] == py_deletion_variants(s, max_del), (s, max_del)
+
+
+def test_variants_edge_shapes():
+    assert py_deletion_variants("", 1) == [""]
+    assert py_deletion_variants("a", 1) == ["", "a"]
+    assert set(py_deletion_variants("ab", 1)) == {"ab", "a", "b"}
+    # distance-2 neighborhood of "abc" includes every single char
+    assert {"a", "b", "c"} <= set(py_deletion_variants("abc", 2))
+
+
+VOCAB = [("merge", 40), ("merges", 25), ("merged", 10), ("mage", 3),
+         ("sort", 50), ("sorts", 20), ("fort", 5), ("data", 60),
+         ("dates", 8), ("scan", 30), ("scans", 12), ("span", 9),
+         ("a", 2), ("ab", 4)]
+
+
+@pytest.fixture(scope="module")
+def del_idx(spark):
+    terms = spark.createDataFrame(VOCAB, "term string, df long")
+    return build_deletion_index(terms, max_del=1, n_buckets=8)
+
+
+def _brute(tokens, max_d, k):
+    want = {}
+    for q in tokens:
+        cand = [(d, -df, t) for t, df in VOCAB
+                if (d := _levenshtein(q, t)) <= max_d]
+        want[q] = [(t, d, ndf, i + 1)
+                   for i, (d, ndf, t) in enumerate(sorted(cand)[:k])]
+    return want
+
+
+def test_fuzzy_lookup_equals_brute_force(spark, del_idx):
+    tokens = ["merg", "sortt", "dsta", "scan", "spam", "zzz", "b"]
+    got = fuzzy_lookup(del_idx, tokens, n_buckets=8, max_d=1, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q"], []).append(
+            (r["term"], r["dist"], -r["df"], r["rk"]))
+    for q in by_q:
+        by_q[q].sort(key=lambda x: x[3])
+    want = {q: v for q, v in _brute(tokens, 1, 3).items() if v}
+    assert by_q == want
+    assert "zzz" not in by_q  # nothing within distance 1
+
+
+def test_fuzzy_completeness_distance1(spark, del_idx):
+    # every vocab term within levenshtein 1 of the probe MUST be found
+    # (SymSpell guarantee) — k large enough to not truncate
+    got = {r["term"] for r in
+           fuzzy_lookup(del_idx, ["scan"], n_buckets=8, max_d=1,
+                        k=100).collect()}
+    want = {t for t, _ in VOCAB if _levenshtein("scan", t) <= 1}
+    assert got == want and "span" in got
+
+
+def test_max_d_exceeding_index_raises(del_idx):
+    with pytest.raises(ValueError, match="exceeds"):
+        fuzzy_lookup(del_idx, ["merg"], n_buckets=8, index_max_del=1,
+                     max_d=2)
+
+
+def test_correct_tokens_semantics(spark, del_idx):
+    known = {t for t, _ in VOCAB}
+    fixed = correct_tokens(del_idx, ["merg", "sort", "zzz"], known,
+                           n_buckets=8)
+    # "sort" is a dictionary hit -> untouched; "zzz" has no candidate
+    assert fixed == {"merg": "merge"}
+    # empty-token-list and all-known short-circuit without a Spark job
+    assert correct_tokens(del_idx, [], known, n_buckets=8) == {}
+    assert correct_tokens(del_idx, ["sort"], known, n_buckets=8) == {}
+
+
+def test_write_load_round_trip(spark, tmp_path):
+    terms = spark.createDataFrame(VOCAB, "term string, df long")
+    out = str(tmp_path / "fuzzy")
+    write_deletion_index(terms, out, max_del=1, n_buckets=8)
+    idx = load_deletion_index(spark, out)
+    assert idx["max_del"] == 1 and idx["n_buckets"] == 8
+    got = fuzzy_lookup(idx["variants"], ["merg"],
+                       n_buckets=idx["n_buckets"],
+                       index_max_del=idx["max_del"], k=2).collect()
+    assert [r["term"] for r in sorted(got, key=lambda r: r["rk"])] == \
+        ["merge"]  # "merges"/"merged" are distance 2 — correctly absent
+    # the probe plan prunes on the partition column
+    plan = fuzzy_lookup(idx["variants"], ["merg"],
+                        n_buckets=idx["n_buckets"],
+                        index_max_del=idx["max_del"],
+                        k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "vbucket" in plan
+
+
+def test_cli_fuzzy_query(spark, tmp_path, capsys):
+    """build --fuzzy-index materializes the SymSpell index; query --fuzzy
+    corrects the OOV typo and returns exactly the corrected query's
+    results; without a materialized index the inline fallback matches."""
+    import json
+
+    from spidey_search_engine_spark.cli import main
+
+    rows = [(i, f"merge sort data fast scan doc{i} " +
+             ("merge merge" if i < 2 else "sort"),
+             f"src/f{i}.py", "r/r", "c0", "py")
+            for i in range(6)]
+    src = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        rows, "doc_id long, content string, path string, repo string, "
+              "commit string, lang string") \
+        .coalesce(2).write.parquet(src)
+    rc = main(["build", "--input", src, "--output", idx,
+               "--profile", "code", "--seg-bits", "4",
+               "--n-buckets", "4", "--fuzzy-index", "--fuzzy-buckets", "8"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["fuzzy_buckets"] == 8
+
+    # "merj" analyzes to the OOV stem "merj", distance 1 from the
+    # dictionary's stemmed "merg" (code profile stems merge -> merg)
+    rc = main(["query", "--index", idx, "--q", "merj", "--k", "3",
+               "--fuzzy"])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[0] == {"corrected": {"merj": "merg"}}
+    fuzzy_hits = [(r["doc_id"], round(r["score"], 9)) for r in lines[1:]]
+
+    rc = main(["query", "--index", idx, "--q", "merge", "--k", "3"])
+    assert rc == 0
+    exact_hits = [(r["doc_id"], round(r["score"], 9)) for r in
+                  (json.loads(ln) for ln in
+                   capsys.readouterr().out.strip().splitlines())]
+    assert fuzzy_hits == exact_hits and len(fuzzy_hits) == 3
+
+    # inline fallback: same answer without the materialized index
+    import shutil
+    shutil.rmtree(str(tmp_path / "idx" / "fuzzy"))
+    rc = main(["query", "--index", idx, "--q", "merj", "--k", "3",
+               "--fuzzy"])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[0] == {"corrected": {"merj": "merg"}}
+    assert [(r["doc_id"], round(r["score"], 9))
+            for r in lines[1:]] == exact_hits
+
+    # an in-dictionary query is untouched (no corrected line)
+    rc = main(["query", "--index", idx, "--q", "sort", "--k", "2",
+               "--fuzzy"])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert "corrected" not in lines[0]
+
+    # --fuzzy with --parity / --pruned is rejected up front
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["query", "--index", idx, "--q", "merj", "--fuzzy",
+              "--parity"])
