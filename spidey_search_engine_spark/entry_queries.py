@@ -3377,3 +3377,36 @@ SELECT q, term, dist, df, rk FROM (
                             ORDER BY dist ASC, df DESC, term ASC)::INT AS rk
   FROM cand
 ) WHERE rk <= 5"""
+
+
+def vocab_coverage_terms(spark, sf_dir):
+    """P38 vocabulary coverage curve (operators/report.vocab_coverage)
+    over the REAL index dictionary's collection frequencies: token mass
+    covered by the top-r terms at tokenizer-sizing ranks, computed via
+    frequency-class aggregation + interpolation (state bounded by
+    distinct counts, never a |V|-row global sort). Sizes split tie
+    classes (the sf0.01 vocab has large equal-cf classes) and overshoot
+    |V| (clamp). Oracle: DuckDB per-term row_number ranking — equality
+    proves the class interpolation exact and tie-order invariant."""
+    from .operators.report import vocab_coverage
+    idx = entry_index(spark, sf_dir)
+    cov = vocab_coverage(idx["terms"], [1, 5, 10, 31, 100], count_col="cf")
+    return cov.select("vocab_size", "covered_tokens", "total_tokens",
+                      _r(F.col("coverage")).alias("coverage_r"))
+
+
+QUERIES["vocab_coverage_terms"] = vocab_coverage_terms
+
+ORACLE_SQL["vocab_coverage_terms"] = _BASE_CTES + """,
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cf DESC, term) AS rn,
+         sum(cf) OVER (ORDER BY cf DESC, term
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+  FROM dfreq
+),
+tot AS (SELECT count(*)::BIGINT AS nt, sum(cf)::BIGINT AS total FROM dfreq),
+sz(s) AS (VALUES (1), (5), (10), (31), (100))
+SELECT s::BIGINT AS vocab_size, r.cum AS covered_tokens,
+       tot.total AS total_tokens,
+       round(r.cum::DOUBLE / tot.total, 6)::DOUBLE AS coverage_r
+FROM sz CROSS JOIN tot JOIN ranked r ON r.rn = least(sz.s, tot.nt)"""

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textstats import with_token_count
@@ -69,3 +69,61 @@ def corpus_report(df: DataFrame, group_cols: Sequence[str] = ("source",),
               for i, name in enumerate(names)]
     return rep.select(*group_cols, "n_docs", "total_chars", "total_tokens",
                       "avg_tokens", *q_cols)
+
+
+def vocab_coverage(term_counts: DataFrame, sizes: Sequence[int],
+                   count_col: str = "cf") -> DataFrame:
+    """P38 vocabulary coverage curve: for each requested vocabulary size r,
+    the token mass covered by the r most frequent terms — the number a
+    tokenizer-sizing decision (BPE vocab, head-vocab LM filters, OOV
+    budgets) actually needs.
+
+    Scale design: NEVER rank the vocabulary term-by-term (a 10^8-row
+    global sort whose window runs in one task). Instead aggregate terms
+    into frequency CLASSES — groupBy(count) → (n_terms, tokens) — whose
+    cardinality is bounded by the number of DISTINCT counts (Zipf: tiny
+    versus |V|), run the cumulative window over classes, and interpolate
+    rank r inside its class: covered(r) = cum_tokens_before + (r -
+    cum_terms_before) * count. Terms inside a class are interchangeable
+    (identical count), so the result is EXACT and independent of tie
+    order — the same bounded-state trick corpus_report uses for exact
+    percentiles. Sizes beyond |V| clamp to full coverage.
+
+    Input is any (term, count) table — the index dictionary's `cf` column
+    drops straight in. Output: (vocab_size, covered_tokens, total_tokens,
+    coverage) per requested size.
+    """
+    sizes = [int(s) for s in sizes]
+    if not sizes or any(s < 1 for s in sizes):
+        raise ValueError(f"sizes must be positive integers, got {sizes}")
+    if len(set(sizes)) != len(sizes):
+        raise ValueError(f"duplicate sizes {sizes}")
+    classes = (term_counts
+               .groupBy(F.col(count_col).cast("long").alias("c"))
+               .agg(F.count("*").alias("n_terms"))
+               .withColumn("tokens", F.col("c") * F.col("n_terms")))
+    w = (Window.orderBy(F.desc("c"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (classes
+           .withColumn("cum_terms", F.sum("n_terms").over(w))
+           .withColumn("cum_tokens", F.sum("tokens").over(w))
+           .withColumn("total_terms",
+                       F.sum("n_terms").over(Window.partitionBy()))
+           .withColumn("total_tokens",
+                       F.sum("tokens").over(Window.partitionBy())))
+    req = (term_counts.sparkSession
+           .createDataFrame([(s,) for s in sizes], "vocab_size long"))
+    r_eff = F.least(F.col("vocab_size"), F.col("total_terms"))
+    out = (cum.join(F.broadcast(req),
+                    (r_eff > F.col("cum_terms") - F.col("n_terms"))
+                    & (r_eff <= F.col("cum_terms")))
+           .withColumn("covered_tokens",
+                       F.col("cum_tokens") - F.col("tokens")
+                       + (r_eff - (F.col("cum_terms") - F.col("n_terms")))
+                       * F.col("c")))
+    return (out.select(
+        "vocab_size", "covered_tokens", "total_tokens",
+        F.try_divide(F.col("covered_tokens").cast("double"),
+                     F.col("total_tokens").cast("double"))
+        .alias("coverage"))
+        .orderBy("vocab_size"))

@@ -2083,3 +2083,45 @@ def test_corpus_report_grouped_quantiles(spark):
         corpus_report(df, quantiles=(0.5, 0.5))
     with _pytest.raises(ValueError, match="outside"):
         corpus_report(df, quantiles=(1.5,))
+
+
+def test_vocab_coverage(spark):
+    """P38: class-interpolated coverage equals the brute-force per-term
+    ranking, including sizes splitting a tie class and the |V| clamp."""
+    from spidey_search_engine_spark.operators.report import vocab_coverage
+    counts = [100, 50, 50, 50, 10, 10, 1]
+    df = spark.createDataFrame(
+        [(f"t{i}", c) for i, c in enumerate(counts)], "term string, cf long")
+    got = {r["vocab_size"]: (r["covered_tokens"], r["total_tokens"],
+                             round(r["coverage"], 9))
+           for r in vocab_coverage(df, [1, 2, 4, 6, 7, 100]).collect()}
+    total = sum(counts)
+    srt = sorted(counts, reverse=True)
+    for r in [1, 2, 4, 6, 7, 100]:
+        cov = sum(srt[:min(r, len(srt))])
+        assert got[r] == (cov, total, round(cov / total, 9)), r
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        vocab_coverage(df, [])
+    with _pytest.raises(ValueError, match="positive"):
+        vocab_coverage(df, [0, 5])
+    with _pytest.raises(ValueError, match="duplicate"):
+        vocab_coverage(df, [5, 5])
+
+
+def test_vocab_coverage_random_property(spark):
+    """Random tied counts: class interpolation == explicit sorted prefix
+    at every rank 1..|V|."""
+    import random
+    from spidey_search_engine_spark.operators.report import vocab_coverage
+    rng = random.Random(11)
+    counts = [rng.choice([1, 2, 3, 5, 5, 8, 13, 13, 13, 40])
+              for _ in range(37)]
+    df = spark.createDataFrame(
+        [(f"w{i}", c) for i, c in enumerate(counts)], "term string, cf long")
+    sizes = list(range(1, len(counts) + 1))
+    got = {r["vocab_size"]: r["covered_tokens"]
+           for r in vocab_coverage(df, sizes).collect()}
+    srt = sorted(counts, reverse=True)
+    want = {r: sum(srt[:r]) for r in sizes}
+    assert got == want
