@@ -349,6 +349,28 @@ def main() -> None:
         "after the kernel (seq/pos are computed inside it).",
         capture(pk)))
 
+    # P37 fuzzy probe: the delete-neighborhood index is probed like the
+    # postings store — partition pruning on the variant bucket, then an
+    # equi-join against the handful of query-token variants
+    from spidey_search_engine_spark.operators.fuzzy import (
+        fuzzy_lookup, load_deletion_index, write_deletion_index)
+    fz_dir = EQ.entry_index_dir(sf_dir) + "_fuzzy"
+    if not os.path.exists(os.path.join(fz_dir, "meta.json")):
+        write_deletion_index(idx["terms"], fz_dir, max_del=1, n_buckets=16)
+    fz = load_deletion_index(spark, fz_dir)
+    fl = fuzzy_lookup(fz["variants"], ["merg"], n_buckets=fz["n_buckets"],
+                      index_max_del=fz["max_del"], k=5)
+    sections.append((
+        "SymSpell fuzzy probe (P37): partition-pruned variant lookup",
+        "Look for: PartitionFilters `vbucket IN (...)` (only the buckets "
+        "the query token's <=5 deletion variants hash to are read) plus "
+        "PushedFilters `variant IN (...)` on the index scan, a "
+        "BroadcastHashJoin against the tiny LocalTableScan of query "
+        "variants, the levenshtein verify as a plain JVM Filter, and the "
+        "per-token top-k as a WindowGroupLimit-capped window — no "
+        "full-vocabulary scan anywhere in the tree.",
+        capture(fl)))
+
     out = ["# PLANS — physical-plan evidence (generated by "
            "scripts/capture_plans.py)", ""]
     for title, what, plan in sections:
