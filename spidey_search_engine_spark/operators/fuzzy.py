@@ -114,7 +114,18 @@ def write_deletion_index(terms_df: DataFrame, out_dir: str,
     file per bucket dir, the measured 64x small-file explosion)."""
     idx = build_deletion_index(terms_df, term_col, df_col, max_del,
                                n_buckets)
+    # sortWithinPartitions leads with the partition column (required — the
+    # writer re-sorts by it anyway) THEN variant, so each parquet file is
+    # variant-ordered and the probe's `variant IN (...)` pushdown skips on
+    # min/max stats. Measured effect is modest at 2.4M terms (probe p50
+    # 0.66s unsorted → 0.58s sorted; smaller row groups add nothing) —
+    # probe latency there is multi-stage fixed overhead, not IO. The
+    # design claim that matters is probe ≈ flat in |V| vs brute-force
+    # levenshtein linear in |V|: measured 2.4M→9.6M synth vocabulary the
+    # probe goes 0.70→0.86s while brute goes 0.49→1.49s (probe wins 1.73x
+    # at 9.6M and the gap widens; scripts/bench_fuzzy.py, BENCH_FUZZY.json)
     (idx.repartition("vbucket")
+     .sortWithinPartitions("vbucket", "variant")
      .write.mode("overwrite").partitionBy("vbucket")
      .parquet(os.path.join(out_dir, "variants")))
     meta = {"max_del": int(max_del), "n_buckets": int(n_buckets)}
