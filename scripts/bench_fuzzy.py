@@ -77,6 +77,9 @@ def main() -> None:
            .orderBy(F.pmod(F.xxhash64("term"), F.lit(100_000)), "term")
            .limit(N_QUERIES).collect()]
     typos = [t[:3] + t[4:] for t in src]
+    if not typos:
+        raise SystemExit(f"no terms of length >= 8 in the {n_terms}-term "
+                         "vocabulary — nothing to build typo queries from")
 
     t0 = time.monotonic()
     write_deletion_index(terms, FUZZY_DIR, max_del=1, n_buckets=64)
@@ -124,6 +127,10 @@ def main() -> None:
         "identical_results": identical,
     }))
     spark.stop()
+    if not identical:
+        raise SystemExit("probe/brute candidate sets differ — the bench "
+                         "asserts completeness; numbers above measure a "
+                         "BROKEN probe")
 
 
 if __name__ == "__main__":

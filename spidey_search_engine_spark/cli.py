@@ -160,15 +160,22 @@ def main(argv: list[str] | None = None) -> int:
             stats = build_index(spark, corpus, args.output,
                                 profile=args.profile, seg_bits=args.seg_bits,
                                 n_buckets=args.n_buckets)
+        import os
+        fuzzy_dir = os.path.join(args.output, "fuzzy")
         if args.fuzzy_index:
-            import os
-
             from .operators.build import load_index
             from .operators.fuzzy import write_deletion_index
             write_deletion_index(load_index(spark, args.output)["terms"],
-                                 os.path.join(args.output, "fuzzy"),
-                                 n_buckets=args.fuzzy_buckets)
+                                 fuzzy_dir, n_buckets=args.fuzzy_buckets)
             stats["fuzzy_buckets"] = args.fuzzy_buckets
+        elif os.path.exists(os.path.join(fuzzy_dir, "meta.json")):
+            # a fuzzy index from a PREVIOUS build of this output dir is
+            # stale against the fresh dictionary — query --fuzzy would
+            # silently correct typos toward the old vocabulary. Remove it
+            # (re-run with --fuzzy-index to rebuild it).
+            import shutil
+            shutil.rmtree(fuzzy_dir)
+            stats["stale_fuzzy_index_removed"] = True
         print(json.dumps(stats))
     elif args.cmd == "query":
         from .operators.build import load_index
@@ -190,7 +197,7 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.fuzzy import (build_deletion_index,
                                           correct_tokens,
                                           load_deletion_index)
-            from .operators.search import bm25_scores, query_term_postings
+            from .operators.search import bm25_topk_tokens
             fuzzy_dir = os.path.join(args.index, "fuzzy")
             if os.path.exists(os.path.join(fuzzy_dir, "meta.json")):
                 fz = load_deletion_index(spark, fuzzy_dir)
@@ -215,17 +222,8 @@ def main(argv: list[str] | None = None) -> int:
             if fixes:
                 print(json.dumps({"corrected": fixes}))
             q_terms = [fixes.get(t, t) for t in q_terms]
-            if q_terms:
-                posting_rows = query_term_postings(
-                    index["postings"], q_terms,
-                    int(index["stats"]["n_buckets"]))
-                scores = bm25_scores(posting_rows, index["terms"],
-                                     float(index["stats"]["avgdl"]),
-                                     q_terms, index.get("idf_cache"))
-                rows = (scores.orderBy(F.desc("score"), F.asc("doc_id"))
-                        .limit(args.k).collect())
-            else:
-                rows = []
+            rows = bm25_topk_tokens(spark, index, q_terms,
+                                    k=args.k).collect()
         else:
             from .operators.search import bm25_topk
             rows = bm25_topk(spark, index, args.q, k=args.k).collect()

@@ -98,8 +98,12 @@ def vocab_coverage(term_counts: DataFrame, sizes: Sequence[int],
         raise ValueError(f"sizes must be positive integers, got {sizes}")
     if len(set(sizes)) != len(sizes):
         raise ValueError(f"duplicate sizes {sizes}")
+    # group on the EXACT count value — casting to long here would silently
+    # truncate fractional counts (smoothed/weighted frequencies), merging
+    # classes that should rank apart and undercounting mass. Integer
+    # columns keep integer arithmetic end-to-end (the index `cf` path).
     classes = (term_counts
-               .groupBy(F.col(count_col).cast("long").alias("c"))
+               .groupBy(F.col(count_col).alias("c"))
                .agg(F.count("*").alias("n_terms"))
                .withColumn("tokens", F.col("c") * F.col("n_terms")))
     w = (Window.orderBy(F.desc("c"))

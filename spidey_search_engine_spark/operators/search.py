@@ -246,12 +246,13 @@ def bm25_scores(posting_rows: DataFrame, terms_df: DataFrame, avgdl: float,
     return scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
 
 
-def bm25_topk(spark: SparkSession, index: dict, query: str, k: int = 10) -> DataFrame:
-    """Analyze → prune → decode → score → TakeOrderedAndProject top-k.
-    Ties break by doc_id ASC (documented deviation, SURVEY.md §7 risk 2)."""
-    q_terms, phrases = analyze_query(query)
-    for p in phrases:
-        q_terms.extend(p)  # BM25 mode treats phrase words as bag terms
+def bm25_topk_tokens(spark: SparkSession, index: dict,
+                     q_terms: list[str], k: int = 10) -> DataFrame:
+    """The post-analysis tail of `bm25_topk`: prune → decode → score →
+    TakeOrderedAndProject top-k over an already-analyzed term bag. Shared
+    by the default and --fuzzy CLI paths so token rewriting (typo
+    correction) composes with EXACTLY the scoring/tie-break/empty-query
+    behavior the default path has — any change here changes both."""
     if not q_terms:
         return spark.createDataFrame([], "doc_id long, score double")
     rows = query_term_postings(index["postings"], q_terms,
@@ -259,6 +260,15 @@ def bm25_topk(spark: SparkSession, index: dict, query: str, k: int = 10) -> Data
     scores = bm25_scores(rows, index["terms"], float(index["stats"]["avgdl"]),
                          q_terms, index.get("idf_cache"))
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_topk(spark: SparkSession, index: dict, query: str, k: int = 10) -> DataFrame:
+    """Analyze → prune → decode → score → TakeOrderedAndProject top-k.
+    Ties break by doc_id ASC (documented deviation, SURVEY.md §7 risk 2)."""
+    q_terms, phrases = analyze_query(query)
+    for p in phrases:
+        q_terms.extend(p)  # BM25 mode treats phrase words as bag terms
+    return bm25_topk_tokens(spark, index, q_terms, k)
 
 
 def bm25_scores_batch(posting_rows: DataFrame, terms_df: DataFrame,

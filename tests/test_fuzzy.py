@@ -188,3 +188,49 @@ def test_cli_fuzzy_query(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         main(["query", "--index", idx, "--q", "merj", "--fuzzy",
               "--parity"])
+
+
+def test_cli_rebuild_clears_stale_fuzzy_index(spark, tmp_path, capsys):
+    """Rebuilding an index WITHOUT --fuzzy-index removes a fuzzy index
+    left by a previous build — otherwise query --fuzzy would correct
+    typos toward the OLD vocabulary (it reports the removal on the stats
+    line and the query path falls back to inline derivation over the new
+    dictionary)."""
+    import json
+    import os
+
+    from spidey_search_engine_spark.cli import main
+
+    def corpus(words, path):
+        rows = [(i, f"{words} doc{i}", f"src/f{i}.py", "r/r", "c0", "py")
+                for i in range(4)]
+        spark.createDataFrame(
+            rows, "doc_id long, content string, path string, repo string, "
+                  "commit string, lang string") \
+            .coalesce(2).write.mode("overwrite").parquet(path)
+
+    src = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    corpus("merge sort scan", src)
+    assert main(["build", "--input", src, "--output", idx,
+                 "--profile", "code", "--seg-bits", "4", "--n-buckets", "4",
+                 "--fuzzy-index", "--fuzzy-buckets", "8"]) == 0
+    capsys.readouterr()
+    assert os.path.exists(os.path.join(idx, "fuzzy", "meta.json"))
+
+    # rebuild over a DIFFERENT corpus without --fuzzy-index
+    corpus("tokenize stream batch", src)
+    assert main(["build", "--input", src, "--output", idx,
+                 "--profile", "code", "--seg-bits", "4",
+                 "--n-buckets", "4"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats.get("stale_fuzzy_index_removed") is True
+    assert not os.path.exists(os.path.join(idx, "fuzzy"))
+
+    # --fuzzy now derives inline over the NEW dictionary: a typo of
+    # "stream" corrects against the new vocab, never the old one
+    assert main(["query", "--index", idx, "--q", "streem", "--k", "2",
+                 "--fuzzy"]) == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[0] == {"corrected": {"streem": "stream"}}

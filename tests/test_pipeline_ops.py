@@ -2125,3 +2125,22 @@ def test_vocab_coverage_random_property(spark):
     srt = sorted(counts, reverse=True)
     want = {r: sum(srt[:r]) for r in sizes}
     assert got == want
+
+
+def test_vocab_coverage_fractional_counts(spark):
+    """Counts are grouped on their EXACT value — fractional (smoothed /
+    weighted) frequencies must rank and sum exactly, not collapse into
+    truncated integer classes (2.9 and 2.1 are different classes and 2.9
+    outranks 2.1)."""
+    from spidey_search_engine_spark.operators.report import vocab_coverage
+    counts = [2.9, 2.1, 2.1, 1.0, 0.5]
+    df = spark.createDataFrame(
+        [(f"t{i}", c) for i, c in enumerate(counts)],
+        "term string, cf double")
+    got = {r["vocab_size"]: (round(r["covered_tokens"], 9),
+                             round(r["total_tokens"], 9))
+           for r in vocab_coverage(df, [1, 2, 3, 4, 5, 9]).collect()}
+    srt = sorted(counts, reverse=True)
+    total = round(sum(srt), 9)
+    for r in [1, 2, 3, 4, 5, 9]:
+        assert got[r] == (round(sum(srt[:min(r, len(srt))]), 9), total), r
