@@ -371,6 +371,29 @@ def main() -> None:
         "full-vocabulary scan anywhere in the tree.",
         capture(fl)))
 
+    # P40 decontamination probe: corpus n-grams must be generated and
+    # filtered map-side against the broadcast benchmark grams — the
+    # corpus side never shuffles its exploded grams
+    from spidey_search_engine_spark.operators.decontaminate import (
+        contamination_hits)
+    ddocs = EQ.load_table(spark, sf_dir, "documents") \
+        .withColumnRenamed("text", "content")
+    dbench = ddocs.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(F.split(F.col("content"), " "), 3, 7), " ")
+        .alias("text"))
+    dh = contamination_hits(ddocs, dbench, n=3)
+    sections.append((
+        "Benchmark decontamination probe (P40): map-side gram filter",
+        "Look for: ONE scan of the documents table feeding "
+        "Generate(explode) of the per-doc distinct gram array, a "
+        "BroadcastHashJoin against the (tiny) benchmark gram set IN THE "
+        "SAME stage — the only Exchange in the tree is the final "
+        "hashpartitioning(doc_id) of the surviving hits into the count "
+        "aggregate. Corpus grams are created and discarded within a "
+        "task; nothing corpus-sized ever crosses the wire.",
+        capture(dh)))
+
     out = ["# PLANS — physical-plan evidence (generated by "
            "scripts/capture_plans.py)", ""]
     for title, what, plan in sections:

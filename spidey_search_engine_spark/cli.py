@@ -65,7 +65,8 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser(
         "clean", help="training-corpus cleaning pipeline: unicode "
         "normalize -> substring-span dedup -> line dedup -> PII redaction "
-        "-> model quality gate -> LM perplexity gate -> exact dedup "
+        "-> Gopher repetition gate -> model quality gate -> LM perplexity "
+        "gate -> exact dedup -> benchmark decontamination "
         "(each stage optional); "
         "reads (doc_id, content), writes (doc_id, content)")
     c.add_argument("--input", required=True, help="corpus parquet dir")
@@ -96,7 +97,27 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--weights", default=None,
                    help="parquet (bucket int, w double) trained table; "
                         "default: deterministic formula weights")
+    c.add_argument("--max-dup-line-frac", type=float, default=None,
+                   help="Gopher repetition gate: drop docs whose fraction "
+                        "of duplicate lines exceeds F (stage off when all "
+                        "four repetition bounds are unset)")
+    c.add_argument("--max-dup-line-char-frac", type=float, default=None)
+    c.add_argument("--max-top-ngram", action="append", default=[],
+                   metavar="N:F",
+                   help="drop docs whose most frequent token N-gram "
+                        "covers > F of the char mass (repeatable)")
+    c.add_argument("--max-dup-ngram", action="append", default=[],
+                   metavar="N:F",
+                   help="drop docs whose duplicated token N-grams cover "
+                        "> F of the char mass (repeatable)")
     c.add_argument("--exact-dedup", action="store_true")
+    c.add_argument("--decontam-bench", default=None, metavar="DIR",
+                   help="benchmark parquet dir (any table with a 'text' "
+                        "column); docs sharing a token n-gram with it are "
+                        "dropped LAST, after all other stages")
+    c.add_argument("--decontam-n", type=int, default=13,
+                   help="n-gram size for --decontam-bench (13 = the "
+                        "GPT-3/PaLM convention)")
     c.add_argument("--max-ppl", type=float, default=None,
                    help="keep docs with unigram-LM perplexity <= T under "
                         "the --ppl-ref corpus (stage off when unset)")
@@ -273,6 +294,29 @@ def main(argv: list[str] | None = None) -> int:
         if args.redact_pii:
             from .functions.redact import redact_pii
             df = df.select("doc_id", redact_pii("content").alias("content"))
+        def _nf_pairs(specs, flag):
+            out = {}
+            for spec in specs:
+                try:
+                    n, frac = spec.split(":", 1)
+                    out[int(n)] = float(frac)
+                except ValueError:
+                    raise SystemExit(
+                        f"{flag} expects N:F (e.g. 2:0.20), got {spec!r}")
+            return out
+
+        top_bounds = _nf_pairs(args.max_top_ngram, "--max-top-ngram")
+        dup_bounds = _nf_pairs(args.max_dup_ngram, "--max-dup-ngram")
+        if (args.max_dup_line_frac is not None
+                or args.max_dup_line_char_frac is not None
+                or top_bounds or dup_bounds):
+            from .functions.textstats import repetition_filter
+            prev = df = _pin_for_audit(df)
+            df = repetition_filter(
+                df, max_dup_line_frac=args.max_dup_line_frac,
+                max_dup_line_char_frac=args.max_dup_line_char_frac,
+                max_top_ngram=top_bounds, max_dup_ngram=dup_bounds)
+            _log_drops(prev, df, "repetition")
         if args.quality_threshold is not None:
             from .functions.quality_model import (deterministic_weights,
                                                   quality_filter)
@@ -303,6 +347,12 @@ def main(argv: list[str] | None = None) -> int:
                     .select(F.col("id").alias("doc_id")))
             df = df.join(keep, "doc_id", "left_semi")
             _log_drops(prev, df, "exact_dedup")
+        if args.decontam_bench:
+            from .operators.decontaminate import decontaminate
+            bench = spark.read.parquet(args.decontam_bench).select("text")
+            prev = df = _pin_for_audit(df)
+            df = decontaminate(df, bench, n=args.decontam_n)
+            _log_drops(prev, df, "decontam")
         df.write.mode("overwrite").parquet(args.output)
         dropped = {}
         if args.audit:

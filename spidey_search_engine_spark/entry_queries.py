@@ -3410,3 +3410,174 @@ SELECT s::BIGINT AS vocab_size, r.cum AS covered_tokens,
        tot.total AS total_tokens,
        round(r.cum::DOUBLE / tot.total, 6)::DOUBLE AS coverage_r
 FROM sz CROSS JOIN tot JOIN ranked r ON r.rn = least(sz.s, tot.nt)"""
+
+
+def gopher_repetition(spark, sf_dir):
+    """P39 Gopher repetition signals (functions/textstats.
+    with_repetition_features) over the documents table with line
+    structure PLANTED expressibly on both sides (first-8-token head +
+    newline + full text + newline + head again — so every doc has one
+    duplicated line of three). n-gram repetition needs no planting: the
+    generator's tiny vocabulary makes 2-gram/5-gram repeats organic.
+    Oracle: DuckDB recomputes every fraction from per-(doc, value) counts
+    — proving the shuffle-free sorted-array run-length kernel equals the
+    explicit groupBy formulation."""
+    from .functions.textstats import with_repetition_features
+    d = load_table(spark, sf_dir, "documents")
+    head = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    planted = d.select(
+        "doc_id",
+        F.concat(head, F.lit("\n"), F.col("text"), F.lit("\n"), head)
+        .alias("content"))
+    r = with_repetition_features(planted, top_ns=(2,), dup_ns=(5,))
+    return r.select(
+        "doc_id",
+        _r(F.col("dup_line_frac")).alias("dup_line_frac_r"),
+        _r(F.col("dup_line_char_frac")).alias("dup_line_char_frac_r"),
+        _r(F.col("top_2gram_char_frac")).alias("top_2gram_r"),
+        _r(F.col("dup_5gram_char_frac")).alias("dup_5gram_r"))
+
+
+QUERIES["gopher_repetition"] = gopher_repetition
+
+_PLANTED_CTE = """
+planted AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:8], ' ') || chr(10) ||
+         text || chr(10) ||
+         array_to_string(string_split(text, ' ')[1:8], ' ') AS content
+  FROM documents
+)"""
+
+ORACLE_SQL["gopher_repetition"] = "WITH" + _PLANTED_CTE + f""",
+lines AS (
+  SELECT doc_id, unnest(string_split(content, chr(10))) AS line FROM planted
+),
+lruns AS (SELECT doc_id, line, count(*)::BIGINT AS c
+          FROM lines GROUP BY 1, 2),
+lagg AS (
+  SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+         sum(c * length(line)) AS line_chars,
+         sum((c - 1) * length(line)) AS dup_line_chars
+  FROM lruns GROUP BY 1
+),
+ptoks AS (SELECT doc_id, {_PIPE_TOKS} AS t FROM planted),
+tchars AS (SELECT doc_id, length(array_to_string(t, ' ')) AS tok_chars
+           FROM ptoks),
+g2c AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c FROM (
+    SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM ptoks)) GROUP BY 1, 2
+),
+top2 AS (
+  SELECT doc_id, max(c * length(g)) FILTER (WHERE c = mc) AS top_chars
+  FROM (SELECT doc_id, g, c, max(c) OVER (PARTITION BY doc_id) AS mc
+        FROM g2c)
+  GROUP BY 1
+),
+dup5 AS (
+  SELECT doc_id,
+         coalesce(sum(c * length(g)) FILTER (WHERE c >= 2), 0) AS dup_chars
+  FROM (
+    SELECT doc_id, g, count(*)::BIGINT AS c FROM (
+      SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+            FROM ptoks)) GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT l.doc_id,
+  round((l.n_lines - l.n_distinct)::DOUBLE / l.n_lines, 6)::DOUBLE
+    AS dup_line_frac_r,
+  round(l.dup_line_chars::DOUBLE / l.line_chars, 6)::DOUBLE
+    AS dup_line_char_frac_r,
+  round(t2.top_chars::DOUBLE / tc.tok_chars, 6)::DOUBLE AS top_2gram_r,
+  round(least(d5.dup_chars::DOUBLE / tc.tok_chars, 1.0), 6)::DOUBLE
+    AS dup_5gram_r
+FROM lagg l
+JOIN tchars tc USING (doc_id)
+JOIN top2 t2 USING (doc_id)
+JOIN dup5 d5 USING (doc_id)"""
+
+
+def decontam_hits_docs(spark, sf_dir):
+    """P40 benchmark decontamination (operators/decontaminate.
+    contamination_hits): the "benchmark" is synthesized deterministically
+    from the corpus itself — tokens 3..9 of every doc_id % 100 == 7
+    document — so the source docs are guaranteed contaminated and the
+    tiny generator vocabulary makes ORGANIC cross-document 3-gram
+    collisions too (non-vacuous beyond the planted hits). Returns
+    (doc_id, n_hit DISTINCT shared grams, lexicographically-first gram).
+    Oracle: DuckDB replays the explode/semi-join/count exactly."""
+    from .operators.decontaminate import contamination_hits
+    d = load_table(spark, sf_dir, "documents") \
+        .withColumnRenamed("text", "content")
+    bench = d.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(F.split(F.col("content"), " "), 3, 7), " ")
+        .alias("text"))
+    return contamination_hits(d, bench, n=3)
+
+
+QUERIES["decontam_hits_docs"] = decontam_hits_docs
+
+_BENCH_GRAMS_CTE = f"""
+btoks AS (
+  SELECT {_TOKS.replace("lower(text)",
+                        "lower(array_to_string(string_split(text, ' ')[3:9], ' '))")} AS t
+  FROM documents WHERE doc_id % 100 = 7
+),
+bgrams AS (
+  SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS gram
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i FROM btoks)
+),
+dtoks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM dtoks)
+)"""
+
+ORACLE_SQL["decontam_hits_docs"] = "WITH" + _BENCH_GRAMS_CTE + """
+SELECT doc_id, count(*)::BIGINT AS n_hit, min(gram) AS first_gram
+FROM dgrams JOIN bgrams USING (gram) GROUP BY 1"""
+
+
+def decontam_bench_coverage(spark, sf_dir):
+    """P40 reverse audit (operators/decontaminate.benchmark_coverage):
+    per benchmark item, the fraction of ITS 3-grams leaked anywhere in
+    the corpus — 1.0 for every item here by construction (each is a
+    verbatim corpus slice), which is exactly what the audit must report
+    before doc-level dropping is trusted."""
+    from .operators.decontaminate import benchmark_coverage
+    d = load_table(spark, sf_dir, "documents") \
+        .withColumnRenamed("text", "content")
+    bench = d.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(F.split(F.col("content"), " "), 3, 7), " ")
+        .alias("text"))
+    cov = benchmark_coverage(d, bench, n=3)
+    return cov.select("bench_id", "n_grams", "n_leaked",
+                      _r(F.col("leak_frac")).alias("leak_frac_r"))
+
+
+QUERIES["decontam_bench_coverage"] = decontam_bench_coverage
+
+ORACLE_SQL["decontam_bench_coverage"] = "WITH" + _BENCH_GRAMS_CTE.replace(
+    "SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS gram\n  FROM (SELECT t,",
+    "SELECT DISTINCT bench_id, array_to_string(t[i:i+2], ' ') AS gram\n  FROM (SELECT bench_id, t,").replace(
+    f"""btoks AS (
+  SELECT {_TOKS.replace("lower(text)",
+                        "lower(array_to_string(string_split(text, ' ')[3:9], ' '))")} AS t
+  FROM documents""",
+    f"""btoks AS (
+  SELECT doc_id AS bench_id,
+         {_TOKS.replace("lower(text)",
+                        "lower(array_to_string(string_split(text, ' ')[3:9], ' '))")} AS t
+  FROM documents""") + """
+SELECT b.bench_id, count(*)::BIGINT AS n_grams,
+       count(*) FILTER (WHERE d.gram IS NOT NULL)::BIGINT AS n_leaked,
+       round(count(*) FILTER (WHERE d.gram IS NOT NULL)::DOUBLE
+             / count(*), 6)::DOUBLE AS leak_frac_r
+FROM bgrams b LEFT JOIN (SELECT DISTINCT gram FROM dgrams) d USING (gram)
+GROUP BY 1"""

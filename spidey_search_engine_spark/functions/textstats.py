@@ -110,3 +110,221 @@ def with_fingerprint(df: DataFrame, text_col: str = "content",
                         lambda i: h(F.concat_ws(" ",
                                                 F.slice(toks, i + 1, window))))
     return df.withColumn(out, F.array_min(grams))
+
+
+# ---------------------------------------------------------------------------
+# P39 — Gopher-style repetition signals (Rae et al. 2021, §A1.1)
+# ---------------------------------------------------------------------------
+
+def _token_ngrams(toks, n: int):
+    """Space-joined token n-grams, built by folding n-1 zip_with steps
+    against argument-level shifted slices of `toks` (incomplete tail
+    grams null out through concat's NULL propagation and are filtered).
+
+    WHY NOT transform(sequence(...), i -> array_join(slice(toks, i, n)))?
+    An outer expression CAPTURED inside a higher-order-function lambda is
+    re-evaluated on EVERY element invocation — that formulation re-splits
+    the whole document once per gram, O(L^2) per doc (measured: the
+    expression-eval blowup froze a 500-doc batch for minutes). zip_with
+    takes its arrays as ARGUMENTS, evaluated once per row; the lambda
+    below touches only its own element variables."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1,
+                          F.greatest(F.size(toks) - k, F.lit(0)))
+        grams = F.zip_with(grams, shifted,
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(grams, lambda x: x.isNotNull())
+
+
+def _run_stats_init():
+    # built lazily: F.lit needs an active SparkContext, which module
+    # import time doesn't have
+    return F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("c"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("n_runs"),
+        F.lit(0).cast("long").alias("tot_chars"),
+        F.lit(0).cast("long").alias("dup_occ_chars"),
+        F.lit(0).cast("long").alias("dup_run_chars"),
+        F.lit(0).cast("long").alias("best_c"),
+        F.lit(0).cast("long").alias("best_chars"),
+    )
+
+
+def _close_run(acc):
+    """Fold the just-finished run (acc.prev repeated acc.c times) into the
+    best-run maximum: lexicographic (count, count x char-length), so count
+    ties resolve to the longest value."""
+    cand = acc["c"] * F.length(acc["prev"])
+    better = (acc["c"] > acc["best_c"]) | (
+        (acc["c"] == acc["best_c"]) & (cand > acc["best_chars"]))
+    take = acc["prev"].isNotNull() & better
+    return (F.when(take, acc["c"]).otherwise(acc["best_c"]),
+            F.when(take, cand).otherwise(acc["best_chars"]))
+
+
+def _run_stats(arr):
+    """struct<n, n_runs, tot_chars, dup_occ_chars, dup_run_chars, best_c,
+    best_chars> — every repetition statistic of `arr` from ONE O(len)
+    fold over its sorted copy (equal values are adjacent, so runs close
+    at inequality boundaries):
+
+      n              total elements          tot_chars  sum of lengths
+      n_runs         distinct values
+      dup_occ_chars  chars in occurrences beyond each value's first
+      dup_run_chars  sum count*len over values occurring >= 2 times
+      best_c/chars   most frequent value's count and count*len
+                     (ties on count -> longest value)
+
+    Same lambda-capture discipline as _token_ngrams: the array is an
+    aggregate ARGUMENT; merge/finish touch only (acc, x). Shuffle-free —
+    a pure projection, per-doc state bounded by the doc itself."""
+    def merge(acc, x):
+        same = x.eqNullSafe(acc["prev"])
+        xlen = F.length(x).cast("long")
+        nb_c, nb_chars = _close_run(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["c"] + 1).otherwise(F.lit(1).cast("long"))
+            .alias("c"),
+            (acc["n"] + 1).alias("n"),
+            F.when(same, acc["n_runs"]).otherwise(acc["n_runs"] + 1)
+            .alias("n_runs"),
+            (acc["tot_chars"] + xlen).alias("tot_chars"),
+            F.when(same, acc["dup_occ_chars"] + xlen)
+            .otherwise(acc["dup_occ_chars"]).alias("dup_occ_chars"),
+            # a run contributes count*len to dup_run_chars once it holds
+            # >= 2 occurrences: +2*len when the second arrives, +len after
+            F.when(same & (acc["c"] == 1),
+                   acc["dup_run_chars"] + 2 * xlen)
+            .when(same, acc["dup_run_chars"] + xlen)
+            .otherwise(acc["dup_run_chars"]).alias("dup_run_chars"),
+            F.when(same, acc["best_c"]).otherwise(nb_c).alias("best_c"),
+            F.when(same, acc["best_chars"]).otherwise(nb_chars)
+            .alias("best_chars"),
+        )
+
+    def finish(acc):
+        fb_c, fb_chars = _close_run(acc)
+        return F.struct(acc["n"].alias("n"),
+                        acc["n_runs"].alias("n_runs"),
+                        acc["tot_chars"].alias("tot_chars"),
+                        acc["dup_occ_chars"].alias("dup_occ_chars"),
+                        acc["dup_run_chars"].alias("dup_run_chars"),
+                        fb_c.alias("best_c"),
+                        fb_chars.alias("best_chars"))
+
+    return F.aggregate(F.array_sort(arr), _run_stats_init(), merge,
+                       finish)
+
+
+def with_repetition_features(df: DataFrame, text_col: str = "content",
+                             top_ns: tuple = (2, 3, 4),
+                             dup_ns: tuple = (5, 10)) -> DataFrame:
+    """Gopher repetition quality signals (Rae et al. 2021 §A1.1), the
+    standard pre-training corpus filters the reference engine has no
+    analog for:
+
+    - dup_line_frac      — fraction of lines that are repeats of another
+                           line in the SAME document (1 - distinct/total).
+    - dup_line_char_frac — fraction of line characters sitting in repeat
+                           occurrences (beyond each line's first).
+    - top_{n}gram_char_frac — characters covered by the most frequent
+                           token n-gram (count x gram length, space-joined)
+                           over the doc's normalized character mass; ties
+                           on count resolve to the LONGEST such gram.
+    - dup_{n}gram_char_frac — characters covered by all n-grams occurring
+                           >= 2 times (count x length summed). Overlapping
+                           occurrences are multi-counted (the standard
+                           cheap variant, cf. Dolma/NeMo Curator), so the
+                           value is clamped to 1.0.
+
+    Char denominators: line fractions use the sum of line lengths; n-gram
+    fractions use the whitespace-normalized token mass
+    length(array_join(tokens, ' ')) — both invariant to how the raw text
+    spells its separators. Docs with no lines/tokens get NULL fractions
+    (try_divide), never a fabricated 0. A doc with tokens but shorter
+    than n gets top_{n}gram NULL (no n-gram exists to be 'top') and
+    dup_{n}gram 0.0 (its duplicated-gram char mass is genuinely zero).
+
+    Everything is ONE projection over the corpus scan — no explode, no
+    shuffle, no UDF; each signal family is a single O(len) fold
+    (_run_stats) over its sorted array, so per-doc cost is
+    O(len * log len) and per-doc state is bounded by the document itself.
+    Gopher's thresholds (drop at dup_line_frac > 0.30, top_2gram > 0.20,
+    dup_5gram > 0.15, ...) are the caller's policy; this computes the
+    signals."""
+    ls = _run_stats(F.split(F.col(text_col), "\n"))
+    d = (df
+         .withColumn("_ls", ls)
+         .withColumn("dup_line_frac",
+                     F.try_divide(
+                         (F.col("_ls.n") - F.col("_ls.n_runs"))
+                         .cast("double"), F.col("_ls.n").cast("double")))
+         .withColumn("dup_line_char_frac",
+                     F.try_divide(F.col("_ls.dup_occ_chars").cast("double"),
+                                  F.col("_ls.tot_chars").cast("double")))
+         .drop("_ls"))
+    toks = _tokens(F.col(text_col))
+    tok_chars = F.length(F.array_join(toks, " ")).cast("long")
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        gs = _run_stats(_token_ngrams(toks, n))
+        col = f"_gs{n}"
+        d = d.withColumn(col, gs)
+        if n in top_ns:
+            top_chars = F.when(F.col(f"{col}.n") > 0,
+                               F.col(f"{col}.best_chars"))
+            d = d.withColumn(
+                f"top_{n}gram_char_frac",
+                F.try_divide(top_chars.cast("double"),
+                             tok_chars.cast("double")))
+        if n in dup_ns:
+            frac = F.try_divide(F.col(f"{col}.dup_run_chars")
+                                .cast("double"), tok_chars.cast("double"))
+            # clamp only non-NULL values: least() SKIPS nulls, so a bare
+            # least(frac, 1.0) would turn a token-less doc's NULL into 1.0
+            d = d.withColumn(
+                f"dup_{n}gram_char_frac",
+                F.when(frac.isNotNull(), F.least(frac, F.lit(1.0))))
+        d = d.drop(col)
+    return d
+
+
+def repetition_filter(df: DataFrame, text_col: str = "content",
+                      max_dup_line_frac: float | None = None,
+                      max_dup_line_char_frac: float | None = None,
+                      max_top_ngram: dict[int, float] | None = None,
+                      max_dup_ngram: dict[int, float] | None = None
+                      ) -> DataFrame:
+    """Keep documents whose repetition signals are all within bounds
+    (Gopher §A1.1 policy over with_repetition_features). Only the
+    requested signals are computed; a NULL signal (doc too short to
+    evaluate) PASSES that bound — emptiness is min-length policy, not
+    repetition. Returns the input columns unchanged."""
+    max_top_ngram = max_top_ngram or {}
+    max_dup_ngram = max_dup_ngram or {}
+    if (max_dup_line_frac is None and max_dup_line_char_frac is None
+            and not max_top_ngram and not max_dup_ngram):
+        return df
+    feats = with_repetition_features(
+        df, text_col,
+        top_ns=tuple(sorted(max_top_ngram)),
+        dup_ns=tuple(sorted(max_dup_ngram)))
+    cond = F.lit(True)
+
+    def bound(col, t):
+        return F.col(col).isNull() | (F.col(col) <= F.lit(float(t)))
+
+    if max_dup_line_frac is not None:
+        cond = cond & bound("dup_line_frac", max_dup_line_frac)
+    if max_dup_line_char_frac is not None:
+        cond = cond & bound("dup_line_char_frac", max_dup_line_char_frac)
+    for n, t in max_top_ngram.items():
+        cond = cond & bound(f"top_{n}gram_char_frac", t)
+    for n, t in max_dup_ngram.items():
+        cond = cond & bound(f"dup_{n}gram_char_frac", t)
+    return feats.filter(cond).select(*df.columns)

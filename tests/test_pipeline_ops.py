@@ -2144,3 +2144,175 @@ def test_vocab_coverage_fractional_counts(spark):
     total = round(sum(srt), 9)
     for r in [1, 2, 3, 4, 5, 9]:
         assert got[r] == (round(sum(srt[:min(r, len(srt))]), 9), total), r
+
+
+def test_repetition_features(spark):
+    """P39: run-length fold == brute-force python on a fixture matrix,
+    plus the documented edge semantics (NULL for token-less docs, clamp
+    at 1.0, count ties -> longest gram)."""
+    from spidey_search_engine_spark.functions.textstats import (
+        with_repetition_features)
+    df = spark.createDataFrame([
+        (0, "a b\nc d\na b\ne"),          # one dup line of four
+        (1, "x y x y x y x y"),           # overlap clamp: dup mass > 1
+        (2, ""),                          # no tokens -> NULL fractions
+        (3, "one two three four five"),   # all counts 1, tie -> longest
+        (4, "p q p q r\np q p q r"),      # identical lines
+    ], "doc_id long, content string")
+    got = {r["doc_id"]: r.asDict() for r in with_repetition_features(
+        df, top_ns=(2,), dup_ns=(2,)).collect()}
+    assert got[0]["dup_line_frac"] == 0.25          # 4 lines, 3 distinct
+    assert got[0]["dup_line_char_frac"] == 0.3      # 3 dup chars of 10
+    assert abs(got[0]["top_2gram_char_frac"] - 6 / 13) < 1e-12
+    assert got[1]["top_2gram_char_frac"] == 0.8     # "x y" 4x of 15 chars
+    assert got[1]["dup_2gram_char_frac"] == 1.0     # 21/15 clamped
+    assert got[2]["dup_line_char_frac"] is None
+    assert got[2]["top_2gram_char_frac"] is None
+    assert got[2]["dup_2gram_char_frac"] is None    # NOT a fabricated 1.0
+    # doc 3: every 2-gram count 1, tie resolves to LONGEST ("three four")
+    assert abs(got[3]["top_2gram_char_frac"] - 10 / 23) < 1e-12
+    assert got[3]["dup_2gram_char_frac"] == 0.0
+    assert got[4]["dup_line_frac"] == 0.5
+    assert got[4]["dup_line_char_frac"] == 0.5
+
+
+def test_repetition_features_random_property(spark):
+    """Random docs: fold kernel == explicit Counter reference for every
+    signal (top ties included)."""
+    import random
+    from collections import Counter
+
+    from spidey_search_engine_spark.functions.textstats import (
+        with_repetition_features)
+    rng = random.Random(23)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    docs = []
+    for i in range(30):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(1, 40))]
+        docs.append((i, " ".join(toks)))
+    got = {r["doc_id"]: r.asDict() for r in with_repetition_features(
+        spark.createDataFrame(docs, "doc_id long, content string"),
+        top_ns=(3,), dup_ns=(3,)).collect()}
+    for i, text in docs:
+        toks = text.split()
+        grams = [" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        tok_chars = len(" ".join(toks))
+        want_top = want_dup = None
+        if grams:
+            cnt = Counter(grams)
+            mc = max(cnt.values())
+            want_top = max(c * len(g) for g, c in cnt.items()
+                           if c == mc) / tok_chars
+            want_dup = min(1.0, sum(c * len(g) for g, c in cnt.items()
+                                    if c >= 2) / tok_chars)
+        if want_top is None:
+            # tokens but no 3-grams: no top gram exists (NULL), and the
+            # duplicated-gram char mass is genuinely zero
+            assert got[i]["top_3gram_char_frac"] is None, i
+            assert got[i]["dup_3gram_char_frac"] == 0.0, i
+        else:
+            assert abs(got[i]["top_3gram_char_frac"] - want_top) < 1e-12, i
+            assert abs(got[i]["dup_3gram_char_frac"] - want_dup) < 1e-12, i
+
+
+def test_decontaminate(spark):
+    """P40: flagging, distinct-gram counting, case/punct invariance,
+    anti-join removal, and the reverse coverage audit (too-short bench
+    items report 0 grams, not vanish)."""
+    from spidey_search_engine_spark.operators.decontaminate import (
+        benchmark_coverage, contamination_hits, decontaminate)
+    docs = spark.createDataFrame([
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "a quick brown fox appears"),
+        (2, "completely unrelated text here now"),
+        (3, "quick brown fox stuff quick brown fox stuff"),  # repeats
+    ], "doc_id long, content string")
+    bench = spark.createDataFrame([
+        (100, "Quick, brown FOX jumps!"),   # case/punct-invariant match
+        (101, "lazy dog sleeps"),
+        (102, "xy"),                        # too short for any 3-gram
+    ], "bench_id long, text string")
+    hits = {r["doc_id"]: (r["n_hit"], r["first_gram"]) for r in
+            contamination_hits(docs, bench, n=3).collect()}
+    assert hits[0] == (2, "brown fox jumps")   # + "quick brown fox"
+    assert hits[1] == (1, "quick brown fox")
+    assert 2 not in hits
+    # doc 3 repeats the gram 2x but n_hit counts DISTINCT shared grams
+    assert hits[3] == (1, "quick brown fox")
+    kept = [r["doc_id"] for r in
+            decontaminate(docs, bench, n=3).orderBy("doc_id").collect()]
+    assert kept == [2]
+    cov = {r["bench_id"]: (r["n_grams"], r["n_leaked"], r["leak_frac"])
+           for r in benchmark_coverage(docs, bench, n=3).collect()}
+    assert cov[100] == (2, 2, 1.0)
+    assert cov[101][0] == 1 and cov[101][1] == 0  # "lazy dog sleeps" novel
+    assert cov[102] == (0, 0, None)               # reported, not dropped
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match=">= 1"):
+        contamination_hits(docs, bench, n=0).collect()
+
+
+def test_token_ngrams_lockstep(spark):
+    """zip_with n-gram fold == python sliding window, including docs
+    shorter than n (empty, not an error)."""
+    from pyspark.sql import functions as F
+
+    from spidey_search_engine_spark.functions.textstats import (
+        _token_ngrams, _tokens)
+    rows = [(0, "alpha beta gamma delta"), (1, "one two"), (2, ""),
+            (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    for n in (1, 2, 3, 5):
+        got = {r["doc_id"]: r["g"] for r in df.select(
+            "doc_id", _token_ngrams(_tokens(F.col("content")), n)
+            .alias("g")).collect()}
+        for i, text in rows:
+            toks = text.split()
+            want = [" ".join(toks[j:j + n])
+                    for j in range(len(toks) - n + 1)]
+            assert got[i] == want, (i, n)
+
+
+def test_cli_clean_repetition_and_decontam(spark, tmp_path, capsys):
+    """P39/P40 clean stages: the Gopher repetition gate drops the
+    degenerate doc, decontamination drops the benchmark-overlapping doc
+    LAST, the audit trail labels each with its first rejecting stage,
+    and bad N:F specs fail fast."""
+    import json
+
+    from spidey_search_engine_spark.cli import main
+
+    docs = [
+        (0, "spark shuffles data between stages when keys move around"),
+        (1, "spam spam spam spam spam spam spam spam"),        # repetition
+        (2, "the secret benchmark answer is forty two indeed"),  # contam
+        (3, "an ordinary document about sorting and merging files"),
+    ]
+    src = str(tmp_path / "in")
+    bench_dir = str(tmp_path / "bench")
+    out = str(tmp_path / "out")
+    audit = str(tmp_path / "audit")
+    spark.createDataFrame(docs, "doc_id long, content string") \
+        .coalesce(2).write.parquet(src)
+    spark.createDataFrame([(0, "Secret benchmark ANSWER is forty-two!")],
+                          "bench_id long, text string") \
+        .write.parquet(bench_dir)
+
+    rc = main(["clean", "--input", src, "--output", out,
+               "--audit", audit, "--max-dup-ngram", "2:0.5",
+               "--decontam-bench", bench_dir, "--decontam-n", "5"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_in"] == 4 and stats["docs_out"] == 2
+    assert stats["dropped"] == {"repetition": 1, "decontam": 1}
+    kept = sorted(r["doc_id"] for r in
+                  spark.read.parquet(out).collect())
+    assert kept == [0, 3]
+    trail = {r["doc_id"]: r["stage"] for r in
+             spark.read.parquet(audit).collect()}
+    assert trail == {1: "repetition", 2: "decontam"}
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["clean", "--input", src, "--output", out,
+              "--max-top-ngram", "nonsense"])
