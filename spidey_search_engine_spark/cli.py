@@ -66,8 +66,8 @@ def main(argv: list[str] | None = None) -> int:
         "clean", help="training-corpus cleaning pipeline: unicode "
         "normalize -> substring-span dedup -> line dedup -> PII redaction "
         "-> Gopher repetition gate -> model quality gate -> LM perplexity "
-        "gate -> exact dedup -> benchmark decontamination "
-        "(each stage optional); "
+        "gate -> exact dedup -> benchmark decontamination -> DSIR "
+        "target-corpus selection (each stage optional); "
         "reads (doc_id, content), writes (doc_id, content)")
     c.add_argument("--input", required=True, help="corpus parquet dir")
     c.add_argument("--output", required=True)
@@ -118,6 +118,20 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--decontam-n", type=int, default=13,
                    help="n-gram size for --decontam-bench (13 = the "
                         "GPT-3/PaLM convention)")
+    c.add_argument("--dsir-target", default=None, metavar="DIR",
+                   help="DSIR importance resampling toward this target "
+                        "corpus (parquet with a 'content' column): keep "
+                        "the --dsir-k docs drawn Gumbel-top-k by hashed-"
+                        "n-gram importance weight; runs after every "
+                        "filter stage")
+    c.add_argument("--dsir-k", type=int, default=None,
+                   help="number of docs DSIR keeps (required with "
+                        "--dsir-target)")
+    c.add_argument("--dsir-buckets", type=int, default=8192)
+    c.add_argument("--dsir-seed", type=int, default=0)
+    c.add_argument("--dsir-temperature", type=float, default=1.0,
+                   help="softmax temperature; near 0 = deterministic "
+                        "top-k by weight, 1 = DSIR's sampled selection")
     c.add_argument("--max-ppl", type=float, default=None,
                    help="keep docs with unigram-LM perplexity <= T under "
                         "the --ppl-ref corpus (stage off when unset)")
@@ -353,6 +367,26 @@ def main(argv: list[str] | None = None) -> int:
             prev = df = _pin_for_audit(df)
             df = decontaminate(df, bench, n=args.decontam_n)
             _log_drops(prev, df, "decontam")
+        if args.dsir_target:
+            if args.dsir_k is None or args.dsir_k <= 0:
+                raise SystemExit(
+                    "--dsir-target requires --dsir-k >= 1")
+            from .operators.dsir import (dsir_logratios, dsir_select,
+                                         gram_bucket_counts)
+            # three traversals of the cleaning lineage (raw counts,
+            # scoring, write) — pin it like the perplexity stage does
+            prev = df = df.persist()
+            pinned.append(df)
+            tgt = spark.read.parquet(args.dsir_target).select("content")
+            B = args.dsir_buckets
+            lr = dsir_logratios(gram_bucket_counts(tgt, n_buckets=B),
+                                gram_bucket_counts(df, n_buckets=B),
+                                n_buckets=B)
+            df = dsir_select(df, lr, k=args.dsir_k, n_buckets=B,
+                             seed=args.dsir_seed,
+                             temperature=args.dsir_temperature
+                             ).select(*prev.columns)
+            _log_drops(prev, df, "dsir")
         df.write.mode("overwrite").parquet(args.output)
         dropped = {}
         if args.audit:

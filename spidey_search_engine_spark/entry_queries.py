@@ -3581,3 +3581,71 @@ SELECT b.bench_id, count(*)::BIGINT AS n_grams,
              / count(*), 6)::DOUBLE AS leak_frac_r
 FROM bgrams b LEFT JOIN (SELECT DISTINCT gram FROM dgrams) d USING (gram)
 GROUP BY 1"""
+
+
+def dsir_select_docs(spark, sf_dir):
+    """P41 DSIR importance resampling (operators/dsir): the TARGET is the
+    deterministic doc_id % 7 == 3 slice of the documents table, the RAW
+    pool is the whole table; hashed unigram+bigram bag models (B=512,
+    add-1 smoothing, injectable poly hash) give every doc a log
+    importance weight, and Gumbel-top-50 (seed 7, deterministic
+    hash-derived noise) selects without replacement. Oracle: DuckDB
+    rebuilds the bucket counts, the smoothed log-ratio table over ALL
+    512 buckets, the per-doc weight sum, and the exact Gumbel keys —
+    proving selection end-to-end, not just scoring."""
+    from .functions.hashing import poly_hash
+    from .operators.dsir import (dsir_logratios, dsir_select,
+                                 gram_bucket_counts)
+    d = load_table(spark, sf_dir, "documents") \
+        .withColumnRenamed("text", "content").select("doc_id", "content")
+    target = d.filter(F.col("doc_id") % 7 == 3)
+    B = 512
+    lr = dsir_logratios(
+        gram_bucket_counts(target, n_buckets=B, hash_fn=poly_hash),
+        gram_bucket_counts(d, n_buckets=B, hash_fn=poly_hash),
+        n_buckets=B)
+    sel = dsir_select(d, lr, k=50, n_buckets=B, seed=7,
+                      hash_fn=poly_hash)
+    return sel.select("doc_id", _r(F.col("log_w")).alias("log_w_r"),
+                      _r(F.col("sel_key")).alias("sel_key_r"))
+
+
+QUERIES["dsir_select_docs"] = dsir_select_docs
+
+from .functions.hashing import duck_poly as _dp  # noqa: E402
+
+ORACLE_SQL["dsir_select_docs"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_concat(
+      t, list_transform(range(greatest(len(t) - 1, 0)),
+                        i -> t[i + 1] || ' ' || t[i + 2]))) AS gram
+  FROM toks
+),
+bg AS (SELECT doc_id, {_dp('gram')} % 512 AS bucket FROM grams),
+tc AS (SELECT bucket, count(*)::DOUBLE AS c FROM bg
+       WHERE doc_id % 7 = 3 GROUP BY 1),
+rc AS (SELECT bucket, count(*)::DOUBLE AS c FROM bg GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM bg WHERE doc_id % 7 = 3)::DOUBLE AS tt,
+               (SELECT count(*) FROM bg)::DOUBLE AS rt),
+lr AS (
+  SELECT b.bucket,
+         ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 512.0))
+         - ln((coalesce(rc.c, 0) + 1.0) / (tot.rt + 512.0)) AS log_ratio
+  FROM (SELECT unnest(range(512)) AS bucket) b
+  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tot
+),
+scores AS (
+  SELECT d.doc_id, coalesce(sum(lr.log_ratio), 0)::DOUBLE AS log_w
+  FROM documents d LEFT JOIN bg USING (doc_id)
+  LEFT JOIN lr USING (bucket) GROUP BY 1
+),
+keyed AS (
+  SELECT doc_id, log_w,
+         log_w - ln(-ln((({_dp("'7:' || doc_id::VARCHAR")}) % 1048576
+                         + 0.5) / 1048576.0)) AS sel_key
+  FROM scores
+)
+SELECT doc_id, round(log_w, 6)::DOUBLE AS log_w_r,
+       round(sel_key, 6)::DOUBLE AS sel_key_r
+FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 50"""

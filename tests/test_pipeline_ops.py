@@ -2316,3 +2316,146 @@ def test_cli_clean_repetition_and_decontam(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         main(["clean", "--input", src, "--output", out,
               "--max-top-ngram", "nonsense"])
+
+
+def test_dsir(spark):
+    """P41: log_w equals a brute-force python bag-of-hashed-grams
+    reference (poly-hash replica), token-less docs score exactly 0.0 and
+    survive scoring, Gumbel-top-k selection replays key-for-key, a tiny
+    temperature degenerates to deterministic order-by-weight, and the
+    guard rails raise."""
+    import math
+
+    from spidey_search_engine_spark.functions.hashing import (M1, P1,
+                                                              poly_hash)
+    from spidey_search_engine_spark.operators.dsir import (
+        dsir_logratios, dsir_scores, dsir_select, gram_bucket_counts)
+
+    def py_poly(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * M1 + ord(ch)) % P1
+        return acc
+
+    import re
+
+    def py_grams(text):
+        toks = [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+        return toks + [" ".join(toks[i:i + 2])
+                       for i in range(len(toks) - 1)]
+
+    docs = [
+        (0, "spark merges sorted runs of data"),
+        (1, "spark shuffles data between stages"),
+        (2, "the cat sat on the mat"),
+        (3, "merges sorted runs quickly merges sorted runs"),
+        (4, ""),                       # no tokens at all
+        (5, "!!! ??? ..."),            # punctuation only -> no tokens
+        (6, "cat mat cat mat cat"),
+    ]
+    target_ids = {0, 3}
+    B, ALPHA, SEED = 64, 1.0, 11
+    d = spark.createDataFrame(docs, "doc_id long, content string")
+    t = d.filter(F.col("doc_id").isin(*target_ids))
+    lr = dsir_logratios(gram_bucket_counts(t, n_buckets=B,
+                                           hash_fn=poly_hash),
+                        gram_bucket_counts(d, n_buckets=B,
+                                           hash_fn=poly_hash),
+                        n_buckets=B, smoothing=ALPHA)
+    got_w = {r["doc_id"]: r["log_w"]
+             for r in dsir_scores(d, lr, n_buckets=B,
+                                  hash_fn=poly_hash).collect()}
+    assert set(got_w) == {i for i, _ in docs}
+
+    # brute-force reference
+    tc, rc = {}, {}
+    for i, text in docs:
+        for g in py_grams(text):
+            b = py_poly(g) % B
+            rc[b] = rc.get(b, 0) + 1
+            if i in target_ids:
+                tc[b] = tc.get(b, 0) + 1
+    T, R = sum(tc.values()), sum(rc.values())
+    ratio = {b: math.log((tc.get(b, 0) + ALPHA) / (T + ALPHA * B))
+             - math.log((rc.get(b, 0) + ALPHA) / (R + ALPHA * B))
+             for b in range(B)}
+    want_w = {i: sum(ratio[py_poly(g) % B] for g in py_grams(text))
+              for i, text in docs}
+    for i, _ in docs:
+        assert abs(got_w[i] - want_w[i]) < 1e-9, i
+    assert got_w[4] == 0.0 and got_w[5] == 0.0
+    # target-slice docs must outweigh the unrelated ones
+    assert min(want_w[0], want_w[3]) > max(want_w[2], want_w[6])
+
+    # Gumbel-top-k replays key-for-key
+    def py_key(i, temp=1.0):
+        u = (py_poly(f"{SEED}:{i}") % (1 << 20) + 0.5) / float(1 << 20)
+        return want_w[i] / temp - math.log(-math.log(u))
+
+    sel = dsir_select(d, lr, k=3, n_buckets=B, seed=SEED,
+                      hash_fn=poly_hash).collect()
+    want_order = sorted(((-py_key(i), i) for i, _ in docs))[:3]
+    assert [r["doc_id"] for r in sel] == [i for _, i in want_order]
+    for r in sel:
+        assert abs(r["sel_key"] - py_key(r["doc_id"])) < 1e-9
+
+    # tiny temperature: weight dominates noise -> deterministic argmax
+    cold = dsir_select(d, lr, k=2, n_buckets=B, seed=SEED,
+                       temperature=1e-9, hash_fn=poly_hash).collect()
+    want_cold = sorted(docs, key=lambda p: (-want_w[p[0]], p[0]))[:2]
+    assert [r["doc_id"] for r in cold] == [i for i, _ in want_cold]
+
+    # k past corpus size returns everything; guards raise
+    assert dsir_select(d, lr, k=100, n_buckets=B,
+                       hash_fn=poly_hash).count() == len(docs)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must"):
+        dsir_select(d, lr, k=0, n_buckets=B)
+    with _pytest.raises(ValueError, match="temperature"):
+        dsir_select(d, lr, k=1, n_buckets=B, temperature=0.0)
+    with _pytest.raises(ValueError, match="smoothing"):
+        dsir_logratios(gram_bucket_counts(t, n_buckets=B),
+                       gram_bucket_counts(d, n_buckets=B),
+                       n_buckets=B, smoothing=0.0)
+
+
+def test_cli_clean_dsir(spark, tmp_path, capsys):
+    """clean --dsir-target/--dsir-k: near-zero temperature keeps exactly
+    the target-like docs, the audit trail labels DSIR drops, the output
+    schema stays (doc_id, content), and a missing --dsir-k fails fast."""
+    import json
+
+    from spidey_search_engine_spark.cli import main
+
+    docs = [
+        (0, "gradient descent updates model weights each step"),
+        (1, "gradient descent updates model weights each step"),
+        # same token count as docs 0/1: the bag log-weight is a sum over
+        # grams, so a shorter unrelated doc would accumulate LESS negative
+        # mass and sneak past the target-like docs
+        (2, "the cafeteria menu lists soup and bread"),
+        (3, "quarterly revenue grew steadily across both regions"),
+    ]
+    src, tgt, out, audit = (str(tmp_path / n)
+                            for n in ("in", "tgt", "out", "audit"))
+    spark.createDataFrame(docs, "doc_id long, content string") \
+        .write.parquet(src)
+    spark.createDataFrame(
+        [(0, "gradient descent updates model weights"),],
+        "doc_id long, content string").write.parquet(tgt)
+
+    rc = main(["clean", "--input", src, "--output", out,
+               "--audit", audit, "--dsir-target", tgt, "--dsir-k", "2",
+               "--dsir-temperature", "1e-9"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_in"] == 4 and stats["docs_out"] == 2
+    assert stats["dropped"] == {"dsir": 2}
+    got = spark.read.parquet(out)
+    assert got.columns == ["doc_id", "content"]
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 1]
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["clean", "--input", src, "--output", out,
+              "--dsir-target", tgt])
