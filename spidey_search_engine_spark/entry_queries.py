@@ -3649,3 +3649,37 @@ keyed AS (
 SELECT doc_id, round(log_w, 6)::DOUBLE AS log_w_r,
        round(sel_key, 6)::DOUBLE AS sel_key_r
 FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 50"""
+
+
+def grouped_split_docs(spark, sf_dir):
+    """P42 leakage-safe grouped split (operators/sampling.grouped_split):
+    documents split train/val/test at the SOURCE level — every doc of a
+    source lands on the same side, the eval-leak guarantee a row-level
+    split cannot give. Oracle: DuckDB replays the hash-interval
+    assignment per source, and the GROUP BY shape of the SQL itself
+    re-proves the invariant (one split label per source)."""
+    from .functions.hashing import poly_hash
+    from .operators.sampling import grouped_split
+    d = load_table(spark, sf_dir, "documents")
+    s = grouped_split(d, "source", {"val": 0.1, "test": 0.2}, seed=43,
+                      hash_expr=poly_hash)
+    return s.select("doc_id", "source", "split")
+
+
+QUERIES["grouped_split_docs"] = grouped_split_docs
+
+ORACLE_SQL["grouped_split_docs"] = f"""
+WITH g AS (
+  SELECT source,
+         {_dp("source || ':43'")} % {1 << 30} AS u
+  FROM (SELECT DISTINCT source FROM documents)
+),
+lab AS (
+  SELECT source,
+         CASE WHEN u < round(0.1 * {1 << 30})::BIGINT THEN 'val'
+              WHEN u < round(0.3 * {1 << 30})::BIGINT THEN 'test'
+              ELSE 'train' END AS split
+  FROM g
+)
+SELECT d.doc_id, d.source, lab.split
+FROM documents d JOIN lab USING (source)"""

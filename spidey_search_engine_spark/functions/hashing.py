@@ -14,7 +14,18 @@ built here twice from one set of constants: as a Spark Column
 SQL string (``list_reduce`` over the same positions). Parity is pinned by
 tests/test_hashing.py. Primes sit just under 2^32 so acc·31+c < 2^37 never
 overflows a 64-bit signed int in either engine, and the combined 63-bit
-``h64`` keeps the sign bit clear so shifts/sums behave identically."""
+``h64`` keeps the sign bit clear so shifts/sums behave identically.
+
+CAVEAT — avalanche, not a correctness issue: with multiplier 31, the low
+bits of short strings are a near-linear function of the LAST few
+characters (a trailing char moves the hash by at most 31^k before any
+modular wrap), so keys that differ only mid-string and share a short
+suffix (e.g. "id:100:9".."id:159:9") land in a narrow band of
+``h % 2^k``. Both engines compute the identical value — oracles stay
+exact — but SAMPLED-fraction entries built on this hash are statistically
+skewed, and tests asserting label DIVERSITY should vary key prefixes or
+use the production xxhash64. Production paths always default to xxhash64;
+this hash exists only for cross-engine replay."""
 
 from __future__ import annotations
 

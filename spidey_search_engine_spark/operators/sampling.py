@@ -173,3 +173,78 @@ def write_training_shards(df: DataFrame, out_dir: str, n_shards: int,
     (shards.repartition(n_shards, "shard")
      .sortWithinPartitions("shard", "pos")
      .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
+
+
+def grouped_split(df: DataFrame, group_col: str,
+                  fractions: "dict[str, float]", seed: int = 43,
+                  hash_expr: HashExpr | None = None,
+                  rest: str = "train", out: str = "split") -> DataFrame:
+    """Leakage-safe train/val/test split: the unit of assignment is the
+    GROUP (repo, domain, dup-cluster id), never the document, so
+    near-duplicates and siblings that share a group can never straddle
+    the split — the classic eval-leak a row-level random split creates.
+
+    Deterministic interval assignment on u = hash(group:seed)/D: the
+    labels in `fractions` claim consecutive [0,1) intervals in dict
+    order, everything past the last threshold gets `rest`. Same
+    properties as hash_fraction_sample: shuffle-free scan-local
+    projection (the group key is hashed in place — no join, no global
+    coordination), stable under corpus growth (new docs of an existing
+    group land on its side; new groups split ~by fraction), and
+    re-runnable bit-for-bit. Rows with a NULL group all fall to `rest`
+    (documented, not an error — a NULL group is "no leak structure
+    known", and scattering NULLs across sides would leak exactly when
+    that assumption is wrong).
+
+    For dup-cluster grouping compose with dedup_clusters: join the
+    (id, cluster) assignment and pass coalesce(cluster, id) — see
+    leakage_safe_split."""
+    if not fractions:
+        raise ValueError("fractions must name at least one split label")
+    tot = 0.0
+    for lbl, f in fractions.items():
+        if lbl == rest:
+            raise ValueError(f"label {lbl!r} collides with rest={rest!r}")
+        if not (0.0 < f < 1.0):
+            raise ValueError(f"fraction for {lbl!r} must be in (0,1), "
+                             f"got {f}")
+        tot += f
+    if tot >= 1.0:
+        raise ValueError(f"fractions sum to {tot}, must leave room for "
+                         f"the {rest!r} remainder")
+    key = _sample_key(group_col, seed, hash_expr)
+    # NULL-group routing must be explicit: xxhash64(NULL, seed) is
+    # non-NULL while an injected string hash of NULL is NULL — without
+    # this guard the two hash choices would split NULL groups differently
+    u = F.when(F.col(group_col).isNotNull(), F.pmod(key, F.lit(_DENOM)))
+    expr = None
+    cum = 0.0
+    for lbl, f in fractions.items():
+        cum += f
+        cond = u < F.lit(int(round(cum * _DENOM)))
+        expr = F.when(cond, lbl) if expr is None else expr.when(cond, lbl)
+    return df.withColumn(out, expr.otherwise(rest))
+
+
+def leakage_safe_split(df: DataFrame, clusters: DataFrame,
+                       fractions: "dict[str, float]", seed: int = 43,
+                       id_col: str = "doc_id",
+                       cluster_col: str = "cluster",
+                       hash_expr: HashExpr | None = None,
+                       rest: str = "train", out: str = "split"
+                       ) -> DataFrame:
+    """grouped_split with duplicate-cluster grouping: `clusters` maps
+    id -> cluster (e.g. dedup_clusters / minhash-LSH components); docs
+    absent from it are singleton groups of their own id, so the whole
+    corpus still splits by fraction while every near-dup cluster stays
+    on one side. One shuffle (the id join); the split itself stays a
+    projection."""
+    m = clusters.select(F.col(id_col),
+                        F.col(cluster_col).alias("_lsplit_cluster"))
+    j = df.join(m, id_col, "left").withColumn(
+        "_lsplit_group",
+        F.coalesce(F.col("_lsplit_cluster").cast("string"),
+                   F.concat(F.lit("id:"), F.col(id_col).cast("string"))))
+    return (grouped_split(j, "_lsplit_group", fractions, seed, hash_expr,
+                          rest, out)
+            .drop("_lsplit_cluster", "_lsplit_group"))

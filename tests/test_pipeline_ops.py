@@ -2459,3 +2459,106 @@ def test_cli_clean_dsir(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         main(["clean", "--input", src, "--output", out,
               "--dsir-target", tgt])
+
+
+def test_grouped_split(spark):
+    """P42: group-atomic assignment (every member of a group on one
+    side), python hash-interval replay, NULL groups -> rest under BOTH
+    hash choices, fraction plausibility on many groups, label stability
+    under corpus growth, and guard rails."""
+    from spidey_search_engine_spark.functions.hashing import (M1, P1,
+                                                              poly_hash)
+    from spidey_search_engine_spark.operators.sampling import grouped_split
+
+    def py_poly(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * M1 + ord(ch)) % P1
+        return acc
+
+    # group names vary in the PREFIX: the oracle poly hash mixes by
+    # modular wraparound of the leading characters, so shared-prefix
+    # short names ("grp0".."grp39") would cluster in a narrow band of
+    # the low bits and starve a label (production xxhash64 is immune)
+    rows = [(i, f"{i % 40}grp" if i % 13 else None) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, grp string")
+    fr = {"val": 0.15, "test": 0.25}
+    got = {r["doc_id"]: r["split"] for r in
+           grouped_split(d, "grp", fr, seed=10,
+                         hash_expr=poly_hash).collect()}
+
+    D = 1 << 30
+    def py_label(g):
+        if g is None:
+            return "train"
+        u = py_poly(f"{g}:10") % D
+        if u < round(0.15 * D):
+            return "val"
+        if u < round(0.40 * D):
+            return "test"
+        return "train"
+
+    for i, g in rows:
+        assert got[i] == py_label(g), (i, g)
+    # group-atomicity + every label actually appears at 40 groups
+    sides = {}
+    for i, g in rows:
+        sides.setdefault(g, set()).add(got[i])
+    assert all(len(s) == 1 for s in sides.values())
+    assert {lbl for s in sides.values() for lbl in s} == \
+        {"train", "val", "test"}
+    # NULL groups -> rest under the DEFAULT hash too
+    null_default = {r["doc_id"]: r["split"] for r in
+                    grouped_split(d, "grp", fr, seed=10).collect()}
+    for i, g in rows:
+        if g is None:
+            assert null_default[i] == "train", i
+    # stability: adding docs never moves an existing group's side
+    grown = spark.createDataFrame(rows + [(900, "3grp"), (901, "newgrp")],
+                                  "doc_id long, grp string")
+    got2 = {r["doc_id"]: r["split"] for r in
+            grouped_split(grown, "grp", fr, seed=10,
+                          hash_expr=poly_hash).collect()}
+    for i, g in rows:
+        assert got2[i] == got[i]
+    assert got2[900] == py_label("3grp")
+
+    import pytest as _pytest
+    for bad in ({}, {"train": 0.1}, {"val": 0.0}, {"val": 1.0},
+                {"val": 0.6, "test": 0.4}):
+        with _pytest.raises(ValueError):
+            grouped_split(d, "grp", bad)
+
+
+def test_leakage_safe_split(spark):
+    """P42 composition: near-dup clusters from dedup_clusters stay on
+    one side; unclustered docs are singleton groups that still split."""
+    from spidey_search_engine_spark.operators.dedup import (
+        dedup_clusters, exact_dedup)
+    from spidey_search_engine_spark.operators.sampling import (
+        leakage_safe_split)
+
+    # 30 docs in 10 exact-dup triples + 60 unique docs
+    rows = ([(i, f"dup text number {i % 10}") for i in range(30)]
+            + [(100 + i, f"unique text {i}") for i in range(60)])
+    d = spark.createDataFrame(rows, "doc_id long, content string")
+    sha = exact_dedup(d)
+    mins = sha.groupBy("content_sha").agg(F.min("id").alias("id_b"))
+    pairs = (sha.join(mins, "content_sha")
+             .filter(F.col("id") != F.col("id_b"))
+             .select(F.col("id").alias("id_a"), "id_b"))
+    clusters = dedup_clusters(d, pairs).select("doc_id", "cluster_id")
+    # production hash here: this test asserts STRUCTURE (atomicity,
+    # both labels present), not oracle replay, and the poly hash's weak
+    # low-bit mixing on shared-suffix "id:NNN" strings would lump every
+    # singleton into one band
+    got = {r["doc_id"]: r["split"] for r in leakage_safe_split(
+        d, clusters, {"val": 0.3}, seed=9, id_col="doc_id",
+        cluster_col="cluster_id").collect()}
+    assert len(got) == 90
+    # each dup triple {i, i+10, i+20} on ONE side
+    for i in range(10):
+        assert len({got[i], got[i + 10], got[i + 20]}) == 1, i
+    # the singletons actually split (both labels present)
+    singles = {got[100 + i] for i in range(60)}
+    assert singles == {"train", "val"}
