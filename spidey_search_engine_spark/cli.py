@@ -97,6 +97,18 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--weights", default=None,
                    help="parquet (bucket int, w double) trained table; "
                         "default: deterministic formula weights")
+    c.add_argument("--strip-comments", nargs="?", const="", default=None,
+                   metavar="LANG",
+                   help="strip source-code comments; treat the whole "
+                        "corpus as LANG (java/py/sql/...), or omit LANG "
+                        "and pass --lang-col for per-row dispatch")
+    c.add_argument("--strip-license", action="store_true",
+                   help="remove a LEADING license-marked comment header "
+                        "(language from --strip-comments LANG or "
+                        "--lang-col)")
+    c.add_argument("--lang-col", default=None,
+                   help="per-row language column for --strip-comments/"
+                        "--strip-license dispatch")
     c.add_argument("--max-dup-line-frac", type=float, default=None,
                    help="Gopher repetition gate: drop docs whose fraction "
                         "of duplicate lines exceeds F (stage off when all "
@@ -272,7 +284,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "clean":
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(args.input).select("doc_id", "content")
+        # --lang-col dispatch needs its column alongside the contract pair
+        keep_cols = (["doc_id", "content", args.lang_col]
+                     if args.lang_col else ["doc_id", "content"])
+        df = spark.read.parquet(args.input).select(*keep_cols)
         n_in, c_in = df.select(
             F.count("*"), F.coalesce(F.sum(F.length("content")),
                                      F.lit(0))).collect()[0]
@@ -295,6 +310,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.normalize:
             from .functions.normalize import normalize_text
             df = normalize_text(df, "content", form=args.normalize)
+        if args.strip_license or args.strip_comments is not None:
+            lang = args.strip_comments or None
+            lang_col = args.lang_col
+            if (lang is None) == (lang_col is None):
+                raise SystemExit("--strip-comments/--strip-license need "
+                                 "exactly one of LANG or --lang-col")
+            from .functions.codeclean import (
+                with_comments_stripped, with_license_header_stripped)
+            if args.strip_license:
+                df = with_license_header_stripped(df, "content",
+                                                  lang_col=lang_col,
+                                                  lang=lang)
+            if args.strip_comments is not None:
+                df = with_comments_stripped(df, "content",
+                                            lang_col=lang_col, lang=lang)
         if args.substring_min_count > 0:
             from .operators.dedup import substring_dedup
             df = substring_dedup(df, k=args.substring_k,

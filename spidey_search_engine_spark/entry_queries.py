@@ -3683,3 +3683,100 @@ lab AS (
 )
 SELECT d.doc_id, d.source, lab.split
 FROM documents d JOIN lab USING (source)"""
+
+
+def strip_comments_docs(spark, sf_dir):
+    """P43 source-code comment + license-header stripping (functions/
+    codeclean): documents get a synthetic language (py/java/sql by
+    doc_id % 3), a license header, and planted inline/block/trailing
+    comments wrapped around the real text; the entry strips the header
+    (marker-gated) then all comments, per-row dispatched on the lang
+    column. Oracle: DuckDB replays the identical Java≡RE2 regex chains
+    with regexp_replace(...,'g') — value-hash on the exact strings, no
+    rounding."""
+    from .functions.codeclean import (with_comments_stripped,
+                                      with_license_header_stripped)
+    d = load_table(spark, sf_dir, "documents")
+    lang = F.element_at(F.array(F.lit("py"), F.lit("java"), F.lit("sql")),
+                        (F.col("doc_id") % 3 + 1).cast("int"))
+    w1 = F.split(F.col("text"), " ").getItem(0)
+    content = (
+        F.when(lang == "java",
+               F.concat(F.lit("/* Copyright 2024 Example Corp */\n"),
+                        F.lit("int v; // note\n"), F.col("text"),
+                        F.lit(" /* tail "), w1, F.lit(" */")))
+        .when(lang == "py",
+              F.concat(F.lit("# copyright 2024\n# spdx: mit\n"),
+                       F.lit("v = 1  # note\n"), F.col("text")))
+        .otherwise(
+            F.concat(F.lit("-- Copyright 2024\n"),
+                     F.lit("SELECT 1; /* note */\n"), F.col("text"),
+                     F.lit(" -- trail"))))
+    planted = d.select("doc_id", lang.alias("lang"),
+                       content.alias("content"))
+    r = with_license_header_stripped(planted, lang_col="lang")
+    r = with_comments_stripped(r, lang_col="lang")
+    return r.select("doc_id", "lang", "content")
+
+
+QUERIES["strip_comments_docs"] = strip_comments_docs
+
+_CC_BLOCK = r"/\*[^*]*\*+([^/*][^*]*\*+)*/"
+_CC_LEAD_C = r"^\s*(" + _CC_BLOCK + r"|(//[^\n]*\n\s*)*//[^\n]*\n?)"
+_CC_LEAD_HASH = r"^\s*((#[^\n]*\n\s*)*#[^\n]*\n?)"
+_CC_LEAD_SQL = r"^\s*(" + _CC_BLOCK + r"|(--[^\n]*\n\s*)*--[^\n]*\n?)"
+_CC_MARK = r"(?i)copyright|license|licence|spdx|all rights reserved"
+_CC_LINE_SLASH = r"//[^\n]*"
+_CC_LINE_HASH = r"#[^\n]*"
+_CC_LINE_DASH = r"--[^\n]*"
+
+
+def _cc_chain(expr, pats):
+    for p in pats:
+        expr = f"regexp_replace({expr}, '{p}', '', 'g')"
+    for p, rep in (("[ \\t]+\\n", "\\n"), ("\\n{3,}", "\\n\\n")):
+        expr = f"regexp_replace({expr}, '{p}', e'{rep}', 'g')"
+    return expr
+
+
+def _cc_delead(lead):
+    return (f"CASE WHEN length(regexp_extract(content, '{lead}', 0)) > 0 "
+            f"AND regexp_matches(regexp_extract(content, '{lead}', 0), "
+            f"'{_CC_MARK}') "
+            f"THEN ltrim(substring(content, "
+            f"length(regexp_extract(content, '{lead}', 0)) + 1, "
+            f"length(content))) ELSE content END")
+
+
+ORACLE_SQL["strip_comments_docs"] = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE (doc_id % 3)::INT WHEN 0 THEN 'py' WHEN 1 THEN 'java'
+              ELSE 'sql' END AS lang,
+         CASE (doc_id % 3)::INT
+           WHEN 1 THEN '/* Copyright 2024 Example Corp */' || chr(10) ||
+                'int v; // note' || chr(10) || text || ' /* tail ' ||
+                string_split(text, ' ')[1] || ' */'
+           WHEN 0 THEN '# copyright 2024' || chr(10) || '# spdx: mit' ||
+                chr(10) || 'v = 1  # note' || chr(10) || text
+           ELSE '-- Copyright 2024' || chr(10) ||
+                'SELECT 1; /* note */' || chr(10) || text || ' -- trail'
+         END AS content
+  FROM documents
+),
+deheaded AS (
+  SELECT doc_id, lang,
+         CASE lang
+           WHEN 'java' THEN {_cc_delead(_CC_LEAD_C)}
+           WHEN 'py' THEN {_cc_delead(_CC_LEAD_HASH)}
+           ELSE {_cc_delead(_CC_LEAD_SQL)}
+         END AS content
+  FROM planted
+)
+SELECT doc_id, lang,
+       CASE lang
+         WHEN 'java' THEN {_cc_chain("content", [_CC_BLOCK, _CC_LINE_SLASH])}
+         WHEN 'py' THEN {_cc_chain("content", [_CC_LINE_HASH])}
+         ELSE {_cc_chain("content", [_CC_BLOCK, _CC_LINE_DASH])}
+       END AS content
+FROM deheaded"""

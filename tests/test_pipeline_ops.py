@@ -2562,3 +2562,112 @@ def test_leakage_safe_split(spark):
     # the singletons actually split (both labels present)
     singles = {got[100 + i] for i in range(60)}
     assert singles == {"train", "val"}
+
+
+def test_codeclean_strip_comments(spark):
+    """P43: per-family fixture matrix (block-before-line ordering, tidy
+    collapse, string-literal casualty documented), unknown/NULL lang
+    passthrough, fixed-lang mode == per-row dispatch, and the arg
+    contract."""
+    from spidey_search_engine_spark.functions.codeclean import (
+        with_comments_stripped)
+    rows = [
+        (0, "java", "int a; /* x // y */ int b; // tail"),
+        (1, "py", "x = 1  # c\ny = 2"),
+        (2, "sql", "SELECT a /* c */ FROM t -- note"),
+        (3, "html", "<b>hi</b><!-- note --><i>z</i>"),
+        (4, "brainfck", "++ // keep # keep -- keep"),
+        (5, None, "// keep"),
+        (6, "java", 'u = "http://x"; // gone'),
+        (7, "java", "a;\n/* big\n\ncomment */\n\nb;"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, content string")
+    got = {r["doc_id"]: r["content"] for r in
+           with_comments_stripped(d, lang_col="lang").collect()}
+    assert got[0] == "int a;  int b; "         # block died as ONE unit
+    assert got[1] == "x = 1\ny = 2"
+    assert got[2] == "SELECT a  FROM t "
+    assert got[3] == "<b>hi</b><i>z</i>"
+    assert got[4] == rows[4][2]                 # unknown lang untouched
+    assert got[5] == rows[5][2]                 # NULL lang untouched
+    assert got[6] == 'u = "http:'               # documented URL casualty
+    assert got[7] == "a;\n\n\nb;"[:3] + "\nb;"  # 3+ newlines collapse to 2
+    # fixed-lang mode agrees with dispatch for a single-language table
+    only_java = d.filter(F.col("lang") == "java")
+    a = {r["doc_id"]: r["content"] for r in
+         with_comments_stripped(only_java, lang="java").collect()}
+    assert a == {k: v for k, v in got.items() if k in (0, 6, 7)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exactly one"):
+        with_comments_stripped(d)
+    with _pytest.raises(ValueError, match="exactly one"):
+        with_comments_stripped(d, lang="java", lang_col="lang")
+
+
+def test_codeclean_license_header(spark):
+    """P43: the leading comment goes ONLY when it carries a license
+    marker; line-comment runs count as one header; deeper doc comments
+    survive; adversarial unclosed-comment input completes (the linear
+    block pattern, not the backtracking non-greedy one)."""
+    from spidey_search_engine_spark.functions.codeclean import (
+        with_license_header_stripped)
+    rows = [
+        (0, "java", "/* Copyright 2024 X */\nint a; /* keep */"),
+        (1, "java", "/* just a file banner */\nint a;"),
+        (2, "py", "# copyright me\n# SPDX-License-Identifier: MIT\nx=1"),
+        (3, "py", "# plain comment\nx=1"),
+        (4, "sql", "-- Licensed under MIT\nSELECT 1 /* keep */"),
+        (5, "java", "int a;\n/* Copyright later, keep */"),
+        # genuinely unclosed: no '*' + '/' pair anywhere after the opener
+        # ("/*"*N would NOT be unclosed — '/*/' contains a closing '*/')
+        (6, "java", "/* unclosed copyright " + "/x" * 5000),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, content string")
+    got = {r["doc_id"]: r["content"] for r in
+           with_license_header_stripped(d, lang_col="lang").collect()}
+    assert got[0] == "\nint a; /* keep */"
+    assert got[1] == rows[1][2]                 # no marker -> keep header
+    assert got[2] == "x=1"
+    assert got[3] == rows[3][2]
+    # line-run headers consume their own trailing newline (the \n? in
+    # the lead pattern); block headers leave it (pattern ends at */)
+    assert got[4] == "SELECT 1 /* keep */"
+    assert got[5] == rows[5][2]                 # not leading -> keep
+    assert got[6] == rows[6][2]                 # unclosed: no match, kept
+
+
+def test_cli_clean_strip_comments(spark, tmp_path, capsys):
+    """P43 clean stages: --strip-license + --strip-comments with
+    per-row --lang-col dispatch, char accounting reflects the strip,
+    and the exactly-one-language-source contract fails fast."""
+    import json
+
+    from spidey_search_engine_spark.cli import main
+
+    docs = [
+        (0, "java", "/* Copyright 2024 */\nint a; // note"),
+        (1, "py", "# plain banner\nx = 1  # c"),
+        (2, "weird", "// untouched /* lang unknown */"),
+    ]
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(docs, "doc_id long, lang string, content string") \
+        .write.parquet(src)
+    rc = main(["clean", "--input", src, "--output", out,
+               "--strip-comments", "--lang-col", "lang",
+               "--strip-license"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_in"] == 3 and stats["docs_out"] == 3
+    assert stats["chars_out"] < stats["chars_in"]
+    got = {r["doc_id"]: r["content"] for r in
+           spark.read.parquet(out).collect()}
+    assert got[0] == "\nint a; "
+    assert got[1] == "\nx = 1  "    # header kept (no marker) but # c gone
+    assert got[2] == docs[2][2]
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["clean", "--input", src, "--output", out,
+              "--strip-comments"])
+    with _pytest.raises(SystemExit):
+        main(["clean", "--input", src, "--output", out,
+              "--strip-comments", "java", "--lang-col", "lang"])
