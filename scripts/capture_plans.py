@@ -388,9 +388,11 @@ def main() -> None:
         "Look for: ONE scan of the documents table feeding "
         "Generate(explode) of the per-doc distinct gram array, a "
         "BroadcastHashJoin against the (tiny) benchmark gram set IN THE "
-        "SAME stage — the only Exchange in the tree is the final "
-        "hashpartitioning(doc_id) of the surviving hits into the count "
-        "aggregate. Corpus grams are created and discarded within a "
+        "SAME stage — the only CORPUS-SIZED Exchange in the tree is the "
+        "final hashpartitioning(doc_id) of the surviving hits into the "
+        "count aggregate (the bench side's distinct-gram Exchange and "
+        "the BroadcastExchange are benchmark-sized by construction). "
+        "Corpus grams are created and discarded within a "
         "task; nothing corpus-sized ever crosses the wire.",
         capture(dh)))
 

@@ -126,7 +126,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--decontam-bench", default=None, metavar="DIR",
                    help="benchmark parquet dir (any table with a 'text' "
                         "column); docs sharing a token n-gram with it are "
-                        "dropped LAST, after all other stages")
+                        "dropped after every filter stage (only DSIR "
+                        "selection runs later)")
     c.add_argument("--decontam-n", type=int, default=13,
                    help="n-gram size for --decontam-bench (13 = the "
                         "GPT-3/PaLM convention)")
@@ -317,7 +318,12 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--strip-comments/--strip-license need "
                                  "exactly one of LANG or --lang-col")
             from .functions.codeclean import (
-                with_comments_stripped, with_license_header_stripped)
+                LANG_FAMILIES, with_comments_stripped,
+                with_license_header_stripped)
+            if lang is not None and lang.lower() not in LANG_FAMILIES:
+                raise SystemExit(
+                    f"--strip-comments: unknown language {lang!r} "
+                    f"(known: {', '.join(sorted(LANG_FAMILIES))})")
             if args.strip_license:
                 df = with_license_header_stripped(df, "content",
                                                   lang_col=lang_col,
@@ -325,6 +331,9 @@ def main(argv: list[str] | None = None) -> int:
             if args.strip_comments is not None:
                 df = with_comments_stripped(df, "content",
                                             lang_col=lang_col, lang=lang)
+            # the lang column's job is done; later stages project or
+            # rebuild (doc_id, content) and would drop it inconsistently
+            df = df.select("doc_id", "content")
         if args.substring_min_count > 0:
             from .operators.dedup import substring_dedup
             df = substring_dedup(df, k=args.substring_k,
@@ -343,10 +352,16 @@ def main(argv: list[str] | None = None) -> int:
             for spec in specs:
                 try:
                     n, frac = spec.split(":", 1)
-                    out[int(n)] = float(frac)
+                    n, frac = int(n), float(frac)
                 except ValueError:
                     raise SystemExit(
                         f"{flag} expects N:F (e.g. 2:0.20), got {spec!r}")
+                if n < 1:
+                    raise SystemExit(f"{flag}: N must be >= 1, got {n}")
+                if n in out:
+                    raise SystemExit(f"{flag}: duplicate N={n} "
+                                     f"({out[n]} vs {frac})")
+                out[n] = frac
             return out
 
         top_bounds = _nf_pairs(args.max_top_ngram, "--max-top-ngram")
@@ -394,7 +409,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.decontam_bench:
             from .operators.decontaminate import decontaminate
             bench = spark.read.parquet(args.decontam_bench).select("text")
-            prev = df = _pin_for_audit(df)
+            # decontaminate self-joins df (hits branch + anti-join side):
+            # pin unconditionally, like the DSIR stage, or the whole
+            # upstream chain recomputes twice even without --audit
+            prev = df = df.persist()
+            pinned.append(df)
             df = decontaminate(df, bench, n=args.decontam_n)
             _log_drops(prev, df, "decontam")
         if args.dsir_target:

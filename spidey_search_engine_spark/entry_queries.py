@@ -3563,23 +3563,35 @@ def decontam_bench_coverage(spark, sf_dir):
 
 QUERIES["decontam_bench_coverage"] = decontam_bench_coverage
 
-ORACLE_SQL["decontam_bench_coverage"] = "WITH" + _BENCH_GRAMS_CTE.replace(
-    "SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS gram\n  FROM (SELECT t,",
-    "SELECT DISTINCT bench_id, array_to_string(t[i:i+2], ' ') AS gram\n  FROM (SELECT bench_id, t,").replace(
-    f"""btoks AS (
-  SELECT {_TOKS.replace("lower(text)",
-                        "lower(array_to_string(string_split(text, ' ')[3:9], ' '))")} AS t
-  FROM documents""",
-    f"""btoks AS (
+ORACLE_SQL["decontam_bench_coverage"] = f"""
+WITH btoks AS (
   SELECT doc_id AS bench_id,
          {_TOKS.replace("lower(text)",
                         "lower(array_to_string(string_split(text, ' ')[3:9], ' '))")} AS t
-  FROM documents""") + """
-SELECT b.bench_id, count(*)::BIGINT AS n_grams,
-       count(*) FILTER (WHERE d.gram IS NOT NULL)::BIGINT AS n_leaked,
-       round(count(*) FILTER (WHERE d.gram IS NOT NULL)::DOUBLE
-             / count(*), 6)::DOUBLE AS leak_frac_r
-FROM bgrams b LEFT JOIN (SELECT DISTINCT gram FROM dgrams) d USING (gram)
+  FROM documents WHERE doc_id % 100 = 7
+),
+-- zero-gram items must SURVIVE as (bench_id, 0, 0, NULL) — mirror the
+-- Spark side's explode_outer with a NULL-element placeholder list
+bitems AS (
+  SELECT bench_id,
+         unnest(CASE WHEN len(t) < 3 THEN [NULL]
+                ELSE list_distinct(list_transform(
+                    range(len(t) - 2),
+                    i -> array_to_string(t[i + 1:i + 3], ' '))) END) AS gram
+  FROM btoks
+),
+dtoks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dgrams AS (
+  SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS gram
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM dtoks)
+)
+SELECT b.bench_id,
+       count(b.gram)::BIGINT AS n_grams,
+       count(d.gram)::BIGINT AS n_leaked,
+       round(count(d.gram)::DOUBLE / nullif(count(b.gram), 0), 6)::DOUBLE
+           AS leak_frac_r
+FROM bitems b LEFT JOIN dgrams d USING (gram)
 GROUP BY 1"""
 
 
@@ -3681,8 +3693,8 @@ lab AS (
               ELSE 'train' END AS split
   FROM g
 )
-SELECT d.doc_id, d.source, lab.split
-FROM documents d JOIN lab USING (source)"""
+SELECT d.doc_id, d.source, coalesce(lab.split, 'train') AS split
+FROM documents d LEFT JOIN lab USING (source)"""
 
 
 def strip_comments_docs(spark, sf_dir):
@@ -3721,14 +3733,18 @@ def strip_comments_docs(spark, sf_dir):
 
 QUERIES["strip_comments_docs"] = strip_comments_docs
 
-_CC_BLOCK = r"/\*[^*]*\*+([^/*][^*]*\*+)*/"
-_CC_LEAD_C = r"^\s*(" + _CC_BLOCK + r"|(//[^\n]*\n\s*)*//[^\n]*\n?)"
-_CC_LEAD_HASH = r"^\s*((#[^\n]*\n\s*)*#[^\n]*\n?)"
-_CC_LEAD_SQL = r"^\s*(" + _CC_BLOCK + r"|(--[^\n]*\n\s*)*--[^\n]*\n?)"
-_CC_MARK = r"(?i)copyright|license|licence|spdx|all rights reserved"
-_CC_LINE_SLASH = r"//[^\n]*"
-_CC_LINE_HASH = r"#[^\n]*"
-_CC_LINE_DASH = r"--[^\n]*"
+# the oracle replays the ENGINE's own patterns — imported, not copied,
+# so an edit in codeclean.py can never leave the gate testing a stale chain
+from .functions.codeclean import _BLOCK as _CC_BLOCK  # noqa: E402
+from .functions.codeclean import _LEAD as _CC_LEAD  # noqa: E402
+from .functions.codeclean import _LICENSE_MARK as _CC_MARK  # noqa: E402
+from .functions.codeclean import _LINE_DASH as _CC_LINE_DASH  # noqa: E402
+from .functions.codeclean import _LINE_HASH as _CC_LINE_HASH  # noqa: E402
+from .functions.codeclean import _LINE_SLASH as _CC_LINE_SLASH  # noqa: E402
+
+_CC_LEAD_C = _CC_LEAD["c"]
+_CC_LEAD_HASH = _CC_LEAD["hash"]
+_CC_LEAD_SQL = _CC_LEAD["sql"]
 
 
 def _cc_chain(expr, pats):

@@ -87,12 +87,21 @@ def _strip_family(col: Column, family: str, tidy: bool = True) -> Column:
     return out
 
 
-def strip_comments_expr(col: Column, lang: str, tidy: bool = True) -> Column:
-    """Comment-free view of `col` for a FIXED language name."""
+def _family_of(lang: str) -> str:
+    """Resolve a FIXED user-named language, failing fast on a typo —
+    silently no-opping a requested whole-corpus strip would be worse
+    than an error. (Per-row lang_col dispatch still passes unknown
+    languages through: there the value is data, not a user claim.)"""
     family = LANG_FAMILIES.get(lang.lower())
     if family is None:
-        return col
-    return _strip_family(col, family, tidy)
+        known = ", ".join(sorted(LANG_FAMILIES))
+        raise ValueError(f"unknown language {lang!r}; known: {known}")
+    return family
+
+
+def strip_comments_expr(col: Column, lang: str, tidy: bool = True) -> Column:
+    """Comment-free view of `col` for a FIXED language name."""
+    return _strip_family(col, _family_of(lang), tidy)
 
 
 def with_comments_stripped(df: DataFrame, text_col: str = "content",
@@ -124,20 +133,21 @@ def with_comments_stripped(df: DataFrame, text_col: str = "content",
     return df.withColumn(out or text_col, expr)
 
 
+def _strip_license_family(col: Column, family: str) -> Column:
+    lead = F.regexp_extract(col, _LEAD[family], 0)
+    is_license = (F.length(lead) > 0) & lead.rlike(_LICENSE_MARK)
+    return F.when(is_license,
+                  F.ltrim(col.substr(F.length(lead) + 1,
+                                     F.length(col)))).otherwise(col)
+
+
 def strip_license_header_expr(col: Column, lang: str) -> Column:
     """Remove the LEADING comment (block, or unbroken line-comment run)
     iff it contains a license marker (copyright/license/SPDX/…). The
     match is extracted once and removed by length arithmetic — no second
     regex pass, and only the anchored head of the file is ever touched,
     so doc comments deeper in the file survive."""
-    family = LANG_FAMILIES.get(lang.lower())
-    if family is None:
-        return col
-    lead = F.regexp_extract(col, _LEAD[family], 0)
-    is_license = (F.length(lead) > 0) & lead.rlike(_LICENSE_MARK)
-    return F.when(is_license,
-                  F.ltrim(col.substr(F.length(lead) + 1,
-                                     F.length(col)))).otherwise(col)
+    return _strip_license_family(col, _family_of(lang))
 
 
 def with_license_header_stripped(df: DataFrame, text_col: str = "content",
@@ -156,11 +166,8 @@ def with_license_header_stripped(df: DataFrame, text_col: str = "content",
         expr = None
         for family in _FAMILIES:
             langs = [k for k, v in LANG_FAMILIES.items() if v == family]
-            lead = F.regexp_extract(c, _LEAD[family], 0)
-            is_lic = (F.length(lead) > 0) & lead.rlike(_LICENSE_MARK)
-            branch = F.when(is_lic, F.ltrim(
-                c.substr(F.length(lead) + 1, F.length(c)))).otherwise(c)
             cond = lc.isin(*langs)
+            branch = _strip_license_family(c, family)
             expr = (F.when(cond, branch) if expr is None
                     else expr.when(cond, branch))
         expr = expr.otherwise(c)

@@ -2602,6 +2602,10 @@ def test_codeclean_strip_comments(spark):
         with_comments_stripped(d)
     with _pytest.raises(ValueError, match="exactly one"):
         with_comments_stripped(d, lang="java", lang_col="lang")
+    # a FIXED user-named language fails fast on a typo (per-row dispatch
+    # keeps unknown-passthrough: there the value is data, not a claim)
+    with _pytest.raises(ValueError, match="unknown language"):
+        with_comments_stripped(d, lang="jav")
 
 
 def test_codeclean_license_header(spark):
@@ -2664,6 +2668,8 @@ def test_cli_clean_strip_comments(spark, tmp_path, capsys):
     assert got[0] == "\nint a; "
     assert got[1] == "\nx = 1  "    # header kept (no marker) but # c gone
     assert got[2] == docs[2][2]
+    # lang-col is consumed by the strip stage, not leaked to the output
+    assert spark.read.parquet(out).columns == ["doc_id", "content"]
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         main(["clean", "--input", src, "--output", out,
@@ -2671,3 +2677,10 @@ def test_cli_clean_strip_comments(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         main(["clean", "--input", src, "--output", out,
               "--strip-comments", "java", "--lang-col", "lang"])
+    with _pytest.raises(SystemExit, match="unknown language"):
+        main(["clean", "--input", src, "--output", out,
+              "--strip-comments", "jav"])
+    for bad in (["--max-top-ngram", "0:0.2"],
+                ["--max-dup-ngram", "2:0.1", "--max-dup-ngram", "2:0.9"]):
+        with _pytest.raises(SystemExit):
+            main(["clean", "--input", src, "--output", out] + bad)
