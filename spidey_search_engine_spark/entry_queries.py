@@ -3796,3 +3796,46 @@ SELECT doc_id, lang,
          ELSE {_cc_chain("content", [_CC_BLOCK, _CC_LINE_DASH])}
        END AS content
 FROM deheaded"""
+
+
+def fork_pairs_docs(spark, sf_dir):
+    """P44 repo-level fork detection (operators/forks): repo := source,
+    file := text; a PLANTED fork of src3 carries its doc_id % 5 != 0
+    files verbatim under the name 'src3_fork' (file-set Jaccard ~0.8
+    against src3), exact mode so the oracle is a direct pairwise
+    set-Jaccard recompute — the LSH path is pinned equal to exact mode
+    by pytest on the same planted shape."""
+    from .operators.forks import fork_pairs
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(F.col("source").alias("repo"),
+                    F.col("text").alias("content"))
+    fork = (d.filter((F.col("source") == "src3") & (F.col("doc_id") % 5 != 0))
+            .select(F.lit("src3_fork").alias("repo"),
+                    F.col("text").alias("content")))
+    files = base.unionByName(fork)
+    p = fork_pairs(files, threshold=0.4, exact=True)
+    return p.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard_r"))
+
+
+QUERIES["fork_pairs_docs"] = fork_pairs_docs
+
+ORACLE_SQL["fork_pairs_docs"] = """
+WITH files AS (
+  SELECT source AS repo, text AS content FROM documents
+  UNION ALL
+  SELECT 'src3_fork', text FROM documents
+  WHERE source = 'src3' AND doc_id % 5 <> 0
+),
+sh AS (SELECT DISTINCT repo, sha256(content) AS sha FROM files),
+cnt AS (SELECT repo, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.repo AS id_a, b.repo AS id_b, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.sha = b.sha AND a.repo < b.repo
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i::DOUBLE / (ca.n + cb.n - i), 6)::DOUBLE AS jaccard_r
+FROM inter
+JOIN cnt ca ON ca.repo = id_a
+JOIN cnt cb ON cb.repo = id_b
+WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.4"""

@@ -2684,3 +2684,65 @@ def test_cli_clean_strip_comments(spark, tmp_path, capsys):
                 ["--max-dup-ngram", "2:0.1", "--max-dup-ngram", "2:0.9"]):
         with _pytest.raises(SystemExit):
             main(["clean", "--input", src, "--output", out] + bad)
+
+
+def test_fork_detection(spark):
+    """P44: exact file-set Jaccard against a python reference on planted
+    forks (incl. a shared hot file in EVERY repo — the LICENSE shape),
+    LSH mode == exact mode above threshold, within-repo duplicate files
+    count once, and fork_clusters keeps the largest member of each
+    transitive family."""
+    from spidey_search_engine_spark.operators.forks import (
+        fork_clusters, fork_pairs)
+
+    def repo(name, files):
+        return [(name, f) for f in files]
+
+    license_txt = "MIT license text shared by everyone"
+    base = [f"file body {i}" for i in range(10)]
+    rows = (
+        repo("upstream", base + [license_txt])
+        + repo("fork_a", base[:8] + ["fork_a extra"] + [license_txt])
+        + repo("fork_b", base[:7] + ["fork_b x", "fork_b y"] + [license_txt])
+        # duplicate file WITHIN the repo must count once
+        + repo("selfdup", base[:2] + base[:2] + ["selfdup own"] + [license_txt])
+        + repo("unrelated", [f"other {i}" for i in range(9)] + [license_txt])
+    )
+    files = spark.createDataFrame(rows, "repo string, content string")
+
+    # python reference over distinct sets
+    sets = {}
+    for r, c in rows:
+        sets.setdefault(r, set()).add(c)
+    def jac(a, b):
+        i = len(sets[a] & sets[b])
+        return i / (len(sets[a]) + len(sets[b]) - i)
+
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             fork_pairs(files, threshold=0.5, exact=True).collect()}
+    names = sorted(sets)
+    want = {(a, b): jac(a, b) for ai, a in enumerate(names)
+            for b in names[ai + 1:] if jac(a, b) >= 0.5}
+    assert set(exact) == set(want)
+    for k, v in want.items():
+        assert abs(exact[k] - v) < 1e-12, k
+    assert ("fork_a", "upstream") in exact          # planted forks found
+    assert not any("unrelated" in k for k in exact)  # hot file != fork
+    # LSH mode returns the same verified pairs (16 hashes, 8 bands ->
+    # bands of 2: candidate recall at J>=0.5 is essentially certain)
+    lsh = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           fork_pairs(files, threshold=0.5, num_hashes=16,
+                      bands=8).collect()}
+    assert lsh == exact
+
+    cl = {r["repo"]: (r["cluster_id"], r["canon"]) for r in
+          fork_clusters(files, fork_pairs(files, threshold=0.5,
+                                          exact=True)).collect()}
+    assert len(cl) == 5
+    fam = {cl["upstream"][0], cl["fork_a"][0], cl["fork_b"][0]}
+    assert len(fam) == 1                     # one transitive family
+    assert cl["unrelated"][0] not in fam
+    # canonical = largest file set (upstream: 11 distinct)
+    assert cl["upstream"][1] == 1
+    assert cl["fork_a"][1] == 0 and cl["fork_b"][1] == 0
+    assert cl["selfdup"][1] == 1 and cl["unrelated"][1] == 1
