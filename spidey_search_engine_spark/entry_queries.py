@@ -3839,3 +3839,39 @@ FROM inter
 JOIN cnt ca ON ca.repo = id_a
 JOIN cnt cb ON cb.repo = id_b
 WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.4"""
+
+
+def doc_keywords_topk(spark, sf_dir):
+    """P45 per-document keyword extraction (operators/report.
+    doc_keywords): top-3 tf·idf terms per document against the REAL
+    index dictionary (terms.df) and stats (n_docs). Oracle: DuckDB
+    recomputes tf and df from the corpus (the same derivation the
+    index-family oracles already prove equals the index tables) and
+    replays score, tie order, and the rank cutoff."""
+    from .operators.report import doc_keywords
+    idx = entry_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", F.col("text").alias("content"))
+    kw = doc_keywords(d, idx["terms"], int(idx["stats"]["n_docs"]), k=3)
+    return kw.select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                     _r(F.col("score")).alias("score_r"),
+                     F.col("rank").cast("long").alias("rank"))
+
+
+QUERIES["doc_keywords_topk"] = doc_keywords_topk
+
+ORACLE_SQL["doc_keywords_topk"] = _BASE_CTES + """,
+scored AS (
+  SELECT tfc.doc_id, tfc.term, tfc.tf,
+         tfc.tf * ln(1.0 + st.n::DOUBLE / dfreq.df) AS score
+  FROM tfc JOIN dfreq USING (term), st
+),
+ranked AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, round(score, 6)::DOUBLE AS score_r,
+       rank::BIGINT AS rank
+FROM ranked WHERE rank <= 3"""

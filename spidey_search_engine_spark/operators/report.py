@@ -131,3 +131,52 @@ def vocab_coverage(term_counts: DataFrame, sizes: Sequence[int],
                      F.col("total_tokens").cast("double"))
         .alias("coverage"))
         .orderBy("vocab_size"))
+
+
+def doc_keywords(df, terms, n_docs: int, k: int = 5,
+                 id_col: str = "doc_id", text_col: str = "content",
+                 tokens=None):
+    """(id, term, tf, score, rank) — the k most salient terms per
+    document by tf·idf against the INDEX dictionary: score =
+    tf · ln(1 + N/df), the engine's BM25 idf (operators/build.term_stats)
+    without the length normalization — keyword salience should not
+    penalize long documents the way retrieval scoring must.
+
+    Reference analog: none — the reference ranks documents for a query
+    (Ranker.java); this is the transpose (rank TERMS for a document),
+    the tagging/faceting/related-searches primitive built from the same
+    two tables.
+
+    Scale shape: one corpus scan (tokenize → explode → per-(doc, term)
+    count, partial-aggregated map-side before the shuffle), one join
+    against the dictionary on term (AQE broadcasts when the dictionary
+    is small; at 10^9-term scale it's a plain shuffle join on uniform
+    keys), then per-doc top-k via row_number ≤ k — Spark plans that as
+    WindowGroupLimit: each partition keeps k rows per doc BEFORE the
+    window shuffle, so nothing resembling a global sort of the
+    (doc, term) space ever runs.
+
+    `tokens` overrides the token-array column (e.g. the code-profile
+    Arrow tokenizer); the default is the simple profile's JVM split,
+    which matches the entry index's analyzer exactly. Terms absent from
+    the dictionary (keyword extraction over a NEW corpus against an
+    OLD index) drop out via the inner join — by design: a term the
+    index never saw has no defensible df."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = tokens if tokens is not None else F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9_]+"),
+        lambda x: x != F.lit(""))
+    tf = (df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+          .groupBy("id", "term").agg(F.count("*").alias("tf")))
+    scored = (tf.join(terms.select("term", "df"), "term")
+              .withColumn("score",
+                          F.col("tf") * F.log(F.lit(1.0)
+                                              + F.lit(float(n_docs))
+                                              / F.col("df"))))
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(),
+                                         F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("id").alias(id_col), "term", "tf", "score",
+                    "rank"))

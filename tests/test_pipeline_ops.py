@@ -2746,3 +2746,50 @@ def test_fork_detection(spark):
     assert cl["upstream"][1] == 1
     assert cl["fork_a"][1] == 0 and cl["fork_b"][1] == 0
     assert cl["selfdup"][1] == 1 and cl["unrelated"][1] == 1
+
+
+def test_doc_keywords(spark):
+    """P45: tf·idf top-k against a python reference (ties -> term asc),
+    OOV terms drop via the dictionary join, k guard, and the physical
+    plan actually contains WindowGroupLimit (per-partition top-k, not a
+    full sort of the (doc, term) space)."""
+    import math
+
+    from spidey_search_engine_spark.operators.report import doc_keywords
+
+    docs = [
+        (0, "alpha alpha beta gamma"),
+        (1, "beta beta beta delta alpha"),
+        (2, "gamma gamma zeta"),            # zeta is OOV in the dict
+        (3, ""),
+    ]
+    # dictionary: df as if from a larger index (n=10)
+    terms = spark.createDataFrame(
+        [("alpha", 5), ("beta", 2), ("gamma", 1), ("delta", 9)],
+        "term string, df long")
+    d = spark.createDataFrame(docs, "doc_id long, content string")
+    kw = doc_keywords(d, terms, n_docs=10, k=2)
+    got = {}
+    for r in kw.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tf"], r["score"]))
+    dfs = {"alpha": 5, "beta": 2, "gamma": 1, "delta": 9}
+    def score(t, tf):
+        return tf * math.log(1 + 10 / dfs[t])
+    for i, text in docs:
+        toks = [t for t in text.split() if t in dfs]
+        cnt = {}
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        want = sorted(((-score(t, c), t) for t, c in cnt.items()))[:2]
+        have = sorted(got.get(i, []))
+        assert [h[1] for h in have] == [t for _, t in want], i
+        for (rk, t, tf, s), (ns, wt) in zip(have, want):
+            assert tf == cnt[t] and abs(s - (-ns)) < 1e-12, (i, t)
+    assert 3 not in got                       # empty doc -> no rows
+    assert all(t != "zeta" for rows in got.values() for _, t, _, _ in rows)
+    plan = kw._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must"):
+        doc_keywords(d, terms, n_docs=10, k=0)
