@@ -396,6 +396,45 @@ def main() -> None:
         "task; nothing corpus-sized ever crosses the wire.",
         capture(dh)))
 
+    # P41 DSIR selection: the corpus must never shuffle on the bucket
+    # key, and selection must be a per-partition top-k, not a sort
+    from spidey_search_engine_spark.operators.dsir import (
+        dsir_logratios, dsir_select, gram_bucket_counts)
+    ddsir = EQ.load_table(spark, sf_dir, "documents") \
+        .withColumnRenamed("text", "content").select("doc_id", "content")
+    dtarget = ddsir.filter(F.col("doc_id") % 7 == 3)
+    dlr = dsir_logratios(gram_bucket_counts(dtarget, n_buckets=512),
+                         gram_bucket_counts(ddsir, n_buckets=512),
+                         n_buckets=512)
+    dsel = dsir_select(ddsir, dlr, k=50, n_buckets=512, seed=7)
+    sections.append((
+        "DSIR importance selection (P41): broadcast ratios, "
+        "TakeOrderedAndProject top-k",
+        "Look for: the log-ratio table (bounded by n_buckets) entering "
+        "the scoring join through a BroadcastExchange / "
+        "BroadcastHashJoin — the corpus-side exploded gram stream never "
+        "shuffles on `bucket`; the per-doc weight aggregate is the only "
+        "corpus-scale Exchange (hashpartitioning(doc_id), "
+        "partial-aggregated map-side); and the final k=50 selection is "
+        "TakeOrderedAndProject (per-partition top-k + driver merge), "
+        "NOT a global Sort+Exchange of the scored corpus.",
+        capture(dsel)))
+
+    # P45 keyword extraction: per-doc top-k must plan as WindowGroupLimit
+    from spidey_search_engine_spark.operators.report import doc_keywords
+    dkw = doc_keywords(ddsir, idx["terms"],
+                       int(idx["stats"]["n_docs"]), k=3)
+    sections.append((
+        "Per-document keywords (P45): WindowGroupLimit, no global sort",
+        "Look for: WindowGroupLimit nodes on BOTH sides of the window "
+        "Exchange (partial mode before the shuffle, final after) — each "
+        "partition forwards at most k rows per doc, so the rank<=k "
+        "filter never materializes or sorts the full (doc, term) "
+        "space; the dictionary join arrives via BroadcastHashJoin at "
+        "this scale (AQE decides; at 10^9-term scale it degrades to a "
+        "uniform-key shuffle join, never a skew hazard).",
+        capture(dkw)))
+
     out = ["# PLANS — physical-plan evidence (generated by "
            "scripts/capture_plans.py)", ""]
     for title, what, plan in sections:
