@@ -3875,3 +3875,39 @@ ranked AS (
 SELECT doc_id, term, tf, round(score, 6)::DOUBLE AS score_r,
        rank::BIGINT AS rank
 FROM ranked WHERE rank <= 3"""
+
+
+def phrase_slop_topk(spark, sf_dir):
+    """P46 ordered-proximity phrase (Q5 generalized, operators/search.
+    phrase_match_counts(slop=2)): docs containing data→fast→scan in
+    order with each consecutive gap <= 3, m = start positions with a
+    full chain — computed by BACKWARD reachability over the decoded
+    position arrays (the greedy earliest-next chain is provably wrong
+    at k >= 3; see the kernel docstring). Oracle: DuckDB counts starts
+    with an EXISTS chain over the positions CTE — arbitrary chains, so
+    a reachability bug (either direction) cannot pass."""
+    idx = entry_index(spark, sf_dir)
+    terms = ["data", "fast", "scan"]
+    rows = S.query_term_postings(idx["postings"], terms,
+                                 int(idx["stats"]["n_buckets"]),
+                                 with_positions=True)
+    m = S.phrase_match_counts(rows, terms, slop=2)
+    return m.select("doc_id", F.col("m").cast("long").alias("m"),
+                    F.col("important").cast("int").alias("important"))
+
+
+QUERIES["phrase_slop_topk"] = phrase_slop_topk
+
+ORACLE_SQL["phrase_slop_topk"] = _BASE_CTES + """
+SELECT o1.doc_id, count(DISTINCT o1.pos)::BIGINT AS m,
+       0 AS important
+FROM occ o1
+WHERE o1.term = 'data' AND EXISTS (
+  SELECT 1 FROM occ o2
+  WHERE o2.doc_id = o1.doc_id AND o2.term = 'fast'
+    AND o2.pos > o1.pos AND o2.pos <= o1.pos + 3
+    AND EXISTS (
+      SELECT 1 FROM occ o3
+      WHERE o3.doc_id = o2.doc_id AND o3.term = 'scan'
+        AND o3.pos > o2.pos AND o3.pos <= o2.pos + 3))
+GROUP BY 1"""

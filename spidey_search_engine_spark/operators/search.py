@@ -521,10 +521,21 @@ def parity_word_scores(posting_rows: DataFrame, terms_df: DataFrame,
                  F.lit(0).alias("is_phrase")))
 
 
-def phrase_match_counts(posting_rows_pos: DataFrame, phrase: list[str]) -> DataFrame:
-    """Q5 positional adjacency: docs containing the exact phrase, with the
-    number m of adjacency matches (positions where p0 ∈ pos[w0] and
-    p0+i ∈ pos[wi] ∀i).
+def phrase_match_counts(posting_rows_pos: DataFrame, phrase: list[str],
+                        slop: int = 0) -> DataFrame:
+    """Q5 positional adjacency, generalized to ordered proximity: docs
+    containing the phrase words IN ORDER with each consecutive gap ≤
+    slop+1 (slop=0 = the exact-adjacency reference semantics; slop>0 is
+    the Lucene-PhraseQuery-style tolerance, per-gap rather than
+    total-moves). m = number of start positions from which a full chain
+    exists.
+
+    slop>0 uses BACKWARD reachability over the sorted position arrays
+    (good_i = positions of word i with some good_{i+1} in (p, p+slop+1]),
+    two searchsorteds per step — NOT the greedy earliest-next chain,
+    which is WRONG for k ≥ 3: with slop=2, pos(w2)={5,7}, pos(w3)={9},
+    start 4 → greedy picks 5 and dies at the (5,8] window, while the
+    valid chain 4→7→9 exists. Reachability is exact.
 
     Physical shape: repartition(doc_id) + sortWithinPartitions + ONE
     streaming mapInPandas that carries the open doc's per-term position
@@ -533,6 +544,8 @@ def phrase_match_counts(posting_rows_pos: DataFrame, phrase: list[str]) -> DataF
     many tiny groups (same argument, and measured 4.5× win, as
     build.merge_partials — round-1 review finding #5). The carry state is
     ≤ len(phrase) small arrays."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
     k = len(phrase)
     terms_in_phrase = list(dict.fromkeys(phrase))
     sub = posting_rows_pos.filter(F.col("term").isin(terms_in_phrase)) \
@@ -554,11 +567,24 @@ def phrase_match_counts(posting_rows_pos: DataFrame, phrase: list[str]) -> DataF
         def flush():
             if cur_doc is None or any(t not in by_term for t in phrase):
                 return
-            starts = by_term[phrase[0]][0]
-            mask = np.ones(starts.shape, dtype=bool)
-            for i in range(1, k):
-                mask &= np.isin(starts + i, by_term[phrase[i]][0])
-            m = int(mask.sum())
+            if slop == 0:
+                starts = by_term[phrase[0]][0]
+                mask = np.ones(starts.shape, dtype=bool)
+                for i in range(1, k):
+                    mask &= np.isin(starts + i, by_term[phrase[i]][0])
+                m = int(mask.sum())
+            else:
+                # backward reachability; position arrays are ascending by
+                # construction (decoded from cumulative gaps)
+                good = by_term[phrase[k - 1]][0]
+                for i in range(k - 2, -1, -1):
+                    cur = by_term[phrase[i]][0]
+                    lo = np.searchsorted(good, cur, side="right")
+                    hi = np.searchsorted(good, cur + slop + 1, side="right")
+                    good = cur[lo < hi]
+                    if good.size == 0:
+                        break
+                m = int(good.size)
             if m == 0:
                 return
             # reference: important = AND over the phrase words (BIT_OR of
@@ -649,7 +675,8 @@ PHRASE_TWO_PASS_MIN_SAVED = 500_000
 
 def parity_phrase_scores(spark: SparkSession, index: dict, phrase: list[str],
                          query_terms_all: list[str],
-                         two_pass: bool | None = None) -> DataFrame:
+                         two_pass: bool | None = None,
+                         slop: int = 0) -> DataFrame:
     """Q5 scorer: relevance = ln(1+N/df_phrase)·(1+ln m); df_phrase = #docs
     with ≥1 match (computed exactly, two small jobs over q-term postings).
 
@@ -674,7 +701,7 @@ def parity_phrase_scores(spark: SparkSession, index: dict, phrase: list[str],
         rows = query_term_postings(index["postings"], phrase,
                                    int(index["stats"]["n_buckets"]),
                                    with_positions=True)
-    matches = phrase_match_counts(rows, phrase).cache()
+    matches = phrase_match_counts(rows, phrase, slop).cache()
     df_phrase = matches.count()
     if df_phrase == 0:
         return spark.createDataFrame(

@@ -2793,3 +2793,63 @@ def test_doc_keywords(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must"):
         doc_keywords(d, terms, n_docs=10, k=0)
+
+
+def test_phrase_slop(spark):
+    """P46: backward-reachability proximity matching == brute-force
+    python chain search on random position sets, the documented greedy
+    counterexample is matched correctly, slop=0 equals the adjacency
+    path, and the guard raises."""
+    import itertools
+    import random
+
+    from spidey_search_engine_spark.operators.search import (
+        phrase_match_counts)
+
+    def rows_for(doc_positions):
+        rows = []
+        for d, per_term in doc_positions.items():
+            for t, pos in per_term.items():
+                rows.append((d, t, [int(p) for p in sorted(pos)], False))
+        return spark.createDataFrame(
+            rows, "doc_id long, term string, positions array<long>, "
+                  "important boolean")
+
+    def brute(per_term, phrase, slop):
+        if any(t not in per_term for t in phrase):
+            return 0
+        def chain(prev, i):
+            if i == len(phrase):
+                return True
+            return any(prev < p <= prev + slop + 1 and chain(p, i + 1)
+                       for p in per_term[phrase[i]])
+        return sum(1 for p0 in per_term[phrase[0]] if chain(p0, 1))
+
+    # the greedy counterexample from the kernel docstring: slop=2,
+    # start 4 -> window (4,7] holds {5,7}; greedy 5 dies at (5,8],
+    # but 4 -> 7 -> 9 is valid
+    cx = {0: {"a": [4], "b": [5, 7], "c": [9]}}
+    got = {r["doc_id"]: r["m"] for r in
+           phrase_match_counts(rows_for(cx), ["a", "b", "c"],
+                               slop=2).collect()}
+    assert got == {0: 1}
+
+    rng = random.Random(31)
+    docs = {}
+    for d in range(40):
+        per = {}
+        for t in "abc":
+            per[t] = sorted(rng.sample(range(30), rng.randint(1, 6)))
+        docs[d] = per
+    rdf = rows_for(docs)
+    for phrase, slop in itertools.product(
+            [["a", "b"], ["a", "b", "c"], ["c", "a"]], [0, 1, 3]):
+        got = {r["doc_id"]: r["m"] for r in
+               phrase_match_counts(rdf, phrase, slop=slop).collect()}
+        want = {d: brute(per, phrase, slop) for d, per in docs.items()}
+        want = {d: m for d, m in want.items() if m > 0}
+        assert got == want, (phrase, slop)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="slop"):
+        phrase_match_counts(rdf, ["a", "b"], slop=-1)
