@@ -3911,3 +3911,29 @@ WHERE o1.term = 'data' AND EXISTS (
       WHERE o3.doc_id = o2.doc_id AND o3.term = 'scan'
         AND o3.pos > o2.pos AND o3.pos <= o2.pos + 3))
 GROUP BY 1"""
+
+
+def facet_counts_docs(spark, sf_dir):
+    """P47 search facets (operators/search.facet_counts): for the fixed
+    query terms, exact per-(source, lang) match counts over the FULL
+    OR-match set, doc ids decoded from the gap section only. Oracle:
+    DuckDB recomputes the match set from the corpus and aggregates both
+    facet columns."""
+    idx = entry_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    fc = S.facet_counts(idx, d, QT, ["source", "lang"], mode="any")
+    return fc.select("facet", "value",
+                     F.col("n_docs").cast("long").alias("n_docs"))
+
+
+QUERIES["facet_counts_docs"] = facet_counts_docs
+
+ORACLE_SQL["facet_counts_docs"] = _BASE_CTES + f""",
+matches AS (
+  SELECT DISTINCT doc_id FROM tfc WHERE term IN (VALUES {_QT_SQL})
+)
+SELECT 'source' AS facet, d.source AS value, count(*)::BIGINT AS n_docs
+FROM matches JOIN documents d USING (doc_id) GROUP BY 2
+UNION ALL
+SELECT 'lang', d.lang, count(*)::BIGINT
+FROM matches JOIN documents d USING (doc_id) GROUP BY 2"""

@@ -775,3 +775,44 @@ def parity_search(spark: SparkSession, index: dict, query: str,
     return (stage2.withColumn("rn", F.row_number().over(w))
             .filter((F.col("rn") > offset) & (F.col("rn") <= limit_n))
             .drop("rn"))
+
+
+def facet_counts(index: dict, docs: DataFrame, terms: list[str],
+                 facet_cols: list[str],
+                 mode: str = "any") -> DataFrame:
+    """Search facets: per facet value, how many documents match the
+    query (`mode="any"` = OR semantics, `"all"` = AND). The standard
+    results-page sidebar ("source: 12, lang=en: 9, …") the reference's
+    UI computes client-side over one page — here it is exact over the
+    FULL match set, not the page.
+
+    Scale shape: matching doc ids come from the gap-section-only decode
+    (binary_postings — tf/dl/position bytes untouched) of the
+    partition-pruned q-term postings; the facet join touches only the
+    requested columns of the docs table (column pruning reaches the
+    scan), keyed on doc_id; counts are one hash aggregate per facet
+    column, unioned. Match-set size is query-df-bounded, never
+    corpus-bounded."""
+    if mode not in ("any", "all"):
+        raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    if not facet_cols:
+        raise ValueError("facet_cols must name at least one column")
+    uniq = list(dict.fromkeys(terms))
+    pruned = _pruned_postings(index["postings"], uniq,
+                              int(index["stats"]["n_buckets"]))
+    hits = binary_postings(pruned)
+    if mode == "all":
+        matches = (hits.groupBy("doc_id")
+                   .agg(F.count_distinct("term").alias("nt"))
+                   .filter(F.col("nt") == len(uniq)).select("doc_id"))
+    else:
+        matches = hits.select("doc_id").distinct()
+    j = matches.join(docs.select("doc_id", *facet_cols), "doc_id")
+    parts = [j.groupBy(F.lit(c).alias("facet"),
+                       F.col(c).cast("string").alias("value"))
+             .agg(F.count("*").alias("n_docs"))
+             for c in facet_cols]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

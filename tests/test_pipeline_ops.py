@@ -2853,3 +2853,57 @@ def test_phrase_slop(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="slop"):
         phrase_match_counts(rdf, ["a", "b"], slop=-1)
+
+
+def test_facet_counts(spark, tmp_path):
+    """P47: OR vs AND match sets against a python reference over a tiny
+    built index, multi-facet union shape, NULL facet values counted
+    under their own bucket, and guards."""
+    from spidey_search_engine_spark.operators import build as B
+    from spidey_search_engine_spark.operators.search import facet_counts
+
+    rows = [
+        (0, "alpha beta gamma", "en", "s1"),
+        (1, "alpha alpha delta", "en", "s2"),
+        (2, "beta beta beta", "de", "s1"),
+        (3, "gamma delta", "de", None),
+        (4, "epsilon zeta", "fr", "s3"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, content string, lang string, source string")
+    out = str(tmp_path / "idx")
+    corpus = docs.select(
+        "doc_id", F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string"))
+        .alias("path"), F.lit("c0").alias("commit"), "lang", "content")
+    B.build_index(spark, corpus, out,
+                  profile="simple", seg_bits=4, n_buckets=4)
+    idx = B.load_index(spark, out)
+    dmeta = docs.select("doc_id", "lang", "source")
+
+    def facets(ids, col_i, col):
+        c = {}
+        for r in rows:
+            if r[0] in ids:
+                c[(col, str(r[col_i]) if r[col_i] is not None else None)] \
+                    = c.get((col, str(r[col_i]) if r[col_i] is not None
+                             else None), 0) + 1
+        return c
+
+    terms = ["alpha", "gamma"]
+    any_ids = {0, 1, 3}     # doc 3: NULL source, matches gamma
+    all_ids = {0}
+    got_any = {(r["facet"], r["value"]): r["n_docs"] for r in
+               facet_counts(idx, dmeta, terms, ["lang", "source"]).collect()}
+    want = {**facets(any_ids, 2, "lang"), **facets(any_ids, 3, "source")}
+    assert got_any == want
+    assert got_any[("source", None)] == 1     # NULL facet value counted
+    got_all = {(r["facet"], r["value"]): r["n_docs"] for r in
+               facet_counts(idx, dmeta, terms, ["lang"],
+                            mode="all").collect()}
+    assert got_all == facets(all_ids, 2, "lang")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mode"):
+        facet_counts(idx, dmeta, terms, ["lang"], mode="or")
+    with _pytest.raises(ValueError, match="facet_cols"):
+        facet_counts(idx, dmeta, terms, [])
