@@ -3937,3 +3937,43 @@ FROM matches JOIN documents d USING (doc_id) GROUP BY 2
 UNION ALL
 SELECT 'lang', d.lang, count(*)::BIGINT
 FROM matches JOIN documents d USING (doc_id) GROUP BY 2"""
+
+
+def more_like_this_docs(spark, sf_dir):
+    """P48 related documents (operators/search.more_like_this): doc 7's
+    top-5 tf·idf keywords become a BM25 bag query, source excluded,
+    top-10. Oracle: DuckDB derives the SAME keyword set (row_number by
+    score DESC, term) and replays the BM25 formula over it — the
+    composition is proven end-to-end, keywords included, not just the
+    scoring tail."""
+    idx = entry_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", F.col("text").alias("content"))
+    r = S.more_like_this(spark, idx, d, doc_id=7, k_terms=5, k=10)
+    return r.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+QUERIES["more_like_this_docs"] = more_like_this_docs
+
+ORACLE_SQL["more_like_this_docs"] = _BASE_CTES + """,
+kw AS (
+  SELECT term,
+         row_number() OVER (
+           ORDER BY tfc.tf * ln(1.0 + st.n::DOUBLE / dfreq.df) DESC,
+                    term) AS rk
+  FROM tfc JOIN dfreq USING (term), st
+  WHERE tfc.doc_id = 7
+),
+q AS (SELECT term FROM kw WHERE rk <= 5),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfc.doc_id
+)
+SELECT doc_id, round(s, 6)::DOUBLE AS score_r
+FROM scores WHERE doc_id <> 7
+ORDER BY s DESC, doc_id ASC LIMIT 10"""

