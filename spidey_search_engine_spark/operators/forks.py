@@ -65,7 +65,8 @@ def fork_pairs(files: DataFrame, repo_col: str = "repo",
 
 def fork_clusters(files: DataFrame, pairs: DataFrame,
                   repo_col: str = "repo",
-                  content_col: str = "content") -> DataFrame:
+                  content_col: str = "content",
+                  sh: DataFrame | None = None) -> DataFrame:
     """(repo, cluster_id, canon) — fork families (transitive closure of
     the pair list) with ONE canonical repo per family: the argmax of
     distinct-file count, ties to the lexicographically smallest name.
@@ -78,10 +79,14 @@ def fork_clusters(files: DataFrame, pairs: DataFrame,
     back to names afterwards. The canonical pick is the struct-max hash
     aggregation (no window, no per-cluster sort), same as
     dedup_clusters' prefer path."""
-    repos = (files.select(F.col(repo_col).alias("repo"),
-                          F.sha2(F.col(content_col), 256).alias("_sha"))
-             .groupBy("repo")
-             .agg(F.count_distinct("_sha").alias("n_files")))
+    # sha256 over the corpus is the pipeline's dominant cost — accept a
+    # precomputed sh=repo_file_shas(...) so the fork_pairs pass is not
+    # repeated; the helper dedups, so a plain count is the distinct-file
+    # count
+    if sh is None:
+        sh = repo_file_shas(files, repo_col, content_col)
+    repos = (sh.groupBy(F.col("id").alias("repo"))
+             .agg(F.count("*").alias("n_files")))
     nodes = repos.select(F.xxhash64("repo").alias("id"))
     edges = pairs.select(F.xxhash64("id_a").alias("id_a"),
                          F.xxhash64("id_b").alias("id_b"))

@@ -27,7 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.textstats import with_token_count
+from ..functions.textstats import _tokens, with_token_count
 
 
 def corpus_report(df: DataFrame, group_cols: Sequence[str] = ("source",),
@@ -164,9 +164,10 @@ def doc_keywords(df, terms, n_docs: int, k: int = 5,
     index never saw has no defensible df."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    toks = tokens if tokens is not None else F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9_]+"),
-        lambda x: x != F.lit(""))
+    # the SHARED simple-profile tokenizer expression: an inline copy
+    # that drifted would silently desynchronize tf from the dictionary's
+    # df
+    toks = tokens if tokens is not None else _tokens(F.col(text_col))
     tf = (df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
           .groupBy("id", "term").agg(F.count("*").alias("tf")))
     scored = (tf.join(terms.select("term", "df"), "term")

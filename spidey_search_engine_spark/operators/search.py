@@ -823,21 +823,42 @@ def more_like_this(spark: SparkSession, index: dict, docs: DataFrame,
                    id_col: str = "doc_id",
                    text_col: str = "content") -> DataFrame:
     """Related-documents query (the Lucene MoreLikeThis shape): the
-    source document's top `k_terms` tf·idf keywords (report.doc_keywords
-    against the index dictionary) become a bag query, scored with
-    EXACTLY the engine's BM25 tail (bm25_topk_tokens — same pruning,
-    decode, tie-break and empty-query behavior as `query`), the source
-    doc itself excluded.
+    source document's top `k_terms` tf·idf keywords become a bag query,
+    scored with EXACTLY the engine's BM25 tail (bm25_topk_tokens — same
+    pruning, decode, tie-break and empty-query behavior as `query`),
+    the source doc itself excluded.
 
-    The keyword collect is `k_terms` rows of one document — bounded
-    driver metadata, the same class as the k-term idf lookups every
-    query already does. Everything after is the standard partition-
-    pruned query path; cost is query-shaped, not corpus-shaped."""
-    from .report import doc_keywords
-    src = docs.filter(F.col(id_col) == doc_id)
-    kw = doc_keywords(src, index["terms"], int(index["stats"]["n_docs"]),
-                      k=k_terms, id_col=id_col, text_col=text_col)
-    terms = [r["term"] for r in kw.orderBy("rank").collect()]
+    Keyword derivation is fully QUERY-SHAPED: the one
+    source row is fetched (a doc_id-pushdown point lookup), tokenized
+    driver-side with THE INDEX'S OWN analyzer (stats.profile — a
+    code-profile index stems/splits identifiers, so deriving keywords
+    with any other tokenizer would silently miss the dictionary), and
+    the df lookup is query_idf's term-IN pushdown scan of the k distinct
+    doc terms — the full vocabulary table is never streamed, unlike the
+    distributed batch path (report.doc_keywords) which pays a dictionary
+    join because it keywords EVERY doc. One doc's content on the driver
+    is bounded by the analyzer's own field-truncation profiles."""
+    import math
+
+    from ..functions.analysis import PROFILES
+    src_rows = (docs.filter(F.col(id_col) == doc_id)
+                .select(text_col).limit(1).collect())
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not src_rows or src_rows[0][0] is None:
+        return empty
+    profile = str(index["stats"].get("profile", "simple"))
+    toks = PROFILES[profile](src_rows[0][0])
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    dfs = query_idf(index["terms"], list(tf), "df", index.get("idf_cache"))
+    n_docs = int(index["stats"]["n_docs"])
+    scored = sorted(
+        ((-tf[t] * math.log(1.0 + n_docs / dfs[t]), t) for t in tf
+         if t in dfs and dfs[t] > 0))
+    terms = [t for _, t in scored[:k_terms]]
+    if not terms:
+        return empty
     res = bm25_topk_tokens(spark, index, terms, k + 1)
     return (res.filter(F.col("doc_id") != doc_id)
             .orderBy(F.col("score").desc(), "doc_id").limit(k))
