@@ -8,6 +8,8 @@ Then e.g.:
       build --input /data/corpus --output /data/index --profile code
   spark-submit ... query --index /data/index --q 'merge sort' --k 10
   spark-submit ... query --index /data/index --q '"hash map" lookup' --parity
+  spark-submit ... query --index /data/index --q 'merge' --facets repo,lang
+  spark-submit ... query --index /data/index --more-like 42 --corpus /data/corpus
   spark-submit ... bench --sf-dir /root/testdata/sf0.1
   spark-submit ... clean --input /data/corpus --output /data/cleaned \
       --substring-min-count 2 --redact-pii --quality-threshold 0.5 \
@@ -46,7 +48,8 @@ def main(argv: list[str] | None = None) -> int:
 
     q = sub.add_parser("query", help="top-k search")
     q.add_argument("--index", required=True)
-    q.add_argument("--q", required=True)
+    q.add_argument("--q", default=None,
+                   help="query string (required except with --more-like)")
     q.add_argument("--k", type=int, default=None,
                    help="top-k (default 10; parity mode defaults to the "
                         "reference's 20-result page)")
@@ -58,6 +61,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="correct out-of-dictionary query terms via the "
                         "SymSpell index (<index>/fuzzy if materialized, "
                         "else derived inline) before BM25 scoring")
+    q.add_argument("--slop", type=int, default=0,
+                   help="parity mode: quoted phrases match with each "
+                        "consecutive gap <= slop+1 (0 = exact adjacency)")
+    q.add_argument("--facets", default=None, metavar="COL[,COL...]",
+                   help="instead of ranked results, print per-facet "
+                        "match counts over the index docs table columns "
+                        "(repo/path/lang) for the OR match set")
+    q.add_argument("--more-like", type=int, default=None, metavar="DOC_ID",
+                   help="related-documents query: ignore --q and rank by "
+                        "the given doc's top keywords (needs --corpus "
+                        "for the source text)")
+    q.add_argument("--corpus", default=None,
+                   help="corpus parquet dir with (doc_id, content) — "
+                        "required by --more-like")
 
     s = sub.add_parser("bench", help="run bench.py suite")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -185,6 +202,15 @@ def main(argv: list[str] | None = None) -> int:
         args.k = args.k if args.k is not None else (20 if args.parity else 10)
         if args.fuzzy and (args.parity or args.pruned):
             p.error("--fuzzy is supported on the default BM25 path only")
+        if args.slop and not args.parity:
+            p.error("--slop applies to quoted phrases in --parity mode")
+        if args.slop < 0:
+            p.error(f"--slop must be >= 0 (got {args.slop})")
+        if args.more_like is not None and not args.corpus:
+            p.error("--more-like needs --corpus (source text lives "
+                    "there, not in the index)")
+        if args.more_like is None and args.q is None:
+            p.error("--q is required (except with --more-like)")
 
     from pyspark.sql import SparkSession
 
@@ -228,10 +254,25 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "query":
         from .operators.build import load_index
         index = load_index(spark, args.index)
-        if args.parity:
+        if args.facets:
+            from .operators.search import facet_counts
+            from .functions.analysis import analyze_query
+            q_terms, phrases = analyze_query(args.q)
+            for ph in phrases:
+                q_terms.extend(ph)
+            cols = [c.strip() for c in args.facets.split(",") if c.strip()]
+            rows = facet_counts(index, index["docs"], q_terms, cols) \
+                .orderBy("facet", "value").collect()
+        elif args.more_like is not None:
+            from .operators.search import more_like_this
+            docs = spark.read.parquet(args.corpus)
+            rows = more_like_this(spark, index, docs, args.more_like,
+                                  k=args.k).collect()
+        elif args.parity:
             from .operators.search import parity_search
             rows = parity_search(spark, index, args.q,
-                                 page_size=args.k).collect()
+                                 page_size=args.k,
+                                 slop=args.slop).collect()
         elif args.pruned:
             from .operators.wand import bm25_topk_pruned
             rows = bm25_topk_pruned(spark, index, args.q,

@@ -717,7 +717,8 @@ def parity_phrase_scores(spark: SparkSession, index: dict, phrase: list[str],
 def parity_search(spark: SparkSession, index: dict, query: str,
                   page: int = 1, page_size: int = 20,
                   history: DataFrame | None = None,
-                  user_id: int | None = None) -> DataFrame:
+                  user_id: int | None = None,
+                  slop: int = 0) -> DataFrame:
     """Full reference pipeline: words ∪ phrases → history left join →
     two-stage top-k (Q6–Q9).
 
@@ -736,7 +737,8 @@ def parity_search(spark: SparkSession, index: dict, query: str,
                                         int(index["stats"]["n_docs"]), q_terms,
                                         index.get("idf_cache")))
     for ph in phrases:
-        parts.append(parity_phrase_scores(spark, index, ph, q_terms))
+        parts.append(parity_phrase_scores(spark, index, ph, q_terms,
+                                           slop=slop))
     if not parts:
         return spark.createDataFrame(
             [], "doc_id long, total_relevance double, score double")

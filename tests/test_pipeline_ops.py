@@ -2947,3 +2947,60 @@ def test_more_like_this(spark, tmp_path):
     # keywords; a doc absent from the docs table yields no terms/rows
     empty = more_like_this(spark, idx, docs, doc_id=12345, k_terms=3, k=5)
     assert empty.count() == 0
+
+
+def test_cli_query_facets_mlt_slop(spark, tmp_path, capsys):
+    """CLI surface for P46-P48: --facets prints per-facet counts from
+    the index docs table, --more-like ranks related docs from --corpus,
+    --slop reaches the parity phrase path, and the arg contracts fail
+    fast."""
+    import json
+
+    from spidey_search_engine_spark.cli import main
+
+    rows = [(i, " ".join(["alpha"] * (1 + i % 2) + ["beta", f"w{i % 4}"]))
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    src, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    docs.write.parquet(src)
+    corpus = docs.select(
+        "doc_id", F.concat(F.lit("r"), (F.col("doc_id") % 3).cast("string"))
+        .alias("repo"),
+        F.concat(F.lit("d/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"), F.lit("en").alias("lang"), "content")
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "c2"))
+    from spidey_search_engine_spark.operators.build import build_index
+    build_index(spark, corpus, idx, profile="simple", seg_bits=4,
+                n_buckets=4)
+
+    def run(argv):
+        rc = main(argv)
+        assert rc == 0
+        return [json.loads(line) for line in
+                capsys.readouterr().out.strip().splitlines()
+                if line.startswith("{")]
+
+    fac = run(["query", "--index", idx, "--q", "alpha", "--facets",
+               "repo,lang"])
+    by = {(r["facet"], r["value"]): r["n_docs"] for r in fac}
+    assert by[("lang", "en")] == 12
+    assert sum(v for (f, _), v in by.items() if f == "repo") == 12
+
+    mlt = run(["query", "--index", idx, "--more-like", "0", "--corpus",
+               src, "--k", "3"])
+    assert len(mlt) == 3 and all(r["doc_id"] != 0 for r in mlt)
+
+    exact = run(["query", "--index", idx, "--q", '"alpha w1"',
+                 "--parity", "--k", "12"])
+    sloppy = run(["query", "--index", idx, "--q", '"alpha w1"',
+                  "--parity", "--k", "12", "--slop", "1"])
+    # slop widens (or keeps) the phrase match set
+    assert {r["doc_id"] for r in exact if r["is_phrase"]} <= \
+        {r["doc_id"] for r in sloppy if r["is_phrase"]}
+
+    import pytest as _pytest
+    for bad in (["query", "--index", idx, "--more-like", "0"],
+                ["query", "--index", idx, "--q", "x", "--slop", "1"],
+                ["query", "--index", idx]):
+        with _pytest.raises(SystemExit):
+            main(bad)
