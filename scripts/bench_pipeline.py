@@ -1,0 +1,123 @@
+"""Throughput bench for the round-3 pipeline operators (P39-P45) at ~100k
+docs -> BENCH_PIPELINE.json.
+
+Reuses the cached 103k dedup corpus (/tmp/spidey_dedup_100000 — the
+generator corpus with planted near-dups) or regenerates it. Each op is
+timed as ONE action that cannot be short-circuited by Catalyst pruning
+(aggregates over the op's real output columns — the bench_dedup lesson:
+.count() lets the optimizer drop the expensive projection).
+
+Single-run numbers on a noisy shared host (up to 2.5x run-to-run):
+treat as order-of-magnitude throughput evidence, not comparisons.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CORPUS = "/tmp/spidey_dedup_100000"
+N_DOCS = 103_000
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from spidey_search_engine_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    spark = get_spark(app="bench-pipeline", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus * 2, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(CORPUS):
+        from spidey_search_engine_spark.sources.corpus import (
+            generate_corpus_df)
+        generate_corpus_df(spark, N_DOCS, seed=11, partitions=cpus * 2,
+                           with_doc_id=True) \
+            .write.mode("overwrite").parquet(CORPUS)
+    docs = spark.read.parquet(CORPUS).select("doc_id", "repo", "lang",
+                                             "content")
+    n = docs.count()
+
+    results: dict[str, dict] = {}
+
+    def timed(name: str, action, extra=None):
+        t0 = time.monotonic()
+        out = action()
+        dt = time.monotonic() - t0
+        results[name] = {"sec": round(dt, 3),
+                         "docs_per_sec": round(n / dt, 1)}
+        if extra:
+            results[name].update(extra(out))
+        print(f"{name}: {dt:.2f}s  ({n / dt:,.0f} docs/s)", flush=True)
+        return out
+
+    # P39 repetition signals: consume every fraction so nothing prunes
+    from spidey_search_engine_spark.functions.textstats import (
+        with_repetition_features)
+    timed("gopher_repetition", lambda: with_repetition_features(
+        docs, top_ns=(2,), dup_ns=(5,)).agg(
+        F.sum("dup_line_frac"), F.sum("dup_line_char_frac"),
+        F.sum("top_2gram_char_frac"), F.sum("dup_5gram_char_frac"))
+        .collect())
+
+    # P40 decontamination: bench = a 1% corpus slice (guaranteed hits)
+    from spidey_search_engine_spark.operators.decontaminate import (
+        contamination_hits)
+    bench = docs.filter(F.col("doc_id") % 100 == 7).select(
+        F.array_join(F.slice(F.split("content", " "), 3, 11), " ")
+        .alias("text"))
+    hits = timed("decontam_hits", lambda: contamination_hits(
+        docs, bench, n=8).agg(F.count("*"), F.sum("n_hit")).collect(),
+        extra=lambda r: {"hit_docs": int(r[0][0] or 0)})
+
+    # P41 DSIR: target = 5% slice, select 10k of 103k
+    from spidey_search_engine_spark.operators.dsir import (
+        dsir_logratios, dsir_select, gram_bucket_counts)
+
+    def run_dsir():
+        target = docs.filter(F.col("doc_id") % 20 == 3)
+        lr = dsir_logratios(gram_bucket_counts(target, n_buckets=8192),
+                            gram_bucket_counts(docs, n_buckets=8192),
+                            n_buckets=8192)
+        sel = dsir_select(docs, lr, k=10_000, n_buckets=8192, seed=3)
+        return sel.agg(F.count("*"), F.sum("log_w")).collect()
+    timed("dsir_select_10k", run_dsir)
+
+    # P43 comment stripping, whole-corpus java profile (force via length)
+    from spidey_search_engine_spark.functions.codeclean import (
+        with_comments_stripped)
+    timed("strip_comments", lambda: with_comments_stripped(
+        docs, lang="java").agg(F.sum(F.length("content"))).collect())
+
+    # P44 fork detection over the generator's repo column (LSH path)
+    from spidey_search_engine_spark.operators.forks import fork_pairs
+    timed("fork_pairs_lsh", lambda: fork_pairs(
+        docs, threshold=0.2).agg(F.count("*"), F.sum("jaccard")).collect(),
+        extra=lambda r: {"pairs": int(r[0][0] or 0)})
+
+    # P45 keywords against a dictionary derived on the fly (df per term)
+    from spidey_search_engine_spark.operators.report import doc_keywords
+    terms = (docs.select(F.explode(F.array_distinct(F.filter(
+        F.split(F.lower("content"), "[^a-z0-9_]+"),
+        lambda x: x != F.lit("")))).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("df")))
+    timed("doc_keywords_top5", lambda: doc_keywords(
+        docs, terms, n_docs=n, k=5).agg(
+        F.count("*"), F.sum("score")).collect())
+
+    out = {"n_docs": n, "cpus": cpus, "ops": results}
+    with open(os.path.join(REPO, "BENCH_PIPELINE.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

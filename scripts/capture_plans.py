@@ -385,13 +385,14 @@ def main() -> None:
     dh = contamination_hits(ddocs, dbench, n=3)
     sections.append((
         "Benchmark decontamination probe (P40): map-side gram filter",
-        "Look for: ONE scan of the documents table feeding "
-        "Generate(explode) of the per-doc distinct gram array, a "
-        "BroadcastHashJoin against the (tiny) benchmark gram set IN THE "
-        "SAME stage — the only CORPUS-SIZED Exchange in the tree is the "
-        "final hashpartitioning(doc_id) of the surviving hits into the "
-        "count aggregate (the bench side's distinct-gram Exchange and "
-        "the BroadcastExchange are benchmark-sized by construction). "
+        "Look for: ONE scan of the documents table feeding the Arrow "
+        "gram kernel (MapInPandas) then Generate(explode) of the "
+        "per-doc distinct gram array, a BroadcastHashJoin against the "
+        "(tiny) benchmark gram set IN THE SAME stage — the only "
+        "CORPUS-SIZED Exchange in the tree is the final "
+        "hashpartitioning(doc_id) of the surviving hits into the count "
+        "aggregate (the bench side's distinct-gram Exchange and the "
+        "BroadcastExchange are benchmark-sized by construction). "
         "Corpus grams are created and discarded within a "
         "task; nothing corpus-sized ever crosses the wire.",
         capture(dh)))

@@ -222,6 +222,74 @@ def _run_stats(arr):
                        finish)
 
 
+# --- Arrow kernels for the gram-heavy operators ---------------------------
+#
+# Spark higher-order functions (filter/transform/zip_with lambdas) are
+# CodegenFallback: the lambda body is INTERPRETED per element, with
+# per-element boxing — measured ~30µs/element on this host, which put the
+# pure-expression repetition/decontam/DSIR paths at ~400 docs/s while a
+# literal-regex projection does 40k docs/s on the same corpus
+# (BENCH_PIPELINE.json). The gram CONSTRUCTION therefore runs in an
+# Arrow-batched python kernel (same decision as the index build's
+# tokenizer); everything downstream — explode, hash, broadcast join,
+# aggregation — stays JVM/codegen. _tokens/_token_ngrams remain the
+# column-expression forms for oracle parity and light uses; the kernels
+# below are pinned token-for-token equal to them by test.
+
+_SIMPLE_TOKEN_RE = None
+
+
+def _py_tokens(text: str) -> list:
+    """Python twin of _tokens (simple profile). Module-level lazy regex:
+    the kernel closure must not capture a compiled pattern per call."""
+    global _SIMPLE_TOKEN_RE
+    if _SIMPLE_TOKEN_RE is None:
+        import re
+        _SIMPLE_TOKEN_RE = re.compile(r"[^a-z0-9_]+")
+    return [t for t in _SIMPLE_TOKEN_RE.split(text.lower()) if t]
+
+
+def with_token_grams(df: DataFrame, text_col: str = "content",
+                     out: str = "grams", ns: "tuple" = (1,),
+                     distinct: bool = False) -> DataFrame:
+    """`out` = array<string> of space-joined token n-grams (simple
+    profile) for every n in `ns`, concatenated in ns order — the Arrow
+    twin of concat(_token_ngrams(_tokens(col), n) for n in ns), with
+    optional per-document dedup (order preserved: first occurrence).
+    NULL text -> NULL array (matching the expression form)."""
+    for n in ns:
+        if n < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
+    from .bpe import _passthrough_schema
+    schema = _passthrough_schema(df, f"`{out}` array<string>")
+    ns_t = tuple(ns)
+
+    def kernel(batches):
+        for pdf in batches:
+            col = []
+            for text in pdf[text_col]:
+                if text is None:
+                    col.append(None)
+                    continue
+                toks = _py_tokens(text)
+                grams = []
+                for n in ns_t:
+                    if n == 1:
+                        grams.extend(toks)
+                    else:
+                        grams.extend(
+                            " ".join(toks[i:i + n])
+                            for i in range(len(toks) - n + 1))
+                if distinct:
+                    grams = list(dict.fromkeys(grams))
+                col.append(grams)
+            pdf = pdf.copy()
+            pdf[out] = col
+            yield pdf
+
+    return df.mapInPandas(kernel, schema)
+
+
 def with_repetition_features(df: DataFrame, text_col: str = "content",
                              top_ns: tuple = (2, 3, 4),
                              dup_ns: tuple = (5, 10)) -> DataFrame:
@@ -245,53 +313,85 @@ def with_repetition_features(df: DataFrame, text_col: str = "content",
 
     Char denominators: line fractions use the sum of line lengths; n-gram
     fractions use the whitespace-normalized token mass
-    length(array_join(tokens, ' ')) — both invariant to how the raw text
-    spells its separators. Docs with no lines/tokens get NULL fractions
-    (try_divide), never a fabricated 0. A doc with tokens but shorter
-    than n gets top_{n}gram NULL (no n-gram exists to be 'top') and
-    dup_{n}gram 0.0 (its duplicated-gram char mass is genuinely zero).
+    len(" ".join(tokens)) — both invariant to how the raw text spells its
+    separators. Docs with no lines/tokens get NULL fractions, never a
+    fabricated 0. A doc with tokens but shorter than n gets top_{n}gram
+    NULL (no n-gram exists to be 'top') and dup_{n}gram 0.0 (its
+    duplicated-gram char mass is genuinely zero). NULL text -> all NULL.
 
-    Everything is ONE projection over the corpus scan — no explode, no
-    shuffle, no UDF; each signal family is a single O(len) fold
-    (_run_stats) over its sorted array, so per-doc cost is
-    O(len * log len) and per-doc state is bounded by the document itself.
-    Gopher's thresholds (drop at dup_line_frac > 0.30, top_2gram > 0.20,
-    dup_5gram > 0.15, ...) are the caller's policy; this computes the
-    signals."""
-    ls = _run_stats(F.split(F.col(text_col), "\n"))
-    d = (df
-         .withColumn("_ls", ls)
-         .withColumn("dup_line_frac",
-                     F.try_divide(
-                         (F.col("_ls.n") - F.col("_ls.n_runs"))
-                         .cast("double"), F.col("_ls.n").cast("double")))
-         .withColumn("dup_line_char_frac",
-                     F.try_divide(F.col("_ls.dup_occ_chars").cast("double"),
-                                  F.col("_ls.tot_chars").cast("double")))
-         .drop("_ls"))
-    toks = _tokens(F.col(text_col))
-    tok_chars = F.length(F.array_join(toks, " ")).cast("long")
-    for n in sorted(set(top_ns) | set(dup_ns)):
-        gs = _run_stats(_token_ngrams(toks, n))
-        col = f"_gs{n}"
-        d = d.withColumn(col, gs)
+    ONE Arrow kernel over the corpus scan — no explode, no shuffle; the
+    original pure-expression formulation (_run_stats folds over sorted
+    gram arrays) is semantically identical but runs interpreted
+    (higher-order-function lambdas are CodegenFallback) at ~100x the
+    cost — see the kernel-block comment above. The DuckDB oracle
+    (gopher_repetition) recomputes every fraction from per-(doc, value)
+    counts, so the kernel is value-checked against an independent
+    formulation, not against itself. Gopher's thresholds (drop at
+    dup_line_frac > 0.30, top_2gram > 0.20, dup_5gram > 0.15, ...) are
+    the caller's policy; this computes the signals."""
+    from collections import Counter
+
+    from .bpe import _passthrough_schema
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    new_cols = ["dup_line_frac", "dup_line_char_frac"]
+    for n in all_ns:
         if n in top_ns:
-            top_chars = F.when(F.col(f"{col}.n") > 0,
-                               F.col(f"{col}.best_chars"))
-            d = d.withColumn(
-                f"top_{n}gram_char_frac",
-                F.try_divide(top_chars.cast("double"),
-                             tok_chars.cast("double")))
+            new_cols.append(f"top_{n}gram_char_frac")
         if n in dup_ns:
-            frac = F.try_divide(F.col(f"{col}.dup_run_chars")
-                                .cast("double"), tok_chars.cast("double"))
-            # clamp only non-NULL values: least() SKIPS nulls, so a bare
-            # least(frac, 1.0) would turn a token-less doc's NULL into 1.0
-            d = d.withColumn(
-                f"dup_{n}gram_char_frac",
-                F.when(frac.isNotNull(), F.least(frac, F.lit(1.0))))
-        d = d.drop(col)
-    return d
+            new_cols.append(f"dup_{n}gram_char_frac")
+    schema = _passthrough_schema(
+        df, ", ".join(f"`{c}` double" for c in new_cols))
+    top_set, dup_set = set(top_ns), set(dup_ns)
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {c: [] for c in new_cols}
+            for text in pdf[text_col]:
+                if text is None:
+                    for c in new_cols:
+                        out[c].append(None)
+                    continue
+                lines = text.split("\n")
+                lc = Counter(lines)
+                n_l = len(lines)
+                out["dup_line_frac"].append((n_l - len(lc)) / n_l)
+                tot = sum(c * len(ln) for ln, c in lc.items())
+                dup = sum((c - 1) * len(ln) for ln, c in lc.items())
+                out["dup_line_char_frac"].append(
+                    dup / tot if tot else None)
+                toks = _py_tokens(text)
+                tok_chars = len(toks) - 1 + sum(map(len, toks)) \
+                    if toks else 0
+                for n in all_ns:
+                    if len(toks) >= n:
+                        gc = Counter(
+                            zip(*(toks[i:] for i in range(n))))
+                        if n in top_set:
+                            mc = max(gc.values())
+                            best = max(
+                                c * (sum(map(len, g)) + n - 1)
+                                for g, c in gc.items() if c == mc)
+                            out[f"top_{n}gram_char_frac"].append(
+                                best / tok_chars)
+                        if n in dup_set:
+                            d = sum(c * (sum(map(len, g)) + n - 1)
+                                    for g, c in gc.items() if c >= 2)
+                            out[f"dup_{n}gram_char_frac"].append(
+                                min(1.0, d / tok_chars))
+                    else:
+                        if n in top_set:
+                            out[f"top_{n}gram_char_frac"].append(None)
+                        if n in dup_set:
+                            out[f"dup_{n}gram_char_frac"].append(
+                                0.0 if toks else None)
+            pdf = pdf.copy()
+            for c in new_cols:
+                # nullable Float64: plain float64 would ship None as NaN,
+                # not SQL NULL, through Arrow
+                pdf[c] = pd.array(out[c], dtype="Float64")
+            yield pdf
+
+    return df.mapInPandas(kernel, schema)
 
 
 def repetition_filter(df: DataFrame, text_col: str = "content",

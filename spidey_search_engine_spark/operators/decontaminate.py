@@ -8,19 +8,22 @@ goes out without this pass.
 Scale shape (the whole point):
 - The benchmark side is SMALL by construction (eval suites are measured
   in MBs) — its distinct n-grams are computed once and broadcast.
-- The corpus side computes each document's n-gram array JVM-side and
-  explodes it map-side: explode is a flatMap, the broadcast-hash inner
-  join filters in the SAME stage, so the ~L n-grams per document are
-  created and discarded WITHIN a task — no shuffle of corpus n-grams
-  ever happens. Only the (rare) surviving hits shuffle, into a per-doc
-  count whose cardinality is bounded by the contaminated subset.
-- Corpus grams are deduped per document (array_distinct) before the
-  explode, so `n_hit` counts DISTINCT shared grams and a pathological
-  repetition can't inflate the hit rows.
+- The corpus side builds each document's deduped n-gram array in an
+  Arrow kernel (textstats.with_token_grams — the expression form's
+  higher-order lambdas evaluate interpreted per element, ~100x slower;
+  see the kernel-block comment in textstats) and explodes it map-side:
+  explode is a flatMap, the broadcast-hash inner join filters in the
+  SAME stage, so the ~L n-grams per document are created and discarded
+  WITHIN a task — no shuffle of corpus n-grams ever happens. Only the
+  (rare) surviving hits shuffle, into a per-doc count whose cardinality
+  is bounded by the contaminated subset.
+- Per-document dedup means `n_hit` counts DISTINCT shared grams and a
+  pathological repetition can't inflate the hit rows.
 
-Tokenization reuses functions.textstats._tokens (lowercase alnum runs) so
-contamination is invariant to case/punctuation spelling — the same
-normalization both sides of the comparison.
+Tokenization is the simple profile (lowercase alnum runs, the python
+twin of textstats._tokens — pinned equal by test) so contamination is
+invariant to case/punctuation spelling — the same normalization both
+sides of the comparison.
 """
 
 from __future__ import annotations
@@ -28,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textstats import _token_ngrams, _tokens
+from ..functions.textstats import _token_ngrams, _tokens, with_token_grams
 
 
 def benchmark_ngrams(bench: DataFrame, n: int,
@@ -52,11 +55,11 @@ def contamination_hits(docs: DataFrame, bench: DataFrame, n: int = 13,
     grams, first_gram is the lexicographically smallest (deterministic
     audit sample). Documents with no overlap are absent."""
     grams = F.broadcast(benchmark_ngrams(bench, n, bench_text_col))
-    doc_grams = (docs
+    doc_grams = (with_token_grams(docs.select(id_col, text_col),
+                                  text_col, "_grams", ns=(n,),
+                                  distinct=True)
                  .select(F.col(id_col),
-                         F.explode(F.array_distinct(
-                             _token_ngrams(_tokens(F.col(text_col)), n)))
-                         .alias("gram")))
+                         F.explode("_grams").alias("gram")))
     return (doc_grams.join(grams, "gram")
             .groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_hit"),
@@ -95,10 +98,9 @@ def benchmark_coverage(docs: DataFrame, bench: DataFrame, n: int = 13,
                           _token_ngrams(_tokens(F.col(bench_text_col)), n)))
                       .alias("gram")))
     probe = bgrams.filter(F.col("gram").isNotNull())
-    corpus_grams = (docs
-                    .select(F.explode(F.array_distinct(
-                        _token_ngrams(_tokens(F.col(text_col)), n)))
-                        .alias("gram"))
+    corpus_grams = (with_token_grams(docs.select(text_col), text_col,
+                                     "_grams", ns=(n,), distinct=True)
+                    .select(F.explode("_grams").alias("gram"))
                     .join(F.broadcast(probe.select("gram").distinct()),
                           "gram", "left_semi")
                     .distinct()

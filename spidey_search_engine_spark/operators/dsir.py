@@ -39,7 +39,7 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textstats import _token_ngrams, _tokens
+from ..functions.textstats import with_token_grams
 
 HashFn = Callable[[Column], Column]
 
@@ -49,11 +49,12 @@ HashFn = Callable[[Column], Column]
 _GUMBEL_DENOM = 1 << 20
 
 
-def _gram_col(text_col: Column, ns: Sequence[int]) -> Column:
-    """All token n-grams of `text_col` for every n in `ns`, one array."""
-    toks = _tokens(text_col)
-    parts = [_token_ngrams(toks, n) for n in ns]
-    return F.concat(*parts) if len(parts) > 1 else parts[0]
+def _with_grams(df: DataFrame, text_col: str,
+                ns: Sequence[int]) -> DataFrame:
+    """+ `_grams` array of all token n-grams for every n in `ns` — the
+    Arrow kernel (the expression form's higher-order lambdas run
+    interpreted per element, ~100x slower; see textstats)."""
+    return with_token_grams(df, text_col, "_grams", ns=tuple(ns))
 
 
 def gram_bucket_counts(df: DataFrame, text_col: str = "content",
@@ -63,7 +64,8 @@ def gram_bucket_counts(df: DataFrame, text_col: str = "content",
     """(bucket, cnt) hashed-n-gram counts over a corpus — the bag-of-
     hashed-grams sufficient statistic. Output is ≤ n_buckets rows."""
     hash_fn = hash_fn or F.xxhash64
-    g = df.select(F.explode(_gram_col(F.col(text_col), ns)).alias("gram"))
+    g = _with_grams(df.select(text_col), text_col, ns) \
+        .select(F.explode("_grams").alias("gram"))
     return (g.select(F.pmod(hash_fn(F.col("gram")),
                             F.lit(n_buckets)).alias("bucket"))
             .groupBy("bucket").agg(F.count("*").alias("cnt")))
@@ -108,9 +110,8 @@ def dsir_scores(df: DataFrame, logratios: DataFrame,
     grams score 0.0 (empty sum), not NULL and not dropped — explode_outer
     keeps them through the aggregate."""
     hash_fn = hash_fn or F.xxhash64
-    g = df.select(
-        id_col,
-        F.explode_outer(_gram_col(F.col(text_col), ns)).alias("gram"))
+    g = _with_grams(df.select(id_col, text_col), text_col, ns).select(
+        id_col, F.explode_outer("_grams").alias("gram"))
     g = g.select(id_col, F.when(
         F.col("gram").isNotNull(),
         F.pmod(hash_fn(F.col("gram")), F.lit(n_buckets))).alias("bucket"))

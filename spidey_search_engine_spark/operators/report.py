@@ -27,7 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.textstats import _tokens, with_token_count
+from ..functions.textstats import with_token_count
 
 
 def corpus_report(df: DataFrame, group_cols: Sequence[str] = ("source",),
@@ -164,12 +164,19 @@ def doc_keywords(df, terms, n_docs: int, k: int = 5,
     index never saw has no defensible df."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    # the SHARED simple-profile tokenizer expression: an inline copy
-    # that drifted would silently desynchronize tf from the dictionary's
-    # df
-    toks = tokens if tokens is not None else _tokens(F.col(text_col))
-    tf = (df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
-          .groupBy("id", "term").agg(F.count("*").alias("tf")))
+    if tokens is not None:
+        exploded = df.select(F.col(id_col).alias("id"),
+                             F.explode(tokens).alias("term"))
+    else:
+        # simple-profile tokens via the Arrow kernel (pinned equal to
+        # the _tokens expression form; the expression's HOF filter runs
+        # interpreted per element — see textstats kernel-block comment)
+        from ..functions.textstats import with_token_grams
+        exploded = (with_token_grams(df.select(id_col, text_col),
+                                     text_col, "_toks", ns=(1,))
+                    .select(F.col(id_col).alias("id"),
+                            F.explode("_toks").alias("term")))
+    tf = exploded.groupBy("id", "term").agg(F.count("*").alias("tf"))
     scored = (tf.join(terms.select("term", "df"), "term")
               .withColumn("score",
                           F.col("tf") * F.log(F.lit(1.0)

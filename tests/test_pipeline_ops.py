@@ -3004,3 +3004,37 @@ def test_cli_query_facets_mlt_slop(spark, tmp_path, capsys):
                 ["query", "--index", idx]):
         with _pytest.raises(SystemExit):
             main(bad)
+
+
+def test_token_grams_kernel_lockstep(spark):
+    """The Arrow gram kernel (with_token_grams) is token-for-token equal
+    to the JVM expression form across n, multi-n concat order, distinct
+    mode, NULL text, and unicode — the contract that lets the
+    gram-heavy operators swap construction paths without semantic
+    drift."""
+    from pyspark.sql import functions as F
+
+    from spidey_search_engine_spark.functions.textstats import (
+        _token_ngrams, _tokens, with_token_grams)
+    rows = [(0, "Alpha beta-GAMMA_1 alpha beta"), (1, ""), (2, None),
+            (3, "solo"), (4, "Ünïcode stays ascii_only 123 split"),
+            (5, "a a a a a")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    for ns in [(1,), (3,), (1, 2), (2, 5)]:
+        toks = _tokens(F.col("content"))
+        parts = [_token_ngrams(toks, n) for n in ns]
+        expr = F.concat(*parts) if len(parts) > 1 else parts[0]
+        want = {r["doc_id"]: r["g"] for r in
+                df.select("doc_id", expr.alias("g")).collect()}
+        got = {r["doc_id"]: r["_grams"] for r in
+               with_token_grams(df, "content", "_grams", ns=ns).collect()}
+        assert got == want, ns
+    # distinct mode: first-occurrence order
+    got_d = {r["doc_id"]: r["_grams"] for r in
+             with_token_grams(df, "content", "_grams", ns=(1,),
+                              distinct=True).collect()}
+    assert got_d[0] == ["alpha", "beta", "gamma_1"]
+    assert got_d[5] == ["a"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match=">= 1"):
+        with_token_grams(df, "content", "_grams", ns=(0,))
