@@ -61,11 +61,16 @@ def ngrams_col(t, n: int):
 
 def shingles_df(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "content", n: int = 3) -> DataFrame:
-    """Distinct n-gram token shingles, one row per (id, shingle)."""
-    t = tokens_col(text_col)
-    return (df.withColumn("_t", t).filter(F.size("_t") >= n)
+    """Distinct n-gram token shingles, one row per (id, shingle) — built
+    in the Arrow gram kernel (2.2x the tokens_col/ngrams_col expression
+    chain at 103k docs: HOF lambdas evaluate interpreted per element;
+    the expression forms stay for the column-level uses and the kernel
+    is pinned row-identical to them by test)."""
+    from ..functions.textstats import with_token_grams
+    return (with_token_grams(df.select(id_col, text_col), text_col,
+                             "_sh", ns=(n,), distinct=True)
             .select(F.col(id_col).alias("id"),
-                    F.explode(ngrams_col(F.col("_t"), n)).alias("shingle"))
+                    F.explode("_sh").alias("shingle"))
             .distinct())
 
 

@@ -3038,3 +3038,23 @@ def test_token_grams_kernel_lockstep(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match=">= 1"):
         with_token_grams(df, "content", "_grams", ns=(0,))
+
+
+def test_shingles_kernel_matches_expression(spark):
+    """shingles_df's Arrow kernel path is row-identical to the original
+    tokens_col/ngrams_col expression chain (incl. docs shorter than n,
+    empty, and within-doc duplicate shingles deduped)."""
+    from spidey_search_engine_spark.operators.dedup import (
+        ngrams_col, tokens_col, shingles_df)
+    rows = [(0, "Alpha beta gamma alpha beta gamma"), (1, "two toks"),
+            (2, ""), (3, "a b c d e a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    for n in (1, 2, 3):
+        t = tokens_col("content")
+        expr = (df.withColumn("_t", t).filter(F.size("_t") >= n)
+                .select(F.col("doc_id").alias("id"),
+                        F.explode(ngrams_col(F.col("_t"), n))
+                        .alias("shingle")).distinct())
+        got = shingles_df(df, n=n)
+        assert got.exceptAll(expr).count() == 0, n
+        assert expr.exceptAll(got).count() == 0, n
