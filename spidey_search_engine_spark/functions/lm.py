@@ -30,8 +30,8 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text_col: str):
-    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                    lambda x: x != F.lit(""))
+    return F.array_remove(
+        F.split(F.lower(F.col(text_col)), r"\s+"), "")
 
 
 def train_unigram_lm(ref: DataFrame, text_col: str = "text",

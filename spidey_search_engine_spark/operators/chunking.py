@@ -52,8 +52,7 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"need 0 <= overlap ({overlap}) < chunk_tokens "
                          f"({chunk_tokens})")
     stride = chunk_tokens - overlap
-    toks = F.filter(F.split(F.col(text_col), r"\s+"),
-                    lambda x: x != F.lit(""))
+    toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
     n = F.size("_t")
     n_chunks = (F.when(n <= chunk_tokens, F.lit(1))
                 .otherwise(F.ceil((n - F.lit(chunk_tokens))

@@ -48,8 +48,10 @@ HashExpr = Callable[[Column], Column]
 
 
 def tokens_col(text_col: str = "content"):
-    return F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9_]+"),
-                    lambda x: x != F.lit(""))
+    # array_remove over filter(lambda): identical output, codegen'd
+    # (HOF lambdas run interpreted per element)
+    return F.array_remove(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9_]+"), "")
 
 
 def ngrams_col(t, n: int):
