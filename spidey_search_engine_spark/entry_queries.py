@@ -3977,3 +3977,51 @@ scores AS (
 SELECT doc_id, round(s, 6)::DOUBLE AS score_r
 FROM scores WHERE doc_id <> 7
 ORDER BY s DESC, doc_id ASC LIMIT 10"""
+
+
+def corpus_diff_docs(spark, sf_dir):
+    """P49 corpus version diff (operators/diffing.corpus_diff): the
+    'old' snapshot is synthesized from documents deterministically —
+    drop doc_id % 11 == 4 (those become `added`), rewrite the text of
+    doc_id % 7 == 2 (those become `changed`) — and extra old-only rows
+    doc_id >= 10^6 become `removed`; everything else is `unchanged`.
+    Oracle: DuckDB rebuilds both snapshots and replays the
+    sha-comparison CASE over the same full-outer join."""
+    from .operators.diffing import corpus_diff
+    new = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", F.col("text").alias("content"))
+    old = (new.filter(F.col("doc_id") % 11 != 4)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 7 == 2,
+                          F.concat(F.lit("OLD:"), F.col("content")))
+                   .otherwise(F.col("content")).alias("content"))
+           .unionByName(new.select(
+               (F.col("doc_id") + 1000000).alias("doc_id"),
+               F.col("content")).filter(F.col("doc_id") % 5 == 1)))
+    return corpus_diff(old, new)
+
+
+QUERIES["corpus_diff_docs"] = corpus_diff_docs
+
+ORACLE_SQL["corpus_diff_docs"] = """
+WITH newd AS (SELECT doc_id, text AS content FROM documents),
+oldd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN 'OLD:' || content
+              ELSE content END AS content
+  FROM newd WHERE doc_id % 11 <> 4
+  UNION ALL
+  SELECT doc_id + 1000000, content FROM newd
+  WHERE (doc_id + 1000000) % 5 = 1
+),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         sha256(o.content) AS so, sha256(n.content) AS sn
+  FROM oldd o FULL OUTER JOIN newd n USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN so IS NULL THEN 'added'
+            WHEN sn IS NULL THEN 'removed'
+            WHEN so = sn THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM j"""

@@ -1,0 +1,74 @@
+"""Corpus version diff — what changed between two snapshots of a table.
+
+Training-data pipelines re-pull their sources continuously; before
+re-running an expensive clean/dedup/index build over a new snapshot, the
+first question is always "what actually changed?" — and the reference
+engine's recrawl delta (A8: URL-keyed add/delete) is the same question
+asked of a crawl. This operator answers it at corpus scale:
+
+    corpus_diff(old, new) -> (doc_id, status)   status ∈
+        added      id only in the new snapshot
+        removed    id only in the old snapshot
+        changed    id in both, content sha256 differs
+        unchanged  id in both, content byte-identical
+
+One full-outer join on the id — the only corpus-scale exchange, on a
+unique uniform key (no skew) — comparing sha256 fingerprints computed
+in-scan (the same per-row invariant column the build pipeline carries,
+so a snapshot that already HAS content_sha256 can pass `sha_col=` and
+skip hashing entirely). `corpus_diff_summary` collapses the statuses to
+counts (+ optional per-column breakdown) for the pipeline log line.
+
+The incremental-build composition: `changed ∪ added` is exactly the
+re-index set for maintenance.reindex_docs / the re-clean set for the
+pipeline — diff once, then every downstream stage runs on the delta.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "content",
+                sha_col: str | None = None) -> DataFrame:
+    """(id_col, status) for every id in either snapshot. `sha_col` names
+    a precomputed sha256 column (both sides) to skip in-scan hashing."""
+
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        sha = (F.col(sha_col) if sha_col
+               else F.sha2(F.col(text_col), 256))
+        return df.select(F.col(id_col), sha.alias(f"_sha_{side}"))
+
+    j = keyed(old, "o").join(keyed(new, "n"), id_col, "full_outer")
+    status = (F.when(F.col("_sha_o").isNull(), "added")
+              .when(F.col("_sha_n").isNull(), "removed")
+              .when(F.col("_sha_o") == F.col("_sha_n"), "unchanged")
+              .otherwise("changed"))
+    return j.select(id_col, status.alias("status"))
+
+
+def corpus_diff_summary(old: DataFrame, new: DataFrame,
+                        id_col: str = "doc_id",
+                        text_col: str = "content",
+                        sha_col: str | None = None,
+                        by: "list[str] | None" = None) -> DataFrame:
+    """(status[, *by], n_docs) counts. With `by`, the breakdown columns
+    come from the NEW snapshot (removed docs have no new-side row, so
+    their breakdown values are NULL — visible, not silently dropped)."""
+    d = corpus_diff(old, new, id_col, text_col, sha_col)
+    if by:
+        d = d.join(new.select(id_col, *by), id_col, "left")
+    return (d.groupBy("status", *(by or []))
+            .agg(F.count("*").alias("n_docs")))
+
+
+def changed_ids(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "content",
+                sha_col: str | None = None) -> DataFrame:
+    """The re-process set: ids whose content is new or different — the
+    input to an incremental re-index / re-clean over the delta only."""
+    d = corpus_diff(old, new, id_col, text_col, sha_col)
+    return d.filter(F.col("status").isin("added", "changed")) \
+        .select(id_col)

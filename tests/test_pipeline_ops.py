@@ -3058,3 +3058,34 @@ def test_shingles_kernel_matches_expression(spark):
         got = shingles_df(df, n=n)
         assert got.exceptAll(expr).count() == 0, n
         assert expr.exceptAll(got).count() == 0, n
+
+
+def test_corpus_diff(spark):
+    """P49: all four statuses against a hand-built fixture, sha_col
+    fast path ≡ in-scan hashing, summary breakdown keeps removed docs
+    visible as NULL, and changed_ids is exactly added ∪ changed."""
+    from spidey_search_engine_spark.operators.diffing import (
+        changed_ids, corpus_diff, corpus_diff_summary)
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "was this"), (3, "gone")],
+        "doc_id long, content string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "now this"), (4, "brand new")],
+        "doc_id long, content string")
+    got = {r["doc_id"]: r["status"] for r in
+           corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added"}
+    # precomputed-sha fast path gives the identical answer
+    o2 = old.withColumn("sha", F.sha2("content", 256))
+    n2 = new.withColumn("sha", F.sha2("content", 256))
+    got2 = {r["doc_id"]: r["status"] for r in
+            corpus_diff(o2, n2, sha_col="sha").collect()}
+    assert got2 == got
+    assert sorted(r["doc_id"] for r in
+                  changed_ids(old, new).collect()) == [2, 4]
+    new_by = new.withColumn("lang", F.lit("en"))
+    s = {(r["status"], r["lang"]): r["n_docs"] for r in
+         corpus_diff_summary(old, new_by, by=["lang"]).collect()}
+    assert s[("removed", None)] == 1      # no new-side row -> NULL lang
+    assert s[("changed", "en")] == 1 and s[("added", "en")] == 1
