@@ -104,9 +104,9 @@ def main() -> None:
 
     # P45 keywords against a dictionary derived on the fly (df per term)
     from spidey_search_engine_spark.operators.report import doc_keywords
-    terms = (docs.select(F.explode(F.array_distinct(F.filter(
-        F.split(F.lower("content"), "[^a-z0-9_]+"),
-        lambda x: x != F.lit("")))).alias("term"))
+    from spidey_search_engine_spark.functions.textstats import _tokens
+    terms = (docs.select(F.explode(F.array_distinct(
+        _tokens(F.col("content")))).alias("term"))
         .groupBy("term").agg(F.count("*").alias("df")))
     timed("doc_keywords_top5", lambda: doc_keywords(
         docs, terms, n_docs=n, k=5).agg(

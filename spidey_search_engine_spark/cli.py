@@ -209,6 +209,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.more_like is not None and not args.corpus:
             p.error("--more-like needs --corpus (source text lives "
                     "there, not in the index)")
+        if args.corpus and args.more_like is None:
+            p.error("--corpus only applies to --more-like")
+        if args.facets and args.more_like is not None:
+            p.error("--facets and --more-like are different queries; "
+                    "pick one")
+        if ((args.facets or args.more_like is not None)
+                and (args.parity or args.pruned or args.fuzzy)):
+            p.error("--facets/--more-like replace the ranking mode; "
+                    "drop --parity/--pruned/--fuzzy")
         if args.more_like is None and args.q is None:
             p.error("--q is required (except with --more-like)")
 

@@ -238,17 +238,11 @@ def _run_stats(arr):
 # column-expression forms for oracle parity and light uses; the kernels
 # below are pinned token-for-token equal to them by test.
 
-_SIMPLE_TOKEN_RE = None
-
-
-def _py_tokens(text: str) -> list:
-    """Python twin of _tokens (simple profile). Module-level lazy regex:
-    the kernel closure must not capture a compiled pattern per call."""
-    global _SIMPLE_TOKEN_RE
-    if _SIMPLE_TOKEN_RE is None:
-        import re
-        _SIMPLE_TOKEN_RE = re.compile(r"[^a-z0-9_]+")
-    return [t for t in _SIMPLE_TOKEN_RE.split(text.lower()) if t]
+from .analysis import tokenize_simple as _py_tokens  # noqa: E402
+# _py_tokens IS analysis.tokenize_simple — the index's own "simple"
+# profile — not a re-implementation: the dictionary's df and these
+# kernels' tf must come from the same tokenizer or keyword/gram scores
+# silently skew (the drift this module's consumers were warned about).
 
 
 def with_token_grams(df: DataFrame, text_col: str = "content",
@@ -262,6 +256,8 @@ def with_token_grams(df: DataFrame, text_col: str = "content",
     for n in ns:
         if n < 1:
             raise ValueError(f"n must be >= 1, got {n}")
+    if out in df.columns:
+        raise ValueError(f"output column {out!r} already exists")
     from .bpe import _passthrough_schema
     schema = _passthrough_schema(df, f"`{out}` array<string>")
     ns_t = tuple(ns)

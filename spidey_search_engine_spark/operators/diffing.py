@@ -39,12 +39,18 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     def keyed(df: DataFrame, side: str) -> DataFrame:
         sha = (F.col(sha_col) if sha_col
                else F.sha2(F.col(text_col), 256))
-        return df.select(F.col(id_col), sha.alias(f"_sha_{side}"))
+        # explicit presence marker: sha2(NULL) is NULL, so "sha is NULL"
+        # cannot distinguish an absent row from a NULL-content row — a
+        # NULL-content doc present in both snapshots must compare as
+        # unchanged (eqNullSafe), not masquerade as added/removed
+        return df.select(F.col(id_col), sha.alias(f"_sha_{side}"),
+                         F.lit(True).alias(f"_in_{side}"))
 
     j = keyed(old, "o").join(keyed(new, "n"), id_col, "full_outer")
-    status = (F.when(F.col("_sha_o").isNull(), "added")
-              .when(F.col("_sha_n").isNull(), "removed")
-              .when(F.col("_sha_o") == F.col("_sha_n"), "unchanged")
+    status = (F.when(F.col("_in_o").isNull(), "added")
+              .when(F.col("_in_n").isNull(), "removed")
+              .when(F.col("_sha_o").eqNullSafe(F.col("_sha_n")),
+                    "unchanged")
               .otherwise("changed"))
     return j.select(id_col, status.alias("status"))
 

@@ -3001,7 +3001,14 @@ def test_cli_query_facets_mlt_slop(spark, tmp_path, capsys):
     import pytest as _pytest
     for bad in (["query", "--index", idx, "--more-like", "0"],
                 ["query", "--index", idx, "--q", "x", "--slop", "1"],
-                ["query", "--index", idx]):
+                ["query", "--index", idx],
+                ["query", "--index", idx, "--more-like", "0", "--corpus",
+                 src, "--facets", "repo"],
+                ["query", "--index", idx, "--q", "x", "--facets", "repo",
+                 "--fuzzy"],
+                ["query", "--index", idx, "--more-like", "0", "--corpus",
+                 src, "--parity"],
+                ["query", "--index", idx, "--q", "x", "--corpus", src]):
         with _pytest.raises(SystemExit):
             main(bad)
 
@@ -3038,6 +3045,8 @@ def test_token_grams_kernel_lockstep(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match=">= 1"):
         with_token_grams(df, "content", "_grams", ns=(0,))
+    with _pytest.raises(ValueError, match="already exists"):
+        with_token_grams(df, "content", "content")
 
 
 def test_shingles_kernel_matches_expression(spark):
@@ -3089,3 +3098,13 @@ def test_corpus_diff(spark):
          corpus_diff_summary(old, new_by, by=["lang"]).collect()}
     assert s[("removed", None)] == 1      # no new-side row -> NULL lang
     assert s[("changed", "en")] == 1 and s[("added", "en")] == 1
+    # NULL content is inside the corpus contract: presence markers, not
+    # sha nullability, decide added/removed; NULL==NULL is unchanged
+    o3 = spark.createDataFrame([(1, None), (2, "x"), (3, None)],
+                               "doc_id long, content string")
+    n3 = spark.createDataFrame([(1, None), (2, None), (4, None)],
+                               "doc_id long, content string")
+    got3 = {r["doc_id"]: r["status"] for r in
+            corpus_diff(o3, n3).collect()}
+    assert got3 == {1: "unchanged", 2: "changed", 3: "removed",
+                    4: "added"}
