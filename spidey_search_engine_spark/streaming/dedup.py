@@ -176,3 +176,56 @@ def near_dedup_ingest_stream(docs_stream: DataFrame, store_dir: str,
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Decontamination at ingest: per-batch n-gram flag vs a static benchmark
+# ---------------------------------------------------------------------------
+
+def decontam_ingest_stream(docs_stream: DataFrame, bench: DataFrame,
+                           n: int = 13, text_col: str = "content",
+                           bench_text_col: str = "text",
+                           flag_only: bool = False) -> DataFrame:
+    """Ingest-time benchmark decontamination (P40's streaming twin):
+    documents sharing a token n-gram with the (STATIC) benchmark set are
+    dropped — or flagged (`flag_only=True`, adds `n_hit`) — as they
+    arrive.
+
+    The batch operator's broadcast-join shape doesn't stream (per-doc
+    ANY-gram-hits needs an aggregation, which would force watermarked
+    state for what is a stateless per-row decision), so the benchmark
+    grams ride INSIDE the Arrow kernel as a python set: one driver-side
+    collect, bounded by construction — eval suites are MBs, the same
+    smallness argument the batch path uses to broadcast. Each micro-batch
+    row then pays one tokenize + set-probe pass; no state, no join, no
+    shuffle, deterministic under replay. Matches the batch
+    `contamination_hits` count exactly (DISTINCT shared grams), pinned
+    by test."""
+    from ..functions.textstats import _py_tokens
+    from ..operators.decontaminate import benchmark_ngrams
+    grams = {r["gram"] for r in
+             benchmark_ngrams(bench, n, bench_text_col).collect()}
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in docs_stream.schema.fields) + ", `n_hit` int"
+
+    def kernel(batches):
+        for pdf in batches:
+            hits = []
+            for text in pdf[text_col]:
+                if text is None:
+                    hits.append(0)
+                    continue
+                toks = _py_tokens(text)
+                hits.append(len({g for g in (
+                    " ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)) if g in grams}))
+            pdf = pdf.copy()
+            pdf["n_hit"] = hits
+            yield pdf
+
+    out = docs_stream.mapInPandas(kernel, schema)
+    if flag_only:
+        return out
+    return out.filter(F.col("n_hit") == 0).drop("n_hit")

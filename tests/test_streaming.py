@@ -369,3 +369,70 @@ def test_jsonl_ingest_stream(spark, tmp_path):
     assert {r["_batch_id"] for r in quar} <= {0, 1}
     run()                                      # replay: checkpoint makes it a no-op
     assert spark.read.parquet(store + "/docs").count() == 2
+
+
+def test_decontam_ingest_stream(spark, tmp_path):
+    """Streaming decontamination: contaminated docs drop as micro-batches
+    arrive, flag_only reports DISTINCT shared-gram counts, NULL content
+    passes, and the counts equal the batch operator's on the same data."""
+    from spidey_search_engine_spark.operators.decontaminate import (
+        contamination_hits)
+    from spidey_search_engine_spark.streaming.dedup import (
+        decontam_ingest_stream)
+
+    bench = spark.createDataFrame(
+        [(0, "the secret answer is forty two")],
+        "bench_id long, text string")
+    rows1 = [(0, "everyone knows the secret answer is forty two now"),
+             (1, "a perfectly clean document about sorting")]
+    rows2 = [(2, "again: The SECRET answer IS forty-two, repeated; "
+                 "the secret answer is forty two"),
+             (3, None),
+             (4, "another clean one")]
+    schema = "doc_id long, content string"
+    src = str(tmp_path / "dc_src")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = decontam_ingest_stream(stream, bench, n=4, flag_only=True)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dc_flags").option(
+             "checkpointLocation", str(tmp_path / "dc_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flags = {r["doc_id"]: r["n_hit"] for r in
+             spark.sql("select * from dc_flags").collect()}
+    assert set(flags) == {0, 1, 2, 3, 4}
+    assert flags[1] == 0 and flags[3] == 0 and flags[4] == 0
+    assert flags[0] > 0 and flags[2] > 0
+    # distinct-gram counts == the batch operator on the union
+    batch = {r["doc_id"]: r["n_hit"] for r in contamination_hits(
+        spark.createDataFrame(rows1 + rows2, schema), bench,
+        n=4).collect()}
+    assert {k: v for k, v in flags.items() if v > 0} == batch
+
+    # drop mode: contaminated docs vanish from the stream
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    out2 = decontam_ingest_stream(stream2, bench, n=4)
+    q2 = (out2.writeStream.outputMode("append").format("memory")
+          .queryName("dc_clean").option(
+              "checkpointLocation", str(tmp_path / "dc_ckpt2"))
+          .start())
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    kept = sorted(r["doc_id"] for r in
+                  spark.sql("select * from dc_clean").collect())
+    assert kept == [1, 3, 4]
+    assert spark.sql("select * from dc_clean").columns == \
+        ["doc_id", "content"]
