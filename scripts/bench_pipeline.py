@@ -112,6 +112,38 @@ def main() -> None:
         docs, terms, n_docs=n, k=5).agg(
         F.count("*"), F.sum("score")).collect())
 
+    # composed clean CLI pipeline end-to-end (the user-facing number):
+    # repetition gate + exact dedup + decontam + DSIR selection
+    import subprocess
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        bench_dir, tgt_dir, out_dir = (os.path.join(td, d)
+                                       for d in ("bench", "tgt", "out"))
+        bench.write.parquet(bench_dir)
+        docs.filter(F.col("doc_id") % 20 == 3) \
+            .select("doc_id", "content").write.parquet(tgt_dir)
+        env = dict(os.environ, SPARK_GRAFT_MASTER=f"local[{cpus}]")
+        t0 = time.monotonic()
+        r = subprocess.run(
+            [sys.executable, "-m", "spidey_search_engine_spark.cli",
+             "clean", "--input", CORPUS, "--output", out_dir,
+             "--max-dup-ngram", "5:0.15", "--exact-dedup",
+             "--decontam-bench", bench_dir, "--decontam-n", "8",
+             "--dsir-target", tgt_dir, "--dsir-k", "50000"],
+            env=env, capture_output=True, text=True, cwd=REPO)
+        dt = time.monotonic() - t0
+        if r.returncode != 0:
+            print(r.stderr[-2000:], file=sys.stderr)
+            raise SystemExit("clean pipeline failed")
+        stats = json.loads(r.stdout.strip().splitlines()[-1])
+        results["clean_pipeline_e2e"] = {
+            "sec": round(dt, 3), "docs_per_sec": round(n / dt, 1),
+            "docs_out": stats["docs_out"],
+            "note": "cold JVM incl. session boot; repetition+exact-dedup"
+                    "+decontam+DSIR-50k via the CLI"}
+        print(f"clean_pipeline_e2e: {dt:.2f}s ({n / dt:,.0f} docs/s)",
+              flush=True)
+
     out = {"n_docs": n, "cpus": cpus, "ops": results}
     with open(os.path.join(REPO, "BENCH_PIPELINE.json"), "w") as f:
         json.dump(out, f, indent=2)

@@ -3108,3 +3108,32 @@ def test_corpus_diff(spark):
             corpus_diff(o3, n3).collect()}
     assert got3 == {1: "unchanged", 2: "changed", 3: "removed",
                     4: "added"}
+
+
+def test_token_grams_kernel_unicode_property(spark):
+    """Property: the Arrow kernel and the JVM expression tokenize
+    IDENTICALLY across adversarial unicode — case-mapping expansion
+    (İ -> i+combining dot), final sigma, ligatures, astral plane,
+    controls — because the kernel's python str.lower() must keep parity
+    with Spark's UTF8String lowercase or every gram-derived score
+    silently drifts on non-ASCII corpora."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spidey_search_engine_spark.functions.textstats import (
+        _token_ngrams, _tokens, with_token_grams)
+    rng = random.Random(47)
+    alphabet = list("abz09_ ") + ["İ", "ı", "ß", "Σ", "ς", "Ω", "ﬁ",
+                                  "Ａ", "𝔘", "😀", "\t", "\n", "é", "Ç",
+                                  "İ", "ß", "ẞ"]
+    rows = [(i, "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 40))))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    want = {r["doc_id"]: r["g"] for r in df.select(
+        "doc_id", _token_ngrams(_tokens(F.col("content")), 2)
+        .alias("g")).collect()}
+    got = {r["doc_id"]: r["_g"] for r in
+           with_token_grams(df, "content", "_g", ns=(2,)).collect()}
+    assert got == want
