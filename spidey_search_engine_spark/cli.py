@@ -11,6 +11,7 @@ Then e.g.:
   spark-submit ... query --index /data/index --q 'merge' --facets repo,lang
   spark-submit ... query --index /data/index --more-like 42 --corpus /data/corpus
   spark-submit ... bench --sf-dir /root/testdata/sf0.1
+  spark-submit ... report --input /data/corpus --group-by lang --index /data/index
   spark-submit ... clean --input /data/corpus --output /data/cleaned \
       --substring-min-count 2 --redact-pii --quality-threshold 0.5 \
       --exact-dedup
@@ -78,6 +79,24 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("bench", help="run bench.py suite")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+
+    r = sub.add_parser(
+        "report", help="corpus statistics: per-group doc/char/token "
+        "totals + token quantiles, repetition-signal summary, and "
+        "(with --index) the tokenizer-sizing vocabulary coverage curve; "
+        "prints one JSON line")
+    r.add_argument("--input", required=True, help="corpus parquet dir "
+                   "with a content/text column")
+    r.add_argument("--text-col", default="content")
+    r.add_argument("--group-by", default=None, metavar="COL[,COL...]",
+                   help="per-group breakdown columns (default: whole "
+                        "corpus as one group)")
+    r.add_argument("--quantiles", default="0.5,0.9",
+                   help="token-count quantiles, comma-separated fractions")
+    r.add_argument("--index", default=None,
+                   help="index dir: adds token mass covered by the top-r "
+                        "dictionary terms at --vocab-sizes")
+    r.add_argument("--vocab-sizes", default="1000,10000,50000")
 
     c = sub.add_parser(
         "clean", help="training-corpus cleaning pipeline: unicode "
@@ -332,6 +351,46 @@ def main(argv: list[str] | None = None) -> int:
         os.environ["SPARK_GRAFT_SF_DIR"] = args.sf_dir
         import bench
         bench.main()
+    elif args.cmd == "report":
+        from pyspark.sql import functions as F
+
+        from .functions.textstats import with_repetition_features
+        from .operators.report import corpus_report, vocab_coverage
+        df = spark.read.parquet(args.input)
+        groups = ([c.strip() for c in args.group_by.split(",") if c.strip()]
+                  if args.group_by else None)
+        try:
+            qs = [float(x) for x in args.quantiles.split(",") if x.strip()]
+        except ValueError:
+            raise SystemExit(f"--quantiles expects fractions, got "
+                             f"{args.quantiles!r}")
+        base = df if groups else df.withColumn("_all", F.lit("corpus"))
+        rep_rows = [r.asDict() for r in corpus_report(
+            base, groups or ["_all"], text_col=args.text_col,
+            quantiles=qs).collect()]
+        if not groups:
+            for row in rep_rows:
+                row.pop("_all", None)
+        feats = ["dup_line_frac", "dup_line_char_frac",
+                 "top_2gram_char_frac", "dup_5gram_char_frac"]
+        rep = with_repetition_features(df, args.text_col, top_ns=(2,),
+                                       dup_ns=(5,))
+        agg = rep.agg(*[f(c).alias(f"{n}_{c}")
+                        for c in feats
+                        for n, f in (("mean", F.mean), ("max", F.max))]
+                      ).collect()[0].asDict()
+        out = {"groups": rep_rows,
+               "repetition": {k: (None if v is None else round(v, 6))
+                              for k, v in agg.items()}}
+        if args.index:
+            from .operators.build import load_index
+            idx = load_index(spark, args.index)
+            sizes = [int(x) for x in args.vocab_sizes.split(",") if x]
+            out["vocab_coverage"] = {
+                str(r["vocab_size"]): round(r["coverage"], 6)
+                for r in vocab_coverage(idx["terms"], sizes,
+                                        count_col="cf").collect()}
+        print(json.dumps(out, default=float))
     elif args.cmd == "clean":
         from pyspark.sql import functions as F
 

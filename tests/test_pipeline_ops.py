@@ -3137,3 +3137,48 @@ def test_token_grams_kernel_unicode_property(spark):
     got = {r["doc_id"]: r["_g"] for r in
            with_token_grams(df, "content", "_g", ns=(2,)).collect()}
     assert got == want
+
+
+def test_cli_report(spark, tmp_path, capsys):
+    """`report` subcommand: whole-corpus and grouped stats, repetition
+    summary bounds, vocab coverage from a real index, and quantile
+    validation."""
+    import json
+
+    from spidey_search_engine_spark.cli import main
+    from spidey_search_engine_spark.operators.build import build_index
+
+    rows = [(i, ["en", "de"][i % 2],
+             " ".join(f"w{j % 9}" for j in range(10 + i % 5)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                       "content string")
+    src, idx = str(tmp_path / "c"), str(tmp_path / "i")
+    docs.write.parquet(src)
+    corpus = docs.select(
+        "doc_id", F.lit("r").alias("repo"),
+        F.concat(F.lit("d/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"), "lang", "content")
+    build_index(spark, corpus, idx, profile="simple", seg_bits=4,
+                n_buckets=4)
+
+    rc = main(["report", "--input", src, "--index", idx,
+               "--vocab-sizes", "3,9,100000"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["groups"]) == 1
+    g = out["groups"][0]
+    assert g["n_docs"] == 40 and "_all" not in g
+    assert g["total_tokens"] == sum(10 + i % 5 for i in range(40))
+    assert 0 < out["repetition"]["mean_dup_5gram_char_frac"] <= 1
+    assert out["vocab_coverage"]["100000"] == 1.0
+    assert out["vocab_coverage"]["3"] < out["vocab_coverage"]["9"] <= 1.0
+
+    rc = main(["report", "--input", src, "--group-by", "lang"])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(r["lang"] for r in out2["groups"]) == ["de", "en"]
+    assert sum(r["n_docs"] for r in out2["groups"]) == 40
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["report", "--input", src, "--quantiles", "bogus"])
