@@ -364,6 +364,16 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError:
             raise SystemExit(f"--quantiles expects fractions, got "
                              f"{args.quantiles!r}")
+        sizes = None
+        if args.index:
+            try:
+                sizes = [int(x) for x in args.vocab_sizes.split(",") if x]
+            except ValueError:
+                raise SystemExit(f"--vocab-sizes expects integers, got "
+                                 f"{args.vocab_sizes!r}")
+            if any(x < 1 for x in sizes) or len(set(sizes)) != len(sizes):
+                raise SystemExit("--vocab-sizes must be distinct "
+                                 "positive integers")
         base = df if groups else df.withColumn("_all", F.lit("corpus"))
         rep_rows = [r.asDict() for r in corpus_report(
             base, groups or ["_all"], text_col=args.text_col,
@@ -385,7 +395,6 @@ def main(argv: list[str] | None = None) -> int:
         if args.index:
             from .operators.build import load_index
             idx = load_index(spark, args.index)
-            sizes = [int(x) for x in args.vocab_sizes.split(",") if x]
             out["vocab_coverage"] = {
                 str(r["vocab_size"]): round(r["coverage"], 6)
                 for r in vocab_coverage(idx["terms"], sizes,

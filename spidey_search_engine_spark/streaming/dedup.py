@@ -201,14 +201,16 @@ def decontam_ingest_stream(docs_stream: DataFrame, bench: DataFrame,
     shuffle, deterministic under replay. Matches the batch
     `contamination_hits` count exactly (DISTINCT shared grams), pinned
     by test."""
+    from ..functions.bpe import _passthrough_schema
     from ..functions.textstats import _py_tokens
     from ..operators.decontaminate import benchmark_ngrams
+    if "n_hit" in docs_stream.columns:
+        raise ValueError("docs_stream already has an n_hit column "
+                         "(re-ingesting flagged output? drop it first)")
     grams = {r["gram"] for r in
              benchmark_ngrams(bench, n, bench_text_col).collect()}
 
-    schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in docs_stream.schema.fields) + ", `n_hit` int"
+    schema = _passthrough_schema(docs_stream, "`n_hit` int")
 
     def kernel(batches):
         for pdf in batches:
