@@ -12,6 +12,8 @@ Then e.g.:
   spark-submit ... query --index /data/index --more-like 42 --corpus /data/corpus
   spark-submit ... bench --sf-dir /root/testdata/sf0.1
   spark-submit ... report --input /data/corpus --group-by lang --index /data/index
+  spark-submit ... forks --input /data/corpus --output /data/forks --threshold 0.6
+  spark-submit ... diff --old /data/v1 --new /data/v2 --output /data/delta
   spark-submit ... clean --input /data/corpus --output /data/cleaned \
       --substring-min-count 2 --redact-pii --quality-threshold 0.5 \
       --exact-dedup
@@ -97,6 +99,32 @@ def main(argv: list[str] | None = None) -> int:
                    help="index dir: adds token mass covered by the top-r "
                         "dictionary terms at --vocab-sizes")
     r.add_argument("--vocab-sizes", default="1000,10000,50000")
+
+    fk = sub.add_parser(
+        "forks", help="repo-level fork detection over a (repo, content) "
+        "corpus: MinHash/LSH file-set similarity -> verified Jaccard "
+        "pairs + fork families with one canonical repo each")
+    fk.add_argument("--input", required=True,
+                    help="corpus parquet dir with repo + content columns")
+    fk.add_argument("--repo-col", default="repo")
+    fk.add_argument("--output", required=True,
+                    help="writes <output>/pairs and <output>/clusters")
+    fk.add_argument("--threshold", type=float, default=0.5)
+    fk.add_argument("--exact", action="store_true",
+                    help="full inverted self-join instead of LSH "
+                         "(small repo universes)")
+
+    dd = sub.add_parser(
+        "diff", help="corpus version diff: per-doc "
+        "added/removed/changed/unchanged between two snapshots; prints "
+        "a summary JSON line, optionally writes the per-doc statuses")
+    dd.add_argument("--old", required=True, help="old snapshot parquet")
+    dd.add_argument("--new", required=True, help="new snapshot parquet")
+    dd.add_argument("--output", default=None,
+                    help="also write (doc_id, status) parquet here")
+    dd.add_argument("--sha-col", default=None,
+                    help="precomputed sha256 column present on BOTH "
+                         "sides (skips in-scan hashing)")
 
     c = sub.add_parser(
         "clean", help="training-corpus cleaning pipeline: unicode "
@@ -351,6 +379,48 @@ def main(argv: list[str] | None = None) -> int:
         os.environ["SPARK_GRAFT_SF_DIR"] = args.sf_dir
         import bench
         bench.main()
+    elif args.cmd == "forks":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from .operators.forks import (fork_clusters, fork_pairs,
+                                      repo_file_shas)
+        files = spark.read.parquet(args.input)
+        sh = repo_file_shas(files, args.repo_col).persist()
+        pairs = fork_pairs(files, args.repo_col,
+                           threshold=args.threshold, exact=args.exact)
+        pairs.write.mode("overwrite") \
+            .parquet(os.path.join(args.output, "pairs"))
+        pairs = spark.read.parquet(os.path.join(args.output, "pairs"))
+        clusters = fork_clusters(files, pairs, args.repo_col, sh=sh)
+        clusters.write.mode("overwrite") \
+            .parquet(os.path.join(args.output, "clusters"))
+        sh.unpersist()
+        cl = spark.read.parquet(os.path.join(args.output, "clusters"))
+        n_repos, n_canon = cl.select(
+            F.count("*"), F.sum("canon")).collect()[0]
+        print(json.dumps({
+            "repos": int(n_repos), "fork_pairs": pairs.count(),
+            "canonical_repos": int(n_canon),
+            "forks_dropped": int(n_repos - n_canon),
+            "threshold": args.threshold,
+            "mode": "exact" if args.exact else "lsh"}))
+    elif args.cmd == "diff":
+        from pyspark.sql import functions as F
+
+        from .operators.diffing import corpus_diff
+        old = spark.read.parquet(args.old)
+        new = spark.read.parquet(args.new)
+        d = corpus_diff(old, new, sha_col=args.sha_col)
+        if args.output:
+            d.write.mode("overwrite").parquet(args.output)
+            d = spark.read.parquet(args.output)
+        counts = {r["status"]: r["n"] for r in
+                  d.groupBy("status").agg(F.count("*").alias("n"))
+                  .collect()}
+        print(json.dumps({s: counts.get(s, 0) for s in
+                          ("added", "removed", "changed", "unchanged")}))
     elif args.cmd == "report":
         from pyspark.sql import functions as F
 

@@ -3182,3 +3182,46 @@ def test_cli_report(spark, tmp_path, capsys):
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         main(["report", "--input", src, "--quantiles", "bogus"])
+
+
+def test_cli_forks_and_diff(spark, tmp_path, capsys):
+    """`forks` and `diff` subcommands: fork families + canonical pick
+    survive the write/read round trip with a correct summary line, and
+    diff counts all four statuses (with --output persisting per-doc
+    statuses)."""
+    import json
+
+    from spidey_search_engine_spark.cli import main
+
+    base = [f"file body {i}" for i in range(10)]
+    rows = ([("up", f) for f in base]
+            + [("fk", f) for f in base[:9]]
+            + [("other", f"different {i}") for i in range(8)])
+    src = str(tmp_path / "files")
+    spark.createDataFrame(rows, "repo string, content string") \
+        .write.parquet(src)
+    out = str(tmp_path / "forks")
+    rc = main(["forks", "--input", src, "--output", out,
+               "--threshold", "0.5"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"repos": 3, "fork_pairs": 1, "canonical_repos": 2,
+                     "forks_dropped": 1, "threshold": 0.5, "mode": "lsh"}
+    cl = {r["repo"]: r["canon"] for r in
+          spark.read.parquet(out + "/clusters").collect()}
+    assert cl == {"up": 1, "fk": 0, "other": 1}
+
+    old_d, new_d, diff_out = (str(tmp_path / n)
+                              for n in ("old", "new", "diffout"))
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                          "doc_id long, content string").write.parquet(old_d)
+    spark.createDataFrame([(1, "a"), (2, "B2"), (4, "d")],
+                          "doc_id long, content string").write.parquet(new_d)
+    rc = main(["diff", "--old", old_d, "--new", new_d,
+               "--output", diff_out])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
+    per_doc = {r["doc_id"]: r["status"] for r in
+               spark.read.parquet(diff_out).collect()}
+    assert per_doc[4] == "added" and per_doc[3] == "removed"
