@@ -78,6 +78,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--corpus", default=None,
                    help="corpus parquet dir with (doc_id, content) — "
                         "required by --more-like")
+    q.add_argument("--not", dest="exclude", action="append", default=[],
+                   metavar="TERM",
+                   help="boolean must-not: drop docs containing TERM "
+                        "(repeatable; analyzed with the query chain; "
+                        "default BM25 path only)")
 
     s = sub.add_parser("bench", help="run bench.py suite")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -267,6 +272,13 @@ def main(argv: list[str] | None = None) -> int:
                     "drop --parity/--pruned/--fuzzy")
         if args.more_like is None and args.q is None:
             p.error("--q is required (except with --more-like)")
+        has_wild = bool(args.q) and any(
+            t.endswith("*") and len(t) > 1 for t in args.q.split())
+        if ((args.exclude or has_wild)
+                and (args.parity or args.pruned or args.fuzzy
+                     or args.facets or args.more_like is not None)):
+            p.error("--not / wildcard terms are supported on the "
+                    "default BM25 path only")
 
     from pyspark.sql import SparkSession
 
@@ -370,8 +382,32 @@ def main(argv: list[str] | None = None) -> int:
             rows = bm25_topk_tokens(spark, index, q_terms,
                                     k=args.k).collect()
         else:
-            from .operators.search import bm25_topk
-            rows = bm25_topk(spark, index, args.q, k=args.k).collect()
+            from .functions.analysis import analyze_query
+            from .operators.search import (bm25_topk_excluding,
+                                           bm25_topk_tokens,
+                                           bm25_topk_wildcard,
+                                           expand_wildcard)
+            raw = args.q.split()
+            wilds = [w[:-1].lower() for w in raw
+                     if w.endswith("*") and len(w) > 1]
+            q_terms, phrases = analyze_query(
+                " ".join(w for w in raw if not w.endswith("*")))
+            for ph in phrases:
+                q_terms.extend(ph)
+            if args.exclude:
+                for w in wilds:
+                    q_terms.extend(expand_wildcard(index, w))
+                ex_terms = [t for e in args.exclude
+                            for t in analyze_query(e)[0]]
+                rows = bm25_topk_excluding(
+                    spark, index, list(dict.fromkeys(q_terms)), ex_terms,
+                    k=args.k).collect()
+            elif wilds:
+                rows = bm25_topk_wildcard(spark, index, q_terms, wilds,
+                                          k=args.k).collect()
+            else:
+                rows = bm25_topk_tokens(spark, index, q_terms,
+                                        k=args.k).collect()
         for r in rows:
             print(json.dumps(r.asDict()))
     elif args.cmd == "bench":

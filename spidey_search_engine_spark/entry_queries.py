@@ -4025,3 +4025,68 @@ SELECT doc_id,
             WHEN so = sn THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM j"""
+
+
+def bm25_exclude_topk(spark, sf_dir):
+    """P50 boolean must-not (operators/search.bm25_topk_excluding):
+    BM25 for the fixed query terms minus every document containing
+    'table' — exclusion via anti-join BEFORE the top-k limit. Oracle:
+    DuckDB replays scoring and subtracts the excluded doc set with
+    NOT EXISTS."""
+    idx = entry_index(spark, sf_dir)
+    r = S.bm25_topk_excluding(spark, idx, QT, ["table"], k=20)
+    return r.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+QUERIES["bm25_exclude_topk"] = bm25_exclude_topk
+
+ORACLE_SQL["bm25_exclude_topk"] = _BASE_CTES + f""",
+q(term) AS (VALUES {_QT_SQL}),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfc.doc_id
+)
+SELECT doc_id, round(s, 6)::DOUBLE AS score_r
+FROM scores sc
+WHERE NOT EXISTS (SELECT 1 FROM tfc x
+                  WHERE x.doc_id = sc.doc_id AND x.term = 'table')
+ORDER BY s DESC, doc_id ASC LIMIT 20"""
+
+
+def bm25_wildcard_topk(spark, sf_dir):
+    """P50 wildcard expansion (operators/search.bm25_topk_wildcard):
+    'merge so*' — 'so*' expands to the dictionary terms with that
+    prefix (df-descending, capped), scored as an OR bag with 'merge'.
+    Oracle: DuckDB derives the SAME expansion from dfreq (row_number by
+    df DESC, term) and replays BM25 over the union."""
+    idx = entry_index(spark, sf_dir)
+    r = S.bm25_topk_wildcard(spark, idx, ["merge"], ["so"], k=20,
+                             max_terms=8)
+    return r.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+QUERIES["bm25_wildcard_topk"] = bm25_wildcard_topk
+
+ORACLE_SQL["bm25_wildcard_topk"] = _BASE_CTES + """,
+expansion AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rk
+    FROM dfreq WHERE term LIKE 'so%') WHERE rk <= 8
+),
+q AS (SELECT 'merge' AS term UNION SELECT term FROM expansion),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfc.doc_id
+)
+SELECT doc_id, round(s, 6)::DOUBLE AS score_r
+FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20"""

@@ -864,3 +864,77 @@ def more_like_this(spark: SparkSession, index: dict, docs: DataFrame,
     res = bm25_topk_tokens(spark, index, terms, k + 1)
     return (res.filter(F.col("doc_id") != doc_id)
             .orderBy(F.col("score").desc(), "doc_id").limit(k))
+
+
+def bm25_topk_excluding(spark: SparkSession, index: dict,
+                        q_terms: list[str], exclude: list[str],
+                        k: int = 10) -> DataFrame:
+    """Boolean must-not: BM25 over `q_terms` minus any document
+    containing ANY `exclude` term — the `-term` query operator.
+
+    The exclusion set comes from the gap-section-only decode of the
+    excluded terms' partition-pruned postings (tf/dl/position bytes
+    untouched) and is removed by a LEFT ANTI join BEFORE the top-k, so
+    the limit can't return fewer than k rows when k matches survive.
+    Cost adds one df(excluded)-bounded decode + anti join to the normal
+    query plan — query-shaped, like everything on this path. Unknown
+    excluded terms exclude nothing; scoring semantics (ties, empty
+    query) are bm25_topk_tokens' own."""
+    if not q_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    ex = [t for t in dict.fromkeys(exclude) if t]
+    if not ex:
+        return bm25_topk_tokens(spark, index, q_terms, k)
+    rows = query_term_postings(index["postings"], q_terms,
+                               int(index["stats"]["n_buckets"]))
+    scores = bm25_scores(rows, index["terms"],
+                         float(index["stats"]["avgdl"]), q_terms,
+                         index.get("idf_cache"))
+    banned = (binary_postings(
+        _pruned_postings(index["postings"], ex,
+                         int(index["stats"]["n_buckets"])))
+        .select("doc_id").distinct())
+    return (scores.join(banned, "doc_id", "left_anti")
+            .orderBy(F.col("score").desc(), "doc_id").limit(k))
+
+
+def expand_wildcard(index: dict, prefix: str,
+                    max_terms: int = 64) -> list[str]:
+    """`prefix*` term expansion: the dictionary terms starting with
+    `prefix`, by descending df (the most selective useful expansions
+    first), capped at `max_terms` — the Lucene-style rewrite bound that
+    keeps a hot prefix ("a*") from turning one query into a
+    full-vocabulary OR.
+
+    This is a dictionary SCAN filtered by StartsWith (pushed to the
+    parquet reader, but not partition-prunable: buckets are hash-
+    assigned) — the honest cost every wildcard engine pays unless it
+    maintains a separate prefix-ordered term index; the SymSpell fuzzy
+    index (operators/fuzzy.py) is the materialized-index pattern to
+    copy if wildcard traffic ever matters."""
+    if not prefix:
+        raise ValueError("empty wildcard prefix")
+    rows = (index["terms"]
+            .filter(F.col("term").startswith(prefix))
+            .select("term", "df")
+            .orderBy(F.col("df").desc(), "term")
+            .limit(max_terms).collect())
+    return [r["term"] for r in rows]
+
+
+def bm25_topk_wildcard(spark: SparkSession, index: dict,
+                       q_terms: list[str], wildcards: list[str],
+                       k: int = 10, max_terms: int = 64) -> DataFrame:
+    """BM25 over already-analyzed `q_terms` plus the dictionary
+    expansions of each `wildcards` prefix (each expanded term weighted
+    once — OR semantics, not multiplicity). Token-level like
+    bm25_topk_tokens, so the caller's analyzer choice — the CLI analyzes
+    with the query chain, the simple-profile oracle passes raw tokens —
+    can't silently diverge from the index inside this function; the
+    wildcard PREFIX is matched against dictionary terms verbatim (a
+    stemmed index stores stemmed terms: `runn*` matches what the index
+    actually holds, the Lucene behavior)."""
+    terms = list(q_terms)
+    for w in wildcards:
+        terms.extend(expand_wildcard(index, w, max_terms))
+    return bm25_topk_tokens(spark, index, list(dict.fromkeys(terms)), k)

@@ -3225,3 +3225,82 @@ def test_cli_forks_and_diff(spark, tmp_path, capsys):
     per_doc = {r["doc_id"]: r["status"] for r in
                spark.read.parquet(diff_out).collect()}
     assert per_doc[4] == "added" and per_doc[3] == "removed"
+
+
+def test_bm25_exclude_and_wildcard(spark, tmp_path, capsys):
+    """P50: must-not anti-join and wildcard expansion against hand
+    references over a tiny index, expansion cap by df, unknown exclusion
+    is a no-op, and the CLI paths (--not, token*) incl. the
+    default-path-only contract."""
+    import json
+
+    from spidey_search_engine_spark.cli import main
+    from spidey_search_engine_spark.operators import build as B
+    from spidey_search_engine_spark.operators.search import (
+        bm25_topk_excluding, bm25_topk_tokens, bm25_topk_wildcard,
+        expand_wildcard)
+
+    rows = [
+        (0, "sort merge join plan"),
+        (1, "sort merge spill disk"),
+        (2, "sortkey stuff and things"),
+        (3, "merge only document here"),
+        (4, "sorted sorting sorts"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    idx_dir = str(tmp_path / "idx")
+    corpus = docs.select(
+        "doc_id", F.lit("r").alias("repo"),
+        F.concat(F.lit("d/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"), F.lit("en").alias("lang"), "content")
+    # CODE profile: the CLI analyzes --q/--not with the query chain
+    # (stemming), so the index must be the matching profile — a simple
+    # index would store "merge" while the CLI probes "merg"
+    B.build_index(spark, corpus, idx_dir, profile="code", seg_bits=4,
+                  n_buckets=4)
+    idx = B.load_index(spark, idx_dir)
+
+    # token-level ops take ANALYZED terms: "merg" is the stored stem
+    base = {r["doc_id"] for r in
+            bm25_topk_tokens(spark, idx, ["merg"], 10).collect()}
+    assert base == {0, 1, 3}
+    got = {r["doc_id"] for r in bm25_topk_excluding(
+        spark, idx, ["merg"], ["spill"], k=10).collect()}
+    assert got == {0, 3}                       # doc 1 contains spill
+    # scores of survivors are UNCHANGED by exclusion
+    s_base = {r["doc_id"]: r["score"] for r in
+              bm25_topk_tokens(spark, idx, ["merg"], 10).collect()}
+    for r in bm25_topk_excluding(spark, idx, ["merg"], ["spill"],
+                                 k=10).collect():
+        assert r["score"] == s_base[r["doc_id"]]
+    assert {r["doc_id"] for r in bm25_topk_excluding(
+        spark, idx, ["merg"], ["zzzz"], k=10).collect()} == base
+
+    # wildcard prefixes match the STORED (stemmed) dictionary:
+    # sorted/sorting/sorts all stem to "sort" (df 3), sortkey stays
+    exp = expand_wildcard(idx, "sort", max_terms=10)
+    assert set(exp) == {"sort", "sortkey"}
+    assert exp[0] == "sort"                    # df-descending order
+    assert len(expand_wildcard(idx, "sort", max_terms=1)) == 1
+    wc = {r["doc_id"] for r in bm25_topk_wildcard(
+        spark, idx, ["plan"], ["sort"], k=10).collect()}
+    assert wc == {0, 1, 2, 4}                  # every sort* doc + plan's
+
+    def run(argv):
+        assert main(argv) == 0
+        return [json.loads(line) for line in
+                capsys.readouterr().out.strip().splitlines()
+                if line.startswith("{")]
+
+    cli_ex = run(["query", "--index", idx_dir, "--q", "merge",
+                  "--not", "spill", "--k", "10"])
+    assert {r["doc_id"] for r in cli_ex} == {0, 3}
+    cli_wc = run(["query", "--index", idx_dir, "--q", "plan sort*",
+                  "--k", "10"])
+    assert {r["doc_id"] for r in cli_wc} == {0, 1, 2, 4}
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["query", "--index", idx_dir, "--q", "merge", "--not", "x",
+              "--parity"])
+    with _pytest.raises(SystemExit):
+        main(["query", "--index", idx_dir, "--q", "sort*", "--pruned"])
