@@ -1,5 +1,5 @@
-"""Throughput bench for the round-3 pipeline operators (P39-P45) at ~100k
-docs -> BENCH_PIPELINE.json.
+"""Throughput bench for the round-3 pipeline operators (P39-P45, the
+composed clean CLI, and the optional 2.4M scale probe) -> BENCH_PIPELINE.json.
 
 Reuses the cached 103k dedup corpus (/tmp/spidey_dedup_100000 — the
 generator corpus with planted near-dups) or regenerates it. Each op is
