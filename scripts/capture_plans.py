@@ -436,6 +436,20 @@ def main() -> None:
         "uniform-key shuffle join, never a skew hazard).",
         capture(dkw)))
 
+    # P50 must-not exclusion: both postings scans partition-pruned, the
+    # exclusion applied as an ANTI join before the top-k
+    from spidey_search_engine_spark.operators.search import (
+        bm25_topk_excluding)
+    dex = bm25_topk_excluding(spark, idx, EQ.QT, ["table"], k=20)
+    sections.append((
+        "Boolean must-not (P50): anti-join exclusion before top-k",
+        "Look for: TWO bucket/term-pruned postings scans (the query "
+        "terms' full decode and the excluded terms' gap-only decode), "
+        "joined LeftAnti on doc_id BEFORE TakeOrderedAndProject — the "
+        "excluded set is df(excluded)-bounded, broadcast at this scale, "
+        "and the limit therefore returns k survivors whenever k exist.",
+        capture(dex)))
+
     out = ["# PLANS — physical-plan evidence (generated by "
            "scripts/capture_plans.py)", ""]
     for title, what, plan in sections:
