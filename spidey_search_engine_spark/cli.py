@@ -272,6 +272,11 @@ def main(argv: list[str] | None = None) -> int:
                     "drop --parity/--pruned/--fuzzy")
         if args.more_like is None and args.q is None:
             p.error("--q is required (except with --more-like)")
+        if args.q and any("*" in t and '"' in t
+                          for t in args.q.split()):
+            p.error("wildcards inside quoted phrases are not supported")
+        if any('"' in e for e in args.exclude):
+            p.error("--not takes single terms, not quoted phrases")
         has_wild = bool(args.q) and any(
             t.endswith("*") and len(t) > 1 for t in args.q.split())
         if ((args.exclude or has_wild)
@@ -395,12 +400,18 @@ def main(argv: list[str] | None = None) -> int:
             for ph in phrases:
                 q_terms.extend(ph)
             if args.exclude:
+                # expansions dedupe against the bag; base terms keep
+                # multiplicity (same contract as bm25_topk_wildcard)
+                seen = set(q_terms)
                 for w in wilds:
-                    q_terms.extend(expand_wildcard(index, w))
+                    for t in expand_wildcard(index, w):
+                        if t not in seen:
+                            q_terms.append(t)
+                            seen.add(t)
                 ex_terms = [t for e in args.exclude
                             for t in analyze_query(e)[0]]
                 rows = bm25_topk_excluding(
-                    spark, index, list(dict.fromkeys(q_terms)), ex_terms,
+                    spark, index, q_terms, ex_terms,
                     k=args.k).collect()
             elif wilds:
                 rows = bm25_topk_wildcard(spark, index, q_terms, wilds,
@@ -435,7 +446,8 @@ def main(argv: list[str] | None = None) -> int:
         sh.unpersist()
         cl = spark.read.parquet(os.path.join(args.output, "clusters"))
         n_repos, n_canon = cl.select(
-            F.count("*"), F.sum("canon")).collect()[0]
+            F.count("*"),
+            F.coalesce(F.sum("canon"), F.lit(0))).collect()[0]
         print(json.dumps({
             "repos": int(n_repos), "fork_pairs": pairs.count(),
             "canonical_repos": int(n_canon),

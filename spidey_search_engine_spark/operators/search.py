@@ -246,6 +246,20 @@ def bm25_scores(posting_rows: DataFrame, terms_df: DataFrame, avgdl: float,
     return scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
 
 
+def _bm25_scored_tokens(spark: SparkSession, index: dict,
+                        q_terms: list[str]) -> DataFrame:
+    """Shared prune → decode → score prefix for every token-level BM25
+    variant (plain, --fuzzy, --not, wildcard) — one place for the
+    idf-cache / bag-multiplicity behavior."""
+    if not q_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    rows = query_term_postings(index["postings"], q_terms,
+                               int(index["stats"]["n_buckets"]))
+    return bm25_scores(rows, index["terms"],
+                       float(index["stats"]["avgdl"]), q_terms,
+                       index.get("idf_cache"))
+
+
 def bm25_topk_tokens(spark: SparkSession, index: dict,
                      q_terms: list[str], k: int = 10) -> DataFrame:
     """The post-analysis tail of `bm25_topk`: prune → decode → score →
@@ -253,12 +267,7 @@ def bm25_topk_tokens(spark: SparkSession, index: dict,
     by the default and --fuzzy CLI paths so token rewriting (typo
     correction) composes with EXACTLY the scoring/tie-break/empty-query
     behavior the default path has — any change here changes both."""
-    if not q_terms:
-        return spark.createDataFrame([], "doc_id long, score double")
-    rows = query_term_postings(index["postings"], q_terms,
-                               int(index["stats"]["n_buckets"]))
-    scores = bm25_scores(rows, index["terms"], float(index["stats"]["avgdl"]),
-                         q_terms, index.get("idf_cache"))
+    scores = _bm25_scored_tokens(spark, index, q_terms)
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -880,16 +889,10 @@ def bm25_topk_excluding(spark: SparkSession, index: dict,
     query plan — query-shaped, like everything on this path. Unknown
     excluded terms exclude nothing; scoring semantics (ties, empty
     query) are bm25_topk_tokens' own."""
-    if not q_terms:
-        return spark.createDataFrame([], "doc_id long, score double")
     ex = [t for t in dict.fromkeys(exclude) if t]
-    if not ex:
+    if not ex or not q_terms:
         return bm25_topk_tokens(spark, index, q_terms, k)
-    rows = query_term_postings(index["postings"], q_terms,
-                               int(index["stats"]["n_buckets"]))
-    scores = bm25_scores(rows, index["terms"],
-                         float(index["stats"]["avgdl"]), q_terms,
-                         index.get("idf_cache"))
+    scores = _bm25_scored_tokens(spark, index, q_terms)
     banned = (binary_postings(
         _pruned_postings(index["postings"], ex,
                          int(index["stats"]["n_buckets"])))
@@ -935,6 +938,13 @@ def bm25_topk_wildcard(spark: SparkSession, index: dict,
     stemmed index stores stemmed terms: `runn*` matches what the index
     actually holds, the Lucene behavior)."""
     terms = list(q_terms)
+    # dedupe ONLY the expansions against the bag: the caller's base
+    # terms keep their multiplicity (bag semantics — a repeated query
+    # term must score identically with or without an unrelated wildcard)
+    seen = set(terms)
     for w in wildcards:
-        terms.extend(expand_wildcard(index, w, max_terms))
-    return bm25_topk_tokens(spark, index, list(dict.fromkeys(terms)), k)
+        for t in expand_wildcard(index, w, max_terms):
+            if t not in seen:
+                terms.append(t)
+                seen.add(t)
+    return bm25_topk_tokens(spark, index, terms, k)

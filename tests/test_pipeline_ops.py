@@ -3298,9 +3298,27 @@ def test_bm25_exclude_and_wildcard(spark, tmp_path, capsys):
     cli_wc = run(["query", "--index", idx_dir, "--q", "plan sort*",
                   "--k", "10"])
     assert {r["doc_id"] for r in cli_wc} == {0, 1, 2, 4}
+    # bag multiplicity survives exclusion and wildcard composition:
+    # a repeated term scores identically with/without a vacuous --not
+    # or an unrelated wildcard (review finding: dedup must only apply
+    # to the expansions, never the caller's bag)
+    dbl = {r["doc_id"]: r["score"] for r in
+           bm25_topk_tokens(spark, idx, ["merg", "merg"], 10).collect()}
+    dbl_ex = {r["doc_id"]: r["score"] for r in bm25_topk_excluding(
+        spark, idx, ["merg", "merg"], ["zzzz"], k=10).collect()}
+    assert dbl_ex == dbl
+    dbl_wc = {r["doc_id"]: r["score"] for r in bm25_topk_wildcard(
+        spark, idx, ["merg", "merg"], ["zzznope"], k=10).collect()}
+    assert dbl_wc == dbl
+
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         main(["query", "--index", idx_dir, "--q", "merge", "--not", "x",
               "--parity"])
     with _pytest.raises(SystemExit):
         main(["query", "--index", idx_dir, "--q", "sort*", "--pruned"])
+    with _pytest.raises(SystemExit):
+        main(["query", "--index", idx_dir, "--q", 'a "bar* baz"'])
+    with _pytest.raises(SystemExit):
+        main(["query", "--index", idx_dir, "--q", "merge",
+              "--not", '"sort merge"'])
