@@ -450,6 +450,22 @@ def main() -> None:
         "and the limit therefore returns k survivors whenever k exist.",
         capture(dex)))
 
+    # P50 wildcard expansion: the dictionary scan must show the
+    # StartsWith predicate pushed to the parquet reader and a
+    # ReadSchema of only (term, df)
+    dw = (idx["terms"].filter(F.col("term").startswith("so"))
+          .select("term", "df")
+          .orderBy(F.col("df").desc(), "term").limit(8))
+    sections.append((
+        "Wildcard term expansion (P50): StartsWith pushdown on the "
+        "dictionary scan",
+        "Look for: PushedFilters [.., StringStartsWith(term,so)] on the "
+        "terms scan with ReadSchema struct<term,df> only, and "
+        "TakeOrderedAndProject for the df-ranked cap — the honest "
+        "dictionary-scan cost of a wildcard rewrite, bounded by "
+        "max_terms before it ever reaches scoring.",
+        capture(dw)))
+
     out = ["# PLANS — physical-plan evidence (generated by "
            "scripts/capture_plans.py)", ""]
     for title, what, plan in sections:

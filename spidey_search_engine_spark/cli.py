@@ -70,7 +70,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--facets", default=None, metavar="COL[,COL...]",
                    help="instead of ranked results, print per-facet "
                         "match counts over the index docs table columns "
-                        "(repo/path/lang) for the OR match set")
+                        "(repo/path/lang) for the match set")
+    q.add_argument("--facets-mode", choices=["any", "all"], default="any",
+                   help="facet match semantics: any = OR (default), "
+                        "all = docs containing every query term")
     q.add_argument("--more-like", type=int, default=None, metavar="DOC_ID",
                    help="related-documents query: ignore --q and rank by "
                         "the given doc's top keywords (needs --corpus "
@@ -334,7 +337,8 @@ def main(argv: list[str] | None = None) -> int:
             for ph in phrases:
                 q_terms.extend(ph)
             cols = [c.strip() for c in args.facets.split(",") if c.strip()]
-            rows = facet_counts(index, index["docs"], q_terms, cols) \
+            rows = facet_counts(index, index["docs"], q_terms, cols,
+                                mode=args.facets_mode) \
                 .orderBy("facet", "value").collect()
         elif args.more_like is not None:
             from .operators.search import more_like_this

@@ -2980,6 +2980,12 @@ def test_cli_query_facets_mlt_slop(spark, tmp_path, capsys):
                 capsys.readouterr().out.strip().splitlines()
                 if line.startswith("{")]
 
+    fac_all = run(["query", "--index", idx, "--q", "alpha beta",
+                   "--facets", "lang", "--facets-mode", "all"])
+    fac_any = run(["query", "--index", idx, "--q", "alpha beta",
+                   "--facets", "lang", "--facets-mode", "any"])
+    assert (sum(r["n_docs"] for r in fac_all)
+            <= sum(r["n_docs"] for r in fac_any))
     fac = run(["query", "--index", idx, "--q", "alpha", "--facets",
                "repo,lang"])
     by = {(r["facet"], r["value"]): r["n_docs"] for r in fac}
