@@ -45,25 +45,37 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
     def timed(name: str, fn, repeats: int = 1):
-        """Record best-of-`repeats` wall time (identical back-to-back runs
-        swing up to 2.5x on this shared host — a single sample is noise
-        for sub-second queries; builds stay single-sample)."""
+        """Record best-of-`repeats` wall time and ALL raw samples
+        (identical back-to-back runs swing up to 2.5x on this shared
+        host — a single sample is noise; the headline uses the best and
+        the JSON publishes every raw run for adjudication)."""
         best, out = float("inf"), None
+        runs: list[float] = []
         for _ in range(repeats):
             t0 = time.monotonic()
             out = fn()
-            best = min(best, time.monotonic() - t0)
+            dt = time.monotonic() - t0
+            runs.append(round(dt, 4))
+            best = min(best, dt)
         timings[name] = round(best, 4)
+        samples[name] = runs
         return out
 
     idx_dir = "/tmp/spidey_bench_idx"
-    shutil.rmtree(idx_dir, ignore_errors=True)
     corpus = documents_as_corpus(spark, sf_dir)
     n_docs = corpus.count()  # outside the timed region (scan warm-up)
-    timed("build_index", lambda: build_index(
-        spark, corpus, idx_dir, profile="code", seg_bits=10, n_buckets=32))
+
+    def _fresh_build():
+        shutil.rmtree(idx_dir, ignore_errors=True)  # ~ms vs a multi-sec build
+        return build_index(spark, corpus, idx_dir, profile="code",
+                           seg_bits=10, n_buckets=32)
+
+    # best-of-2: the build is the largest term in the headline value and a
+    # single sample sits inside the host's measured 2.5x noise band
+    timed("build_index", _fresh_build, repeats=2)
     index = load_index(spark, idx_dir)
 
     # one untimed cold warm-up query: python-worker spawn + first-broadcast
@@ -130,6 +142,7 @@ def main() -> None:
         "n_docs_indexed": n_docs,
         "build_files_per_sec": round(n_docs / timings["build_index"], 2),
         "bm25_p95_sec": round(p95, 4),
+        "samples": samples,
     }
     # the sf-dir documents table is small (5k docs at sf0.1) — fixed
     # per-job costs dominate build_files_per_sec there. The 600k-doc
