@@ -85,7 +85,15 @@ def main(argv: list[str] | None = None) -> int:
                    metavar="TERM",
                    help="boolean must-not: drop docs containing TERM "
                         "(repeatable; analyzed with the query chain; "
-                        "default BM25 path only)")
+                        "default BM25 path only). +TERM inside --q is "
+                        "the conjunctive dual: the doc must contain it "
+                        "(and it scores, Lucene MUST semantics)")
+    q.add_argument("--boost-important", type=float, default=None,
+                   metavar="W",
+                   help="BM25F-lite: weight important (title/path-token) "
+                        "postings tf' = tf*W in the BM25 formula "
+                        "(default BM25 path only; W=1 is the plain "
+                        "ranker)")
 
     s = sub.add_parser("bench", help="run bench.py suite")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -280,13 +288,35 @@ def main(argv: list[str] | None = None) -> int:
             p.error("wildcards inside quoted phrases are not supported")
         if any('"' in e for e in args.exclude):
             p.error("--not takes single terms, not quoted phrases")
+        if args.q:
+            for t in args.q.split():
+                if not t.startswith("+"):
+                    continue
+                if len(t) == 1:
+                    p.error("bare '+' in --q (write +term)")
+                if '"' in t:
+                    p.error("+ applies to single terms, not quoted "
+                            "phrases")
+                if t.endswith("*"):
+                    p.error("+term* (must + wildcard in one token) is "
+                            "not supported; use +term term* instead")
         has_wild = bool(args.q) and any(
             t.endswith("*") and len(t) > 1 for t in args.q.split())
-        if ((args.exclude or has_wild)
+        has_must = bool(args.q) and any(
+            t.startswith("+") and len(t) > 1 for t in args.q.split())
+        if ((args.exclude or has_wild or has_must)
                 and (args.parity or args.pruned or args.fuzzy
                      or args.facets or args.more_like is not None)):
-            p.error("--not / wildcard terms are supported on the "
-                    "default BM25 path only")
+            p.error("--not / +term / wildcard terms are supported on "
+                    "the default BM25 path only")
+        if args.boost_important is not None:
+            if args.boost_important <= 0:
+                p.error(f"--boost-important must be > 0 "
+                        f"(got {args.boost_important})")
+            if (args.parity or args.pruned or args.facets
+                    or args.more_like is not None):
+                p.error("--boost-important is supported on the default "
+                        "BM25 path only")
 
     from pyspark.sql import SparkSession
 
@@ -388,41 +418,50 @@ def main(argv: list[str] | None = None) -> int:
             if fixes:
                 print(json.dumps({"corrected": fixes}))
             q_terms = [fixes.get(t, t) for t in q_terms]
-            rows = bm25_topk_tokens(spark, index, q_terms,
-                                    k=args.k).collect()
+            w_imp = (args.boost_important
+                     if args.boost_important is not None else 1.0)
+            rows = bm25_topk_tokens(spark, index, q_terms, k=args.k,
+                                    important_weight=w_imp).collect()
         else:
             from .functions.analysis import analyze_query
-            from .operators.search import (bm25_topk_excluding,
+            from .operators.search import (bm25_topk_boolean,
                                            bm25_topk_tokens,
-                                           bm25_topk_wildcard,
                                            expand_wildcard)
             raw = args.q.split()
             wilds = [w[:-1].lower() for w in raw
                      if w.endswith("*") and len(w) > 1]
+            # +term: strip the operator so the term still SCORES
+            # (Lucene MUST semantics), and analyze it separately for
+            # the filter list
             q_terms, phrases = analyze_query(
-                " ".join(w for w in raw if not w.endswith("*")))
+                " ".join(w.lstrip("+") for w in raw
+                         if not w.endswith("*")))
             for ph in phrases:
                 q_terms.extend(ph)
-            if args.exclude:
-                # expansions dedupe against the bag; base terms keep
-                # multiplicity (same contract as bm25_topk_wildcard)
-                seen = set(q_terms)
-                for w in wilds:
-                    for t in expand_wildcard(index, w):
-                        if t not in seen:
-                            q_terms.append(t)
-                            seen.add(t)
-                ex_terms = [t for e in args.exclude
-                            for t in analyze_query(e)[0]]
-                rows = bm25_topk_excluding(
-                    spark, index, q_terms, ex_terms,
-                    k=args.k).collect()
-            elif wilds:
-                rows = bm25_topk_wildcard(spark, index, q_terms, wilds,
-                                          k=args.k).collect()
+            must_terms = [t for w in raw
+                          if w.startswith("+") and len(w) > 1
+                          for t in analyze_query(w[1:])[0]]
+            ex_terms = [t for e in args.exclude
+                        for t in analyze_query(e)[0]]
+            # expansions dedupe against the bag; base terms keep
+            # multiplicity (same contract as bm25_topk_wildcard)
+            seen = set(q_terms)
+            for w in wilds:
+                for t in expand_wildcard(index, w):
+                    if t not in seen:
+                        q_terms.append(t)
+                        seen.add(t)
+            w_imp = (args.boost_important
+                     if args.boost_important is not None else 1.0)
+            if must_terms or ex_terms:
+                rows = bm25_topk_boolean(
+                    spark, index, q_terms, must=must_terms,
+                    exclude=ex_terms, k=args.k,
+                    important_weight=w_imp).collect()
             else:
-                rows = bm25_topk_tokens(spark, index, q_terms,
-                                        k=args.k).collect()
+                rows = bm25_topk_tokens(
+                    spark, index, q_terms, k=args.k,
+                    important_weight=w_imp).collect()
         for r in rows:
             print(json.dumps(r.asDict()))
     elif args.cmd == "bench":

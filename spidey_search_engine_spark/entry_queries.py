@@ -4090,3 +4090,74 @@ scores AS (
 )
 SELECT doc_id, round(s, 6)::DOUBLE AS score_r
 FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20"""
+
+
+def bm25_must_topk(spark, sf_dir):
+    """P50 boolean must (operators/search.bm25_topk_must): BM25 for the
+    fixed query terms restricted to docs containing BOTH 'table' AND
+    'data' — the required set is a count_distinct==n hash agg over the
+    gap-only decode, applied as a LEFT SEMI join before the top-k.
+    Oracle: DuckDB replays scoring with an EXISTS chain (one per must
+    term)."""
+    idx = entry_index(spark, sf_dir)
+    r = S.bm25_topk_must(spark, idx, QT, ["table", "data"], k=20)
+    return r.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+QUERIES["bm25_must_topk"] = bm25_must_topk
+
+ORACLE_SQL["bm25_must_topk"] = _BASE_CTES + f""",
+q(term) AS (VALUES {_QT_SQL}),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfc.doc_id
+)
+SELECT doc_id, round(s, 6)::DOUBLE AS score_r
+FROM scores sc
+WHERE EXISTS (SELECT 1 FROM tfc x
+              WHERE x.doc_id = sc.doc_id AND x.term = 'table')
+  AND EXISTS (SELECT 1 FROM tfc x
+              WHERE x.doc_id = sc.doc_id AND x.term = 'data')
+ORDER BY s DESC, doc_id ASC LIMIT 20"""
+
+
+def bm25f_topk(spark, sf_dir):
+    """BM25F-lite important-field boost (operators/search.bm25f_topk_tokens):
+    the fixed query bag plus 'doc' (a title/path token, so its postings
+    carry the A3 important bit) scored with tf' = tf·2 on important
+    postings in numerator AND saturation denominator. Oracle: DuckDB
+    replays the boosted formula with the simple-profile important rule
+    (term ∈ tokenize_title('doc/<id>') = {'doc', '<id>'})."""
+    idx = entry_index(spark, sf_dir)
+    r = S.bm25f_topk_tokens(spark, idx, QT + ["doc"], k=20,
+                            important_weight=2.0)
+    return r.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+QUERIES["bm25f_topk"] = bm25f_topk
+
+ORACLE_SQL["bm25f_topk"] = _BASE_CTES + f""",
+q(term) AS (VALUES {_QT_SQL},('doc')),
+boosted AS (
+  SELECT tfc.doc_id, tfc.term,
+         tfc.tf * (CASE WHEN tfc.term = 'doc'
+                          OR tfc.term = CAST(tfc.doc_id AS VARCHAR)
+                        THEN 2.0 ELSE 1.0 END) AS tfe
+  FROM tfc
+),
+scores AS (
+  SELECT b.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * b.tfe * 2.2
+              / (b.tfe + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM boosted b JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY b.doc_id
+)
+SELECT doc_id, round(s, 6)::DOUBLE AS score_r
+FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20"""

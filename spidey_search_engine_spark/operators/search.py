@@ -222,7 +222,8 @@ def query_idf(terms_df: DataFrame, query_terms: list[str],
 
 def bm25_scores(posting_rows: DataFrame, terms_df: DataFrame, avgdl: float,
                 query_terms: list[str],
-                idf_cache: dict | None = None) -> DataFrame:
+                idf_cache: dict | None = None,
+                important_weight: float = 1.0) -> DataFrame:
     """Per-doc BM25 over decoded posting rows. Duplicate query terms weight
     by multiplicity (bag semantics, matching the reference's repeated
     OR-columns, QueryResultsFetcher.java:239-240).
@@ -230,7 +231,16 @@ def bm25_scores(posting_rows: DataFrame, terms_df: DataFrame, avgdl: float,
     The k-term dictionary lookup happens driver-side first (Q1 — one tiny
     pushdown scan of `terms`); idf×weight then enters the scoring stage as
     a literal map, so the scoring plan is ONE job with no broadcast
-    exchanges."""
+    exchanges.
+
+    `important_weight` is the BM25F-lite field boost: postings carrying the
+    A3 `important` bit (title/path tokens, Indexer.java:385-415 — the
+    reference's parity ranker orders on it but its BM25 never uses it) score
+    with tf' = tf·w in BOTH the numerator and the saturation denominator —
+    the one-field degenerate of BM25F's weighted-field tf (Robertson &
+    Zaragoza 2009 §3.3). w=1.0 is byte-identical to unweighted BM25 (the
+    expression is only added when w≠1, keeping the default plan
+    unchanged)."""
     weights = pd.Series(query_terms).value_counts()
     idf = query_idf(terms_df, query_terms, "idf_bm25", idf_cache)
     iw = {t: idf[t] * float(weights[t]) for t in idf}
@@ -238,36 +248,47 @@ def bm25_scores(posting_rows: DataFrame, terms_df: DataFrame, avgdl: float,
         return (posting_rows.sparkSession
                 .createDataFrame([], "doc_id long, score double"))
     m = _term_weight_map(iw)
+    tf_eff = F.col("tf").cast("double")
+    if important_weight != 1.0:
+        tf_eff = F.when(F.col("important"),
+                        tf_eff * F.lit(float(important_weight))) \
+            .otherwise(tf_eff)
     scored = posting_rows.withColumn(
         "partial",
-        m[F.col("term")] * (F.col("tf") * (K1 + 1)) /
-        (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl)))
+        m[F.col("term")] * (tf_eff * (K1 + 1)) /
+        (tf_eff + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl)))
     ).filter(F.col("partial").isNotNull())
     return scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
 
 
 def _bm25_scored_tokens(spark: SparkSession, index: dict,
-                        q_terms: list[str]) -> DataFrame:
+                        q_terms: list[str],
+                        important_weight: float = 1.0) -> DataFrame:
     """Shared prune → decode → score prefix for every token-level BM25
-    variant (plain, --fuzzy, --not, wildcard) — one place for the
-    idf-cache / bag-multiplicity behavior."""
+    variant (plain, --fuzzy, --not, --must, wildcard, --boost-important) —
+    one place for the idf-cache / bag-multiplicity behavior."""
     if not q_terms:
         return spark.createDataFrame([], "doc_id long, score double")
     rows = query_term_postings(index["postings"], q_terms,
                                int(index["stats"]["n_buckets"]))
     return bm25_scores(rows, index["terms"],
                        float(index["stats"]["avgdl"]), q_terms,
-                       index.get("idf_cache"))
+                       index.get("idf_cache"),
+                       important_weight=important_weight)
 
 
 def bm25_topk_tokens(spark: SparkSession, index: dict,
-                     q_terms: list[str], k: int = 10) -> DataFrame:
+                     q_terms: list[str], k: int = 10,
+                     important_weight: float = 1.0) -> DataFrame:
     """The post-analysis tail of `bm25_topk`: prune → decode → score →
     TakeOrderedAndProject top-k over an already-analyzed term bag. Shared
     by the default and --fuzzy CLI paths so token rewriting (typo
     correction) composes with EXACTLY the scoring/tie-break/empty-query
-    behavior the default path has — any change here changes both."""
-    scores = _bm25_scored_tokens(spark, index, q_terms)
+    behavior the default path has — any change here changes both.
+    `important_weight` is the BM25F-lite boost (see bm25_scores); 1.0
+    (default) leaves the plan byte-identical to the unweighted ranker."""
+    scores = _bm25_scored_tokens(spark, index, q_terms,
+                                 important_weight=important_weight)
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -889,16 +910,77 @@ def bm25_topk_excluding(spark: SparkSession, index: dict,
     query plan — query-shaped, like everything on this path. Unknown
     excluded terms exclude nothing; scoring semantics (ties, empty
     query) are bm25_topk_tokens' own."""
-    ex = [t for t in dict.fromkeys(exclude) if t]
-    if not ex or not q_terms:
-        return bm25_topk_tokens(spark, index, q_terms, k)
-    scores = _bm25_scored_tokens(spark, index, q_terms)
-    banned = (binary_postings(
-        _pruned_postings(index["postings"], ex,
-                         int(index["stats"]["n_buckets"])))
-        .select("doc_id").distinct())
-    return (scores.join(banned, "doc_id", "left_anti")
-            .orderBy(F.col("score").desc(), "doc_id").limit(k))
+    return bm25_topk_boolean(spark, index, q_terms, exclude=exclude, k=k)
+
+
+def bm25_topk_must(spark: SparkSession, index: dict,
+                   q_terms: list[str], must: list[str],
+                   k: int = 10) -> DataFrame:
+    """Boolean must (`+term`): BM25 over `q_terms` restricted to documents
+    containing EVERY `must` term — see bm25_topk_boolean."""
+    return bm25_topk_boolean(spark, index, q_terms, must=must, k=k)
+
+
+def bm25_topk_boolean(spark: SparkSession, index: dict,
+                      q_terms: list[str],
+                      must: list[str] | None = None,
+                      exclude: list[str] | None = None,
+                      k: int = 10,
+                      important_weight: float = 1.0) -> DataFrame:
+    """Composable boolean BM25: score `q_terms` (bag semantics), keep only
+    docs containing EVERY `must` term (`+term`), drop docs containing ANY
+    `exclude` term (`-term`), THEN take top-k — so the limit always fills
+    with true survivors.
+
+    Must terms are filter-only here (token-level contract): the CLI's
+    `+term` adds the analyzed term to BOTH the scoring bag and this list
+    (Lucene MUST is scored), while exclusions never score. Both filter
+    sets come from the gap-section-only decode (binary_postings — tf/dl/
+    position bytes untouched) of partition-pruned postings, so each adds
+    one df-bounded decode: the must set is a count_distinct==n_must hash
+    agg (the AND path facet_counts mode="all" proves) applied LEFT SEMI,
+    the excluded set a distinct doc set applied LEFT ANTI. A must term
+    absent from the dictionary matches nothing → empty result (the agg
+    can never reach n_must), matching Lucene; unknown excluded terms
+    exclude nothing. Scoring semantics (ties, empty query, bag
+    multiplicity) are bm25_topk_tokens' own."""
+    req = [t for t in dict.fromkeys(must or []) if t]
+    ex = [t for t in dict.fromkeys(exclude or []) if t]
+    if (not req and not ex) or not q_terms:
+        return bm25_topk_tokens(spark, index, q_terms, k,
+                                important_weight=important_weight)
+    n_buckets = int(index["stats"]["n_buckets"])
+    scores = _bm25_scored_tokens(spark, index, q_terms,
+                                 important_weight=important_weight)
+    if req:
+        required = (binary_postings(
+            _pruned_postings(index["postings"], req, n_buckets))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") == len(req)).select("doc_id"))
+        scores = scores.join(required, "doc_id", "left_semi")
+    if ex:
+        banned = (binary_postings(
+            _pruned_postings(index["postings"], ex, n_buckets))
+            .select("doc_id").distinct())
+        scores = scores.join(banned, "doc_id", "left_anti")
+    return scores.orderBy(F.col("score").desc(), "doc_id").limit(k)
+
+
+def bm25f_topk_tokens(spark: SparkSession, index: dict,
+                      q_terms: list[str], k: int = 10,
+                      important_weight: float = 2.0) -> DataFrame:
+    """BM25F-lite top-k: the plain token-level BM25 tail with the A3
+    `important` field boost threaded through bm25_scores (tf' = tf·w for
+    important postings). w=1.0 is byte-identical to bm25_topk_tokens —
+    pinned by test — so this is a strict extension, not a fork, of the
+    primary ranker."""
+    if important_weight <= 0:
+        raise ValueError(
+            f"important_weight must be > 0, got {important_weight}")
+    scores = _bm25_scored_tokens(spark, index, q_terms,
+                                 important_weight=important_weight)
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def expand_wildcard(index: dict, prefix: str,

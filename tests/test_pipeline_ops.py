@@ -3328,3 +3328,118 @@ def test_bm25_exclude_and_wildcard(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         main(["query", "--index", idx_dir, "--q", "merge",
               "--not", '"sort merge"'])
+
+
+def test_bm25_must_and_bm25f(spark, tmp_path, capsys):
+    """Boolean must (+term) and the BM25F-lite important boost: semi-join
+    before top-k, unknown must term -> empty, must+not composition,
+    w=1 byte-identical to the plain ranker, and the CLI +term /
+    --boost-important paths incl. fail-fast contracts."""
+    import json
+
+    import pytest as _pytest
+
+    from spidey_search_engine_spark.cli import main
+    from spidey_search_engine_spark.operators import build as B
+    from spidey_search_engine_spark.operators.search import (
+        bm25_topk_boolean, bm25_topk_must, bm25_topk_tokens,
+        bm25f_topk_tokens)
+
+    rows = [
+        (0, "sort merge join plan", "d/0"),
+        (1, "sort merge spill disk", "d/1"),
+        (2, "stuff merge and things", "x/stuff"),  # 'stuff' = title token
+        (3, "merge only document here", "d/3"),
+        (4, "spill plan merge disk", "d/4"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string, "
+                                       "path string")
+    idx_dir = str(tmp_path / "idx")
+    corpus = docs.select(
+        "doc_id", F.lit("r").alias("repo"), "path",
+        F.lit("c0").alias("commit"), F.lit("en").alias("lang"), "content")
+    B.build_index(spark, corpus, idx_dir, profile="code", seg_bits=4,
+                  n_buckets=4)
+    idx = B.load_index(spark, idx_dir)
+
+    base = {r["doc_id"]: r["score"] for r in
+            bm25_topk_tokens(spark, idx, ["merg"], 10).collect()}
+    assert set(base) == {0, 1, 2, 3, 4}
+    # +spill: only docs containing spill survive; survivor scores are
+    # UNCHANGED (must is a filter on the same scored set)
+    got = {r["doc_id"]: r["score"] for r in bm25_topk_must(
+        spark, idx, ["merg"], ["spill"], k=10).collect()}
+    assert set(got) == {1, 4} and all(got[d] == base[d] for d in got)
+    # two must terms = AND of both
+    assert {r["doc_id"] for r in bm25_topk_must(
+        spark, idx, ["merg"], ["spill", "plan"], k=10).collect()} == {4}
+    # unknown must term matches nothing (Lucene MUST-on-unknown)
+    assert bm25_topk_must(
+        spark, idx, ["merg"], ["zzzz"], k=10).count() == 0
+    # vacuous must preserves bag multiplicity (same invariance contract
+    # as --not / wildcard)
+    dbl = {r["doc_id"]: r["score"] for r in
+           bm25_topk_tokens(spark, idx, ["merg", "merg"], 10).collect()}
+    assert {r["doc_id"]: r["score"] for r in bm25_topk_must(
+        spark, idx, ["merg", "merg"], [], k=10).collect()} == dbl
+    # must + not compose: spill docs minus plan docs
+    both = {r["doc_id"] for r in bm25_topk_boolean(
+        spark, idx, ["merg"], must=["spill"], exclude=["plan"],
+        k=10).collect()}
+    assert both == {1}
+
+    # BM25F-lite: w=1 is byte-identical to the plain ranker
+    f1 = {r["doc_id"]: r["score"] for r in bm25f_topk_tokens(
+        spark, idx, ["merg", "stuff"], k=10,
+        important_weight=1.0).collect()}
+    plain = {r["doc_id"]: r["score"] for r in bm25_topk_tokens(
+        spark, idx, ["merg", "stuff"], 10).collect()}
+    assert f1 == plain
+    # w=2 raises ONLY the doc whose matched posting carries the
+    # important bit ('stuff' is a path token of doc 2)
+    f2 = {r["doc_id"]: r["score"] for r in bm25f_topk_tokens(
+        spark, idx, ["merg", "stuff"], k=10,
+        important_weight=2.0).collect()}
+    assert f2[2] > plain[2]
+    assert all(f2[d] == plain[d] for d in plain if d != 2)
+    with _pytest.raises(ValueError):
+        bm25f_topk_tokens(spark, idx, ["merg"], important_weight=0.0)
+
+    def run(argv):
+        assert main(argv) == 0
+        return [json.loads(line) for line in
+                capsys.readouterr().out.strip().splitlines()
+                if line.startswith("{")]
+
+    # CLI: +spill filters AND scores (doc 4 has 2 q-term hits ->
+    # outranks its plain-'merge' score ordering)
+    cli_must = run(["query", "--index", idx_dir, "--q", "merge +spill",
+                    "--k", "10"])
+    assert {r["doc_id"] for r in cli_must} == {1, 4}
+    cli_boost = run(["query", "--index", idx_dir, "--q", "merge stuff",
+                     "--boost-important", "1.0", "--k", "10"])
+    cli_plain = run(["query", "--index", idx_dir, "--q", "merge stuff",
+                     "--k", "10"])
+    assert cli_boost == cli_plain
+    cli_b2 = {r["doc_id"]: r["score"] for r in
+              run(["query", "--index", idx_dir, "--q", "merge stuff",
+                   "--boost-important", "2.0", "--k", "10"])}
+    assert cli_b2[2] > dict((r["doc_id"], r["score"])
+                            for r in cli_plain)[2]
+    # composition: +term with --not on the default path
+    cli_combo = run(["query", "--index", idx_dir,
+                     "--q", "merge +spill", "--not", "plan", "--k", "10"])
+    assert {r["doc_id"] for r in cli_combo} == {1}
+
+    for bad in (
+        ["query", "--index", idx_dir, "--q", "merge +spill", "--parity"],
+        ["query", "--index", idx_dir, "--q", "merge +"],
+        ["query", "--index", idx_dir, "--q", "merge +spill*"],
+        ["query", "--index", idx_dir, "--q", 'merge +"a b"'],
+        ["query", "--index", idx_dir, "--q", "merge",
+         "--boost-important", "0"],
+        ["query", "--index", idx_dir, "--q", "merge",
+         "--boost-important", "2", "--pruned"],
+    ):
+        with _pytest.raises(SystemExit):
+            main(bad)
