@@ -450,20 +450,49 @@ def main() -> None:
         "and the limit therefore returns k survivors whenever k exist.",
         capture(dex)))
 
-    # P50 wildcard expansion: the dictionary scan must show the
-    # StartsWith predicate pushed to the parquet reader and a
+    # P50 wildcard expansion, scale path: the prefix-partitioned
+    # dictionary projection (operators/wildcard.py) must show a
+    # PartitionFilter on p1 — one first-char directory read — plus the
+    # pushed StartsWith for row-group skipping inside it
+    from spidey_search_engine_spark.operators.wildcard import (
+        load_prefix_terms, prefix_terms_dir, write_prefix_terms)
+    idx_dir = EQ.entry_index_dir(sf_dir)
+    if not os.path.isdir(prefix_terms_dir(idx_dir)):
+        write_prefix_terms(idx["terms"], idx_dir)
+    pt = load_prefix_terms(spark, idx_dir)
+    dwp = (pt.filter((F.col("p1") == "s")
+                     & F.col("term").startswith("so"))
+           .select("term", "df")
+           .orderBy(F.col("df").desc(), "term").limit(8))
+    sections.append((
+        "Wildcard term expansion (P50), prefix-partitioned path: "
+        "PartitionFilters on p1",
+        "Look for: PartitionFilters [isnotnull(p1), (p1 = s)] on the "
+        "prefix-terms scan — every other first-char partition directory "
+        "is pruned unread — plus PushedFilters "
+        "[.., StringStartsWith(term,so)] skipping row groups inside the "
+        "term-sorted partition, ReadSchema struct<term,df> only, and "
+        "TakeOrderedAndProject for the df-ranked max_terms cap. At a "
+        "10^9-term vocabulary the bytes read are prefix-bounded, never "
+        "|V|-bounded (the r3 dictionary-scan fallback below remains the "
+        "no-index behavior).",
+        capture(dwp)))
+
+    # P50 wildcard expansion, no-index fallback: the dictionary scan
+    # shows the StartsWith predicate pushed to the parquet reader and a
     # ReadSchema of only (term, df)
     dw = (idx["terms"].filter(F.col("term").startswith("so"))
           .select("term", "df")
           .orderBy(F.col("df").desc(), "term").limit(8))
     sections.append((
-        "Wildcard term expansion (P50): StartsWith pushdown on the "
-        "dictionary scan",
+        "Wildcard term expansion (P50), fallback: StartsWith pushdown "
+        "on the dictionary scan",
         "Look for: PushedFilters [.., StringStartsWith(term,so)] on the "
         "terms scan with ReadSchema struct<term,df> only, and "
         "TakeOrderedAndProject for the df-ranked cap — the honest "
-        "dictionary-scan cost of a wildcard rewrite, bounded by "
-        "max_terms before it ever reaches scoring.",
+        "dictionary-scan cost of a wildcard rewrite without the prefix "
+        "projection, bounded by max_terms before it ever reaches "
+        "scoring.",
         capture(dw)))
 
     out = ["# PLANS — physical-plan evidence (generated by "

@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="also materialize the SymSpell delete-neighborhood "
                         "index under <output>/fuzzy for `query --fuzzy`")
     b.add_argument("--fuzzy-buckets", type=int, default=64)
+    b.add_argument("--no-wildcard-index", action="store_true",
+                   help="skip the prefix-partitioned dictionary "
+                        "projection (<output>/prefix) that turns `term*` "
+                        "expansion into a one-partition probe")
 
     q = sub.add_parser("query", help="top-k search")
     q.add_argument("--index", required=True)
@@ -341,6 +345,24 @@ def main(argv: list[str] | None = None) -> int:
                                 profile=args.profile, seg_bits=args.seg_bits,
                                 n_buckets=args.n_buckets)
         import os
+        if not args.no_wildcard_index:
+            # vocabulary-bounded (one short row per term): negligible,
+            # corpus-independent tail that makes every later `term*`
+            # query a one-partition probe instead of a dictionary scan
+            from .operators.build import load_index as _li
+            from .operators.wildcard import write_prefix_terms
+            write_prefix_terms(_li(spark, args.output)["terms"],
+                               args.output)
+        else:
+            from .operators.wildcard import prefix_terms_dir
+            pdir = os.path.dirname(prefix_terms_dir(args.output))
+            if os.path.isdir(pdir):
+                # a prefix table from a PREVIOUS build of this output dir
+                # is stale against the fresh dictionary — load_index would
+                # attach it and wildcards would expand over old terms
+                import shutil
+                shutil.rmtree(pdir)
+                stats["stale_wildcard_index_removed"] = True
         fuzzy_dir = os.path.join(args.output, "fuzzy")
         if args.fuzzy_index:
             from .operators.build import load_index

@@ -52,6 +52,11 @@ def entry_index(spark: SparkSession, sf_dir: str) -> dict:
         corpus = documents_as_corpus(spark, sf_dir)
         B.build_index(spark, corpus, out, profile="simple", seg_bits=8,
                       n_buckets=8)
+    from .operators.wildcard import prefix_terms_dir, write_prefix_terms
+    if not os.path.isdir(prefix_terms_dir(out)):
+        # bm25_wildcard_topk then runs over the partition-pruned
+        # expansion path (the CLI-build default), same oracle
+        write_prefix_terms(B.load_index(spark, out)["terms"], out)
     idx = B.load_index(spark, out)
     _IDX_CACHE[key] = idx
     return idx

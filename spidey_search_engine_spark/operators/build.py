@@ -731,9 +731,15 @@ def load_index(spark: SparkSession, out_dir: str) -> dict:
         # bucket == n_buckets is the DOCLEN sentinel partition (doc-length
         # table); partition-prune it out of the query-facing postings view
         postings = postings.filter(F.col("bucket") < int(stats["n_buckets"]))
-    return {
+    idx = {
         "docs": spark.read.parquet(os.path.join(out_dir, "docs")),
         "postings": postings,
         "terms": spark.read.parquet(os.path.join(out_dir, "terms")),
         "stats": stats,
     }
+    # optional materialized aux tables (present when the build wrote them)
+    from .wildcard import load_prefix_terms
+    pt = load_prefix_terms(spark, out_dir)
+    if pt is not None:
+        idx["prefix_terms"] = pt
+    return idx

@@ -412,10 +412,17 @@ class Searcher:
     (bm25_topk / bm25_topk_pruned / parity_search) — nothing is
     re-implemented for serving."""
 
+    # default driver-side dictionary-preload budget: above this many terms
+    # the Searcher automatically switches to head-only preload (top df
+    # terms) with per-query pushdown fallback for the tail — a 10^9-term
+    # web vocabulary must never .collect() onto one driver by default
+    AUTO_PRELOAD_MAX_TERMS = 1_000_000
+
     def __init__(self, spark: SparkSession, index: dict,
                  cache_postings: bool = True, preload_dict: bool = True,
                  coalesce_to: int | None = None,
                  head_df_threshold: int | None = None,
+                 max_preload_terms: int | None = None,
                  disable_wholestage_codegen: bool = True):
         self.spark = spark
         self.index = dict(index)
@@ -438,7 +445,7 @@ class Searcher:
             self._holds_ws = True
         try:
             self._warm(index, cache_postings, preload_dict, coalesce_to,
-                       head_df_threshold)
+                       head_df_threshold, max_preload_terms)
         except BaseException:
             # __init__ failing must not leave the session interpreted:
             # no object exists for the caller to close()
@@ -447,7 +454,7 @@ class Searcher:
             raise
 
     def _warm(self, index, cache_postings, preload_dict, coalesce_to,
-              head_df_threshold):
+              head_df_threshold, max_preload_terms=None):
         self.index["terms"] = index["terms"].cache()
         self._cached.append(self.index["terms"])
         if cache_postings:
@@ -474,8 +481,24 @@ class Searcher:
             # lookup (query_idf partial-cache path), memoized on first use.
             n_buckets = int(self.index["stats"]["n_buckets"])
             head = self.index["terms"]
-            if head_df_threshold is not None:
+            partial = head_df_threshold is not None
+            if partial:
                 head = head.filter(F.col("df") > int(head_df_threshold))
+            else:
+                # auto-select: the full-vocabulary collect is only the
+                # default while it's provably bounded. One count over the
+                # (cached) dictionary decides; past the budget, preload
+                # the top-df head — Zipf puts the overwhelming share of
+                # query-term hits there — and tail terms fall back to the
+                # memoized per-query pushdown lookup (query_idf partial
+                # path). The count doubles as the cache materialization
+                # the old code paid inside collect().
+                cap = (int(max_preload_terms) if max_preload_terms
+                       is not None else self.AUTO_PRELOAD_MAX_TERMS)
+                if head.count() > cap:
+                    head = head.orderBy(F.col("df").desc(),
+                                        "term").limit(cap)
+                    partial = True
             rows = (head
                     .select("term", "idf_bm25", "idf_ref", "df",
                             F.pmod(F.xxhash64("term"), F.lit(n_buckets))
@@ -485,7 +508,7 @@ class Searcher:
                 "idf_ref": {r["term"]: float(r["idf_ref"]) for r in rows},
                 "df": {r["term"]: float(r["df"]) for r in rows},
             }
-            if head_df_threshold is not None:
+            if partial:
                 self.index["idf_cache"]["partial"] = True
             for r in rows:
                 _bucket_cache[(r["term"], n_buckets)] = int(r["bucket"])
@@ -991,14 +1014,21 @@ def expand_wildcard(index: dict, prefix: str,
     keeps a hot prefix ("a*") from turning one query into a
     full-vocabulary OR.
 
-    This is a dictionary SCAN filtered by StartsWith (pushed to the
+    When the index carries the prefix-partitioned dictionary projection
+    (index["prefix_terms"], operators/wildcard.py — written by default
+    on CLI builds, attached by load_index), the expansion probes ONE
+    first-char partition with row-group skipping inside it: the bytes
+    read are prefix-bounded, never |V|-bounded. Without it this falls
+    back to a dictionary SCAN filtered by StartsWith (pushed to the
     parquet reader, but not partition-prunable: buckets are hash-
-    assigned) — the honest cost every wildcard engine pays unless it
-    maintains a separate prefix-ordered term index; the SymSpell fuzzy
-    index (operators/fuzzy.py) is the materialized-index pattern to
-    copy if wildcard traffic ever matters."""
+    assigned) — the honest cost every wildcard engine pays without a
+    prefix-ordered term index."""
     if not prefix:
         raise ValueError("empty wildcard prefix")
+    pt = index.get("prefix_terms")
+    if pt is not None:
+        from .wildcard import expand_wildcard_pruned
+        return expand_wildcard_pruned(pt, prefix, max_terms)
     rows = (index["terms"]
             .filter(F.col("term").startswith(prefix))
             .select("term", "df")

@@ -1,0 +1,82 @@
+"""Prefix-partitioned dictionary projection for wildcard expansion (P50).
+
+`expand_wildcard` without this table is a full dictionary scan per
+`term*` query: StringStartsWith is pushed to the terms parquet reader but
+buckets are hash-assigned, so nothing is partition-prunable and at a
+10^8–10^9-term web vocabulary every wildcard pays a |V|-sized scan
+(VERDICT r3 "What's wrong #4"). This module materializes the same
+(term, df) projection laid out for prefix probes instead — the exact
+pattern the SymSpell deletion index uses for fuzzy lookup
+(fuzzy.write_deletion_index):
+
+* partitioned by `p1` = the term's first character (≤ ~37 partitions for
+  analyzed [a-z0-9_] terms) — a `so*` query reads ONLY the `p1=s`
+  partition directory (PartitionFilters; everything else pruned unread);
+* each partition file is term-ordered (`sortWithinPartitions("p1",
+  "term")`, partition column first — required, the writer re-sorts by it
+  anyway), so within the partition the pushed StringStartsWith skips row
+  groups on min/max term stats: the bytes actually read are
+  prefix-bounded, not first-char-bounded, even when one character of a
+  10^9-term vocabulary holds 10^8 terms.
+
+The table is vocabulary-bounded (one short row per dictionary term — the
+deletion index is |V|·(avg_len+1), this is |V|), so writing it is a
+negligible, corpus-independent tail on the build. load_index attaches it
+as index["prefix_terms"] when present; search.expand_wildcard prefers it
+and falls back to the terms scan for indexes built without it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def prefix_terms_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "prefix", "terms")
+
+
+def write_prefix_terms(terms_df: DataFrame, index_dir: str) -> str:
+    """Materialize (term, df, p1) partitioned by first character.
+
+    repartition("p1") first — without it every input partition writes a
+    file per partition dir (the measured small-file explosion that hit
+    the LSH index build)."""
+    out = prefix_terms_dir(index_dir)
+    (terms_df.select("term", "df")
+     .withColumn("p1", F.substring("term", 1, 1))
+     .repartition("p1")
+     .sortWithinPartitions("p1", "term")
+     .write.mode("overwrite").partitionBy("p1").parquet(out))
+    return out
+
+
+def load_prefix_terms(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    out = prefix_terms_dir(index_dir)
+    try:
+        exists = os.path.isdir(out) if "://" not in out else True
+        if not exists:
+            return None
+        return spark.read.parquet(out)
+    except Exception:
+        return None
+
+
+def expand_wildcard_pruned(prefix_terms: DataFrame, prefix: str,
+                           max_terms: int = 64) -> list[str]:
+    """Dictionary terms starting with `prefix`, df-descending, capped —
+    identical contract to search.expand_wildcard's scan path, but the
+    probe carries `p1 == prefix[0]` (a PartitionFilter: one directory
+    read) plus the pushed StringStartsWith (row-group skipping inside
+    the term-sorted partition)."""
+    if not prefix:
+        raise ValueError("empty wildcard prefix")
+    rows = (prefix_terms
+            .filter((F.col("p1") == prefix[0])
+                    & F.col("term").startswith(prefix))
+            .select("term", "df")
+            .orderBy(F.col("df").desc(), "term")
+            .limit(max_terms).collect())
+    return [r["term"] for r in rows]

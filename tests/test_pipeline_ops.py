@@ -3443,3 +3443,73 @@ def test_bm25_must_and_bm25f(spark, tmp_path, capsys):
     ):
         with _pytest.raises(SystemExit):
             main(bad)
+
+
+def test_wildcard_prefix_index(spark, tmp_path, capsys):
+    """P50 scale path: the prefix-partitioned dictionary projection —
+    expansion equality with the scan path, PartitionFilters on p1 in the
+    probe plan, default CLI-build materialization, and stale-table
+    removal under --no-wildcard-index."""
+    import json
+    import os
+
+    from spidey_search_engine_spark.cli import main
+    from spidey_search_engine_spark.operators import build as B
+    from spidey_search_engine_spark.operators.search import expand_wildcard
+    from spidey_search_engine_spark.operators.wildcard import (
+        expand_wildcard_pruned, prefix_terms_dir, write_prefix_terms)
+
+    rows = [
+        (0, "sort merge join plan"),
+        (1, "sort merge spill disk"),
+        (2, "sortkey stuff and things"),
+        (3, "merge only document here"),
+        (4, "sorted sorting sorts"),
+    ]
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, content string").select(
+        "doc_id", F.lit("r").alias("repo"),
+        F.concat(F.lit("d/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"), F.lit("en").alias("lang"),
+        "content").write.parquet(corpus_dir)
+    idx_dir = str(tmp_path / "idx")
+
+    def run(argv):
+        assert main(argv) == 0
+        return [json.loads(line) for line in
+                capsys.readouterr().out.strip().splitlines()
+                if line.startswith("{")]
+
+    # CLI build materializes <output>/prefix by default
+    run(["build", "--input", corpus_dir, "--output", idx_dir,
+         "--profile", "code", "--seg-bits", "4", "--n-buckets", "4"])
+    assert os.path.isdir(prefix_terms_dir(idx_dir))
+    idx = B.load_index(spark, idx_dir)
+    assert "prefix_terms" in idx
+
+    # pruned expansion == scan expansion (same terms, same df-desc order)
+    scan_idx = {k: v for k, v in idx.items() if k != "prefix_terms"}
+    for pfx, cap in (("sort", 10), ("sort", 1), ("s", 10), ("zz", 10)):
+        assert (expand_wildcard(idx, pfx, cap)
+                == expand_wildcard(scan_idx, pfx, cap))
+    assert set(expand_wildcard(idx, "sort", 10)) == {"sort", "sortkey"}
+
+    # the probe plan prunes partitions on p1 (one directory read)
+    probe = idx["prefix_terms"].filter(
+        (F.col("p1") == "s") & F.col("term").startswith("sort"))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "p1" in plan.split(
+        "PartitionFilters")[1][:200]
+
+    # CLI wildcard query runs over the pruned path
+    got = run(["query", "--index", idx_dir, "--q", "plan sort*",
+               "--k", "10"])
+    assert {r["doc_id"] for r in got} == {0, 1, 2, 4}
+
+    # rebuild with --no-wildcard-index removes the now-stale table
+    out = run(["build", "--input", corpus_dir, "--output", idx_dir,
+               "--profile", "code", "--seg-bits", "4", "--n-buckets", "4",
+               "--no-wildcard-index"])
+    assert out[-1].get("stale_wildcard_index_removed") is True
+    assert not os.path.isdir(prefix_terms_dir(idx_dir))
+    assert "prefix_terms" not in B.load_index(spark, idx_dir)
