@@ -211,6 +211,47 @@ def test_searcher_head_only_dict(spark, index):
         s.close()
 
 
+def test_searcher_auto_head_preload(spark, index):
+    """The full-dictionary driver collect is only the default while |V| is
+    under the preload budget: past `max_preload_terms` the Searcher
+    auto-switches to head-only (top-df) preload + pushdown fallback — a
+    huge-vocab index must never materialize its whole dictionary
+    driver-side by default. Results stay exactly the cold path's."""
+    from spidey_search_engine_spark.operators.search import (Searcher,
+                                                             bm25_topk)
+
+    n_terms = index["terms"].count()
+    cap = 5
+    assert n_terms > cap
+    s = Searcher(spark, index, cache_postings=True, coalesce_to=4,
+                 max_preload_terms=cap)
+    try:
+        cache = s.index["idf_cache"]
+        assert cache.get("partial") is True
+        assert len(cache["idf_bm25"]) == cap          # never the full |V|
+        # the head really is the top-df slice
+        dfs = sorted((r["df"] for r in index["terms"].collect()),
+                     reverse=True)
+        assert all(cache["df"][t] >= dfs[cap] or cache["df"][t] == dfs[cap - 1]
+                   for t in cache["df"])
+        for q in ["merge sort", "hash join scan zzz_unknown_term"]:
+            cold = [(r["doc_id"], round(r["score"], 10)) for r in
+                    bm25_topk(spark, index, q, k=8).collect()]
+            warm = [(r["doc_id"], round(r["score"], 10)) for r in
+                    s.bm25(q, k=8).collect()]
+            assert warm == cold and warm, q
+    finally:
+        s.close()
+    # under the budget nothing changes: full preload, no partial flag
+    s2 = Searcher(spark, index, cache_postings=False,
+                  max_preload_terms=n_terms)
+    try:
+        assert "partial" not in s2.index["idf_cache"]
+        assert len(s2.index["idf_cache"]["idf_bm25"]) == n_terms
+    finally:
+        s2.close()
+
+
 def test_bm25_batch_equals_per_query(spark, index):
     """bm25_topk_batch must return, per query, exactly the per-query
     bm25_topk result (ids, scores, rank order), including bag-semantics
