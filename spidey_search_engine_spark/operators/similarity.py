@@ -1,11 +1,12 @@
 """Similarity search over embedding columns (array<float>).
 
-* brute_force_cosine_topk — the exact baseline: JVM-side zip_with/aggregate
-  dot product against a broadcast query vector literal; one scan + one
-  TakeOrderedAndProject. At 100 TB this is the correctness oracle and the
-  fallback for low-selectivity filters. The `_batch` variant scores MANY
-  query vectors in one scan (per-Arrow-batch matmul + local top-k +
-  per-query window rank — the eval-workload shape).
+* brute_force_cosine_topk — the exact baseline: one scan through the
+  Arrow matmul kernel (the `_batch` variant at Q=1) + local top-k +
+  global rank. At 100 TB this is the correctness oracle and the
+  fallback for low-selectivity filters; it is also the exact-rescore
+  tail of every materialized-index probe below. The `_batch` variant
+  scores MANY query vectors in one scan (per-Arrow-batch matmul + local
+  top-k + per-query window rank — the eval-workload shape).
 * rhp_signatures / write_lsh_index / ann_topk_lsh — the scale path:
   random-hyperplane LSH. Vectors hash to an H-bit sign signature (one
   matrix multiply per row via a vectorized pandas UDF); the signature table
@@ -67,15 +68,34 @@ def _topk_per_query(local: DataFrame, k: int) -> DataFrame:
 
 def brute_force_cosine_topk(emb: DataFrame, query_vec: Sequence[float],
                             k: int = 10, id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            use_kernel: bool = True) -> DataFrame:
+    """Exact cosine top-k for ONE query vector.
+
+    Default path: the batch Arrow-matmul kernel at Q=1 (one
+    (B×dim)·(dim×1) product per Arrow batch, local top-k, tiny global
+    rank), shared with the `_batch` variant — at corpus scale it beats
+    the interpreted HOF fold (1M×64 vectors: p50 1.06→0.72–0.84 s,
+    BENCH_ANN r4 refresh, two runs).
+
+    ``use_kernel=False`` keeps the round-3 JVM zip_with/aggregate fold —
+    kept as an escape hatch and for A/B: an order-controlled interleaved
+    comparison on the 1M LSH probe (Hamming<=2, ~55k candidate rows)
+    measured the two at parity (kernel p50 0.834 s vs fold 0.846 s, 15
+    samples each, one session — the apparent fold advantage in separate
+    bench runs was host drift), so the kernel is the default everywhere
+    including the index-probe rescore tails. Both paths pin zero-norm
+    vectors to cos=0 (the kernel's clamped denominator;
+    try_divide+coalesce under ANSI on the fold) and return identical
+    top-k."""
+    if use_kernel:
+        r = brute_force_cosine_topk_batch(emb, {"q": query_vec}, k,
+                                          id_col, vec_col)
+        return (r.select("id", "cos")
+                .orderBy(F.desc("cos"), F.asc("id")).limit(k))
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.linalg.norm(q))
     qlit = F.array(*[F.lit(float(v)) for v in q])
-    # try_divide + coalesce: a zero-norm vector is 0/0, which under ANSI
-    # (Spark 4 default) would ABORT the whole query; pin it to cos=0 so the
-    # exact path matches the batch kernels' clamped denominator and
-    # degenerate vectors rank last instead of killing the scan. nanvl
-    # covers non-ANSI sessions, where 0/0 floats to NaN (sorts first).
     cos = F.nanvl(F.coalesce(
         F.try_divide(_dot_expr(F.col(vec_col), qlit),
                      _norm_expr(F.col(vec_col)) * qn),
