@@ -36,7 +36,8 @@ def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
                         out_dir: str,
                         profile: str = "code", seg_bits: int = 10,
                         n_buckets: int = 32, checkpoint: str | None = None,
-                        publish_every: int | None = None):
+                        publish_every: int | None = None,
+                        compact_files_threshold: int | None = None):
     """Start a foreachBatch stream appending per-batch postings chunks.
 
     docs_stream must provide (doc_id, repo, path, commit, lang, content).
@@ -50,10 +51,29 @@ def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
     then lags at most N batches. Cadence derives from the CHECKPOINTED
     ``batch_id`` (``(batch_id+1) % N == 0``), not an in-memory counter, so
     it survives driver restarts and foreachBatch at-least-once replays.
-    Left None, publishing stays manual (batch-append-then-publish)."""
+    Left None, publishing stays manual (batch-append-then-publish).
+
+    ``compact_files_threshold=M`` (with publish_every set) makes the
+    publish step ALSO consolidate the chunked postings tree in place
+    (compact_stream_chunks) whenever it holds more than M parquet files —
+    the small-file growth of long-running appends is then
+    self-maintaining (the BENCH_COMPACTION 1.81x warm-read win) instead
+    of an operator chore. See publish_index / compact_stream_chunks."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
+            return
+        # at-least-once replay guard: a batch whose lineage row committed
+        # is DONE — rewriting its chunk was harmless while the chunk dir
+        # still existed (overwrite idempotency), but once compaction has
+        # consumed it a replay would duplicate those postings (and the
+        # docs-table append was never overwrite-idempotent). One tiny
+        # lineage lookup per micro-batch buys exactly-once appends.
+        lin_dir = os.path.join(out_dir, "lineage")
+        if os.path.isdir(lin_dir) and (
+                batch_df.sparkSession.read.parquet(lin_dir)
+                .filter(F.col("build_id") == f"stream_{batch_id}")
+                .head(1)):
             return
         t0 = time.monotonic()
         docs = batch_df.withColumn("content_sha256",
@@ -81,7 +101,8 @@ def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
             .write.mode("append").parquet(os.path.join(out_dir, "lineage"))
         if publish_every and (int(batch_id) + 1) % publish_every == 0:
             publish_index(batch_df.sparkSession, out_dir, profile=profile,
-                          seg_bits=seg_bits, n_buckets=n_buckets)
+                          seg_bits=seg_bits, n_buckets=n_buckets,
+                          compact_files_threshold=compact_files_threshold)
 
     writer = docs_stream.writeStream.foreachBatch(process) \
         .trigger(availableNow=True)
@@ -91,8 +112,15 @@ def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
 
 
 def publish_index(spark: SparkSession, out_dir: str, profile: str = "code",
-                  seg_bits: int = 10, n_buckets: int = 32) -> dict:
-    """Recompute exact terms/stats over all appended chunks."""
+                  seg_bits: int = 10, n_buckets: int = 32,
+                  compact_files_threshold: int | None = None) -> dict:
+    """Recompute exact terms/stats over all appended chunks.
+
+    With ``compact_files_threshold=M``, the publish also consolidates
+    the live chunked tree in place (compact_stream_chunks) whenever it
+    exceeds M parquet files — bounding per-query file-open fan-out under
+    continuous appends. The check is one directory walk; below the
+    threshold the publish is unchanged."""
     docs_w = spark.read.parquet(os.path.join(out_dir, "docs"))
     stats = doc_stats(docs_w)
     postings_all = spark.read.option(
@@ -103,4 +131,64 @@ def publish_index(spark: SparkSession, out_dir: str, profile: str = "code",
     stats_row = dict(stats, profile=profile, seg_bits=seg_bits,
                      n_buckets=n_buckets, k1=1.2, b=0.75)
     write_stats_json(spark, out_dir, stats_row)
+    if compact_files_threshold:
+        from ..plans.snapshot import parquet_file_count
+        n_files = parquet_file_count(os.path.join(out_dir, "postings"))
+        if n_files > int(compact_files_threshold):
+            done = compact_stream_chunks(spark, out_dir,
+                                         n_buckets=n_buckets)
+            stats_row["compacted_from_files"] = int(n_files)
+            stats_row["compacted_chunks"] = int(done["n_chunks_in"])
+            stats_row["compacted_to_files"] = int(done["n_files_out"])
     return stats_row
+
+
+def compact_stream_chunks(spark: SparkSession, out_dir: str,
+                          n_buckets: int = 32,
+                          files_per_bucket: int = 1) -> dict:
+    """Consolidate ALL postings/chunk=* dirs of a streaming index into one
+    `chunk=compact_<n>` dir, in place — the live-tree maintenance that
+    keeps per-query file fan-out bounded while appends continue.
+
+    Pure re-layout, no posting-byte decode: streamed chunks carry
+    disjoint segment ranges (incremental.py's producer contract), so a
+    (term, segment) row lives in exactly one chunk and concatenation IS
+    the merge — the same argument as plans/snapshot.compact_postings,
+    which remains the COPY-ON-WRITE alternative when pinned readers need
+    older versions: this one mutates the live tree, which streaming
+    appends mutate anyway. Output files carry contiguous term ranges
+    (range exchange + in-file sort), so term-pushdown scans skip whole
+    files on parquet footer min/max.
+
+    Crash discipline: the consolidated data is fully written OUTSIDE the
+    tree first, consumed chunk dirs are removed, then the new dir is
+    renamed in — a crash before the removes leaves the tree untouched
+    (the tmp dir is re-consumable garbage); the remove→rename window is
+    two metadata ops. A query racing that window on a shared filesystem
+    can see a partial tree — serve from snapshots (plans/snapshot) if
+    readers and maintenance share storage."""
+    import shutil
+
+    src = os.path.join(out_dir, "postings")
+    consumed = sorted(d for d in os.listdir(src)
+                      if d.startswith("chunk="))
+    if len(consumed) <= 1:
+        return {"n_chunks_in": len(consumed), "n_files_out": 0,
+                "skipped": True}
+    nums = [int(d.split("compact_")[1]) for d in consumed
+            if "chunk=compact_" in d]
+    new_chunk = f"compact_{max(nums) + 1 if nums else 0}"
+    raw = spark.read.option("basePath", src).parquet(
+        *[os.path.join(src, d) for d in consumed]).drop("chunk")
+    n_out = max(1, int(files_per_bucket)) * int(n_buckets)
+    tmp = os.path.join(out_dir, "_compacting")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (raw.repartitionByRange(n_out, "bucket", "term", "segment")
+     .sortWithinPartitions("bucket", "term", "segment")
+     .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+    for d in consumed:
+        shutil.rmtree(os.path.join(src, d))
+    os.replace(tmp, os.path.join(src, f"chunk={new_chunk}"))
+    from ..plans.snapshot import parquet_file_count
+    return {"n_chunks_in": len(consumed), "chunk": new_chunk,
+            "n_files_out": parquet_file_count(src)}

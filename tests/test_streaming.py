@@ -436,3 +436,85 @@ def test_decontam_ingest_stream(spark, tmp_path):
     assert kept == [1, 3, 4]
     assert spark.sql("select * from dc_clean").columns == \
         ["doc_id", "content"]
+
+
+def test_stream_auto_compaction_bounds_files(spark, corpus_pdf, tmp_path):
+    """compact_files_threshold: after the stream drains, the chunked
+    postings tree is consolidated in place (one compact_* chunk dir,
+    bounded file count), terms/df are unchanged, BM25 requery is
+    rank-identical to an uncompacted control build, and a LATER append
+    lands beside the compacted chunk and queries correctly."""
+    import os as _os
+
+    from spidey_search_engine_spark.operators.build import prepare_docs
+    from spidey_search_engine_spark.operators.search import bm25_topk
+    from spidey_search_engine_spark.plans.lineage import load_index_resumable
+    from spidey_search_engine_spark.plans.snapshot import parquet_file_count
+    from spidey_search_engine_spark.streaming.incremental import (
+        append_index_stream, publish_index)
+
+    sub = corpus_pdf.head(192)
+    docs = prepare_docs(spark.createDataFrame(sub).repartition(4)).select(
+        "doc_id", "repo", "path", "commit", "lang", "content")
+    src = str(tmp_path / "arrivals3")
+    for lo, hi in ((0, 64), (64, 128)):
+        docs.filter(f"doc_id >= {lo} and doc_id < {hi}") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    # control: same chunks, never compacted
+    ctl_dir = str(tmp_path / "control")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    append_index_stream(spark, stream, ctl_dir, profile="code",
+                        seg_bits=6, n_buckets=8,
+                        checkpoint=str(tmp_path / "ckpt_ctl"),
+                        publish_every=1).awaitTermination(120)
+
+    out_dir = str(tmp_path / "autocompact")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    append_index_stream(spark, stream, out_dir, profile="code",
+                        seg_bits=6, n_buckets=8,
+                        checkpoint=str(tmp_path / "ckpt_ac"),
+                        publish_every=1,
+                        compact_files_threshold=1).awaitTermination(120)
+
+    pdir = _os.path.join(out_dir, "postings")
+    chunks = sorted(d for d in _os.listdir(pdir) if d.startswith("chunk="))
+    assert chunks == ["chunk=compact_0"]
+    # bounded: <=2 files per bucket (range partitions can straddle one
+    # bucket boundary each) and strictly below the per-(chunk, bucket)
+    # growth of the uncompacted control
+    assert parquet_file_count(pdir) <= 2 * 8
+    assert parquet_file_count(pdir) < parquet_file_count(
+        _os.path.join(ctl_dir, "postings"))
+
+    compacted = load_index_resumable(spark, out_dir)
+    control = load_index_resumable(spark, ctl_dir)
+    ct = {r["term"]: (r["df"], r["cf"]) for r in control["terms"].collect()}
+    at = {r["term"]: (r["df"], r["cf"]) for r in
+          compacted["terms"].collect()}
+    assert ct == at
+    want = [(r["doc_id"], r["score"]) for r in
+            bm25_topk(spark, control, "merge sort", k=5).collect()]
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, compacted, "merge sort", k=5).collect()]
+    assert got == want and got
+
+    # appends continue after compaction: a third chunk lands beside the
+    # compacted one and the published index covers all 192 docs
+    docs.filter("doc_id >= 128").coalesce(1).write.mode("append") \
+        .parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    append_index_stream(spark, stream, out_dir, profile="code",
+                        seg_bits=6, n_buckets=8,
+                        checkpoint=str(tmp_path / "ckpt_ac"),
+                        publish_every=1).awaitTermination(120)
+    final = load_index_resumable(spark, out_dir)
+    assert int(final["stats"]["n_docs"]) == 192
+    chunks = sorted(d for d in _os.listdir(pdir) if d.startswith("chunk="))
+    assert len(chunks) == 2 and "chunk=compact_0" in chunks
+    # full-corpus df published over compacted + fresh chunks
+    df_map = {r["term"]: r["df"] for r in final["terms"].collect()}
+    assert df_map.get("import", 0) > 128
