@@ -18,10 +18,14 @@ from spidey_search_engine_spark import entry_queries as EQ
 # in dict order. These keys already hold green rows in CORRECTNESS_r03.json;
 # everything NOT in this set (the round-3 P20-P50 wave plus round-4
 # additions) is ordered first so it lands inside the driver's window.
+# ann_lsh_topk is deliberately EXCLUDED from the set despite its r03 row:
+# round 4 re-routed its exact-rescore tail through the Arrow kernel
+# (similarity.brute_force_cosine_topk), so it re-enters the verified
+# window as the representative of that changed path (49 fresh + 1 = 50).
 _DRIVER_CHECKED_R03 = frozenset({
     'a1_term_freq', 'a2_positions', 'a3_important_flag', 'a5_doc_freq',
     'a8_df_after_delete', 'ann_batch_topk', 'ann_cosine_topk',
-    'ann_ivfpq_topk', 'ann_lsh_topk', 'ann_pq_adc_topk',
+    'ann_ivfpq_topk', 'ann_pq_adc_topk',
     'bm25_batch_topk', 'bm25_pruned_topk', 'bm25_topk_fixed',
     'bpe_token_estimate', 'contamination_docs', 'dedup_cluster_assign',
     'dedup_exact', 'dedup_ngram_jaccard', 'f10_date_state',

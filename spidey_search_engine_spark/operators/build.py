@@ -702,6 +702,14 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     stats_row = dict(stats, avgdl=float(stats["avgdl"]), profile=profile,
                      seg_bits=seg_bits, n_buckets=n_buckets, k1=K1, b=B)
     write_stats_json(spark, out_dir, stats_row)
+    # a prefix-partitioned wildcard dictionary from a PREVIOUS build of
+    # this dir is stale against the fresh terms and load_index would
+    # silently attach it — refresh in place (vocabulary-bounded write;
+    # creation stays the CLI's / caller's choice)
+    from .wildcard import prefix_terms_dir, write_prefix_terms
+    if "://" not in out_dir and os.path.isdir(prefix_terms_dir(out_dir)):
+        write_prefix_terms(
+            spark.read.parquet(os.path.join(out_dir, "terms")), out_dir)
     return stats_row
 
 

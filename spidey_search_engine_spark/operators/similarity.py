@@ -88,7 +88,13 @@ def brute_force_cosine_topk(emb: DataFrame, query_vec: Sequence[float],
     vectors to cos=0 (the kernel's clamped denominator;
     try_divide+coalesce under ANSI on the fold) and return identical
     top-k."""
-    if use_kernel:
+    from pyspark.sql.types import ByteType, IntegerType as _IT, LongType, ShortType
+    integral_id = isinstance(emb.schema[id_col].dataType,
+                             (ByteType, ShortType, _IT, LongType))
+    if use_kernel and integral_id:
+        # the kernel's output contract is `id long`; non-integral ids
+        # (string/uuid keys) keep the fold path, whose id passes through
+        # untyped — same top-k either way
         r = brute_force_cosine_topk_batch(emb, {"q": query_vec}, k,
                                           id_col, vec_col)
         return (r.select("id", "cos")

@@ -60,7 +60,16 @@ def load_prefix_terms(spark: SparkSession, index_dir: str) -> DataFrame | None:
         if not exists:
             return None
         return spark.read.parquet(out)
-    except Exception:
+    except Exception as e:
+        # a present-but-unreadable table (e.g. a crash mid-write) must not
+        # take load_index down, but silently degrading every wildcard to a
+        # full dictionary scan is the exact regression this table exists
+        # to prevent — say so
+        import sys
+        print(f"WARNING: prefix terms table at {out} unreadable "
+              f"({type(e).__name__}: {e}); wildcard expansion falls back "
+              f"to the full dictionary scan. Rebuild to restore it.",
+              file=sys.stderr)
         return None
 
 

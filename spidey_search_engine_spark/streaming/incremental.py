@@ -63,19 +63,48 @@ def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
+        spark = batch_df.sparkSession
+        t0 = time.monotonic()
+        lo, hi, n_batch_docs = batch_df.select(
+            F.min("doc_id"), F.max("doc_id"), F.count("*")).collect()[0]
+
+        def _publish_if_due():
+            if publish_every and (int(batch_id) + 1) % publish_every == 0:
+                publish_index(spark, out_dir, profile=profile,
+                              seg_bits=seg_bits, n_buckets=n_buckets,
+                              compact_files_threshold=compact_files_threshold)
+
         # at-least-once replay guard: a batch whose lineage row committed
         # is DONE — rewriting its chunk was harmless while the chunk dir
         # still existed (overwrite idempotency), but once compaction has
-        # consumed it a replay would duplicate those postings (and the
-        # docs-table append was never overwrite-idempotent). One tiny
-        # lineage lookup per micro-batch buys exactly-once appends.
+        # consumed it a replay would duplicate those postings. The row is
+        # matched on build_id AND the batch's doc-id range: a FRESH
+        # checkpoint restarts batch ids at 0 over the same out_dir, and
+        # silently skipping (or overwriting) someone else's chunk under a
+        # colliding id must fail fast, not lose data. Replays still re-run
+        # a due publish — it is overwrite-idempotent and a crash INSIDE a
+        # previous publish (after the lineage row) must be retried.
         lin_dir = os.path.join(out_dir, "lineage")
-        if os.path.isdir(lin_dir) and (
-                batch_df.sparkSession.read.parquet(lin_dir)
-                .filter(F.col("build_id") == f"stream_{batch_id}")
-                .head(1)):
+        try:
+            prior = (spark.read.parquet(lin_dir)
+                     .filter(F.col("build_id") == f"stream_{batch_id}")
+                     .head(1))
+        except Exception:
+            prior = []  # no lineage yet (first batch ever)
+        if prior:
+            row = prior[0].asDict()
+            same_range = ("min_doc" in row
+                          and row["min_doc"] == lo and row["max_doc"] == hi)
+            if not same_range:
+                raise RuntimeError(
+                    f"lineage already holds build_id=stream_{batch_id} for "
+                    f"a different doc range "
+                    f"({row.get('min_doc')}-{row.get('max_doc')} vs "
+                    f"{lo}-{hi}): this out_dir was written under another "
+                    f"checkpoint. Resume with the original checkpoint or "
+                    f"use a fresh output dir.")
+            _publish_if_due()
             return
-        t0 = time.monotonic()
         docs = batch_df.withColumn("content_sha256",
                                    F.sha2(F.col("content"), 256))
         partials = build_partials(docs, profile=profile, seg_bits=seg_bits)
@@ -87,22 +116,27 @@ def append_index_stream(spark: SparkSession, docs_stream: DataFrame,
                                  f"chunk=stream_{batch_id}")
         (postings.write.mode("overwrite")
          .partitionBy("bucket").parquet(chunk_dir))
+        # docs land in a batch-keyed partition dir with OVERWRITE, so a
+        # replay of a crash between this write and the lineage commit is
+        # idempotent (a flat mode-append here double-counted every doc of
+        # the batch in n_docs/avgdl on replay)
         (docs.drop("content").join(doc_lengths(partials), "doc_id")
          .select("doc_id", "repo", "path", "commit", "lang",
                  "content_sha256", "n_tokens")
-         .write.mode("append").parquet(os.path.join(out_dir, "docs")))
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "docs",
+                               f"chunk=stream_{batch_id}")))
         partials.unpersist()
-        n_rows = batch_df.sparkSession.read.parquet(chunk_dir).count()
-        batch_df.sparkSession.createDataFrame(
-            [(f"stream_{batch_id}", int(batch_id), docs.count(), n_rows,
+        n_rows = spark.read.parquet(chunk_dir).count()
+        spark.createDataFrame(
+            [(f"stream_{batch_id}", int(batch_id), int(n_batch_docs),
+              n_rows, int(lo), int(hi),
               round(time.monotonic() - t0, 3), time.time())],
             "build_id string, chunk int, n_docs long, n_postings_rows long, "
+            "min_doc long, max_doc long, "
             "wall_sec double, finished_at double") \
-            .write.mode("append").parquet(os.path.join(out_dir, "lineage"))
-        if publish_every and (int(batch_id) + 1) % publish_every == 0:
-            publish_index(batch_df.sparkSession, out_dir, profile=profile,
-                          seg_bits=seg_bits, n_buckets=n_buckets,
-                          compact_files_threshold=compact_files_threshold)
+            .write.mode("append").parquet(lin_dir)
+        _publish_if_due()
 
     writer = docs_stream.writeStream.foreachBatch(process) \
         .trigger(availableNow=True)
@@ -121,6 +155,9 @@ def publish_index(spark: SparkSession, out_dir: str, profile: str = "code",
     exceeds M parquet files — bounding per-query file-open fan-out under
     continuous appends. The check is one directory walk; below the
     threshold the publish is unchanged."""
+    # finish any compaction a previous publish crashed inside BEFORE
+    # reading the tree (no-op when there is no journal)
+    _recover_compaction(out_dir)
     docs_w = spark.read.parquet(os.path.join(out_dir, "docs"))
     stats = doc_stats(docs_w)
     postings_all = spark.read.option(
@@ -130,7 +167,6 @@ def publish_index(spark: SparkSession, out_dir: str, profile: str = "code",
     terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
     stats_row = dict(stats, profile=profile, seg_bits=seg_bits,
                      n_buckets=n_buckets, k1=1.2, b=0.75)
-    write_stats_json(spark, out_dir, stats_row)
     if compact_files_threshold:
         from ..plans.snapshot import parquet_file_count
         n_files = parquet_file_count(os.path.join(out_dir, "postings"))
@@ -140,6 +176,15 @@ def publish_index(spark: SparkSession, out_dir: str, profile: str = "code",
             stats_row["compacted_from_files"] = int(n_files)
             stats_row["compacted_chunks"] = int(done["n_chunks_in"])
             stats_row["compacted_to_files"] = int(done["n_files_out"])
+    # stats persist LAST so the on-disk record carries the compaction
+    # outcome, not just the transient return value
+    write_stats_json(spark, out_dir, stats_row)
+    # a prefix-partitioned wildcard dictionary from an earlier publish is
+    # stale against the fresh terms — refresh it (vocabulary-bounded)
+    from ..operators.wildcard import prefix_terms_dir, write_prefix_terms
+    if os.path.isdir(prefix_terms_dir(out_dir)):
+        write_prefix_terms(
+            spark.read.parquet(os.path.join(out_dir, "terms")), out_dir)
     return stats_row
 
 
@@ -160,15 +205,22 @@ def compact_stream_chunks(spark: SparkSession, out_dir: str,
     (range exchange + in-file sort), so term-pushdown scans skip whole
     files on parquet footer min/max.
 
-    Crash discipline: the consolidated data is fully written OUTSIDE the
-    tree first, consumed chunk dirs are removed, then the new dir is
-    renamed in — a crash before the removes leaves the tree untouched
-    (the tmp dir is re-consumable garbage); the remove→rename window is
-    two metadata ops. A query racing that window on a shared filesystem
-    can see a partial tree — serve from snapshots (plans/snapshot) if
-    readers and maintenance share storage."""
+    Crash discipline (journaled, resumable): (1) the consolidated data is
+    fully written OUTSIDE the tree; (2) a journal file recording the new
+    chunk name and the consumed dirs is atomically published (the COMMIT
+    POINT); (3) consumed dirs are removed; (4) the new dir is renamed in;
+    (5) the journal is removed. A crash before (2) leaves the tree
+    untouched (the orphan tmp dir is rewritten next time); a crash after
+    (2) is finished by _recover_compaction — which runs at the start of
+    every compaction AND every publish — by replaying (3)–(5), both of
+    which are idempotent. Without the journal, a crash mid-(3) made the
+    tmp dir the ONLY copy of the removed chunks and the next run deleted
+    it. A query racing (3)–(4) on a shared filesystem can still see a
+    partial tree — serve from snapshots (plans/snapshot) if readers and
+    maintenance share storage."""
     import shutil
 
+    _recover_compaction(out_dir)
     src = os.path.join(out_dir, "postings")
     consumed = sorted(d for d in os.listdir(src)
                       if d.startswith("chunk="))
@@ -186,9 +238,48 @@ def compact_stream_chunks(spark: SparkSession, out_dir: str,
     (raw.repartitionByRange(n_out, "bucket", "term", "segment")
      .sortWithinPartitions("bucket", "term", "segment")
      .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
-    for d in consumed:
-        shutil.rmtree(os.path.join(src, d))
-    os.replace(tmp, os.path.join(src, f"chunk={new_chunk}"))
+    _journal_write(out_dir, {"new_chunk": new_chunk, "consumed": consumed})
+    _compaction_swap(out_dir, new_chunk, consumed)
     from ..plans.snapshot import parquet_file_count
     return {"n_chunks_in": len(consumed), "chunk": new_chunk,
             "n_files_out": parquet_file_count(src)}
+
+
+def _journal_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_compact_journal.json")
+
+
+def _journal_write(out_dir: str, payload: dict) -> None:
+    import json
+    tmp = _journal_path(out_dir) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, _journal_path(out_dir))
+
+
+def _compaction_swap(out_dir: str, new_chunk: str,
+                     consumed: list[str]) -> None:
+    """Steps (3)–(5) of the compaction protocol; idempotent, so a crash
+    anywhere inside is finished by re-running it from the journal."""
+    import shutil
+    src = os.path.join(out_dir, "postings")
+    dst = os.path.join(src, f"chunk={new_chunk}")
+    for d in consumed:
+        if d != f"chunk={new_chunk}":
+            shutil.rmtree(os.path.join(src, d), ignore_errors=True)
+    tmp = os.path.join(out_dir, "_compacting")
+    if not os.path.isdir(dst):
+        os.replace(tmp, dst)
+    os.remove(_journal_path(out_dir))
+
+
+def _recover_compaction(out_dir: str) -> None:
+    """Finish a compaction a previous process crashed inside (journal
+    present): replay the swap from the journal. No journal → no-op."""
+    import json
+    jp = _journal_path(out_dir)
+    if not os.path.exists(jp):
+        return
+    with open(jp, encoding="utf-8") as fh:
+        j = json.load(fh)
+    _compaction_swap(out_dir, j["new_chunk"], list(j["consumed"]))

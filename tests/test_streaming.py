@@ -518,3 +518,86 @@ def test_stream_auto_compaction_bounds_files(spark, corpus_pdf, tmp_path):
     # full-corpus df published over compacted + fresh chunks
     df_map = {r["term"]: r["df"] for r in final["terms"].collect()}
     assert df_map.get("import", 0) > 128
+
+
+def test_compaction_crash_recovery_and_checkpoint_collision(
+        spark, corpus_pdf, tmp_path):
+    """(a) A crash between the compaction journal commit and the swap is
+    finished by the next publish: no postings lost, no duplicates, the
+    journal is consumed. (b) Re-streaming into the same out_dir under a
+    FRESH checkpoint fails fast instead of silently skipping or
+    overwriting (batch ids restart at 0 and collide with lineage)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from spidey_search_engine_spark.operators.build import prepare_docs
+    from spidey_search_engine_spark.operators.search import bm25_topk
+    from spidey_search_engine_spark.plans.lineage import load_index_resumable
+    from spidey_search_engine_spark.streaming.incremental import (
+        _journal_path, append_index_stream, publish_index)
+    from pyspark.sql import functions as F
+
+    sub = corpus_pdf.head(128)
+    docs = prepare_docs(spark.createDataFrame(sub).repartition(4)).select(
+        "doc_id", "repo", "path", "commit", "lang", "content")
+    src = str(tmp_path / "arrivals4")
+    docs.filter("doc_id < 64").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id >= 64").coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "crashy")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    append_index_stream(spark, stream, out_dir, profile="code",
+                        seg_bits=6, n_buckets=8,
+                        checkpoint=str(tmp_path / "ckpt_cr"),
+                        publish_every=1).awaitTermination(120)
+    want = [(r["doc_id"], r["score"]) for r in bm25_topk(
+        spark, load_index_resumable(spark, out_dir),
+        "merge sort", k=5).collect()]
+
+    # hand-build the crash state: compacted tmp written, journal
+    # committed, ONE consumed dir already removed, swap never ran
+    pdir = _os.path.join(out_dir, "postings")
+    consumed = sorted(d for d in _os.listdir(pdir)
+                      if d.startswith("chunk="))
+    assert len(consumed) == 2
+    raw = spark.read.option("basePath", pdir).parquet(
+        *[_os.path.join(pdir, d) for d in consumed]).drop("chunk")
+    tmp = _os.path.join(out_dir, "_compacting")
+    (raw.repartitionByRange(8, "bucket", "term", "segment")
+     .sortWithinPartitions("bucket", "term", "segment")
+     .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+    with open(_journal_path(out_dir) + ".tmp", "w") as fh:
+        _json.dump({"new_chunk": "compact_0", "consumed": consumed}, fh)
+    _os.replace(_journal_path(out_dir) + ".tmp", _journal_path(out_dir))
+    _shutil.rmtree(_os.path.join(pdir, consumed[0]))  # crash mid-step-3
+
+    # the next publish recovers: swap finished, journal gone, data intact
+    publish_index(spark, out_dir, profile="code", seg_bits=6, n_buckets=8,
+                  compact_files_threshold=1000)
+    assert not _os.path.exists(_journal_path(out_dir))
+    chunks = sorted(d for d in _os.listdir(pdir) if d.startswith("chunk="))
+    assert chunks == ["chunk=compact_0"]
+    got = [(r["doc_id"], r["score"]) for r in bm25_topk(
+        spark, load_index_resumable(spark, out_dir),
+        "merge sort", k=5).collect()]
+    assert got == want and got
+
+    # (b) fresh checkpoint over the same out_dir: batch 0 carries a
+    # DIFFERENT doc range -> fail fast, nothing silently skipped
+    more = docs.select((F.col("doc_id") + 128).alias("doc_id"), "repo",
+                       "path", "commit", "lang", "content") \
+        .filter("doc_id < 192")
+    src2 = str(tmp_path / "arrivals5")
+    more.coalesce(1).write.mode("append").parquet(src2)
+    stream2 = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src2))
+    q2 = append_index_stream(spark, stream2, out_dir, profile="code",
+                             seg_bits=6, n_buckets=8,
+                             checkpoint=str(tmp_path / "ckpt_fresh"))
+    with _pytest.raises(Exception, match="different doc range"):
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
