@@ -294,6 +294,13 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--not takes single terms, not quoted phrases")
         if args.q:
             for t in args.q.split():
+                if "*" in t:
+                    if t.strip("*") == "":
+                        p.error(f"bare wildcard {t!r} matches everything"
+                                " — give at least one literal character")
+                    if t.startswith("*"):
+                        p.error(f"leading wildcard {t!r} is not "
+                                "supported (no prefix to prune on)")
                 if not t.startswith("+"):
                     continue
                 if len(t) == 1:
@@ -301,11 +308,11 @@ def main(argv: list[str] | None = None) -> int:
                 if '"' in t:
                     p.error("+ applies to single terms, not quoted "
                             "phrases")
-                if t.endswith("*"):
+                if "*" in t:
                     p.error("+term* (must + wildcard in one token) is "
                             "not supported; use +term term* instead")
         has_wild = bool(args.q) and any(
-            t.endswith("*") and len(t) > 1 for t in args.q.split())
+            "*" in t and len(t) > 1 for t in args.q.split())
         has_must = bool(args.q) and any(
             t.startswith("+") and len(t) > 1 for t in args.q.split())
         if ((args.exclude or has_wild or has_must)
@@ -450,14 +457,19 @@ def main(argv: list[str] | None = None) -> int:
                                            bm25_topk_tokens,
                                            expand_wildcard)
             raw = args.q.split()
-            wilds = [w[:-1].lower() for w in raw
-                     if w.endswith("*") and len(w) > 1]
+            # a lone trailing star is a pure prefix (historical form,
+            # star stripped); any other star placement is a glob passed
+            # verbatim (expand_wildcard prunes on the literal head and
+            # regex-verifies the tail)
+            wilds = [(w[:-1] if w.endswith("*") and "*" not in w[:-1]
+                      else w).lower()
+                     for w in raw if "*" in w and len(w) > 1]
             # +term: strip the operator so the term still SCORES
             # (Lucene MUST semantics), and analyze it separately for
             # the filter list
             q_terms, phrases = analyze_query(
                 " ".join(w.lstrip("+") for w in raw
-                         if not w.endswith("*")))
+                         if "*" not in w))
             for ph in phrases:
                 q_terms.extend(ph)
             must_terms = [t for w in raw

@@ -4166,3 +4166,38 @@ scores AS (
 )
 SELECT doc_id, round(s, 6)::DOUBLE AS score_r
 FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20"""
+
+
+def bm25_wildcard_mid_topk(spark, sf_dir):
+    """P50 mid-token wildcard (operators/wildcard.split_glob +
+    search.bm25_topk_wildcard): 's*t' — the literal head 's' prunes the
+    prefix-partitioned dictionary, the anchored regex ^s.*t$ verifies
+    the tail, expansion df-ranked and capped like the prefix form.
+    Oracle: DuckDB derives the SAME expansion with LIKE 's%t' and
+    replays BM25 over the union with 'merge'."""
+    idx = entry_index(spark, sf_dir)
+    r = S.bm25_topk_wildcard(spark, idx, ["merge"], ["s*t"], k=20,
+                             max_terms=8)
+    return r.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+QUERIES["bm25_wildcard_mid_topk"] = bm25_wildcard_mid_topk
+
+ORACLE_SQL["bm25_wildcard_mid_topk"] = _BASE_CTES + """,
+expansion AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rk
+    FROM dfreq WHERE term LIKE 's%t') WHERE rk <= 8
+),
+q AS (SELECT 'merge' AS term UNION SELECT term FROM expansion),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfc.doc_id
+)
+SELECT doc_id, round(s, 6)::DOUBLE AS score_r
+FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20"""

@@ -1014,6 +1014,13 @@ def expand_wildcard(index: dict, prefix: str,
     keeps a hot prefix ("a*") from turning one query into a
     full-vocabulary OR.
 
+    `prefix` may also be a GLOB with non-leading `*`s (`te*m` — the CLI
+    passes mid-token wildcards verbatim; plain prefixes keep the
+    historical star-stripped form): the literal head stays the prunable
+    prefix and the full pattern is verified with an anchored regex on
+    the pruned rows. Leading wildcards fail fast (no prunable prefix —
+    see wildcard.split_glob).
+
     When the index carries the prefix-partitioned dictionary projection
     (index["prefix_terms"], operators/wildcard.py — written by default
     on CLI builds, attached by load_index), the expansion probes ONE
@@ -1023,14 +1030,15 @@ def expand_wildcard(index: dict, prefix: str,
     parquet reader, but not partition-prunable: buckets are hash-
     assigned) — the honest cost every wildcard engine pays without a
     prefix-ordered term index."""
-    if not prefix:
-        raise ValueError("empty wildcard prefix")
+    from .wildcard import expand_wildcard_pruned, split_glob
     pt = index.get("prefix_terms")
     if pt is not None:
-        from .wildcard import expand_wildcard_pruned
         return expand_wildcard_pruned(pt, prefix, max_terms)
-    rows = (index["terms"]
-            .filter(F.col("term").startswith(prefix))
+    head, regex = split_glob(prefix)
+    cond = F.col("term").startswith(head)
+    if regex is not None:
+        cond = cond & F.col("term").rlike(regex)
+    rows = (index["terms"].filter(cond)
             .select("term", "df")
             .orderBy(F.col("df").desc(), "term")
             .limit(max_terms).collect())

@@ -73,18 +73,48 @@ def load_prefix_terms(spark: SparkSession, index_dir: str) -> DataFrame | None:
         return None
 
 
-def expand_wildcard_pruned(prefix_terms: DataFrame, prefix: str,
+def split_glob(pattern: str) -> tuple[str, str | None]:
+    """(prefix, anchored_regex_or_None) for a wildcard pattern.
+
+    No `*` → the whole pattern is a prefix (the `term*` CLI token with
+    its star stripped — the historical contract). With `*`s, the literal
+    head before the first star is the prunable prefix and the full glob
+    becomes an anchored regex verify (`te*m` → prefix "te", regex
+    ^te.*m$). A LEADING star has no prunable prefix — it would be a
+    full-dictionary scan per query; fail fast and point at the honest
+    alternative (a reversed-term index, the same pattern this module
+    implements forward)."""
+    if not pattern:
+        raise ValueError("empty wildcard pattern")
+    star = pattern.find("*")
+    if star == -1:
+        return pattern, None
+    if star == 0:
+        raise ValueError(
+            f"leading wildcard {pattern!r} is not supported: no prefix "
+            f"to prune on (would scan the whole dictionary); a "
+            f"reversed-term index is the standard fix if suffix queries "
+            f"matter")
+    import re as _re
+    regex = "^" + ".*".join(_re.escape(p)
+                            for p in pattern.split("*")) + "$"
+    return pattern[:star], regex
+
+
+def expand_wildcard_pruned(prefix_terms: DataFrame, pattern: str,
                            max_terms: int = 64) -> list[str]:
-    """Dictionary terms starting with `prefix`, df-descending, capped —
-    identical contract to search.expand_wildcard's scan path, but the
-    probe carries `p1 == prefix[0]` (a PartitionFilter: one directory
-    read) plus the pushed StringStartsWith (row-group skipping inside
-    the term-sorted partition)."""
-    if not prefix:
-        raise ValueError("empty wildcard prefix")
-    rows = (prefix_terms
-            .filter((F.col("p1") == prefix[0])
-                    & F.col("term").startswith(prefix))
+    """Dictionary terms matching `pattern` (prefix, or glob with
+    non-leading `*`s), df-descending, capped — identical contract to
+    search.expand_wildcard's scan path, but the probe carries
+    `p1 == prefix[0]` (a PartitionFilter: one directory read) plus the
+    pushed StringStartsWith on the literal head (row-group skipping
+    inside the term-sorted partition); a glob tail is verified with an
+    anchored RLIKE on the already-pruned rows."""
+    prefix, regex = split_glob(pattern)
+    cond = (F.col("p1") == prefix[0]) & F.col("term").startswith(prefix)
+    if regex is not None:
+        cond = cond & F.col("term").rlike(regex)
+    rows = (prefix_terms.filter(cond)
             .select("term", "df")
             .orderBy(F.col("df").desc(), "term")
             .limit(max_terms).collect())

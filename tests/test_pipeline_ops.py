@@ -3506,6 +3506,30 @@ def test_wildcard_prefix_index(spark, tmp_path, capsys):
                "--k", "10"])
     assert {r["doc_id"] for r in got} == {0, 1, 2, 4}
 
+    # mid-token globs: literal head prunes, anchored regex verifies;
+    # pruned path == scan path; leading/bare stars fail fast
+    import pytest as _pytest
+
+    from spidey_search_engine_spark.operators.wildcard import split_glob
+    assert split_glob("so") == ("so", None)
+    assert split_glob("s*t") == ("s", "^s.*t$")
+    assert split_glob("a*b*c") == ("a", "^a.*b.*c$")
+    with _pytest.raises(ValueError):
+        split_glob("*abc")
+    with _pytest.raises(ValueError):
+        split_glob("")
+    # glob expansion over the stemmed dictionary: s*t matches the terms
+    # starting 's' and ending 't' ("sort" — sortkey ends 'y')
+    assert expand_wildcard(idx, "s*t", 10) == ["sort"]
+    assert (expand_wildcard(idx, "s*t", 10)
+            == expand_wildcard(scan_idx, "s*t", 10))
+    cli_mid = run(["query", "--index", idx_dir, "--q", "plan s*t",
+                   "--k", "10"])
+    assert {r["doc_id"] for r in cli_mid} == {0, 1, 4}  # sort docs + plan
+    for bad in ("plan *ort", "plan *", "plan **", "plan +s*t"):
+        with _pytest.raises(SystemExit):
+            main(["query", "--index", idx_dir, "--q", bad])
+
     # rebuild with --no-wildcard-index removes the now-stale table
     out = run(["build", "--input", corpus_dir, "--output", idx_dir,
                "--profile", "code", "--seg-bits", "4", "--n-buckets", "4",
