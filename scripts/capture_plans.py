@@ -478,6 +478,31 @@ def main() -> None:
         "no-index behavior).",
         capture(dwp)))
 
+    # Leading wildcards: the reversed-term (suffix) projection must show
+    # the same PartitionFilter shape keyed on the term's LAST character
+    from spidey_search_engine_spark.operators.wildcard import (
+        load_suffix_terms, suffix_terms_dir, write_suffix_terms)
+    if not os.path.isdir(suffix_terms_dir(idx_dir)):
+        write_suffix_terms(idx["terms"], idx_dir)
+    st = load_suffix_terms(spark, idx_dir)
+    dws = (st.filter((F.col("p1") == "e")
+                     & F.col("term_rev").startswith("el"))
+           .select("term", "df")
+           .orderBy(F.col("df").desc(), "term").limit(8))
+    sections.append((
+        "Leading-wildcard expansion (`*le`), reversed-term path: "
+        "PartitionFilters on p1 (the term's LAST character)",
+        "Look for: PartitionFilters [isnotnull(p1), (p1 = e)] on the "
+        "suffix-terms scan — `*le` reverses to the prefix probe `el*` "
+        "against term_rev, so only the last-char partition directory is "
+        "read — plus PushedFilters [.., StringStartsWith(term_rev,el)] "
+        "skipping row groups inside the term_rev-sorted partition, and "
+        "TakeOrderedAndProject for the df-ranked cap. Reversal is a "
+        "bijection between the two match problems (the Lucene "
+        "ReversedWildcardFilter trick), so `*term` costs the same "
+        "pattern-bounded bytes as `term*` — never a |V| scan.",
+        capture(dws)))
+
     # P50 wildcard expansion, no-index fallback: the dictionary scan
     # shows the StartsWith predicate pushed to the parquet reader and a
     # ReadSchema of only (term, df)

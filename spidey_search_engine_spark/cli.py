@@ -298,9 +298,10 @@ def main(argv: list[str] | None = None) -> int:
                     if t.strip("*") == "":
                         p.error(f"bare wildcard {t!r} matches everything"
                                 " — give at least one literal character")
-                    if t.startswith("*"):
-                        p.error(f"leading wildcard {t!r} is not "
-                                "supported (no prefix to prune on)")
+                    if t.startswith("*") and t.endswith("*"):
+                        p.error(f"infix wildcard {t!r} is not supported"
+                                " (no literal anchor at either end); "
+                                "anchor at least one end: term* / *term")
                 if not t.startswith("+"):
                     continue
                 if len(t) == 1:
@@ -353,23 +354,30 @@ def main(argv: list[str] | None = None) -> int:
                                 n_buckets=args.n_buckets)
         import os
         if not args.no_wildcard_index:
-            # vocabulary-bounded (one short row per term): negligible,
-            # corpus-independent tail that makes every later `term*`
-            # query a one-partition probe instead of a dictionary scan
+            # vocabulary-bounded (one short row per term each):
+            # negligible, corpus-independent tail that makes every later
+            # `term*` / `*term` query a one-partition probe instead of a
+            # dictionary scan
             from .operators.build import load_index as _li
-            from .operators.wildcard import write_prefix_terms
-            write_prefix_terms(_li(spark, args.output)["terms"],
-                               args.output)
+            from .operators.wildcard import (write_prefix_terms,
+                                             write_suffix_terms)
+            terms = _li(spark, args.output)["terms"]
+            write_prefix_terms(terms, args.output)
+            write_suffix_terms(terms, args.output)
         else:
-            from .operators.wildcard import prefix_terms_dir
-            pdir = os.path.dirname(prefix_terms_dir(args.output))
-            if os.path.isdir(pdir):
-                # a prefix table from a PREVIOUS build of this output dir
-                # is stale against the fresh dictionary — load_index would
-                # attach it and wildcards would expand over old terms
-                import shutil
-                shutil.rmtree(pdir)
-                stats["stale_wildcard_index_removed"] = True
+            from .operators.wildcard import (prefix_terms_dir,
+                                             suffix_terms_dir)
+            for adir in (prefix_terms_dir(args.output),
+                         suffix_terms_dir(args.output)):
+                pdir = os.path.dirname(adir)
+                if os.path.isdir(pdir):
+                    # an aux table from a PREVIOUS build of this output
+                    # dir is stale against the fresh dictionary —
+                    # load_index would attach it and wildcards would
+                    # expand over old terms
+                    import shutil
+                    shutil.rmtree(pdir)
+                    stats["stale_wildcard_index_removed"] = True
         fuzzy_dir = os.path.join(args.output, "fuzzy")
         if args.fuzzy_index:
             from .operators.build import load_index

@@ -52,11 +52,15 @@ def entry_index(spark: SparkSession, sf_dir: str) -> dict:
         corpus = documents_as_corpus(spark, sf_dir)
         B.build_index(spark, corpus, out, profile="simple", seg_bits=8,
                       n_buckets=8)
-    from .operators.wildcard import prefix_terms_dir, write_prefix_terms
+    from .operators.wildcard import (prefix_terms_dir, suffix_terms_dir,
+                                     write_prefix_terms, write_suffix_terms)
     if not os.path.isdir(prefix_terms_dir(out)):
         # bm25_wildcard_topk then runs over the partition-pruned
         # expansion path (the CLI-build default), same oracle
         write_prefix_terms(B.load_index(spark, out)["terms"], out)
+    if not os.path.isdir(suffix_terms_dir(out)):
+        # ... and bm25_wildcard_suffix_topk over the reversed-term path
+        write_suffix_terms(B.load_index(spark, out)["terms"], out)
     idx = B.load_index(spark, out)
     _IDX_CACHE[key] = idx
     return idx
@@ -4182,6 +4186,50 @@ def bm25_wildcard_mid_topk(spark, sf_dir):
 
 
 QUERIES["bm25_wildcard_mid_topk"] = bm25_wildcard_mid_topk
+
+
+def bm25_wildcard_suffix_topk(spark, sf_dir):
+    """Leading wildcards (operators/wildcard.route_glob +
+    expand_wildcard_suffix): 'merge *er *a*t' — leading-star patterns
+    probe the REVERSED-term dictionary projection (partitioned by the
+    term's LAST character; the reversed pattern's literal head prunes,
+    an anchored regex over term_rev verifies inner stars — reversal is
+    a bijection between the two match problems). Expansions df-ranked,
+    capped, deduped against the bag, scored as an OR bag with 'merge'.
+    Oracle: DuckDB derives each expansion with the equivalent
+    end-anchored LIKE ('%er', '%a%t') and replays BM25 over the union."""
+    idx = entry_index(spark, sf_dir)
+    r = S.bm25_topk_wildcard(spark, idx, ["merge"], ["*er", "*a*t"],
+                             k=20, max_terms=8)
+    return r.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+QUERIES["bm25_wildcard_suffix_topk"] = bm25_wildcard_suffix_topk
+
+ORACLE_SQL["bm25_wildcard_suffix_topk"] = _BASE_CTES + """,
+exp1 AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rk
+    FROM dfreq WHERE term LIKE '%er') WHERE rk <= 8
+),
+exp2 AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rk
+    FROM dfreq WHERE term LIKE '%a%t') WHERE rk <= 8
+),
+q AS (SELECT 'merge' AS term
+      UNION SELECT term FROM exp1 UNION SELECT term FROM exp2),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfc.doc_id
+)
+SELECT doc_id, round(s, 6)::DOUBLE AS score_r
+FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20"""
 
 ORACLE_SQL["bm25_wildcard_mid_topk"] = _BASE_CTES + """,
 expansion AS (

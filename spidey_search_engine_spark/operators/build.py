@@ -702,14 +702,18 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     stats_row = dict(stats, avgdl=float(stats["avgdl"]), profile=profile,
                      seg_bits=seg_bits, n_buckets=n_buckets, k1=K1, b=B)
     write_stats_json(spark, out_dir, stats_row)
-    # a prefix-partitioned wildcard dictionary from a PREVIOUS build of
-    # this dir is stale against the fresh terms and load_index would
-    # silently attach it — refresh in place (vocabulary-bounded write;
-    # creation stays the CLI's / caller's choice)
-    from .wildcard import prefix_terms_dir, write_prefix_terms
-    if "://" not in out_dir and os.path.isdir(prefix_terms_dir(out_dir)):
-        write_prefix_terms(
-            spark.read.parquet(os.path.join(out_dir, "terms")), out_dir)
+    # prefix-/suffix-partitioned wildcard dictionaries from a PREVIOUS
+    # build of this dir are stale against the fresh terms and load_index
+    # would silently attach them — refresh in place (vocabulary-bounded
+    # writes; creation stays the CLI's / caller's choice)
+    from .wildcard import (prefix_terms_dir, suffix_terms_dir,
+                           write_prefix_terms, write_suffix_terms)
+    if "://" not in out_dir:
+        for adir, refresh in ((prefix_terms_dir(out_dir), write_prefix_terms),
+                              (suffix_terms_dir(out_dir), write_suffix_terms)):
+            if os.path.isdir(adir):
+                refresh(spark.read.parquet(os.path.join(out_dir, "terms")),
+                        out_dir)
     return stats_row
 
 
@@ -746,8 +750,11 @@ def load_index(spark: SparkSession, out_dir: str) -> dict:
         "stats": stats,
     }
     # optional materialized aux tables (present when the build wrote them)
-    from .wildcard import load_prefix_terms
+    from .wildcard import load_prefix_terms, load_suffix_terms
     pt = load_prefix_terms(spark, out_dir)
     if pt is not None:
         idx["prefix_terms"] = pt
+    st = load_suffix_terms(spark, out_dir)
+    if st is not None:
+        idx["suffix_terms"] = st
     return idx

@@ -1014,23 +1014,39 @@ def expand_wildcard(index: dict, prefix: str,
     keeps a hot prefix ("a*") from turning one query into a
     full-vocabulary OR.
 
-    `prefix` may also be a GLOB with non-leading `*`s (`te*m` — the CLI
-    passes mid-token wildcards verbatim; plain prefixes keep the
-    historical star-stripped form): the literal head stays the prunable
-    prefix and the full pattern is verified with an anchored regex on
-    the pruned rows. Leading wildcards fail fast (no prunable prefix —
-    see wildcard.split_glob).
+    `prefix` may also be a GLOB (`te*m`, `*term`, `*te*m` — the CLI
+    passes starred tokens verbatim; plain prefixes keep the historical
+    star-stripped form). wildcard.route_glob picks the projection: a
+    leading literal prunes FORWARD (prefix path); a leading star with a
+    literal tail prunes on the REVERSED term (suffix path — the Lucene
+    ReversedWildcardFilter trick); the doubly-unanchored `*x*` fails
+    fast (an n-gram term index is the honest fix, not a |V| scan).
 
-    When the index carries the prefix-partitioned dictionary projection
-    (index["prefix_terms"], operators/wildcard.py — written by default
-    on CLI builds, attached by load_index), the expansion probes ONE
-    first-char partition with row-group skipping inside it: the bytes
-    read are prefix-bounded, never |V|-bounded. Without it this falls
-    back to a dictionary SCAN filtered by StartsWith (pushed to the
-    parquet reader, but not partition-prunable: buckets are hash-
-    assigned) — the honest cost every wildcard engine pays without a
-    prefix-ordered term index."""
-    from .wildcard import expand_wildcard_pruned, split_glob
+    When the index carries the matching partitioned dictionary
+    projection (index["prefix_terms"] / index["suffix_terms"],
+    operators/wildcard.py — written by default on CLI builds, attached
+    by load_index), the expansion probes ONE first-char partition with
+    row-group skipping inside it: the bytes read are pattern-bounded,
+    never |V|-bounded. Without it this falls back to a dictionary SCAN
+    (StartsWith pushed to the parquet reader on the forward path; an
+    anchored-regex verify on the suffix path) — the honest cost every
+    wildcard engine pays without a sorted term index."""
+    from .wildcard import (expand_wildcard_pruned, expand_wildcard_suffix,
+                           route_glob, split_glob)
+    if route_glob(prefix) == "suffix":
+        st = index.get("suffix_terms")
+        if st is not None:
+            return expand_wildcard_suffix(st, prefix, max_terms)
+        import re as _re
+        parts = prefix.split("*")
+        regex = "^" + ".*".join(_re.escape(p) for p in parts) + "$"
+        cond = (F.col("term").endswith(parts[-1])
+                & F.col("term").rlike(regex))
+        rows = (index["terms"].filter(cond)
+                .select("term", "df")
+                .orderBy(F.col("df").desc(), "term")
+                .limit(max_terms).collect())
+        return [r["term"] for r in rows]
     pt = index.get("prefix_terms")
     if pt is not None:
         return expand_wildcard_pruned(pt, prefix, max_terms)

@@ -24,6 +24,17 @@ deletion index is |V|·(avg_len+1), this is |V|), so writing it is a
 negligible, corpus-independent tail on the build. load_index attaches it
 as index["prefix_terms"] when present; search.expand_wildcard prefers it
 and falls back to the terms scan for indexes built without it.
+
+LEADING wildcards (`*term`) get the mirror treatment — the standard
+Lucene ReversedWildcardFilter trick: a second |V|-bounded projection
+keyed on the REVERSED term (`term_rev`), partitioned by its first
+character (= the term's LAST character), term_rev-ordered within each
+partition. `*term` reverses to the prefix probe `mret*` against that
+table; `*te*m` reverses to `m*et*` (literal head "m" prunes, anchored
+regex over term_rev verifies — reversal is an exact bijection between
+the two match problems). Only the doubly-unanchored infix form (`*x*`)
+stays unsupported: neither end gives a prunable literal, and the honest
+fix is an n-gram term index, not a |V| scan per query.
 """
 
 from __future__ import annotations
@@ -53,8 +64,26 @@ def write_prefix_terms(terms_df: DataFrame, index_dir: str) -> str:
     return out
 
 
-def load_prefix_terms(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    out = prefix_terms_dir(index_dir)
+def suffix_terms_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "suffix", "terms")
+
+
+def write_suffix_terms(terms_df: DataFrame, index_dir: str) -> str:
+    """Materialize (term, df, term_rev) partitioned by the REVERSED
+    term's first character — the leading-wildcard mirror of
+    write_prefix_terms (same repartition-before-partitionBy rule)."""
+    out = suffix_terms_dir(index_dir)
+    (terms_df.select("term", "df")
+     .withColumn("term_rev", F.reverse(F.col("term")))
+     .withColumn("p1", F.substring("term_rev", 1, 1))
+     .repartition("p1")
+     .sortWithinPartitions("p1", "term_rev")
+     .write.mode("overwrite").partitionBy("p1").parquet(out))
+    return out
+
+
+def _load_aux_terms(spark: SparkSession, out: str,
+                    kind: str) -> DataFrame | None:
     try:
         exists = os.path.isdir(out) if "://" not in out else True
         if not exists:
@@ -66,11 +95,19 @@ def load_prefix_terms(spark: SparkSession, index_dir: str) -> DataFrame | None:
         # full dictionary scan is the exact regression this table exists
         # to prevent — say so
         import sys
-        print(f"WARNING: prefix terms table at {out} unreadable "
+        print(f"WARNING: {kind} terms table at {out} unreadable "
               f"({type(e).__name__}: {e}); wildcard expansion falls back "
               f"to the full dictionary scan. Rebuild to restore it.",
               file=sys.stderr)
         return None
+
+
+def load_prefix_terms(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    return _load_aux_terms(spark, prefix_terms_dir(index_dir), "prefix")
+
+
+def load_suffix_terms(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    return _load_aux_terms(spark, suffix_terms_dir(index_dir), "suffix")
 
 
 def split_glob(pattern: str) -> tuple[str, str | None]:
@@ -80,10 +117,9 @@ def split_glob(pattern: str) -> tuple[str, str | None]:
     its star stripped — the historical contract). With `*`s, the literal
     head before the first star is the prunable prefix and the full glob
     becomes an anchored regex verify (`te*m` → prefix "te", regex
-    ^te.*m$). A LEADING star has no prunable prefix — it would be a
-    full-dictionary scan per query; fail fast and point at the honest
-    alternative (a reversed-term index, the same pattern this module
-    implements forward)."""
+    ^te.*m$). This is the FORWARD-path helper: a leading star belongs on
+    the reversed-term path (route_glob sends it there; callers reverse
+    the pattern and probe term_rev), so it is rejected here."""
     if not pattern:
         raise ValueError("empty wildcard pattern")
     star = pattern.find("*")
@@ -91,14 +127,61 @@ def split_glob(pattern: str) -> tuple[str, str | None]:
         return pattern, None
     if star == 0:
         raise ValueError(
-            f"leading wildcard {pattern!r} is not supported: no prefix "
-            f"to prune on (would scan the whole dictionary); a "
-            f"reversed-term index is the standard fix if suffix queries "
-            f"matter")
+            f"leading wildcard {pattern!r} has no forward prefix to "
+            f"prune on; route_glob sends it to the reversed-term "
+            f"(suffix) path — use that, not split_glob, for `*term`")
     import re as _re
     regex = "^" + ".*".join(_re.escape(p)
                             for p in pattern.split("*")) + "$"
     return pattern[:star], regex
+
+
+def route_glob(pattern: str) -> str:
+    """Which dictionary projection serves `pattern`: "prefix" (no star,
+    or the first literal run leads — `term*`, `te*m`) or "suffix"
+    (leading star with a literal tail — `*term`, `*te*m`, probed against
+    the reversed-term table). The doubly-unanchored infix form (`*x*`)
+    and the bare star fail fast: neither end gives a prunable literal
+    and the honest fix is an n-gram term index, not a |V| scan per
+    query."""
+    if not pattern:
+        raise ValueError("empty wildcard pattern")
+    if pattern.strip("*") == "":
+        raise ValueError(f"bare wildcard {pattern!r} matches everything")
+    if not pattern.startswith("*"):
+        return "prefix"
+    if pattern.endswith("*"):
+        raise ValueError(
+            f"infix wildcard {pattern!r} is not supported: no literal "
+            f"anchor at either end (an n-gram term index is the "
+            f"standard fix); anchor at least one end (`term*`/`*term`)")
+    return "suffix"
+
+
+def expand_wildcard_suffix(suffix_terms: DataFrame, pattern: str,
+                           max_terms: int = 64) -> list[str]:
+    """Dictionary terms matching a LEADING-star `pattern` (`*term`,
+    `*te*m`) via the reversed-term projection: the reversed pattern's
+    literal head (`mret`, `m`) carries `p1 == head[0]` (PartitionFilter:
+    one directory) plus a pushed StringStartsWith on term_rev (row-group
+    skipping in the term_rev-sorted partition); inner stars verify with
+    an anchored RLIKE on term_rev — reversal is a bijection, so matching
+    rev(pattern) against rev(term) IS matching pattern against term.
+    Same df-descending, term-tie-broken, capped contract as the forward
+    path."""
+    if route_glob(pattern) != "suffix":
+        raise ValueError(f"{pattern!r} is not a leading-star pattern")
+    rev = pattern[::-1]
+    head, regex = split_glob(rev)
+    cond = ((F.col("p1") == head[0])
+            & F.col("term_rev").startswith(head))
+    if regex is not None:
+        cond = cond & F.col("term_rev").rlike(regex)
+    rows = (suffix_terms.filter(cond)
+            .select("term", "df")
+            .orderBy(F.col("df").desc(), "term")
+            .limit(max_terms).collect())
+    return [r["term"] for r in rows]
 
 
 def expand_wildcard_pruned(prefix_terms: DataFrame, pattern: str,

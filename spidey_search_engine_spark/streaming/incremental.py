@@ -179,12 +179,16 @@ def publish_index(spark: SparkSession, out_dir: str, profile: str = "code",
     # stats persist LAST so the on-disk record carries the compaction
     # outcome, not just the transient return value
     write_stats_json(spark, out_dir, stats_row)
-    # a prefix-partitioned wildcard dictionary from an earlier publish is
-    # stale against the fresh terms — refresh it (vocabulary-bounded)
-    from ..operators.wildcard import prefix_terms_dir, write_prefix_terms
-    if os.path.isdir(prefix_terms_dir(out_dir)):
-        write_prefix_terms(
-            spark.read.parquet(os.path.join(out_dir, "terms")), out_dir)
+    # prefix-/suffix-partitioned wildcard dictionaries from an earlier
+    # publish are stale against the fresh terms — refresh them
+    # (vocabulary-bounded)
+    from ..operators.wildcard import (prefix_terms_dir, suffix_terms_dir,
+                                      write_prefix_terms, write_suffix_terms)
+    for adir, refresh in ((prefix_terms_dir(out_dir), write_prefix_terms),
+                          (suffix_terms_dir(out_dir), write_suffix_terms)):
+        if os.path.isdir(adir):
+            refresh(spark.read.parquet(os.path.join(out_dir, "terms")),
+                    out_dir)
     return stats_row
 
 

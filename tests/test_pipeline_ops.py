@@ -3526,14 +3526,114 @@ def test_wildcard_prefix_index(spark, tmp_path, capsys):
     cli_mid = run(["query", "--index", idx_dir, "--q", "plan s*t",
                    "--k", "10"])
     assert {r["doc_id"] for r in cli_mid} == {0, 1, 4}  # sort docs + plan
-    for bad in ("plan *ort", "plan *", "plan **", "plan +s*t"):
+    for bad in ("plan *or*", "plan *", "plan **", "plan +s*t"):
         with _pytest.raises(SystemExit):
             main(["query", "--index", idx_dir, "--q", bad])
 
-    # rebuild with --no-wildcard-index removes the now-stale table
+    # rebuild with --no-wildcard-index removes the now-stale tables
+    # (both projections)
+    from spidey_search_engine_spark.operators.wildcard import \
+        suffix_terms_dir
     out = run(["build", "--input", corpus_dir, "--output", idx_dir,
                "--profile", "code", "--seg-bits", "4", "--n-buckets", "4",
                "--no-wildcard-index"])
     assert out[-1].get("stale_wildcard_index_removed") is True
     assert not os.path.isdir(prefix_terms_dir(idx_dir))
-    assert "prefix_terms" not in B.load_index(spark, idx_dir)
+    assert not os.path.isdir(suffix_terms_dir(idx_dir))
+    reloaded = B.load_index(spark, idx_dir)
+    assert "prefix_terms" not in reloaded
+    assert "suffix_terms" not in reloaded
+
+
+def test_wildcard_suffix_index(spark, tmp_path, capsys):
+    """Leading wildcards over the reversed-term (suffix) projection:
+    routing, bijection with a brute-force fnmatch reference, expansion
+    equality with the scan fallback, PartitionFilters in the probe
+    plan, default CLI-build materialization, and the CLI surface."""
+    import fnmatch
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from spidey_search_engine_spark.cli import main
+    from spidey_search_engine_spark.operators import build as B
+    from spidey_search_engine_spark.operators.search import expand_wildcard
+    from spidey_search_engine_spark.operators.wildcard import (
+        expand_wildcard_suffix, route_glob, suffix_terms_dir)
+
+    # routing: forward literals stay on the prefix path, a leading star
+    # with a literal tail goes to the suffix path, unanchored forms fail
+    assert route_glob("sort") == "prefix"
+    assert route_glob("so*t") == "prefix"
+    assert route_glob("*ort") == "suffix"
+    assert route_glob("*o*t") == "suffix"
+    for bad in ("", "*", "**", "*x*", "*a*b*"):
+        with _pytest.raises(ValueError):
+            route_glob(bad)
+
+    rows = [
+        (0, "sort merge join plan"),
+        (1, "sort merge spill disk"),
+        (2, "sortkey stuff and things"),
+        (3, "merge only document here"),
+        (4, "sorted sorting sorts"),
+    ]
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, content string").select(
+        "doc_id", F.lit("r").alias("repo"),
+        F.concat(F.lit("d/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"), F.lit("en").alias("lang"),
+        "content").write.parquet(corpus_dir)
+    idx_dir = str(tmp_path / "idx")
+
+    def run(argv):
+        assert main(argv) == 0
+        return [json.loads(line) for line in
+                capsys.readouterr().out.strip().splitlines()
+                if line.startswith("{")]
+
+    # CLI build materializes <output>/suffix by default
+    run(["build", "--input", corpus_dir, "--output", idx_dir,
+         "--profile", "code", "--seg-bits", "4", "--n-buckets", "4"])
+    assert os.path.isdir(suffix_terms_dir(idx_dir))
+    idx = B.load_index(spark, idx_dir)
+    assert "suffix_terms" in idx
+
+    # bijection vs a brute-force fnmatch reference over the full
+    # dictionary, and suffix-path == scan-fallback equality (same terms,
+    # same df-desc/term order, same cap behavior)
+    vocab = [(r["term"], r["df"])
+             for r in idx["terms"].select("term", "df").collect()]
+    scan_idx = {k: v for k, v in idx.items() if k != "suffix_terms"}
+    for pat, cap in (("*ort", 10), ("*t", 10), ("*o*n", 10),
+                     ("*zz", 10), ("*ort", 1)):
+        expected = [t for t, _ in sorted(
+            ((t, d) for t, d in vocab if fnmatch.fnmatchcase(t, pat)),
+            key=lambda td: (-td[1], td[0]))][:cap]
+        assert expand_wildcard(idx, pat, cap) == expected
+        assert expand_wildcard(scan_idx, pat, cap) == expected
+    assert set(expand_wildcard(idx, "*ort", 10)) == {"sort"}
+    assert set(expand_wildcard(idx, "*o*n", 10)) == {"join"}
+
+    # direct-module misuse fails fast
+    with _pytest.raises(ValueError):
+        expand_wildcard_suffix(idx["suffix_terms"], "sort*")
+
+    # the probe plan prunes partitions on p1 (one directory read per
+    # last-character)
+    probe = idx["suffix_terms"].filter(
+        (F.col("p1") == "t") & F.col("term_rev").startswith("tro"))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "p1" in plan.split(
+        "PartitionFilters")[1][:200]
+
+    # CLI leading-wildcard query runs end-to-end: *ort expands to sort
+    got = run(["query", "--index", idx_dir, "--q", "plan *ort",
+               "--k", "10"])
+    assert {r["doc_id"] for r in got} == {0, 1, 4}
+    # ... and scores identically to spelling the expansion out
+    spelled = run(["query", "--index", idx_dir, "--q", "plan sort",
+                   "--k", "10"])
+    assert ({r["doc_id"]: r["score"] for r in got}
+            == {r["doc_id"]: r["score"] for r in spelled})
