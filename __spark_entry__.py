@@ -18,16 +18,17 @@ from spidey_search_engine_spark import entry_queries as EQ
 # in dict order. These keys already hold green rows in CORRECTNESS_r03.json;
 # everything NOT in this set (the round-3 P20-P50 wave plus round-4
 # additions) is ordered first so it lands inside the driver's window.
-# The window holds 50; round 4 has 51 never-checked entries, so exactly
-# one must wait for the round-5 rotation. ann_batch_lsh_topk is the
-# least informative choice to defer: BOTH of its constituent paths
-# already hold r03 driver rows (ann_lsh_topk for the LSH probe,
-# ann_batch_topk for the batch Arrow kernel) and the composition is
-# pinned by the local gate + pytest. ann_lsh_topk itself (green in r03;
-# its round-4 Arrow-rescore change shares the kernel with the r03-green
+# The window holds 50; round 4 has 52 never-checked entries, so two
+# must wait for the round-5 rotation. The batch-ANN compositions are the
+# least informative choices to defer: each constituent path is driver-
+# checked on its own (ann_lsh_topk/ann_ivf_topk for the probes,
+# ann_batch_topk for the batch Arrow kernel — ann_ivf_topk is in THIS
+# round's fresh window) and the compositions stay pinned by the local
+# gate + pytest. ann_lsh_topk itself (green in r03; its round-4
+# Arrow-rescore change shares the kernel with the r03-green
 # ann_cosine_topk path) also stays in the tail.
 _WINDOW_TAIL = frozenset({
-    'ann_lsh_topk', 'ann_batch_lsh_topk',
+    'ann_lsh_topk', 'ann_batch_lsh_topk', 'ann_batch_ivf_topk',
     'a1_term_freq', 'a2_positions', 'a3_important_flag', 'a5_doc_freq',
     'a8_df_after_delete', 'ann_batch_topk', 'ann_cosine_topk',
     'ann_ivfpq_topk', 'ann_pq_adc_topk',

@@ -503,6 +503,31 @@ def main() -> None:
         "pattern-bounded bytes as `term*` — never a |V| scan.",
         capture(dws)))
 
+    # Infix wildcards: the n-gram projection must show a PartitionFilter
+    # on the gram's first character plus a pushed gram equality
+    from spidey_search_engine_spark.operators.wildcard import (
+        load_ngram_terms, ngram_terms_dir, write_ngram_terms)
+    if not os.path.isdir(ngram_terms_dir(idx_dir)):
+        write_ngram_terms(idx["terms"], idx_dir, n=3)
+    ng, _n = load_ngram_terms(spark, idx_dir)
+    dwn = (ng.filter((F.col("g1") == "p") & (F.col("gram") == "par"))
+           .select("term", "df")
+           .orderBy(F.col("df").desc(), "term").limit(8))
+    sections.append((
+        "Infix-wildcard expansion (`*par*`), n-gram path: "
+        "PartitionFilters on g1 + pushed gram equality",
+        "Look for: PartitionFilters [isnotnull(g1), (g1 = p)] on the "
+        "ngram-terms scan — only the probe gram's first-char directory "
+        "is read — plus PushedFilters [.., EqualTo(gram,par)] skipping "
+        "row groups inside the gram-sorted partition, and "
+        "TakeOrderedAndProject for the df-ranked cap. The probe gram is "
+        "the longest literal run's first n characters; candidates then "
+        "verify against the full anchored regex. The table is "
+        "|V|·(len−n+1) rows — vocabulary-bounded, never "
+        "corpus-bounded — and OPT-IN at build time; without it infix "
+        "queries fail fast instead of paying a |V| scan.",
+        capture(dwn)))
+
     # P50 wildcard expansion, no-index fallback: the dictionary scan
     # shows the StartsWith predicate pushed to the parquet reader and a
     # ReadSchema of only (term, df)

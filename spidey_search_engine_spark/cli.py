@@ -49,9 +49,19 @@ def main(argv: list[str] | None = None) -> int:
                         "index under <output>/fuzzy for `query --fuzzy`")
     b.add_argument("--fuzzy-buckets", type=int, default=64)
     b.add_argument("--no-wildcard-index", action="store_true",
-                   help="skip the prefix-partitioned dictionary "
-                        "projection (<output>/prefix) that turns `term*` "
-                        "expansion into a one-partition probe")
+                   help="skip the prefix-/reversed-term dictionary "
+                        "projections (<output>/prefix, <output>/suffix) "
+                        "that turn `term*` / `*term` expansion into "
+                        "one-partition probes (also removes an existing "
+                        "n-gram projection)")
+    b.add_argument("--ngram-index", action="store_true",
+                   help="also materialize the n-gram term projection "
+                        "(<output>/ngram) that serves infix wildcards "
+                        "(`*x*`) as a one-partition probe; without it "
+                        "infix queries fail fast")
+    b.add_argument("--ngram-size", type=int, default=3,
+                   help="gram width for --ngram-index (literal runs "
+                        "shorter than this cannot be probed)")
 
     q = sub.add_parser("query", help="top-k search")
     q.add_argument("--index", required=True)
@@ -261,6 +271,11 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--bpe-max-words", type=int, default=1_000_000)
 
     args = p.parse_args(argv)
+    if args.cmd == "build":
+        if args.ngram_size < 2:
+            p.error(f"--ngram-size must be >= 2 (got {args.ngram_size})")
+        if args.ngram_index and args.no_wildcard_index:
+            p.error("--ngram-index conflicts with --no-wildcard-index")
     if args.cmd == "query":
         # explicit --k 0 (or negative) is a user error, not "use default" —
         # resolve None-vs-given explicitly so 0 can't silently become 10/20
@@ -298,10 +313,6 @@ def main(argv: list[str] | None = None) -> int:
                     if t.strip("*") == "":
                         p.error(f"bare wildcard {t!r} matches everything"
                                 " — give at least one literal character")
-                    if t.startswith("*") and t.endswith("*"):
-                        p.error(f"infix wildcard {t!r} is not supported"
-                                " (no literal anchor at either end); "
-                                "anchor at least one end: term* / *term")
                 if not t.startswith("+"):
                     continue
                 if len(t) == 1:
@@ -357,18 +368,25 @@ def main(argv: list[str] | None = None) -> int:
             # vocabulary-bounded (one short row per term each):
             # negligible, corpus-independent tail that makes every later
             # `term*` / `*term` query a one-partition probe instead of a
-            # dictionary scan
-            from .operators.build import load_index as _li
-            from .operators.wildcard import (write_prefix_terms,
+            # dictionary scan. The n-gram projection (|V|·(len−n+1)
+            # rows, serves infix `*x*`) is opt-in like the fuzzy index.
+            from .operators.wildcard import (write_ngram_terms,
+                                             write_prefix_terms,
                                              write_suffix_terms)
-            terms = _li(spark, args.output)["terms"]
+            terms = spark.read.parquet(
+                os.path.join(args.output, "terms"))
             write_prefix_terms(terms, args.output)
             write_suffix_terms(terms, args.output)
+            if args.ngram_index:
+                write_ngram_terms(terms, args.output, n=args.ngram_size)
+                stats["ngram_size"] = args.ngram_size
         else:
-            from .operators.wildcard import (prefix_terms_dir,
+            from .operators.wildcard import (ngram_terms_dir,
+                                             prefix_terms_dir,
                                              suffix_terms_dir)
             for adir in (prefix_terms_dir(args.output),
-                         suffix_terms_dir(args.output)):
+                         suffix_terms_dir(args.output),
+                         ngram_terms_dir(args.output)):
                 pdir = os.path.dirname(adir)
                 if os.path.isdir(pdir):
                     # an aux table from a PREVIOUS build of this output
@@ -486,13 +504,19 @@ def main(argv: list[str] | None = None) -> int:
             ex_terms = [t for e in args.exclude
                         for t in analyze_query(e)[0]]
             # expansions dedupe against the bag; base terms keep
-            # multiplicity (same contract as bm25_topk_wildcard)
+            # multiplicity (same contract as bm25_topk_wildcard).
+            # Unservable patterns (infix without the n-gram index, or a
+            # literal run shorter than its gram size) surface as clean
+            # usage errors, not tracebacks
             seen = set(q_terms)
-            for w in wilds:
-                for t in expand_wildcard(index, w):
-                    if t not in seen:
-                        q_terms.append(t)
-                        seen.add(t)
+            try:
+                for w in wilds:
+                    for t in expand_wildcard(index, w):
+                        if t not in seen:
+                            q_terms.append(t)
+                            seen.add(t)
+            except ValueError as e:
+                p.error(str(e))
             w_imp = (args.boost_important
                      if args.boost_important is not None else 1.0)
             if must_terms or ex_terms:

@@ -52,7 +52,8 @@ def entry_index(spark: SparkSession, sf_dir: str) -> dict:
         corpus = documents_as_corpus(spark, sf_dir)
         B.build_index(spark, corpus, out, profile="simple", seg_bits=8,
                       n_buckets=8)
-    from .operators.wildcard import (prefix_terms_dir, suffix_terms_dir,
+    from .operators.wildcard import (ngram_terms_dir, prefix_terms_dir,
+                                     suffix_terms_dir, write_ngram_terms,
                                      write_prefix_terms, write_suffix_terms)
     if not os.path.isdir(prefix_terms_dir(out)):
         # bm25_wildcard_topk then runs over the partition-pruned
@@ -61,6 +62,9 @@ def entry_index(spark: SparkSession, sf_dir: str) -> dict:
     if not os.path.isdir(suffix_terms_dir(out)):
         # ... and bm25_wildcard_suffix_topk over the reversed-term path
         write_suffix_terms(B.load_index(spark, out)["terms"], out)
+    if not os.path.isdir(ngram_terms_dir(out)):
+        # ... and bm25_wildcard_infix_topk over the n-gram path
+        write_ngram_terms(B.load_index(spark, out)["terms"], out, n=3)
     idx = B.load_index(spark, out)
     _IDX_CACHE[key] = idx
     return idx
@@ -4205,6 +4209,43 @@ def bm25_wildcard_suffix_topk(spark, sf_dir):
 
 
 QUERIES["bm25_wildcard_suffix_topk"] = bm25_wildcard_suffix_topk
+
+
+def bm25_wildcard_infix_topk(spark, sf_dir):
+    """Infix wildcards (operators/wildcard.expand_wildcard_ngram):
+    'merge *par*' — a star-both-ends pattern probes the n-gram term
+    projection on its longest literal run's first gram ('par':
+    PartitionFilter g1='p' + pushed gram equality), then verifies
+    candidates with the anchored regex. At sf0.01 the expansion is
+    {part, spark} — equal df, so the term tie-break is exercised.
+    Oracle: DuckDB derives the expansion with the equivalent
+    double-ended LIKE '%par%' and replays BM25 over the union."""
+    idx = entry_index(spark, sf_dir)
+    r = S.bm25_topk_wildcard(spark, idx, ["merge"], ["*par*"],
+                             k=20, max_terms=8)
+    return r.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+QUERIES["bm25_wildcard_infix_topk"] = bm25_wildcard_infix_topk
+
+ORACLE_SQL["bm25_wildcard_infix_topk"] = _BASE_CTES + """,
+expansion AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rk
+    FROM dfreq WHERE term LIKE '%par%') WHERE rk <= 8
+),
+q AS (SELECT 'merge' AS term UNION SELECT term FROM expansion),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfc.doc_id
+)
+SELECT doc_id, round(s, 6)::DOUBLE AS score_r
+FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20"""
 
 ORACLE_SQL["bm25_wildcard_suffix_topk"] = _BASE_CTES + """,
 exp1 AS (

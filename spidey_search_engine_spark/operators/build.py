@@ -702,18 +702,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     stats_row = dict(stats, avgdl=float(stats["avgdl"]), profile=profile,
                      seg_bits=seg_bits, n_buckets=n_buckets, k1=K1, b=B)
     write_stats_json(spark, out_dir, stats_row)
-    # prefix-/suffix-partitioned wildcard dictionaries from a PREVIOUS
-    # build of this dir are stale against the fresh terms and load_index
-    # would silently attach them — refresh in place (vocabulary-bounded
-    # writes; creation stays the CLI's / caller's choice)
-    from .wildcard import (prefix_terms_dir, suffix_terms_dir,
-                           write_prefix_terms, write_suffix_terms)
-    if "://" not in out_dir:
-        for adir, refresh in ((prefix_terms_dir(out_dir), write_prefix_terms),
-                              (suffix_terms_dir(out_dir), write_suffix_terms)):
-            if os.path.isdir(adir):
-                refresh(spark.read.parquet(os.path.join(out_dir, "terms")),
-                        out_dir)
+    # wildcard dictionary projections (prefix / reversed-term / n-gram)
+    # from a PREVIOUS build of this dir are stale against the fresh
+    # terms and load_index would silently attach them — refresh in place
+    # (vocabulary-bounded writes; creation stays the CLI's / caller's
+    # choice)
+    from .wildcard import refresh_aux_terms
+    refresh_aux_terms(spark, out_dir)
     return stats_row
 
 
@@ -757,4 +752,8 @@ def load_index(spark: SparkSession, out_dir: str) -> dict:
     st = load_suffix_terms(spark, out_dir)
     if st is not None:
         idx["suffix_terms"] = st
+    from .wildcard import load_ngram_terms
+    ng = load_ngram_terms(spark, out_dir)
+    if ng is not None:
+        idx["ngram_terms"], idx["ngram_n"] = ng
     return idx

@@ -1019,8 +1019,10 @@ def expand_wildcard(index: dict, prefix: str,
     star-stripped form). wildcard.route_glob picks the projection: a
     leading literal prunes FORWARD (prefix path); a leading star with a
     literal tail prunes on the REVERSED term (suffix path — the Lucene
-    ReversedWildcardFilter trick); the doubly-unanchored `*x*` fails
-    fast (an n-gram term index is the honest fix, not a |V| scan).
+    ReversedWildcardFilter trick); the doubly-unanchored `*x*` probes
+    the opt-in N-GRAM term index on its longest literal run (>= n
+    chars required) and fails fast when the build didn't write one — an
+    accidental infix query must never silently pay a |V| scan.
 
     When the index carries the matching partitioned dictionary
     projection (index["prefix_terms"] / index["suffix_terms"],
@@ -1031,9 +1033,21 @@ def expand_wildcard(index: dict, prefix: str,
     (StartsWith pushed to the parquet reader on the forward path; an
     anchored-regex verify on the suffix path) — the honest cost every
     wildcard engine pays without a sorted term index."""
-    from .wildcard import (expand_wildcard_pruned, expand_wildcard_suffix,
-                           route_glob, split_glob)
-    if route_glob(prefix) == "suffix":
+    from .wildcard import (expand_wildcard_ngram, expand_wildcard_pruned,
+                           expand_wildcard_suffix, route_glob, split_glob)
+    route = route_glob(prefix)
+    if route == "ngram":
+        nt = index.get("ngram_terms")
+        if nt is None:
+            # deliberately NO scan fallback here: an accidental `*x*` on
+            # a 10^8-term dictionary must not silently pay a |V| scan
+            raise ValueError(
+                f"infix wildcard {prefix!r} needs the n-gram term index "
+                f"(rebuild with --ngram-index); anchored patterns "
+                f"(term*/*term) work without it")
+        return expand_wildcard_ngram(nt, int(index["ngram_n"]), prefix,
+                                     max_terms)
+    if route == "suffix":
         st = index.get("suffix_terms")
         if st is not None:
             return expand_wildcard_suffix(st, prefix, max_terms)

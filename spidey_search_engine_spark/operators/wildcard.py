@@ -32,9 +32,21 @@ character (= the term's LAST character), term_rev-ordered within each
 partition. `*term` reverses to the prefix probe `mret*` against that
 table; `*te*m` reverses to `m*et*` (literal head "m" prunes, anchored
 regex over term_rev verifies — reversal is an exact bijection between
-the two match problems). Only the doubly-unanchored infix form (`*x*`)
-stays unsupported: neither end gives a prunable literal, and the honest
-fix is an n-gram term index, not a |V| scan per query.
+the two match problems).
+
+The doubly-unanchored infix form (`*x*`) gets the third projection —
+the n-gram term index (the Lucene ngram-field technique): one row per
+DISTINCT character n-gram per term (|V|·(avg_len−n+1) rows — heavier
+than the other two projections but still vocabulary-bounded, never
+corpus-bounded), partitioned by the gram's first character and
+gram-ordered within partitions. A `*par*` query probes ONE partition
+with an equality predicate on the gram (row-group skipping) and
+verifies candidates with an anchored regex; the literal run must be at
+least n characters (a shorter run physically cannot contain a full
+gram — and cannot be served bounded by ANY anchor-free structure).
+This table is OPT-IN at build time (`build --ngram-index`, like the
+fuzzy deletion index): without it, infix wildcards fail fast instead of
+silently scanning a 10^8–10^9-term dictionary per query.
 """
 
 from __future__ import annotations
@@ -110,6 +122,83 @@ def load_suffix_terms(spark: SparkSession, index_dir: str) -> DataFrame | None:
     return _load_aux_terms(spark, suffix_terms_dir(index_dir), "suffix")
 
 
+def ngram_terms_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "ngram", "terms")
+
+
+def write_ngram_terms(terms_df: DataFrame, index_dir: str,
+                      n: int = 3) -> str:
+    """Materialize (gram, term, df) — one row per DISTINCT character
+    n-gram per dictionary term — partitioned by the gram's first
+    character, (gram, term)-sorted within each partition so the probe's
+    pushed gram equality skips row groups. Terms shorter than n carry no
+    grams (correct: a literal run of >= n chars cannot occur inside
+    them). n is recorded in <index>/ngram/meta.json for the probe side.
+    Same repartition-before-partitionBy rule as the other projections."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    out = ngram_terms_dir(index_dir)
+    grams = F.array_distinct(F.expr(
+        f"transform(sequence(1, length(term) - {n - 1}), "
+        f"i -> substring(term, i, {n}))"))
+    (terms_df.select("term", "df")
+     .filter(F.length("term") >= n)
+     .withColumn("gram", F.explode(grams))
+     .withColumn("g1", F.substring("gram", 1, 1))
+     .repartition("g1")
+     .sortWithinPartitions("g1", "gram", "term")
+     .write.mode("overwrite").partitionBy("g1").parquet(out))
+    import json as _json
+    with open(os.path.join(index_dir, "ngram", "meta.json"), "w",
+              encoding="utf-8") as fh:
+        _json.dump({"n": int(n)}, fh)
+    return out
+
+
+def load_ngram_terms(spark: SparkSession,
+                     index_dir: str) -> tuple[DataFrame, int] | None:
+    meta_path = os.path.join(index_dir, "ngram", "meta.json")
+    if "://" not in index_dir and not os.path.exists(meta_path):
+        return None
+    try:
+        import json as _json
+        with open(meta_path, encoding="utf-8") as fh:
+            n = int(_json.load(fh)["n"])
+    except Exception:
+        return None
+    df = _load_aux_terms(spark, ngram_terms_dir(index_dir), "ngram")
+    return None if df is None else (df, n)
+
+
+def refresh_aux_terms(spark: SparkSession, index_dir: str) -> None:
+    """Rewrite whichever wildcard projections exist under `index_dir`
+    from the CURRENT terms table — called after any rebuild / streaming
+    publish so a stale projection can never serve old terms. All three
+    writes are vocabulary-bounded; creation stays the CLI's / caller's
+    choice. Remote URIs are left alone (the local dir probes below
+    don't apply there)."""
+    if "://" in index_dir:
+        return
+    terms = None
+
+    def _terms() -> DataFrame:
+        nonlocal terms
+        if terms is None:
+            terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+        return terms
+
+    if os.path.isdir(prefix_terms_dir(index_dir)):
+        write_prefix_terms(_terms(), index_dir)
+    if os.path.isdir(suffix_terms_dir(index_dir)):
+        write_suffix_terms(_terms(), index_dir)
+    meta_path = os.path.join(index_dir, "ngram", "meta.json")
+    if os.path.exists(meta_path):
+        import json as _json
+        with open(meta_path, encoding="utf-8") as fh:
+            write_ngram_terms(_terms(), index_dir,
+                              n=int(_json.load(fh)["n"]))
+
+
 def split_glob(pattern: str) -> tuple[str, str | None]:
     """(prefix, anchored_regex_or_None) for a wildcard pattern.
 
@@ -138,12 +227,12 @@ def split_glob(pattern: str) -> tuple[str, str | None]:
 
 def route_glob(pattern: str) -> str:
     """Which dictionary projection serves `pattern`: "prefix" (no star,
-    or the first literal run leads — `term*`, `te*m`) or "suffix"
-    (leading star with a literal tail — `*term`, `*te*m`, probed against
-    the reversed-term table). The doubly-unanchored infix form (`*x*`)
-    and the bare star fail fast: neither end gives a prunable literal
-    and the honest fix is an n-gram term index, not a |V| scan per
-    query."""
+    or the first literal run leads — `term*`, `te*m`), "suffix" (leading
+    star with a literal tail — `*term`, `*te*m`, probed against the
+    reversed-term table), or "ngram" (star at BOTH ends — `*x*`, probed
+    against the n-gram term index when the build wrote one). Only the
+    bare star fails here: it matches everything and no index bounds
+    it."""
     if not pattern:
         raise ValueError("empty wildcard pattern")
     if pattern.strip("*") == "":
@@ -151,11 +240,43 @@ def route_glob(pattern: str) -> str:
     if not pattern.startswith("*"):
         return "prefix"
     if pattern.endswith("*"):
-        raise ValueError(
-            f"infix wildcard {pattern!r} is not supported: no literal "
-            f"anchor at either end (an n-gram term index is the "
-            f"standard fix); anchor at least one end (`term*`/`*term`)")
+        return "ngram"
     return "suffix"
+
+
+def expand_wildcard_ngram(ngram_terms: DataFrame, n: int, pattern: str,
+                          max_terms: int = 64) -> list[str]:
+    """Dictionary terms matching a doubly-unanchored `pattern` (`*par*`,
+    `*a*bcd*`) via the n-gram term index: the longest literal run's
+    first n characters give the probe gram — `g1 == gram[0]`
+    (PartitionFilter: one directory) plus a pushed EqualTo on `gram`
+    (row-group skipping in the gram-sorted partition) — and the full
+    pattern verifies with an anchored regex on the candidate terms. A
+    pattern whose longest run is shorter than n fails fast: no full
+    gram exists to probe on (and no anchor-free structure could bound
+    it). Same df-descending, term-tie-broken, capped contract as the
+    other paths; grams are distinct per term, so no candidate repeats."""
+    if route_glob(pattern) != "ngram":
+        raise ValueError(f"{pattern!r} is not an infix (star-both-ends) "
+                         f"pattern")
+    runs = [r for r in pattern.split("*") if r]
+    best = max(runs, key=len)
+    if len(best) < n:
+        raise ValueError(
+            f"infix wildcard {pattern!r}: longest literal run {best!r} "
+            f"is shorter than the index gram size n={n}; give at least "
+            f"{n} consecutive literal characters (or anchor one end)")
+    gram = best[:n]
+    import re as _re
+    regex = "^" + ".*".join(_re.escape(p)
+                            for p in pattern.split("*")) + "$"
+    cond = ((F.col("g1") == gram[0]) & (F.col("gram") == gram)
+            & F.col("term").rlike(regex))
+    rows = (ngram_terms.filter(cond)
+            .select("term", "df")
+            .orderBy(F.col("df").desc(), "term")
+            .limit(max_terms).collect())
+    return [r["term"] for r in rows]
 
 
 def expand_wildcard_suffix(suffix_terms: DataFrame, pattern: str,

@@ -179,16 +179,11 @@ def publish_index(spark: SparkSession, out_dir: str, profile: str = "code",
     # stats persist LAST so the on-disk record carries the compaction
     # outcome, not just the transient return value
     write_stats_json(spark, out_dir, stats_row)
-    # prefix-/suffix-partitioned wildcard dictionaries from an earlier
-    # publish are stale against the fresh terms — refresh them
+    # wildcard dictionary projections from an earlier publish are stale
+    # against the fresh terms — refresh whichever exist
     # (vocabulary-bounded)
-    from ..operators.wildcard import (prefix_terms_dir, suffix_terms_dir,
-                                      write_prefix_terms, write_suffix_terms)
-    for adir, refresh in ((prefix_terms_dir(out_dir), write_prefix_terms),
-                          (suffix_terms_dir(out_dir), write_suffix_terms)):
-        if os.path.isdir(adir):
-            refresh(spark.read.parquet(os.path.join(out_dir, "terms")),
-                    out_dir)
+    from ..operators.wildcard import refresh_aux_terms
+    refresh_aux_terms(spark, out_dir)
     return stats_row
 
 

@@ -3568,7 +3568,9 @@ def test_wildcard_suffix_index(spark, tmp_path, capsys):
     assert route_glob("so*t") == "prefix"
     assert route_glob("*ort") == "suffix"
     assert route_glob("*o*t") == "suffix"
-    for bad in ("", "*", "**", "*x*", "*a*b*"):
+    assert route_glob("*x*") == "ngram"
+    assert route_glob("*a*b*") == "ngram"
+    for bad in ("", "*", "**"):
         with _pytest.raises(ValueError):
             route_glob(bad)
 
@@ -3637,3 +3639,112 @@ def test_wildcard_suffix_index(spark, tmp_path, capsys):
                    "--k", "10"])
     assert ({r["doc_id"]: r["score"] for r in got}
             == {r["doc_id"]: r["score"] for r in spelled})
+
+
+def test_wildcard_ngram_index(spark, tmp_path, capsys):
+    """Infix wildcards (`*x*`) over the opt-in n-gram term projection:
+    bijection with a brute-force fnmatch reference, fail-fast contracts
+    (short literal run, missing table, flag conflict), PartitionFilters
+    in the probe plan, refresh-in-place on rebuild, and the CLI
+    surface."""
+    import fnmatch
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from spidey_search_engine_spark.cli import main
+    from spidey_search_engine_spark.operators import build as B
+    from spidey_search_engine_spark.operators.search import expand_wildcard
+    from spidey_search_engine_spark.operators.wildcard import (
+        expand_wildcard_ngram, ngram_terms_dir)
+
+    rows = [
+        (0, "sort merge join plan"),
+        (1, "sort merge spill disk"),
+        (2, "sortkey stuff and things"),
+        (3, "merge only document here"),
+        (4, "sorted sorting sorts"),
+    ]
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, content string").select(
+        "doc_id", F.lit("r").alias("repo"),
+        F.concat(F.lit("d/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"), F.lit("en").alias("lang"),
+        "content").write.parquet(corpus_dir)
+    idx_dir = str(tmp_path / "idx")
+
+    def run(argv):
+        assert main(argv) == 0
+        return [json.loads(line) for line in
+                capsys.readouterr().out.strip().splitlines()
+                if line.startswith("{")]
+
+    # opt-in build flag materializes <output>/ngram (+ meta with n)
+    out = run(["build", "--input", corpus_dir, "--output", idx_dir,
+               "--profile", "code", "--seg-bits", "4", "--n-buckets", "4",
+               "--ngram-index"])
+    assert out[-1].get("ngram_size") == 3
+    assert os.path.isdir(ngram_terms_dir(idx_dir))
+    idx = B.load_index(spark, idx_dir)
+    assert "ngram_terms" in idx and idx["ngram_n"] == 3
+
+    # bijection vs brute-force fnmatch over the dictionary, incl. the
+    # cap and the no-match case
+    vocab = [(r["term"], r["df"])
+             for r in idx["terms"].select("term", "df").collect()]
+    for pat, cap in (("*ort*", 10), ("*ill*", 10), ("*xyz*", 10),
+                     ("*ort*", 1)):
+        expected = [t for t, _ in sorted(
+            ((t, d) for t, d in vocab if fnmatch.fnmatchcase(t, pat)),
+            key=lambda td: (-td[1], td[0]))][:cap]
+        assert expand_wildcard(idx, pat, cap) == expected
+    assert set(expand_wildcard(idx, "*ort*", 10)) == {"sort", "sortkey"}
+
+    # fail-fast contracts: literal run shorter than the gram size;
+    # infix on an index without the table (NO silent |V| scan); module
+    # misuse; flag conflict
+    with _pytest.raises(ValueError, match="shorter than"):
+        expand_wildcard(idx, "*or*", 10)
+    no_ng = {k: v for k, v in idx.items()
+             if k not in ("ngram_terms", "ngram_n")}
+    with _pytest.raises(ValueError, match="ngram"):
+        expand_wildcard(no_ng, "*ort*", 10)
+    with _pytest.raises(ValueError):
+        expand_wildcard_ngram(idx["ngram_terms"], 3, "sort*")
+    with _pytest.raises(SystemExit):
+        main(["build", "--input", corpus_dir, "--output", idx_dir,
+              "--ngram-index", "--no-wildcard-index"])
+
+    # the probe plan prunes partitions on g1 (one directory per gram
+    # first-char)
+    probe = idx["ngram_terms"].filter(
+        (F.col("g1") == "o") & (F.col("gram") == "ort"))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "g1" in plan.split(
+        "PartitionFilters")[1][:200]
+
+    # CLI infix query end-to-end: *ort* expands to {sort, sortkey}
+    got = run(["query", "--index", idx_dir, "--q", "plan *ort*",
+               "--k", "10"])
+    assert {r["doc_id"] for r in got} == {0, 1, 2, 4}
+    # unservable CLI patterns exit cleanly, not with a traceback
+    for bad in ("plan *or*",):
+        with _pytest.raises(SystemExit):
+            main(["query", "--index", idx_dir, "--q", bad])
+
+    # rebuild WITHOUT the flag refreshes the existing table in place
+    # (never stale, never silently dropped)
+    run(["build", "--input", corpus_dir, "--output", idx_dir,
+         "--profile", "code", "--seg-bits", "4", "--n-buckets", "4"])
+    idx2 = B.load_index(spark, idx_dir)
+    assert "ngram_terms" in idx2
+    assert set(expand_wildcard(idx2, "*ort*", 10)) == {"sort", "sortkey"}
+
+    # --no-wildcard-index removes all three projections
+    out = run(["build", "--input", corpus_dir, "--output", idx_dir,
+               "--profile", "code", "--seg-bits", "4", "--n-buckets", "4",
+               "--no-wildcard-index"])
+    assert out[-1].get("stale_wildcard_index_removed") is True
+    assert not os.path.isdir(ngram_terms_dir(idx_dir))
+    assert "ngram_terms" not in B.load_index(spark, idx_dir)
