@@ -99,7 +99,11 @@ def main(argv: list[str] | None = None) -> int:
                    metavar="TERM",
                    help="boolean must-not: drop docs containing TERM "
                         "(repeatable; analyzed with the query chain; "
-                        "default BM25 path only). +TERM inside --q is "
+                        "default BM25 path only). Wildcard patterns "
+                        "(term*, *term, *x*) expand against the STORED "
+                        "dictionary and exclude every match — failing "
+                        "fast past 64 matches rather than silently "
+                        "truncating the exclusion. +TERM inside --q is "
                         "the conjunctive dual: the doc must contain it "
                         "(and it scores, Lucene MUST semantics)")
     q.add_argument("--boost-important", type=float, default=None,
@@ -307,6 +311,9 @@ def main(argv: list[str] | None = None) -> int:
             p.error("wildcards inside quoted phrases are not supported")
         if any('"' in e for e in args.exclude):
             p.error("--not takes single terms, not quoted phrases")
+        if any(e.strip("*") == "" for e in args.exclude):
+            p.error("bare wildcard in --not matches everything — give "
+                    "at least one literal character")
         if args.q:
             for t in args.q.split():
                 if "*" in t:
@@ -501,8 +508,31 @@ def main(argv: list[str] | None = None) -> int:
             must_terms = [t for w in raw
                           if w.startswith("+") and len(w) > 1
                           for t in analyze_query(w[1:])[0]]
-            ex_terms = [t for e in args.exclude
-                        for t in analyze_query(e)[0]]
+            # exclusion wildcards EXPAND (previously the analyzer
+            # silently dropped the star, so `--not test*` excluded only
+            # 'test' — less than the user asked). Unlike scoring
+            # wildcards, a capped exclusion would silently NOT exclude
+            # the dropped tail — so an over-wide pattern fails fast
+            # instead of truncating.
+            EXCLUDE_CAP = 64
+            ex_terms = []
+            try:
+                for e in args.exclude:
+                    if "*" not in e:
+                        ex_terms.extend(analyze_query(e)[0])
+                        continue
+                    pat = (e[:-1] if e.endswith("*") and "*" not in e[:-1]
+                           else e).lower()
+                    hits = expand_wildcard(index, pat, EXCLUDE_CAP + 1)
+                    if len(hits) > EXCLUDE_CAP:
+                        p.error(f"--not {e!r} matches more than "
+                                f"{EXCLUDE_CAP} dictionary terms; a "
+                                f"truncated exclusion would silently "
+                                f"keep docs you asked to drop — refine "
+                                f"the pattern")
+                    ex_terms.extend(hits)
+            except ValueError as err:
+                p.error(str(err))
             # expansions dedupe against the bag; base terms keep
             # multiplicity (same contract as bm25_topk_wildcard).
             # Unservable patterns (infix without the n-gram index, or a

@@ -3640,6 +3640,19 @@ def test_wildcard_suffix_index(spark, tmp_path, capsys):
     assert ({r["doc_id"]: r["score"] for r in got}
             == {r["doc_id"]: r["score"] for r in spelled})
 
+    # exclusion wildcards EXPAND: --not sort* drops the sortkey doc too
+    # (previously the analyzer silently dropped the star and excluded
+    # only 'sort'); leading-star exclusions ride the suffix projection
+    ex = run(["query", "--index", idx_dir, "--q", "merge plan",
+              "--not", "sort*", "--k", "10"])
+    assert {r["doc_id"] for r in ex} == {3}
+    ex2 = run(["query", "--index", idx_dir, "--q", "stuff merge",
+               "--not", "*ort", "--k", "10"])
+    assert {r["doc_id"] for r in ex2} == {2, 3}
+    with _pytest.raises(SystemExit):
+        main(["query", "--index", idx_dir, "--q", "merge",
+              "--not", "*"])
+
 
 def test_wildcard_ngram_index(spark, tmp_path, capsys):
     """Infix wildcards (`*x*`) over the opt-in n-gram term projection:
