@@ -359,6 +359,32 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "build":
         corpus = spark.read.parquet(args.input)
+        # aux projections from a PREVIOUS build of this output dir that
+        # this invocation is going to delete or rewrite anyway come out
+        # BEFORE the build — otherwise build_index's refresh-in-place
+        # rewrites them from the fresh terms only for this code to
+        # delete or re-rewrite the result
+        import os
+        import shutil
+        stale_wildcard_removed = False
+        if "://" not in args.output:
+            from .operators.wildcard import (ngram_terms_dir,
+                                             prefix_terms_dir,
+                                             suffix_terms_dir)
+            doomed = ()
+            if args.no_wildcard_index:
+                doomed = (prefix_terms_dir(args.output),
+                          suffix_terms_dir(args.output),
+                          ngram_terms_dir(args.output))
+            elif args.ngram_index:
+                # will be rewritten below with args.ngram_size
+                doomed = (ngram_terms_dir(args.output),)
+            for adir in doomed:
+                pdir = os.path.dirname(adir)
+                if os.path.isdir(pdir):
+                    shutil.rmtree(pdir)
+                    if args.no_wildcard_index:
+                        stale_wildcard_removed = True
         if args.resumable:
             from .plans.lineage import build_index_resumable
             stats = build_index_resumable(
@@ -370,39 +396,31 @@ def main(argv: list[str] | None = None) -> int:
             stats = build_index(spark, corpus, args.output,
                                 profile=args.profile, seg_bits=args.seg_bits,
                                 n_buckets=args.n_buckets)
-        import os
         if not args.no_wildcard_index:
             # vocabulary-bounded (one short row per term each):
             # negligible, corpus-independent tail that makes every later
             # `term*` / `*term` query a one-partition probe instead of a
-            # dictionary scan. The n-gram projection (|V|·(len−n+1)
-            # rows, serves infix `*x*`) is opt-in like the fuzzy index.
-            from .operators.wildcard import (write_ngram_terms,
+            # dictionary scan. Pre-existing projections were already
+            # refreshed in place by the build — only MISSING ones are
+            # created here. The n-gram projection (|V|·(len−n+1) rows,
+            # serves infix `*x*`) is opt-in like the fuzzy index.
+            from .operators.wildcard import (ngram_terms_dir,
+                                             prefix_terms_dir,
+                                             suffix_terms_dir,
+                                             write_ngram_terms,
                                              write_prefix_terms,
                                              write_suffix_terms)
             terms = spark.read.parquet(
                 os.path.join(args.output, "terms"))
-            write_prefix_terms(terms, args.output)
-            write_suffix_terms(terms, args.output)
+            if not os.path.isdir(prefix_terms_dir(args.output)):
+                write_prefix_terms(terms, args.output)
+            if not os.path.isdir(suffix_terms_dir(args.output)):
+                write_suffix_terms(terms, args.output)
             if args.ngram_index:
                 write_ngram_terms(terms, args.output, n=args.ngram_size)
                 stats["ngram_size"] = args.ngram_size
-        else:
-            from .operators.wildcard import (ngram_terms_dir,
-                                             prefix_terms_dir,
-                                             suffix_terms_dir)
-            for adir in (prefix_terms_dir(args.output),
-                         suffix_terms_dir(args.output),
-                         ngram_terms_dir(args.output)):
-                pdir = os.path.dirname(adir)
-                if os.path.isdir(pdir):
-                    # an aux table from a PREVIOUS build of this output
-                    # dir is stale against the fresh dictionary —
-                    # load_index would attach it and wildcards would
-                    # expand over old terms
-                    import shutil
-                    shutil.rmtree(pdir)
-                    stats["stale_wildcard_index_removed"] = True
+        elif stale_wildcard_removed:
+            stats["stale_wildcard_index_removed"] = True
         fuzzy_dir = os.path.join(args.output, "fuzzy")
         if args.fuzzy_index:
             from .operators.build import load_index

@@ -126,15 +126,21 @@ def ngram_terms_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "ngram", "terms")
 
 
+DEFAULT_NGRAM_N = 3
+
+
 def write_ngram_terms(terms_df: DataFrame, index_dir: str,
-                      n: int = 3) -> str:
+                      n: int = DEFAULT_NGRAM_N) -> str:
     """Materialize (gram, term, df) — one row per DISTINCT character
     n-gram per dictionary term — partitioned by the gram's first
     character, (gram, term)-sorted within each partition so the probe's
     pushed gram equality skips row groups. Terms shorter than n carry no
     grams (correct: a literal run of >= n chars cannot occur inside
-    them). n is recorded in <index>/ngram/meta.json for the probe side.
-    Same repartition-before-partitionBy rule as the other projections."""
+    them). The gram width is constant by construction, so the probe side
+    derives n from the table itself — no side-channel metadata file to
+    go stale, get corrupted, or need a driver-local filesystem (remote
+    URIs work like any parquet table). Same repartition-before-
+    partitionBy rule as the other projections."""
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
     out = ngram_terms_dir(index_dir)
@@ -148,26 +154,21 @@ def write_ngram_terms(terms_df: DataFrame, index_dir: str,
      .repartition("g1")
      .sortWithinPartitions("g1", "gram", "term")
      .write.mode("overwrite").partitionBy("g1").parquet(out))
-    import json as _json
-    with open(os.path.join(index_dir, "ngram", "meta.json"), "w",
-              encoding="utf-8") as fh:
-        _json.dump({"n": int(n)}, fh)
     return out
 
 
 def load_ngram_terms(spark: SparkSession,
                      index_dir: str) -> tuple[DataFrame, int] | None:
-    meta_path = os.path.join(index_dir, "ngram", "meta.json")
-    if "://" not in index_dir and not os.path.exists(meta_path):
-        return None
-    try:
-        import json as _json
-        with open(meta_path, encoding="utf-8") as fh:
-            n = int(_json.load(fh)["n"])
-    except Exception:
-        return None
+    """(table, n) when the projection exists, else None. n comes from
+    the width of any stored gram (constant by construction); the
+    degenerate all-short-terms vocabulary leaves an empty table — every
+    infix expansion over it is correctly empty, and DEFAULT_NGRAM_N
+    keeps the run-length guard meaningful."""
     df = _load_aux_terms(spark, ngram_terms_dir(index_dir), "ngram")
-    return None if df is None else (df, n)
+    if df is None:
+        return None
+    row = df.select(F.length("gram").alias("n")).first()
+    return df, (int(row["n"]) if row is not None else DEFAULT_NGRAM_N)
 
 
 def refresh_aux_terms(spark: SparkSession, index_dir: str) -> None:
@@ -191,12 +192,12 @@ def refresh_aux_terms(spark: SparkSession, index_dir: str) -> None:
         write_prefix_terms(_terms(), index_dir)
     if os.path.isdir(suffix_terms_dir(index_dir)):
         write_suffix_terms(_terms(), index_dir)
-    meta_path = os.path.join(index_dir, "ngram", "meta.json")
-    if os.path.exists(meta_path):
-        import json as _json
-        with open(meta_path, encoding="utf-8") as fh:
-            write_ngram_terms(_terms(), index_dir,
-                              n=int(_json.load(fh)["n"]))
+    if os.path.isdir(ngram_terms_dir(index_dir)):
+        # preserve the existing gram width (read from the old table
+        # BEFORE overwriting it)
+        loaded = load_ngram_terms(spark, index_dir)
+        n = loaded[1] if loaded is not None else DEFAULT_NGRAM_N
+        write_ngram_terms(_terms(), index_dir, n=n)
 
 
 def split_glob(pattern: str) -> tuple[str, str | None]:

@@ -110,6 +110,11 @@ def build_index_resumable(spark: SparkSession, corpus: DataFrame,
                      build_id=build_id, n_chunks=n_chunks,
                      skipped_chunks=len(skipped))
     write_stats_json(spark, out_dir, stats_row)
+    # wildcard dictionary projections from a PREVIOUS build of this dir
+    # are stale against the fresh terms — refresh whichever exist (same
+    # contract as the non-resumable build)
+    from ..operators.wildcard import refresh_aux_terms
+    refresh_aux_terms(spark, out_dir)
     return stats_row
 
 

@@ -38,6 +38,27 @@ def test_resume_after_injected_failure(spark, corpus_pdf, tmp_path):
 
     lin = resumed["lineage"].collect()
     assert {int(r["chunk"]) for r in lin} == {0, 1, 2, 3}
+
+    # a wildcard projection that existed before the resume completed
+    # must be refreshed by the republish, not left serving stale terms
+    # (review finding: the resumable path skipped refresh_aux_terms)
+    from spidey_search_engine_spark.operators.search import expand_wildcard
+    from spidey_search_engine_spark.operators.wildcard import (
+        load_ngram_terms, write_ngram_terms)
+    stale = spark.createDataFrame([("zzzonlyterm", 1)], "term string, df long")
+    write_ngram_terms(stale, resume_dir, n=3)
+    build_index_resumable(spark, corpus, resume_dir, **kw)  # resume no-op
+    ng, n = load_ngram_terms(spark, resume_dir)
+    idx = {"ngram_terms": ng, "ngram_n": n}
+    assert expand_wildcard(idx, "*zzo*", 10) == []  # stale term gone
+    # re-read: the resume republished terms, invalidating the old scan
+    fresh_terms = spark.read.parquet(resume_dir + "/terms")
+    real = {r["term"] for r in fresh_terms
+            .filter(F.col("term").rlike("^.*or.*$")
+                    & (F.length("term") >= 3)).limit(1).collect()}
+    if real:  # refreshed table serves the REAL dictionary
+        t = next(iter(real))
+        assert t in expand_wildcard(idx, f"*{t[:3]}*", 10_000)
     assert len({r["build_id"] for r in lin}) == 2  # two builds contributed
     assert all(r["wall_sec"] > 0 for r in lin)
 
