@@ -528,6 +528,27 @@ class Searcher:
     def parity(self, query: str, **kw) -> DataFrame:
         return parity_search(self.spark, self.index, query, **kw)
 
+    def boolean(self, q_terms: list[str], must: list[str] = (),
+                exclude: list[str] = (), wildcards: list[str] = (),
+                k: int = 10, max_terms: int = 64,
+                important_weight: float = 1.0) -> DataFrame:
+        """The full token-level query algebra over the warmed index —
+        wildcards expand first (same bag-dedup contract as
+        bm25_topk_wildcard; the projection probes are tiny and read
+        cold), then must/exclude apply as semi/anti joins before the
+        top-k. Composes the same operators the CLI's default path runs;
+        the warmed dictionary/postings caches serve every piece."""
+        terms = list(q_terms)
+        seen = set(terms)
+        for w in wildcards:
+            for t in expand_wildcard(self.index, w, max_terms):
+                if t not in seen:
+                    terms.append(t)
+                    seen.add(t)
+        return bm25_topk_boolean(self.spark, self.index, terms,
+                                 must=list(must), exclude=list(exclude),
+                                 k=k, important_weight=important_weight)
+
     def close(self) -> None:
         # unpersist ONLY what this instance cached — never a postings
         # DataFrame it left untouched (cache_postings=False), whose cache

@@ -137,6 +137,27 @@ def test_searcher_matches_cold_paths(spark, index):
                   s.bm25_pruned(q, k=8, range_bits=6,
                                 probe_ranges=2).collect()]
         assert warm_p == cold_p
+        # the full token-level algebra over the warmed index == the
+        # cold composition (wildcards expand into the bag, must/exclude
+        # filter before top-k)
+        from spidey_search_engine_spark.functions.analysis import \
+            analyze_query
+        from spidey_search_engine_spark.operators.search import (
+            bm25_topk_boolean, expand_wildcard)
+        q_terms, _ = analyze_query("merge sort")
+        terms = list(q_terms)
+        seen = set(terms)
+        for t in expand_wildcard(index, "ha*"):
+            if t not in seen:
+                terms.append(t)
+                seen.add(t)
+        cold_b = [(r["doc_id"], round(r["score"], 10)) for r in
+                  bm25_topk_boolean(spark, index, terms, must=["merg"],
+                                    exclude=["scan"], k=8).collect()]
+        warm_b = [(r["doc_id"], round(r["score"], 10)) for r in
+                  s.boolean(q_terms, must=["merg"], exclude=["scan"],
+                            wildcards=["ha*"], k=8).collect()]
+        assert warm_b == cold_b and warm_b
     finally:
         s.close()
     # the caller's index DataFrames still work after close
