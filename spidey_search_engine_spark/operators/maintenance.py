@@ -309,5 +309,11 @@ def _remerge_duplicate_keys(postings: DataFrame) -> DataFrame:
 
 def refresh_term_stats(postings: DataFrame, n_docs: int) -> DataFrame:
     """df/cf/idf recompute after maintenance (Indexer.java:650-654's
-    decrement, done exactly instead of incrementally)."""
+    decrement, done exactly instead of incrementally).
+
+    Callers that persist the result over an index dir's `terms` table
+    must also call wildcard.refresh_aux_terms(spark, index_dir)
+    afterwards — the prefix/suffix/n-gram dictionary projections are
+    derived from `terms` and would otherwise serve the pre-maintenance
+    vocabulary (the build/resume/streaming-publish paths all do this)."""
     return term_stats(postings, n_docs)
