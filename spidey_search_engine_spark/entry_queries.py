@@ -4290,3 +4290,59 @@ scores AS (
 )
 SELECT doc_id, round(s, 6)::DOUBLE AS score_r
 FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20"""
+
+
+def index_verify_docs(spark, sf_dir):
+    """Index↔source integrity audit (operators/maintenance.index_verify):
+    the north-rule's per-row content-sha256 invariant as a first-class
+    operator — the index docs table's STORED sha (carried through the
+    DOCSHA sentinel partials at build time) full-outer-joined against an
+    in-scan sha2 of the current source. The source is perturbed
+    deterministically so all four statuses appear: doc_id % 13 == 3
+    rewritten (stale), doc_id % 17 == 5 dropped (orphaned — indexed but
+    gone), and rows shifted to doc_id + 2*10^6 added (missing — present
+    but never indexed). Oracle: DuckDB rebuilds both sides — the index
+    side is sha256(text) of every documents row, exactly what the build
+    stored — and replays the presence/CASE logic."""
+    idx = entry_index(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", F.col("text").alias("content"))
+    perturbed = (src.filter(F.col("doc_id") % 17 != 5)
+                 .select("doc_id",
+                         F.when(F.col("doc_id") % 13 == 3,
+                                F.concat(F.lit("EDIT:"), F.col("content")))
+                         .otherwise(F.col("content")).alias("content"))
+                 .unionByName(src.select(
+                     (F.col("doc_id") + 2000000).alias("doc_id"),
+                     F.col("content")).filter(F.col("doc_id") % 3 == 0)))
+    from .operators.maintenance import index_verify
+    return index_verify(idx["docs"], perturbed)
+
+
+QUERIES["index_verify_docs"] = index_verify_docs
+
+ORACLE_SQL["index_verify_docs"] = """
+WITH idx AS (
+  SELECT doc_id, sha256(text) AS sha FROM documents
+),
+src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 3 THEN sha256('EDIT:' || text)
+              ELSE sha256(text) END AS sha
+  FROM documents WHERE doc_id % 17 <> 5
+  UNION ALL
+  SELECT doc_id + 2000000, sha256(text) FROM documents
+  WHERE (doc_id + 2000000) % 3 = 0
+),
+j AS (
+  SELECT coalesce(i.doc_id, s.doc_id) AS doc_id,
+         i.sha AS si, s.sha AS ss,
+         i.doc_id IS NOT NULL AS in_idx, s.doc_id IS NOT NULL AS in_src
+  FROM idx i FULL OUTER JOIN src s USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN NOT in_idx THEN 'missing'
+            WHEN NOT in_src THEN 'orphaned'
+            WHEN si = ss THEN 'ok'
+            ELSE 'stale' END AS status
+FROM j"""

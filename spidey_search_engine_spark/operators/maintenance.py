@@ -317,3 +317,61 @@ def refresh_term_stats(postings: DataFrame, n_docs: int) -> DataFrame:
     derived from `terms` and would otherwise serve the pre-maintenance
     vocabulary (the build/resume/streaming-publish paths all do this)."""
     return term_stats(postings, n_docs)
+
+
+# ---------------------------------------------------------------------------
+# Index <-> source integrity audit (the north-rule per-row invariant)
+# ---------------------------------------------------------------------------
+
+
+def index_verify(index_docs: DataFrame, source: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "content",
+                 sha_col: str = "content_sha256") -> DataFrame:
+    """Per-row sha256 equality of the index against its source table.
+
+    The build pipeline carries each document's content sha256 through the
+    DOCSHA sentinel partials into the index `docs` table (build.doc_shas)
+    precisely so the index can later PROVE it still matches the corpus it
+    claims to serve — the per-row invariant the engine's contract names.
+    This operator is that proof as data: one full-outer join on the doc
+    id (unique uniform key, no skew — the same single corpus-scale
+    exchange corpus_diff uses) between the index's STORED sha and the
+    source's in-scan ``sha2(content, 256)``:
+
+        (doc_id, status)   status ∈
+        ok        indexed and the stored sha equals the source content
+        stale     indexed but the source content changed underneath
+        missing   in the source, never indexed (or dropped by a delete)
+        orphaned  in the index, gone from the source
+
+    ``stale ∪ missing`` is exactly maintenance.reindex_docs' input and
+    ``orphaned`` is delete_docs_postings' — verify once, repair on the
+    delta. The source scan prunes to (id, content); nothing here decodes
+    postings, so the audit costs one docs-table read + one source read
+    regardless of index size. NULL-content rows hash to NULL on the
+    source side; presence markers (not sha nullability) decide
+    missing/orphaned and eqNullSafe compares NULL==NULL stored shas as
+    equal — the corpus_diff lesson applied here from the start.
+    """
+    left = index_docs.select(
+        F.col(id_col), F.col(sha_col).alias("_sha_idx"),
+        F.lit(True).alias("_in_idx"))
+    right = source.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("_sha_src"),
+        F.lit(True).alias("_in_src"))
+    j = left.join(right, id_col, "full_outer")
+    status = (F.when(F.col("_in_idx").isNull(), "missing")
+              .when(F.col("_in_src").isNull(), "orphaned")
+              .when(F.col("_sha_idx").eqNullSafe(F.col("_sha_src")), "ok")
+              .otherwise("stale"))
+    return j.select(id_col, status.alias("status"))
+
+
+def index_verify_summary(index_docs: DataFrame, source: DataFrame,
+                         id_col: str = "doc_id",
+                         text_col: str = "content",
+                         sha_col: str = "content_sha256") -> DataFrame:
+    """(status, n_docs) counts — the one-line audit for the build log;
+    a clean index reads as a single ``ok`` row."""
+    return (index_verify(index_docs, source, id_col, text_col, sha_col)
+            .groupBy("status").agg(F.count("*").alias("n_docs")))

@@ -208,3 +208,54 @@ def test_delete_docs_handles_sentinel_rows(spark, corpus_pdf, tmp_path):
     kept_len_ids = {r["doc_id"] for r in doc_lengths(sent).collect()}
     kept_sha_ids = {r["doc_id"] for r in doc_shas(sent).collect()}
     assert kept_len_ids == kept_sha_ids == set(range(60)) - set(victims)
+
+
+def test_index_verify_statuses(spark):
+    from spidey_search_engine_spark.operators.maintenance import (
+        index_verify, index_verify_summary)
+    idx_docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "content_sha256": [
+                # sha256("a"), sha256("b"), sha256("c"), and a NULL-content
+                # doc whose stored sha is NULL (sha2(NULL) at build time)
+                "ca978112ca1bbdcafac231b39a23dc4da786eff8147c4e72"
+                "b9807785afee48bb",
+                "3e23e8160039594a33894f6564e1b1348bbd7a0088d42c4a"
+                "cb73eeaed59c009d",
+                "2e7d2c03a9507ae265ecf5b5356885a53393a2029d241394"
+                "997265a1a25aefc6",
+                None,
+            ]}))
+    source = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 4, 5],
+            # doc 1 unchanged, doc 2 edited, doc 3 gone (orphaned),
+            # doc 4 NULL content on both sides (ok via eqNullSafe),
+            # doc 5 never indexed (missing)
+            "content": ["a", "B", None, "e"]}))
+    got = {r["doc_id"]: r["status"]
+           for r in index_verify(idx_docs, source).collect()}
+    assert got == {1: "ok", 2: "stale", 3: "orphaned", 4: "ok",
+                   5: "missing"}
+    summary = {r["status"]: r["n_docs"]
+               for r in index_verify_summary(idx_docs, source).collect()}
+    assert summary == {"ok": 2, "stale": 1, "orphaned": 1, "missing": 1}
+
+
+def test_index_verify_clean_index_is_all_ok(spark, corpus_pdf, tmp_path):
+    from spidey_search_engine_spark.operators.build import (build_index,
+                                                            load_index)
+    from spidey_search_engine_spark.operators.maintenance import (
+        index_verify_summary)
+    from spidey_search_engine_spark.operators.build import prepare_docs
+    out = str(tmp_path / "verify_idx")
+    corpus = spark.createDataFrame(corpus_pdf).repartition(4)
+    build_index(spark, corpus, out, profile="code", seg_bits=6, n_buckets=4)
+    idx = load_index(spark, out)
+    # the source with the build's own id assignment (prepare_docs is
+    # deterministic by (repo, path) order)
+    source = prepare_docs(corpus).select("doc_id", "content")
+    rows = index_verify_summary(idx["docs"], source).collect()
+    assert [(r["status"], r["n_docs"]) for r in rows] == [
+        ("ok", len(corpus_pdf))]
