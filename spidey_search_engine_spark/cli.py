@@ -106,6 +106,13 @@ def main(argv: list[str] | None = None) -> int:
                         "truncating the exclusion. +TERM inside --q is "
                         "the conjunctive dual: the doc must contain it "
                         "(and it scores, Lucene MUST semantics)")
+    q.add_argument("--suggest", action="store_true",
+                   help="'Did you mean:' report instead of a search — "
+                        "one JSON line per analyzed query token with its "
+                        "best in-distance-1 dictionary suggestion (exact "
+                        "hits suggest themselves at dist 0, tokens with "
+                        "no candidate print null); uses the SymSpell "
+                        "index like --fuzzy but does not run the query")
     q.add_argument("--boost-important", type=float, default=None,
                    metavar="W",
                    help="BM25F-lite: weight important (title/path-token) "
@@ -339,6 +346,17 @@ def main(argv: list[str] | None = None) -> int:
                      or args.facets or args.more_like is not None)):
             p.error("--not / +term / wildcard terms are supported on "
                     "the default BM25 path only")
+        if args.suggest:
+            if (args.parity or args.pruned or args.fuzzy or args.facets
+                    or args.more_like is not None):
+                p.error("--suggest replaces the search; drop the "
+                        "ranking/mode flags")
+            if args.exclude or has_wild or has_must:
+                p.error("--suggest takes plain terms only (no --not / "
+                        "+term / wildcards — there is nothing to "
+                        "suggest for an operator)")
+            if args.q is None:
+                p.error("--suggest needs --q")
         if args.boost_important is not None:
             if args.boost_important <= 0:
                 p.error(f"--boost-important must be > 0 "
@@ -440,7 +458,35 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "query":
         from .operators.build import load_index
         index = load_index(spark, args.index)
-        if args.facets:
+
+        def _fuzzy_idx():
+            import os
+
+            from .operators.fuzzy import (build_deletion_index,
+                                          load_deletion_index)
+            fuzzy_dir = os.path.join(args.index, "fuzzy")
+            if os.path.exists(os.path.join(fuzzy_dir, "meta.json")):
+                return load_deletion_index(spark, fuzzy_dir)
+            # inline fallback: correct but unpruned (no materialized
+            # bucket partitions) — `build --fuzzy-index` is the scale path
+            print("fuzzy index not materialized; deriving inline "
+                  "(run build --fuzzy-index)", file=sys.stderr)
+            return {"variants": build_deletion_index(
+                index["terms"], n_buckets=64), "max_del": 1,
+                "n_buckets": 64}
+
+        if args.suggest:
+            from .functions.analysis import analyze_query
+            from .operators.fuzzy import did_you_mean
+            q_terms, phrases = analyze_query(args.q)
+            for ph in phrases:
+                q_terms.extend(ph)
+            fz = _fuzzy_idx()
+            rows = did_you_mean(fz["variants"], q_terms,
+                                n_buckets=fz["n_buckets"],
+                                index_max_del=fz["max_del"]) \
+                .orderBy("q").collect()
+        elif args.facets:
             from .operators.search import facet_counts
             from .functions.analysis import analyze_query
             q_terms, phrases = analyze_query(args.q)
@@ -465,27 +511,12 @@ def main(argv: list[str] | None = None) -> int:
             rows = bm25_topk_pruned(spark, index, args.q,
                                     k=args.k).collect()
         elif args.fuzzy:
-            import os
-
             from pyspark.sql import functions as F
 
             from .functions.analysis import analyze_query
-            from .operators.fuzzy import (build_deletion_index,
-                                          correct_tokens,
-                                          load_deletion_index)
+            from .operators.fuzzy import correct_tokens
             from .operators.search import bm25_topk_tokens
-            fuzzy_dir = os.path.join(args.index, "fuzzy")
-            if os.path.exists(os.path.join(fuzzy_dir, "meta.json")):
-                fz = load_deletion_index(spark, fuzzy_dir)
-            else:
-                # inline fallback: correct but unpruned (no materialized
-                # bucket partitions) — `build --fuzzy-index` is the scale
-                # path
-                print("fuzzy index not materialized; deriving inline "
-                      "(run build --fuzzy-index)", file=sys.stderr)
-                fz = {"variants": build_deletion_index(
-                    index["terms"], n_buckets=64), "max_del": 1,
-                    "n_buckets": 64}
+            fz = _fuzzy_idx()
             q_terms, phrases = analyze_query(args.q)
             for ph in phrases:
                 q_terms.extend(ph)

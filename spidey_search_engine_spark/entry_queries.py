@@ -4346,3 +4346,46 @@ SELECT doc_id,
             WHEN si = ss THEN 'ok'
             ELSE 'stale' END AS status
 FROM j"""
+
+
+def did_you_mean_docs(spark, sf_dir):
+    """"Did you mean:" per-token suggestion report
+    (operators/fuzzy.did_you_mean): best in-distance-1 dictionary term
+    per query token from the materialized SymSpell deletion index —
+    exact hits suggest themselves at dist 0, uncorrectable tokens keep a
+    NULL row. Same engineered token set as fuzzy_term_lookup (multi-
+    candidate typos, one exact hit, one miss). Oracle: brute-force
+    levenshtein rank-1 over the full vocabulary LEFT-joined back onto
+    the token list — equality proves both the neighborhood completeness
+    AND the miss-row visibility."""
+    from .operators.fuzzy import (did_you_mean, load_deletion_index,
+                                  write_deletion_index)
+    idx = entry_index(spark, sf_dir)
+    out = entry_index_dir(sf_dir) + "_fuzzy"
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        write_deletion_index(idx["terms"], out, max_del=1, n_buckets=16)
+    fz = load_deletion_index(spark, out)
+    toks = ["hast", "sart", "spart", "ag", "merg", "scan", "zzz"]
+    return did_you_mean(fz["variants"], toks, n_buckets=fz["n_buckets"],
+                        index_max_del=fz["max_del"], max_d=1)
+
+
+QUERIES["did_you_mean_docs"] = did_you_mean_docs
+
+ORACLE_SQL["did_you_mean_docs"] = _BASE_CTES + """,
+fq(q) AS (VALUES ('hast'), ('sart'), ('spart'), ('ag'), ('merg'),
+                 ('scan'), ('zzz')),
+best AS (
+  SELECT q, term AS suggestion, dist, df FROM (
+    SELECT fq.q, dfreq.term,
+           levenshtein(fq.q, dfreq.term)::INT AS dist, dfreq.df,
+           row_number() OVER (
+             PARTITION BY fq.q
+             ORDER BY levenshtein(fq.q, dfreq.term) ASC, dfreq.df DESC,
+                      dfreq.term ASC) AS rk
+    FROM fq CROSS JOIN dfreq
+    WHERE levenshtein(fq.q, dfreq.term) <= 1
+  ) WHERE rk = 1
+)
+SELECT fq.q, best.suggestion, best.dist, best.df
+FROM fq LEFT JOIN best USING (q)"""

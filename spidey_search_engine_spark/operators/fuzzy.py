@@ -195,3 +195,36 @@ def correct_tokens(del_index: DataFrame, tokens: list[str],
                         index_max_del=index_max_del, max_d=max_d,
                         k=1).collect()
     return {r["q"]: r["term"] for r in best if r["term"] != r["q"]}
+
+
+def did_you_mean(del_index: DataFrame, tokens: list[str], *,
+                 n_buckets: int, index_max_del: int = 1,
+                 max_d: int = 1) -> DataFrame:
+    """The "Did you mean:" report — one row PER DISTINCT query token:
+
+        (q, suggestion, dist, df)
+
+    ``suggestion`` is the best in-distance dictionary term under the
+    fuzzy ranking (dist ASC, df DESC, term ASC); a token already in the
+    dictionary suggests itself at dist 0 (deletion variants include the
+    term, so the exact hit always outranks any correction); a token with
+    NO in-distance candidate keeps a row with NULL suggestion/dist/df —
+    visible, not silently dropped (the caller's UX decides whether an
+    uncorrectable token means "no results" or "search as typed").
+
+    This is the report twin of ``correct_tokens`` (which returns only the
+    applied fixes, for the query-rewrite path): same index, same probe —
+    one partition-pruned equi-join on the delete variants, never a
+    vocabulary distance scan — plus a broadcast left join back onto the
+    token list so misses survive. Cost is bounded by the query's token
+    count, independent of |V| and of corpus size."""
+    spark = SparkSession.getActiveSession()
+    toks = sorted(set(tokens))
+    tok_df = spark.createDataFrame([(t,) for t in toks], "q string")
+    if not toks:
+        return spark.createDataFrame(
+            [], "q string, suggestion string, dist int, df long")
+    best = fuzzy_lookup(del_index, toks, n_buckets=n_buckets,
+                        index_max_del=index_max_del, max_d=max_d, k=1) \
+        .select("q", F.col("term").alias("suggestion"), "dist", "df")
+    return tok_df.join(best, "q", "left")

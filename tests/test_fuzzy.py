@@ -102,6 +102,20 @@ def test_correct_tokens_semantics(spark, del_idx):
     assert correct_tokens(del_idx, ["sort"], known, n_buckets=8) == {}
 
 
+def test_did_you_mean_report(spark, del_idx):
+    from spidey_search_engine_spark.operators.fuzzy import did_you_mean
+    got = {r["q"]: (r["suggestion"], r["dist"], r["df"])
+           for r in did_you_mean(del_idx, ["merg", "sort", "zzz", "spam"],
+                                 n_buckets=8).collect()}
+    # typo -> best correction; exact hit -> itself at dist 0;
+    # no candidate -> visible NULL row; tie broken by df DESC
+    assert got["merg"] == ("merge", 1, 40)
+    assert got["sort"] == ("sort", 0, 50)
+    assert got["zzz"] == (None, None, None)
+    assert got["spam"] == ("span", 1, 9)    # scan is distance 2 — excluded
+    assert len(got) == 4
+
+
 def test_write_load_round_trip(spark, tmp_path):
     terms = spark.createDataFrame(VOCAB, "term string, df long")
     out = str(tmp_path / "fuzzy")
@@ -188,6 +202,51 @@ def test_cli_fuzzy_query(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         main(["query", "--index", idx, "--q", "merj", "--fuzzy",
               "--parity"])
+
+
+def test_cli_suggest_report(spark, tmp_path, capsys):
+    """query --suggest prints the did-you-mean report (one JSON line per
+    analyzed token, misses visible as nulls) and never runs the search;
+    illegal flag combinations fail fast."""
+    import json
+
+    import pytest as _pytest
+
+    from spidey_search_engine_spark.cli import main
+
+    rows = [(i, "merge sort data fast scan", f"src/f{i}.py", "r/r",
+             "c0", "py") for i in range(4)]
+    src = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        rows, "doc_id long, content string, path string, repo string, "
+              "commit string, lang string") \
+        .coalesce(2).write.parquet(src)
+    rc = main(["build", "--input", src, "--output", idx,
+               "--profile", "code", "--seg-bits", "4",
+               "--n-buckets", "4", "--fuzzy-index", "--fuzzy-buckets", "8"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["query", "--index", idx, "--q", "merge sortt zzzzzz",
+               "--suggest"])
+    assert rc == 0
+    got = {r["q"]: (r["suggestion"], r["dist"])
+           for r in (json.loads(ln) for ln in
+                     capsys.readouterr().out.strip().splitlines())}
+    # code profile stems merge -> merg (exact hit, dist 0); the typo's
+    # stem "sortt" corrects to "sort"; the miss prints nulls
+    assert got["merg"] == ("merg", 0)
+    assert got["sortt"] == ("sort", 1)
+    assert got["zzzzzz"] == (None, None)
+
+    with _pytest.raises(SystemExit):
+        main(["query", "--index", idx, "--q", "a", "--suggest",
+              "--fuzzy"])
+    with _pytest.raises(SystemExit):
+        main(["query", "--index", idx, "--q", "+a b", "--suggest"])
+    with _pytest.raises(SystemExit):
+        main(["query", "--index", idx, "--suggest"])
 
 
 def test_cli_rebuild_clears_stale_fuzzy_index(spark, tmp_path, capsys):
