@@ -499,6 +499,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.more_like is not None:
             from .operators.search import more_like_this
             docs = spark.read.parquet(args.corpus)
+            if "doc_id" not in docs.columns:
+                # raw (repo,path,...,content) corpus: derive the same
+                # dense (repo,path)-ordered ids the build assigned, so
+                # --more-like N names the same document the index knows
+                from .operators.build import assign_doc_ids
+                docs = assign_doc_ids(docs)
             rows = more_like_this(spark, index, docs, args.more_like,
                                   k=args.k).collect()
         elif args.parity:

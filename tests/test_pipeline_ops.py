@@ -3019,6 +3019,46 @@ def test_cli_query_facets_mlt_slop(spark, tmp_path, capsys):
             main(bad)
 
 
+def test_cli_more_like_raw_corpus(spark, tmp_path, capsys):
+    """--more-like on a RAW (repo,path,...,content) corpus parquet with
+    no doc_id column: the CLI derives the same dense (repo,path)-ordered
+    ids the build assigned, so --more-like N names the document the
+    index knows as N (regression: this used to raise UNRESOLVED_COLUMN
+    on exactly the spark-submit corpus shape from BASELINE.json)."""
+    import json
+
+    from spidey_search_engine_spark.cli import main
+    from spidey_search_engine_spark.operators.build import (assign_doc_ids,
+                                                            build_index)
+    from spidey_search_engine_spark.operators.search import more_like_this
+
+    rows = [(f"r{i % 3}", f"d/{i}", "c0", "py",
+             " ".join(["alpha"] * (1 + i % 2) + ["beta", f"w{i % 4}"]))
+            for i in range(12)]
+    raw = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    src, idx = str(tmp_path / "raw_corpus"), str(tmp_path / "idx")
+    raw.write.parquet(src)
+    build_index(spark, raw, idx, profile="simple", seg_bits=4, n_buckets=4)
+
+    rc = main(["query", "--index", idx, "--more-like", "2", "--corpus",
+               src, "--k", "3"])
+    assert rc == 0
+    got = [json.loads(line) for line in
+           capsys.readouterr().out.strip().splitlines()
+           if line.startswith("{")]
+    assert len(got) == 3 and all(r["doc_id"] != 2 for r in got)
+
+    # byte-equal to calling the operator on the explicitly re-derived ids
+    from spidey_search_engine_spark.operators.build import load_index
+    want = more_like_this(spark, load_index(spark, idx),
+                          assign_doc_ids(spark.read.parquet(src)),
+                          2, k=3).collect()
+    assert [(r["doc_id"], r["score"]) for r in want] == \
+        [(r["doc_id"], r["score"]) for r in got]
+
+
 def test_token_grams_kernel_lockstep(spark):
     """The Arrow gram kernel (with_token_grams) is token-for-token equal
     to the JVM expression form across n, multi-n concat order, distinct
