@@ -460,14 +460,14 @@ def main() -> None:
     if not os.path.isdir(prefix_terms_dir(idx_dir)):
         write_prefix_terms(idx["terms"], idx_dir)
     pt = load_prefix_terms(spark, idx_dir)
-    dwp = (pt.filter((F.col("p1") == "s")
+    dwp = (pt.filter((F.col("p1") == F.ascii(F.lit("s")))
                      & F.col("term").startswith("so"))
            .select("term", "df")
            .orderBy(F.col("df").desc(), "term").limit(8))
     sections.append((
         "Wildcard term expansion (P50), prefix-partitioned path: "
         "PartitionFilters on p1",
-        "Look for: PartitionFilters [isnotnull(p1), (p1 = s)] on the "
+        "Look for: PartitionFilters [isnotnull(p1), (p1 = 115)] (p1 is the first-char codepoint) on the "
         "prefix-terms scan — every other first-char partition directory "
         "is pruned unread — plus PushedFilters "
         "[.., StringStartsWith(term,so)] skipping row groups inside the "
@@ -485,14 +485,14 @@ def main() -> None:
     if not os.path.isdir(suffix_terms_dir(idx_dir)):
         write_suffix_terms(idx["terms"], idx_dir)
     st = load_suffix_terms(spark, idx_dir)
-    dws = (st.filter((F.col("p1") == "e")
+    dws = (st.filter((F.col("p1") == F.ascii(F.lit("e")))
                      & F.col("term_rev").startswith("el"))
            .select("term", "df")
            .orderBy(F.col("df").desc(), "term").limit(8))
     sections.append((
         "Leading-wildcard expansion (`*le`), reversed-term path: "
         "PartitionFilters on p1 (the term's LAST character)",
-        "Look for: PartitionFilters [isnotnull(p1), (p1 = e)] on the "
+        "Look for: PartitionFilters [isnotnull(p1), (p1 = 101)] (codepoint of the last char) on the "
         "suffix-terms scan — `*le` reverses to the prefix probe `el*` "
         "against term_rev, so only the last-char partition directory is "
         "read — plus PushedFilters [.., StringStartsWith(term_rev,el)] "
@@ -510,13 +510,14 @@ def main() -> None:
     if not os.path.isdir(ngram_terms_dir(idx_dir)):
         write_ngram_terms(idx["terms"], idx_dir, n=3)
     ng, _n = load_ngram_terms(spark, idx_dir)
-    dwn = (ng.filter((F.col("g1") == "p") & (F.col("gram") == "par"))
+    dwn = (ng.filter((F.col("g1") == F.ascii(F.lit("p")))
+           & (F.col("gram") == "par"))
            .select("term", "df")
            .orderBy(F.col("df").desc(), "term").limit(8))
     sections.append((
         "Infix-wildcard expansion (`*par*`), n-gram path: "
         "PartitionFilters on g1 + pushed gram equality",
-        "Look for: PartitionFilters [isnotnull(g1), (g1 = p)] on the "
+        "Look for: PartitionFilters [isnotnull(g1), (g1 = 112)] (gram first-char codepoint) on the "
         "ngram-terms scan — only the probe gram's first-char directory "
         "is read — plus PushedFilters [.., EqualTo(gram,par)] skipping "
         "row groups inside the gram-sorted partition, and "

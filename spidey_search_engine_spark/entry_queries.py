@@ -52,17 +52,21 @@ def entry_index(spark: SparkSession, sf_dir: str) -> dict:
         corpus = documents_as_corpus(spark, sf_dir)
         B.build_index(spark, corpus, out, profile="simple", seg_bits=8,
                       n_buckets=8)
-    from .operators.wildcard import (ngram_terms_dir, prefix_terms_dir,
-                                     suffix_terms_dir, write_ngram_terms,
+    from .operators.wildcard import (load_ngram_terms, load_prefix_terms,
+                                     load_suffix_terms, write_ngram_terms,
                                      write_prefix_terms, write_suffix_terms)
-    if not os.path.isdir(prefix_terms_dir(out)):
+    # probe via the loaders, not isdir: a projection left by an older
+    # layout (e.g. pre-codepoint string partitions) loads as None, and
+    # write.mode("overwrite") self-heals it — the wildcard entries must
+    # never run degraded against a cached /tmp index
+    if load_prefix_terms(spark, out) is None:
         # bm25_wildcard_topk then runs over the partition-pruned
         # expansion path (the CLI-build default), same oracle
         write_prefix_terms(B.load_index(spark, out)["terms"], out)
-    if not os.path.isdir(suffix_terms_dir(out)):
+    if load_suffix_terms(spark, out) is None:
         # ... and bm25_wildcard_suffix_topk over the reversed-term path
         write_suffix_terms(B.load_index(spark, out)["terms"], out)
-    if not os.path.isdir(ngram_terms_dir(out)):
+    if load_ngram_terms(spark, out) is None:
         # ... and bm25_wildcard_infix_topk over the n-gram path
         write_ngram_terms(B.load_index(spark, out)["terms"], out, n=3)
     idx = B.load_index(spark, out)
@@ -4215,7 +4219,7 @@ def bm25_wildcard_infix_topk(spark, sf_dir):
     """Infix wildcards (operators/wildcard.expand_wildcard_ngram):
     'merge *par*' — a star-both-ends pattern probes the n-gram term
     projection on its longest literal run's first gram ('par':
-    PartitionFilter g1='p' + pushed gram equality), then verifies
+    PartitionFilter g1=codepoint('p') + pushed gram equality), then verifies
     candidates with the anchored regex. At sf0.01 the expansion is
     {part, spark} — equal df, so the term tie-break is exercised.
     Oracle: DuckDB derives the expansion with the equivalent

@@ -9,9 +9,19 @@ buckets are hash-assigned, so nothing is partition-prunable and at a
 pattern the SymSpell deletion index uses for fuzzy lookup
 (fuzzy.write_deletion_index):
 
-* partitioned by `p1` = the term's first character (≤ ~37 partitions for
-  analyzed [a-z0-9_] terms) — a `so*` query reads ONLY the `p1=s`
-  partition directory (PartitionFilters; everything else pruned unread);
+* partitioned by `p1` = the CODEPOINT of the term's first character
+  (an int; ≤ ~37 partitions for analyzed [a-z0-9_] terms) — a `so*`
+  query reads ONLY the `p1=115` partition directory (PartitionFilters;
+  everything else pruned unread). The partition value is an integer, not
+  the raw character, because partition values become DIRECTORY NAMES:
+  a non-ASCII first character (Arabic terms) made the write throw
+  InvalidPathException under spark-submit's default POSIX file.encoding
+  — every other partitioned table in this engine (postings buckets,
+  fuzzy vbuckets, ANN clusters) already uses int partition values for
+  the same reason. Probe filters compare against F.ascii(F.lit(ch)) —
+  the SAME JVM expression the writer used, constant-folded by Catalyst
+  into a literal PartitionFilter — so write/probe agreement never
+  depends on Python replicating JVM character semantics;
 * each partition file is term-ordered (`sortWithinPartitions("p1",
   "term")`, partition column first — required, the writer re-sorts by it
   anyway), so within the partition the pushed StringStartsWith skips row
@@ -62,14 +72,15 @@ def prefix_terms_dir(index_dir: str) -> str:
 
 
 def write_prefix_terms(terms_df: DataFrame, index_dir: str) -> str:
-    """Materialize (term, df, p1) partitioned by first character.
+    """Materialize (term, df, p1) partitioned by the first character's
+    codepoint (int — see module docstring for why not the raw char).
 
     repartition("p1") first — without it every input partition writes a
     file per partition dir (the measured small-file explosion that hit
     the LSH index build)."""
     out = prefix_terms_dir(index_dir)
     (terms_df.select("term", "df")
-     .withColumn("p1", F.substring("term", 1, 1))
+     .withColumn("p1", F.ascii(F.substring("term", 1, 1)))
      .repartition("p1")
      .sortWithinPartitions("p1", "term")
      .write.mode("overwrite").partitionBy("p1").parquet(out))
@@ -82,12 +93,13 @@ def suffix_terms_dir(index_dir: str) -> str:
 
 def write_suffix_terms(terms_df: DataFrame, index_dir: str) -> str:
     """Materialize (term, df, term_rev) partitioned by the REVERSED
-    term's first character — the leading-wildcard mirror of
-    write_prefix_terms (same repartition-before-partitionBy rule)."""
+    term's first-character codepoint — the leading-wildcard mirror of
+    write_prefix_terms (same repartition-before-partitionBy and
+    int-partition-value rules)."""
     out = suffix_terms_dir(index_dir)
     (terms_df.select("term", "df")
      .withColumn("term_rev", F.reverse(F.col("term")))
-     .withColumn("p1", F.substring("term_rev", 1, 1))
+     .withColumn("p1", F.ascii(F.substring("term_rev", 1, 1)))
      .repartition("p1")
      .sortWithinPartitions("p1", "term_rev")
      .write.mode("overwrite").partitionBy("p1").parquet(out))
@@ -100,7 +112,17 @@ def _load_aux_terms(spark: SparkSession, out: str,
         exists = os.path.isdir(out) if "://" not in out else True
         if not exists:
             return None
-        return spark.read.parquet(out)
+        df = spark.read.parquet(out)
+        part_col = "g1" if kind == "ngram" else "p1"
+        if dict(df.dtypes).get(part_col) != "int":
+            # pre-codepoint layout (partition dirs named by raw first
+            # CHAR): probing it with int codepoints would silently match
+            # nothing — treat as stale, same contract as unreadable
+            raise ValueError(
+                f"stale {part_col} partition layout "
+                f"({dict(df.dtypes).get(part_col)}, expected int "
+                f"codepoints)")
+        return df
     except Exception as e:
         # a present-but-unreadable table (e.g. a crash mid-write) must not
         # take load_index down, but silently degrading every wildcard to a
@@ -133,7 +155,7 @@ def write_ngram_terms(terms_df: DataFrame, index_dir: str,
                       n: int = DEFAULT_NGRAM_N) -> str:
     """Materialize (gram, term, df) — one row per DISTINCT character
     n-gram per dictionary term — partitioned by the gram's first
-    character, (gram, term)-sorted within each partition so the probe's
+    character codepoint, (gram, term)-sorted within each partition so the probe's
     pushed gram equality skips row groups. Terms shorter than n carry no
     grams (correct: a literal run of >= n chars cannot occur inside
     them). The gram width is constant by construction, so the probe side
@@ -150,7 +172,7 @@ def write_ngram_terms(terms_df: DataFrame, index_dir: str,
     (terms_df.select("term", "df")
      .filter(F.length("term") >= n)
      .withColumn("gram", F.explode(grams))
-     .withColumn("g1", F.substring("gram", 1, 1))
+     .withColumn("g1", F.ascii(F.substring("gram", 1, 1)))
      .repartition("g1")
      .sortWithinPartitions("g1", "gram", "term")
      .write.mode("overwrite").partitionBy("g1").parquet(out))
@@ -271,7 +293,8 @@ def expand_wildcard_ngram(ngram_terms: DataFrame, n: int, pattern: str,
     import re as _re
     regex = "^" + ".*".join(_re.escape(p)
                             for p in pattern.split("*")) + "$"
-    cond = ((F.col("g1") == gram[0]) & (F.col("gram") == gram)
+    cond = ((F.col("g1") == F.ascii(F.lit(gram[0])))
+            & (F.col("gram") == gram)
             & F.col("term").rlike(regex))
     rows = (ngram_terms.filter(cond)
             .select("term", "df")
@@ -295,7 +318,7 @@ def expand_wildcard_suffix(suffix_terms: DataFrame, pattern: str,
         raise ValueError(f"{pattern!r} is not a leading-star pattern")
     rev = pattern[::-1]
     head, regex = split_glob(rev)
-    cond = ((F.col("p1") == head[0])
+    cond = ((F.col("p1") == F.ascii(F.lit(head[0])))
             & F.col("term_rev").startswith(head))
     if regex is not None:
         cond = cond & F.col("term_rev").rlike(regex)
@@ -316,7 +339,8 @@ def expand_wildcard_pruned(prefix_terms: DataFrame, pattern: str,
     inside the term-sorted partition); a glob tail is verified with an
     anchored RLIKE on the already-pruned rows."""
     prefix, regex = split_glob(pattern)
-    cond = (F.col("p1") == prefix[0]) & F.col("term").startswith(prefix)
+    cond = ((F.col("p1") == F.ascii(F.lit(prefix[0])))
+            & F.col("term").startswith(prefix))
     if regex is not None:
         cond = cond & F.col("term").rlike(regex)
     rows = (prefix_terms.filter(cond)

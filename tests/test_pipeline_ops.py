@@ -3534,9 +3534,12 @@ def test_wildcard_prefix_index(spark, tmp_path, capsys):
                 == expand_wildcard(scan_idx, pfx, cap))
     assert set(expand_wildcard(idx, "sort", 10)) == {"sort", "sortkey"}
 
-    # the probe plan prunes partitions on p1 (one directory read)
+    # the probe plan prunes partitions on p1 (one directory read);
+    # p1 is the first char's CODEPOINT — int partition values survive
+    # non-UTF8 JVM file.encoding (Arabic terms under spark-submit)
     probe = idx["prefix_terms"].filter(
-        (F.col("p1") == "s") & F.col("term").startswith("sort"))
+        (F.col("p1") == F.ascii(F.lit("s")))
+        & F.col("term").startswith("sort"))
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "p1" in plan.split(
         "PartitionFilters")[1][:200]
@@ -3583,6 +3586,45 @@ def test_wildcard_prefix_index(spark, tmp_path, capsys):
     reloaded = B.load_index(spark, idx_dir)
     assert "prefix_terms" not in reloaded
     assert "suffix_terms" not in reloaded
+
+
+def test_wildcard_stale_layout_guard(spark, tmp_path, capsys):
+    """A projection written under the PRE-codepoint layout (p1 = raw
+    first CHAR, a string partition column) must load as None — probing
+    it with int codepoints would silently match nothing — and a
+    write.mode('overwrite') heal must restore full service. Also pins
+    that non-ASCII (Arabic) first characters land in plain-int
+    partition directories, the bug that motivated the codepoint
+    layout."""
+    from spidey_search_engine_spark.operators.wildcard import (
+        expand_wildcard_pruned, load_prefix_terms, prefix_terms_dir,
+        write_prefix_terms)
+
+    idx_dir = str(tmp_path / "idx")
+    terms = spark.createDataFrame(
+        [("sort", 3), ("sortkey", 1), ("merge", 2), ("كتب", 1)],
+        "term string, df int")
+
+    # simulate the old layout: p1 = raw first character (string)
+    out = prefix_terms_dir(idx_dir)
+    (terms.withColumn("p1", F.substring("term", 1, 1))
+     .write.mode("overwrite").partitionBy("p1").parquet(out))
+    capsys.readouterr()
+    assert load_prefix_terms(spark, idx_dir) is None
+    assert "stale p1 partition layout" in capsys.readouterr().err
+
+    # heal: overwrite with the codepoint layout, loader accepts it
+    write_prefix_terms(terms, idx_dir)
+    pt = load_prefix_terms(spark, idx_dir)
+    assert pt is not None and dict(pt.dtypes)["p1"] == "int"
+    assert expand_wildcard_pruned(pt, "sort*", 10) == ["sort", "sortkey"]
+    # the Arabic term's partition directory is a plain int, safe under
+    # any JVM file.encoding
+    import os as _os
+    dirs = {d for d in _os.listdir(out) if d.startswith("p1=")}
+    assert f"p1={ord('ك')}" in dirs
+    assert all(d.split("=", 1)[1].isdigit() for d in dirs)
+    assert expand_wildcard_pruned(pt, "كت*", 10) == ["كتب"]
 
 
 def test_wildcard_suffix_index(spark, tmp_path, capsys):
@@ -3663,9 +3705,10 @@ def test_wildcard_suffix_index(spark, tmp_path, capsys):
         expand_wildcard_suffix(idx["suffix_terms"], "sort*")
 
     # the probe plan prunes partitions on p1 (one directory read per
-    # last-character)
+    # last-character codepoint)
     probe = idx["suffix_terms"].filter(
-        (F.col("p1") == "t") & F.col("term_rev").startswith("tro"))
+        (F.col("p1") == F.ascii(F.lit("t")))
+        & F.col("term_rev").startswith("tro"))
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "p1" in plan.split(
         "PartitionFilters")[1][:200]
@@ -3770,9 +3813,9 @@ def test_wildcard_ngram_index(spark, tmp_path, capsys):
               "--ngram-index", "--no-wildcard-index"])
 
     # the probe plan prunes partitions on g1 (one directory per gram
-    # first-char)
+    # first-char codepoint)
     probe = idx["ngram_terms"].filter(
-        (F.col("g1") == "o") & (F.col("gram") == "ort"))
+        (F.col("g1") == F.ascii(F.lit("o"))) & (F.col("gram") == "ort"))
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "g1" in plan.split(
         "PartitionFilters")[1][:200]
