@@ -133,12 +133,19 @@ def main() -> None:
                                                  MAX_TERMS))
                     took.append(time.monotonic() - t0)
                 scan_times.append(min(took))
-                if got != want or not got:
-                    identical = identical and got == want
-                    if got != want:
-                        print(f"MISMATCH {fam} {pat!r}: probe="
-                              f"{len(got)} scan={len(want)}",
-                              file=sys.stderr)
+                if got != want:
+                    identical = False
+                    print(f"MISMATCH {fam} {pat!r}: probe="
+                          f"{len(got)} scan={len(want)}",
+                          file=sys.stderr)
+                elif not got:
+                    # empty-but-equal means the pattern generator is
+                    # probing nothing — the p50s would then measure
+                    # empty scans and publish a fake "flat in |V|"
+                    identical = False
+                    print(f"EMPTY EXPANSION {fam} {pat!r}: the bench "
+                          f"pattern matched no terms on either path",
+                          file=sys.stderr)
             probe_times.sort()
             scan_times.sort()
             p_probe = probe_times[len(probe_times) // 2]

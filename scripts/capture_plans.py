@@ -455,11 +455,15 @@ def main() -> None:
     # PartitionFilter on p1 — one first-char directory read — plus the
     # pushed StartsWith for row-group skipping inside it
     from spidey_search_engine_spark.operators.wildcard import (
-        load_prefix_terms, prefix_terms_dir, write_prefix_terms)
+        load_ngram_terms, load_prefix_terms, load_suffix_terms)
     idx_dir = EQ.entry_index_dir(sf_dir)
-    if not os.path.isdir(prefix_terms_dir(idx_dir)):
-        write_prefix_terms(idx["terms"], idx_dir)
+    # entry_index (above) already self-heals all three projections via
+    # loader probes; a None here means that heal broke — fail loudly
+    # rather than capture a scan-fallback plan labeled as the pruned path
     pt = load_prefix_terms(spark, idx_dir)
+    if pt is None:
+        raise RuntimeError(f"prefix terms projection missing/stale under "
+                           f"{idx_dir} after entry_index heal")
     dwp = (pt.filter((F.col("p1") == F.ascii(F.lit("s")))
                      & F.col("term").startswith("so"))
            .select("term", "df")
@@ -480,11 +484,10 @@ def main() -> None:
 
     # Leading wildcards: the reversed-term (suffix) projection must show
     # the same PartitionFilter shape keyed on the term's LAST character
-    from spidey_search_engine_spark.operators.wildcard import (
-        load_suffix_terms, suffix_terms_dir, write_suffix_terms)
-    if not os.path.isdir(suffix_terms_dir(idx_dir)):
-        write_suffix_terms(idx["terms"], idx_dir)
     st = load_suffix_terms(spark, idx_dir)
+    if st is None:
+        raise RuntimeError(f"suffix terms projection missing/stale under "
+                           f"{idx_dir} after entry_index heal")
     dws = (st.filter((F.col("p1") == F.ascii(F.lit("e")))
                      & F.col("term_rev").startswith("el"))
            .select("term", "df")
@@ -505,11 +508,11 @@ def main() -> None:
 
     # Infix wildcards: the n-gram projection must show a PartitionFilter
     # on the gram's first character plus a pushed gram equality
-    from spidey_search_engine_spark.operators.wildcard import (
-        load_ngram_terms, ngram_terms_dir, write_ngram_terms)
-    if not os.path.isdir(ngram_terms_dir(idx_dir)):
-        write_ngram_terms(idx["terms"], idx_dir, n=3)
-    ng, _n = load_ngram_terms(spark, idx_dir)
+    loaded = load_ngram_terms(spark, idx_dir)
+    if loaded is None:
+        raise RuntimeError(f"ngram terms projection missing/stale under "
+                           f"{idx_dir} after entry_index heal")
+    ng, _n = loaded
     dwn = (ng.filter((F.col("g1") == F.ascii(F.lit("p")))
            & (F.col("gram") == "par"))
            .select("term", "df")

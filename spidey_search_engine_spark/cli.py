@@ -361,7 +361,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.boost_important <= 0:
                 p.error(f"--boost-important must be > 0 "
                         f"(got {args.boost_important})")
-            if (args.parity or args.pruned or args.facets
+            if (args.parity or args.pruned or args.facets or args.suggest
                     or args.more_like is not None):
                 p.error("--boost-important is supported on the default "
                         "BM25 path only")

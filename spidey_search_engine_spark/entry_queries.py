@@ -4347,7 +4347,10 @@ j AS (
 SELECT doc_id,
        CASE WHEN NOT in_idx THEN 'missing'
             WHEN NOT in_src THEN 'orphaned'
-            WHEN si = ss THEN 'ok'
+            -- IS NOT DISTINCT FROM, not =: the operator compares shas
+            -- with eqNullSafe (NULL content on both sides is 'ok');
+            -- plain equality would send NULL=NULL to 'stale'
+            WHEN si IS NOT DISTINCT FROM ss THEN 'ok'
             ELSE 'stale' END AS status
 FROM j"""
 

@@ -220,11 +220,14 @@ def did_you_mean(del_index: DataFrame, tokens: list[str], *,
     count, independent of |V| and of corpus size."""
     spark = SparkSession.getActiveSession()
     toks = sorted(set(tokens))
-    tok_df = spark.createDataFrame([(t,) for t in toks], "q string")
     if not toks:
         return spark.createDataFrame(
             [], "q string, suggestion string, dist int, df long")
+    tok_df = spark.createDataFrame([(t,) for t in toks], "q string")
     best = fuzzy_lookup(del_index, toks, n_buckets=n_buckets,
                         index_max_del=index_max_del, max_d=max_d, k=1) \
         .select("q", F.col("term").alias("suggestion"), "dist", "df")
-    return tok_df.join(best, "q", "left")
+    # both sides are query-token-bounded; broadcast the suggestions so
+    # the miss-preserving left join never shuffles (the docstring's
+    # contract, made explicit rather than left to the planner)
+    return tok_df.join(F.broadcast(best), "q", "left")

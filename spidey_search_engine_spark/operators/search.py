@@ -541,7 +541,11 @@ class Searcher:
         terms = list(q_terms)
         seen = set(terms)
         for w in wildcards:
-            for t in expand_wildcard(self.index, w, max_terms):
+            # lowercase the pattern exactly as the CLI path does before
+            # expansion — the dictionary stores lowercased terms, and a
+            # verbatim "Ha*" would probe the p1=codepoint('H') partition
+            # and silently expand to nothing
+            for t in expand_wildcard(self.index, w.lower(), max_terms):
                 if t not in seen:
                     terms.append(t)
                     seen.add(t)

@@ -122,6 +122,22 @@ def _load_aux_terms(spark: SparkSession, out: str,
                 f"stale {part_col} partition layout "
                 f"({dict(df.dtypes).get(part_col)}, expected int "
                 f"codepoints)")
+        # the dtype check alone has a false negative: an old layout
+        # whose first chars are ALL digits writes dirs p1=0..9, which
+        # partition-type inference reads as int. Layouts are
+        # all-or-nothing per atomic overwrite, so ONE sampled row
+        # decides: its partition value must be the first-char codepoint
+        # (JVM ascii() == Python ord(), pinned for non-ASCII by the
+        # Arabic-directory test).
+        src_col = {"prefix": "term", "suffix": "term_rev",
+                   "ngram": "gram"}[kind]
+        probe = df.select(src_col, part_col).first()
+        if probe is not None and probe[part_col] != ord(probe[src_col][0]):
+            raise ValueError(
+                f"stale {part_col} partition values (sampled "
+                f"{part_col}={probe[part_col]} for {src_col}="
+                f"{probe[src_col]!r}, expected codepoint "
+                f"{ord(probe[src_col][0])})")
         return df
     except Exception as e:
         # a present-but-unreadable table (e.g. a crash mid-write) must not

@@ -3613,6 +3613,18 @@ def test_wildcard_stale_layout_guard(spark, tmp_path, capsys):
     assert load_prefix_terms(spark, idx_dir) is None
     assert "stale p1 partition layout" in capsys.readouterr().err
 
+    # the dtype check's blind spot: an old layout over all-digit-leading
+    # terms writes dirs p1=0..9, which partition inference reads as INT —
+    # the sampled-row codepoint check must still reject it ('0' is
+    # codepoint 48, stored value 0)
+    digit_terms = spark.createDataFrame(
+        [("0day", 2), ("3sum", 1), ("9patch", 1)], "term string, df int")
+    (digit_terms.withColumn("p1", F.substring("term", 1, 1))
+     .write.mode("overwrite").partitionBy("p1").parquet(out))
+    capsys.readouterr()
+    assert load_prefix_terms(spark, idx_dir) is None
+    assert "stale p1 partition values" in capsys.readouterr().err
+
     # heal: overwrite with the codepoint layout, loader accepts it
     write_prefix_terms(terms, idx_dir)
     pt = load_prefix_terms(spark, idx_dir)

@@ -158,6 +158,12 @@ def test_searcher_matches_cold_paths(spark, index):
                   s.boolean(q_terms, must=["merg"], exclude=["scan"],
                             wildcards=["ha*"], k=8).collect()]
         assert warm_b == cold_b and warm_b
+        # wildcard patterns lowercase before expansion, same as the CLI
+        # path — "HA*" must not silently expand to nothing
+        warm_uc = [(r["doc_id"], round(r["score"], 10)) for r in
+                   s.boolean(q_terms, must=["merg"], exclude=["scan"],
+                             wildcards=["HA*"], k=8).collect()]
+        assert warm_uc == warm_b
     finally:
         s.close()
     # the caller's index DataFrames still work after close
