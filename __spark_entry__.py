@@ -18,20 +18,25 @@ from spidey_search_engine_spark import entry_queries as EQ
 # in dict order. These keys already hold green rows in CORRECTNESS_r03.json;
 # everything NOT in this set (the round-3 P20-P50 wave plus round-4
 # additions) is ordered first so it lands inside the driver's window.
-# The window holds 50; round 4 has 54 never-checked entries, so four
+# The window holds 50; round 4 has 55 never-checked entries, so five
 # must wait for the round-5 rotation. The least informative deferrals are
 # compositions whose constituents ARE in a driver window: the batch-ANN
 # pair (ann_lsh_topk/ann_ivf_topk cover the probes, ann_batch_topk the
-# batch Arrow kernel), training_corpus_v2 (variant composition of
-# training_corpus, which is in this window), and
-# incremental_dedup_mh_pairs (the MinHash sub-step of
-# incremental_dedup_pairs, which is in this window). All four stay
-# pinned by the local gate + pytest. ann_lsh_topk itself (green in r03;
-# its round-4 Arrow-rescore change shares the kernel with the r03-green
-# ann_cosine_topk path) also stays in the tail.
+# batch Arrow kernel), training_corpus + training_corpus_v2
+# (compositions of clean_corpus — in this window — with the
+# r03-checked sampling entries), and incremental_dedup_mh_pairs (the
+# MinHash sub-step of incremental_dedup_pairs, which is in this
+# window). All five stay pinned by the local gate + pytest.
+# ann_lsh_topk itself (green in r03; its round-4 Arrow-rescore change
+# shares the kernel with the r03-green ann_cosine_topk path) also stays
+# in the tail. _WINDOW_FRONT forces entries REGISTERED LATE (after the
+# rotation landed) to the head of the window — a late registration
+# would otherwise append BEHIND the 50-slot cut and silently miss its
+# first driver check.
+_WINDOW_FRONT = ('federated_bm25_topk',)
 _WINDOW_TAIL = frozenset({
     'ann_lsh_topk', 'ann_batch_lsh_topk', 'ann_batch_ivf_topk',
-    'training_corpus_v2', 'incremental_dedup_mh_pairs',
+    'training_corpus', 'training_corpus_v2', 'incremental_dedup_mh_pairs',
     'a1_term_freq', 'a2_positions', 'a3_important_flag', 'a5_doc_freq',
     'a8_df_after_delete', 'ann_batch_topk', 'ann_cosine_topk',
     'ann_ivfpq_topk', 'ann_pq_adc_topk',
@@ -53,9 +58,12 @@ _WINDOW_TAIL = frozenset({
 
 
 def _window_ordered(d: dict) -> dict:
-    fresh = {k: v for k, v in d.items() if k not in _WINDOW_TAIL}
-    seen = {k: v for k, v in d.items() if k in _WINDOW_TAIL}
-    return {**fresh, **seen}
+    front = {k: d[k] for k in _WINDOW_FRONT if k in d}
+    fresh = {k: v for k, v in d.items()
+             if k not in _WINDOW_TAIL and k not in front}
+    seen = {k: v for k, v in d.items()
+            if k in _WINDOW_TAIL and k not in front}
+    return {**front, **fresh, **seen}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -549,6 +549,28 @@ def main() -> None:
         "scoring.",
         capture(dw)))
 
+    # Federated (sharded) search: each shard's postings scan keeps its
+    # OWN bucket PartitionFilters + term PushedFilters; the shard rows
+    # union plan-level (no shuffle) into ONE aggregation and ONE top-k
+    dfed = EQ.federated_bm25_topk(spark, sf_dir)
+    sections.append((
+        "Federated BM25 top-k across two shard indexes "
+        "(operators/federate.py): per-shard pruned scans union into one "
+        "aggregation",
+        "Look for: TWO postings scans (one per shard directory, "
+        "..._fed_a and ..._fed_b), EACH with its own PartitionFilters "
+        "[bucket IN (..)] against its own bucket layout (4 vs 8 "
+        "buckets) and PushedFilters [In(term, [..])]; a Union above "
+        "them (plan-level concatenation — no exchange of its own); the "
+        "global idf×multiplicity weights as ONE literal map (no "
+        "broadcast exchange, same as the single-index plan); exactly "
+        "ONE HashAggregate pair on doc_id; TakeOrderedAndProject for "
+        "the top-k. Query cost = Σ per-shard probe bytes — identical "
+        "bytes to a single index over the union corpus, which is also "
+        "the correctness oracle (federated_bm25_topk replays the "
+        "UNMODIFIED monolithic BM25 SQL).",
+        capture(dfed)))
+
     out = ["# PLANS — physical-plan evidence (generated by "
            "scripts/capture_plans.py)", ""]
     for title, what, plan in sections:

@@ -64,7 +64,17 @@ def main(argv: list[str] | None = None) -> int:
                         "shorter than this cannot be probed)")
 
     q = sub.add_parser("query", help="top-k search")
-    q.add_argument("--index", required=True)
+    q.add_argument("--index", required=True, action="append",
+                   help="index dir (repeatable: several --index dirs "
+                        "FEDERATE — BM25 with global N/avgdl/df across "
+                        "the shards, scores identical to one index over "
+                        "the union corpus; shards must be disjoint on "
+                        "doc_id. Default BM25 term path only)")
+    q.add_argument("--verify-disjoint", action="store_true",
+                   help="federated queries: fail if any (term, doc_id) "
+                        "decodes from more than one shard (overlap "
+                        "would double-count scores); costs one extra "
+                        "query-bounded aggregation")
     q.add_argument("--q", default=None,
                    help="query string (required except with --more-like)")
     q.add_argument("--k", type=int, default=None,
@@ -346,6 +356,16 @@ def main(argv: list[str] | None = None) -> int:
                      or args.facets or args.more_like is not None)):
             p.error("--not / +term / wildcard terms are supported on "
                     "the default BM25 path only")
+        if len(args.index) > 1 and (
+                args.parity or args.pruned or args.fuzzy or args.facets
+                or args.suggest or args.more_like is not None
+                or args.exclude or has_wild or has_must):
+            p.error("federated query (multiple --index) runs the "
+                    "default BM25 term path only — drop the mode flags "
+                    "/ operators, or query one shard")
+        if args.verify_disjoint and len(args.index) < 2:
+            p.error("--verify-disjoint only applies to a federated "
+                    "query (multiple --index)")
         if args.suggest:
             if (args.parity or args.pruned or args.fuzzy or args.facets
                     or args.more_like is not None):
@@ -457,14 +477,35 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(stats))
     elif args.cmd == "query":
         from .operators.build import load_index
-        index = load_index(spark, args.index)
+        if len(args.index) > 1:
+            # federated path (operators/federate.py): global-stats BM25
+            # over disjoint shards. Term bag only — every other mode is
+            # single-index (rejected in the arg-contract block above).
+            from .functions.analysis import analyze_query
+            from .operators.federate import federated_bm25_topk_tokens
+            shards = [load_index(spark, d) for d in args.index]
+            q_terms, phrases = analyze_query(args.q)
+            for ph in phrases:
+                q_terms.extend(ph)
+            w_imp = (args.boost_important
+                     if args.boost_important is not None else 1.0)
+            rows = federated_bm25_topk_tokens(
+                spark, shards, q_terms, k=args.k,
+                important_weight=w_imp,
+                verify_disjoint=args.verify_disjoint).collect()
+            for r in rows:
+                print(json.dumps(r.asDict()))
+            if owns_session:
+                spark.stop()
+            return 0
+        index = load_index(spark, args.index[0])
 
         def _fuzzy_idx():
             import os
 
             from .operators.fuzzy import (build_deletion_index,
                                           load_deletion_index)
-            fuzzy_dir = os.path.join(args.index, "fuzzy")
+            fuzzy_dir = os.path.join(args.index[0], "fuzzy")
             if os.path.exists(os.path.join(fuzzy_dir, "meta.json")):
                 return load_deletion_index(spark, fuzzy_dir)
             # inline fallback: correct but unpruned (no materialized

@@ -4396,3 +4396,35 @@ best AS (
 )
 SELECT fq.q, best.suggestion, best.dist, best.df
 FROM fq LEFT JOIN best USING (q)"""
+
+
+def federated_bm25_topk(spark, sf_dir):
+    """Federated (sharded) search (operators/federate.py): the documents
+    corpus is split into two DISJOINT shards by doc_id parity, each
+    built as an independent index with its OWN bucket layout (4 vs 8
+    buckets — federation must not assume a shared one), then queried
+    with GLOBAL statistics (N, avgdl, df summed across shards; idf from
+    the build's formula over the global df). The invariant this entry
+    proves: federation is invisible in the scores — the oracle is the
+    UNMODIFIED monolithic BM25 SQL over the whole corpus
+    (ORACLE_SQL['bm25_topk_fixed']), so a pass means the sharded answer
+    is byte-identical to the single-index answer. Sharding has no
+    reference analog (the reference scores against one MySQL database,
+    QueryResultsFetcher.java:239-268); it is the 10^12-file
+    generalization of the reference's single-index semantics."""
+    from .operators.federate import federated_bm25_topk_tokens
+    corpus = documents_as_corpus(spark, sf_dir)
+    shards = []
+    for tag, mod, nb in (("a", 0, 4), ("b", 1, 8)):
+        out = entry_index_dir(sf_dir) + f"_fed_{tag}"
+        if not os.path.exists(os.path.join(out, "stats")):
+            B.build_index(spark, corpus.filter(F.col("doc_id") % 2 == mod),
+                          out, profile="simple", seg_bits=8, n_buckets=nb)
+        shards.append(B.load_index(spark, out))
+    out = federated_bm25_topk_tokens(spark, shards, QT, k=20,
+                                     verify_disjoint=True)
+    return out.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+QUERIES["federated_bm25_topk"] = federated_bm25_topk
+ORACLE_SQL["federated_bm25_topk"] = ORACLE_SQL["bm25_topk_fixed"]

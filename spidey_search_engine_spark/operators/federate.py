@@ -1,0 +1,156 @@
+"""Federated (sharded) search — BM25 top-k over MANY shard indexes with
+GLOBAL statistics.
+
+At 10^12 files one monolithic index is neither buildable in one job nor
+maintainable under churn: production engines shard the corpus (by repo
+hash, by crawl epoch, by language...), build each shard independently
+with `build_index`, and answer queries across shards. The reference is a
+single-node single-index engine (one MySQL database,
+QueryResultsFetcher.java scores against the one `word` table); this
+module is its at-scale generalization, governed by one invariant:
+
+    **federation is invisible in the scores** — the federated top-k over
+    a disjoint sharding of a corpus equals the single-index top-k over
+    the union corpus, byte for byte.
+
+That holds iff every score input is computed GLOBALLY:
+
+* N (corpus size) = Σ shard n_docs,
+* avgdl = Σ shard total_tokens / Σ shard n_docs,
+* df(term) = Σ shard df(term)  → idf from the build's exact formula
+  (ln((N − df + 0.5)/(df + 0.5) + 1), operators/build.term_stats).
+
+Each shard's STORED idf_bm25 is shard-local and is deliberately never
+read here — using it would make a doc's score depend on which shard it
+landed in. Instead the k query terms' df rows are fetched per shard
+(the same Q1 pushdown lookup the single-index path does — k tiny scans,
+never a dictionary scan), summed driver-side, and the global idf×
+multiplicity weights enter the scoring stage as one literal map.
+
+Execution shape: per shard, the standard bucket-partition-pruned probe +
+vectorized segment decode (query_term_postings — each shard keeps its
+own n_buckets); the decoded row DataFrames union (no shuffle: union is
+plan-level concatenation); ONE hash aggregation on doc_id and ONE
+TakeOrderedAndProject produce the top-k. Cost = Σ per-shard probe bytes,
+identical to what a single index over the union would read.
+
+Sharding contract: shards must be DISJOINT on doc_id — a doc present in
+two shards would sum its own partials twice. Operationally that means
+doc_ids are assigned ONCE, upstream of the sharding (build.assign_doc_ids
+over the whole corpus, or disjoint id ranges per shard): build_index
+assigns its own dense 0..N ids when the column is absent, which WOULD
+collide across independently built shards. `verify_disjoint=True`
+checks exactly the violation that can corrupt THIS query ((term, doc_id)
+decoded from more than one shard) for one extra query-bounded
+aggregation; at known-disjoint layouts leave it off.
+
+Reference parity: QueryResultsFetcher.java:239-268 (single-index BM25
+semantics, bag weights, tie-breaks) — unchanged here; sharding has no
+reference analog, invariant-tested against the monolithic build instead.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .search import (bm25_score_rows, query_idf, query_term_postings)
+
+
+def federated_stats(indexes: list[dict]) -> dict:
+    """Global (n_docs, total_tokens, avgdl) across shards — the stats
+    record the monolithic build over the union corpus would have
+    written. Pure driver arithmetic over each shard's stats line."""
+    if not indexes:
+        raise ValueError("federated_stats needs at least one shard")
+    n_docs = sum(int(i["stats"]["n_docs"]) for i in indexes)
+    total_tokens = sum(int(i["stats"]["total_tokens"]) for i in indexes)
+    if n_docs <= 0:
+        raise ValueError("federated shards are all empty")
+    return {"n_docs": n_docs, "total_tokens": total_tokens,
+            "avgdl": total_tokens / n_docs}
+
+
+def federated_idf(indexes: list[dict], q_terms: list[str],
+                  n_docs: int | None = None) -> dict[str, float]:
+    """Global idf for the k query terms: per-shard df pushdown lookups
+    (query_idf with col='df' — the same k-term Q1 scan, one per shard),
+    summed, then the build's exact idf formula over global df and global
+    N. Terms absent from EVERY shard drop (df=0 contributes nothing,
+    same contract as the single-index lookup)."""
+    if n_docs is None:
+        n_docs = federated_stats(indexes)["n_docs"]
+    df_sum: dict[str, float] = {}
+    for idx in indexes:
+        shard_df = query_idf(idx["terms"], q_terms, col="df",
+                             cache=idx.get("idf_cache"))
+        for t, d in shard_df.items():
+            df_sum[t] = df_sum.get(t, 0.0) + d
+    return {t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+            for t, d in df_sum.items()}
+
+
+def federated_posting_rows(indexes: list[dict], q_terms: list[str],
+                           verify_disjoint: bool = False) -> DataFrame:
+    """Union of every shard's decoded posting rows for the query terms —
+    each shard probed with ITS OWN bucket layout (partition pruning per
+    shard), concatenated plan-level (union shuffles nothing)."""
+    rows = [query_term_postings(idx["postings"], q_terms,
+                                int(idx["stats"]["n_buckets"]))
+            for idx in indexes]
+    out = reduce(DataFrame.unionByName, rows)
+    if verify_disjoint:
+        # a (term, doc_id) pair decoded from >1 shard is exactly the
+        # overlap that would double-count THIS query's partials; the
+        # check is query-bounded (runs over the already-pruned rows)
+        dup = (out.groupBy("term", "doc_id").count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"shards overlap: doc_id={dup[0]['doc_id']} carries "
+                f"term={dup[0]['term']!r} in more than one shard — "
+                f"federated scores would double-count; fix the sharding")
+    return out
+
+
+def federated_bm25_topk_tokens(spark: SparkSession, indexes: list[dict],
+                               q_terms: list[str], k: int = 10,
+                               important_weight: float = 1.0,
+                               verify_disjoint: bool = False) -> DataFrame:
+    """Federated twin of search.bm25_topk_tokens: global-stats BM25
+    top-k over an analyzed term bag across shards. Bag semantics
+    (duplicate terms weight by multiplicity) and tie-breaks (score DESC,
+    doc_id ASC) match the single-index path exactly — they must, the
+    invariant test diffs the two byte-for-byte."""
+    if not indexes:
+        raise ValueError("federated query needs at least one shard")
+    if not q_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    gstats = federated_stats(indexes)
+    idf = federated_idf(indexes, q_terms, n_docs=gstats["n_docs"])
+    weights = pd.Series(q_terms).value_counts()
+    iw = {t: idf[t] * float(weights[t]) for t in idf}
+    rows = federated_posting_rows(indexes, q_terms,
+                                  verify_disjoint=verify_disjoint)
+    scores = bm25_score_rows(rows, iw, gstats["avgdl"],
+                             important_weight=important_weight)
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def federated_bm25_topk(spark: SparkSession, indexes: list[dict],
+                        query: str, k: int = 10,
+                        important_weight: float = 1.0,
+                        verify_disjoint: bool = False) -> DataFrame:
+    """Analyze → federated prune/decode → global-stats score → top-k.
+    Phrase words enter the bag like the single-index bm25_topk."""
+    from ..functions.analysis import analyze_query
+    q_terms, phrases = analyze_query(query)
+    for p in phrases:
+        q_terms.extend(p)
+    return federated_bm25_topk_tokens(
+        spark, indexes, q_terms, k=k, important_weight=important_weight,
+        verify_disjoint=verify_disjoint)

@@ -244,6 +244,18 @@ def bm25_scores(posting_rows: DataFrame, terms_df: DataFrame, avgdl: float,
     weights = pd.Series(query_terms).value_counts()
     idf = query_idf(terms_df, query_terms, "idf_bm25", idf_cache)
     iw = {t: idf[t] * float(weights[t]) for t in idf}
+    return bm25_score_rows(posting_rows, iw, avgdl,
+                           important_weight=important_weight)
+
+
+def bm25_score_rows(posting_rows: DataFrame, iw: dict[str, float],
+                    avgdl: float,
+                    important_weight: float = 1.0) -> DataFrame:
+    """The scoring tail of bm25_scores with the per-term weights (idf ×
+    bag multiplicity) supplied by the CALLER — the single-index path
+    derives them from the shard's own dictionary; the federated path
+    (operators/federate.py) derives them from GLOBAL df/N so shard-local
+    statistics never leak into the score."""
     if not iw:
         return (posting_rows.sparkSession
                 .createDataFrame([], "doc_id long, score double"))

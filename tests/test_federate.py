@@ -1,0 +1,182 @@
+"""Federated (sharded) search — the invariant is byte-identical scores
+vs the monolithic index over the union corpus (operators/federate.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def fed(spark, corpus_pdf, tmp_path_factory):
+    """One monolithic index over the 400-doc corpus plus two shard
+    indexes over its doc_id-parity halves — the shards deliberately use
+    DIFFERENT bucket counts (each shard owns its layout; federation must
+    not assume a shared one)."""
+    from spidey_search_engine_spark.operators.build import (
+        assign_doc_ids, build_index, load_index)
+    base = tmp_path_factory.mktemp("fed")
+    # doc_ids must be assigned ONCE, upstream of the sharding — each
+    # build assigns its own dense 0..N ids when the column is absent,
+    # which would collide across shards (the federate.py contract)
+    corpus = assign_doc_ids(
+        spark.createDataFrame(corpus_pdf).repartition(8))
+    out_all = str(base / "all")
+    build_index(spark, corpus, out_all, profile="code", seg_bits=8,
+                n_buckets=8)
+    out_a = str(base / "a")
+    build_index(spark, corpus.filter(F.col("doc_id") % 2 == 0), out_a,
+                profile="code", seg_bits=8, n_buckets=4)
+    out_b = str(base / "b")
+    build_index(spark, corpus.filter(F.col("doc_id") % 2 == 1), out_b,
+                profile="code", seg_bits=8, n_buckets=8)
+    return {"all": load_index(spark, out_all),
+            "shards": [load_index(spark, out_a), load_index(spark, out_b)]}
+
+
+def _topk(df, n=10):
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()][:n]
+
+
+def test_federated_stats_match_monolithic(fed):
+    from spidey_search_engine_spark.operators.federate import \
+        federated_stats
+    g = federated_stats(fed["shards"])
+    st = fed["all"]["stats"]
+    assert g["n_docs"] == int(st["n_docs"])
+    assert g["total_tokens"] == int(st["total_tokens"])
+    assert g["avgdl"] == pytest.approx(float(st["avgdl"]), rel=1e-12)
+
+
+def test_federated_idf_is_global(fed):
+    """Global idf must come from summed df and global N — NOT any
+    shard's stored idf_bm25 — and must equal the monolithic stored
+    value for every present term; absent terms drop."""
+    from spidey_search_engine_spark.operators.federate import federated_idf
+    from spidey_search_engine_spark.operators.search import query_idf
+    terms = ["merge", "sort", "hash", "nosuchterm_zz"]
+    got = federated_idf(fed["shards"], terms)
+    want = query_idf(fed["all"]["terms"], terms, "idf_bm25")
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t] == pytest.approx(want[t], rel=1e-12), t
+    assert "nosuchterm_zz" not in got
+
+
+def test_federated_topk_equals_monolithic(spark, fed):
+    """The headline invariant: federated top-k over the disjoint
+    sharding == single-index top-k over the union corpus, including bag
+    multiplicity and the BM25F important-field boost."""
+    from spidey_search_engine_spark.operators.federate import \
+        federated_bm25_topk_tokens
+    from spidey_search_engine_spark.operators.search import \
+        bm25_topk_tokens
+    for bag, w in ([["merge", "sort"], 1.0],
+                   [["merge", "merge", "sort"], 1.0],   # bag semantics
+                   [["merge", "sort", "hash"], 2.5]):   # BM25F boost
+        mono = _topk(bm25_topk_tokens(spark, fed["all"], bag, k=15,
+                                      important_weight=w))
+        feder = _topk(federated_bm25_topk_tokens(
+            spark, fed["shards"], bag, k=15, important_weight=w))
+        assert feder == mono and feder, (bag, w)
+
+
+def test_federated_query_string_path(spark, fed):
+    """The analyze-query wrapper matches the single-index bm25_topk on
+    the same query text (phrase words enter the bag)."""
+    from spidey_search_engine_spark.operators.federate import \
+        federated_bm25_topk
+    from spidey_search_engine_spark.operators.search import bm25_topk
+    q = '"merge sort" fast'
+    mono = _topk(bm25_topk(spark, fed["all"], q, k=10))
+    feder = _topk(federated_bm25_topk(spark, fed["shards"], q, k=10))
+    assert feder == mono and feder
+
+
+def test_federated_single_shard_degenerate(spark, fed):
+    """One shard federates to exactly that shard's own single-index
+    answer (global stats == the shard's stats)."""
+    from spidey_search_engine_spark.operators.federate import \
+        federated_bm25_topk_tokens
+    from spidey_search_engine_spark.operators.search import \
+        bm25_topk_tokens
+    shard = fed["shards"][0]
+    mono = _topk(bm25_topk_tokens(spark, shard, ["merge", "sort"], k=10))
+    feder = _topk(federated_bm25_topk_tokens(spark, [shard],
+                                             ["merge", "sort"], k=10))
+    assert feder == mono and feder
+
+
+def test_federated_verify_disjoint(spark, fed):
+    """Overlapping shards (same doc in two) must raise under
+    verify_disjoint=True — and the disjoint sharding must pass it."""
+    from spidey_search_engine_spark.operators.federate import \
+        federated_bm25_topk_tokens
+    ok = federated_bm25_topk_tokens(spark, fed["shards"],
+                                    ["merge", "sort"], k=5,
+                                    verify_disjoint=True)
+    assert ok.count() == 5
+    with pytest.raises(ValueError, match="shards overlap"):
+        federated_bm25_topk_tokens(
+            spark, [fed["all"], fed["shards"][0]], ["merge", "sort"],
+            k=5, verify_disjoint=True).collect()
+
+
+def test_federated_empty_and_errors(spark, fed):
+    from spidey_search_engine_spark.operators.federate import (
+        federated_bm25_topk_tokens, federated_stats)
+    assert federated_bm25_topk_tokens(spark, fed["shards"], [],
+                                      k=5).count() == 0
+    with pytest.raises(ValueError):
+        federated_stats([])
+    with pytest.raises(ValueError):
+        federated_bm25_topk_tokens(spark, [], ["merge"], k=5)
+
+
+def test_federated_cli_roundtrip(spark, corpus_pdf, tmp_path, capsys):
+    """`query --index A --index B` federates and prints exactly what the
+    monolithic `query --index ALL` prints; mode flags fail fast."""
+    import json
+
+    from spidey_search_engine_spark.cli import main
+    from spidey_search_engine_spark.operators.build import assign_doc_ids
+
+    corpus = assign_doc_ids(
+        spark.createDataFrame(corpus_pdf).repartition(8))
+    dirs = {}
+    for tag, flt in (("all", None),
+                     ("a", F.col("doc_id") % 2 == 0),
+                     ("b", F.col("doc_id") % 2 == 1)):
+        src = str(tmp_path / f"corpus_{tag}")
+        (corpus if flt is None else corpus.filter(flt)).write.parquet(src)
+        dirs[tag] = str(tmp_path / f"idx_{tag}")
+        assert main(["build", "--input", src, "--output", dirs[tag],
+                     "--profile", "code", "--seg-bits", "4",
+                     "--n-buckets", "4"]) == 0
+    capsys.readouterr()
+
+    def run(argv):
+        assert main(argv) == 0
+        return [json.loads(line) for line in
+                capsys.readouterr().out.strip().splitlines()
+                if line.startswith("{")]
+
+    mono = run(["query", "--index", dirs["all"], "--q", "merge sort",
+                "--k", "7"])
+    feder = run(["query", "--index", dirs["a"], "--index", dirs["b"],
+                 "--q", "merge sort", "--k", "7", "--verify-disjoint"])
+    assert feder == mono and len(feder) == 7
+
+    # mode flags / operators reject cleanly on the federated path
+    import pytest as _pytest
+    for argv in (["query", "--index", dirs["a"], "--index", dirs["b"],
+                  "--q", "merge sort", "--pruned"],
+                 ["query", "--index", dirs["a"], "--index", dirs["b"],
+                  "--q", "merge sor*"],
+                 ["query", "--index", dirs["a"], "--index", dirs["b"],
+                  "--q", "merge", "--not", "scan"],
+                 ["query", "--index", dirs["all"], "--q", "merge",
+                  "--verify-disjoint"]):
+        with _pytest.raises(SystemExit):
+            main(argv)
+    capsys.readouterr()
