@@ -4413,6 +4413,15 @@ def federated_bm25_topk(spark, sf_dir):
     QueryResultsFetcher.java:239-268); it is the 10^12-file
     generalization of the reference's single-index semantics."""
     from .operators.federate import federated_bm25_topk_tokens
+    shards = _fed_shards(spark, sf_dir)
+    out = federated_bm25_topk_tokens(spark, shards, QT, k=20,
+                                     verify_disjoint=True)
+    return out.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+def _fed_shards(spark, sf_dir):
+    """Build (once per sf_dir) and load the two parity shard indexes the
+    federated entries query — deliberately different bucket counts."""
     corpus = documents_as_corpus(spark, sf_dir)
     shards = []
     for tag, mod, nb in (("a", 0, 4), ("b", 1, 8)):
@@ -4421,10 +4430,41 @@ def federated_bm25_topk(spark, sf_dir):
             B.build_index(spark, corpus.filter(F.col("doc_id") % 2 == mod),
                           out, profile="simple", seg_bits=8, n_buckets=nb)
         shards.append(B.load_index(spark, out))
-    out = federated_bm25_topk_tokens(spark, shards, QT, k=20,
-                                     verify_disjoint=True)
-    return out.select("doc_id", _r(F.col("score")).alias("score_r"))
+    return shards
 
 
 QUERIES["federated_bm25_topk"] = federated_bm25_topk
 ORACLE_SQL["federated_bm25_topk"] = ORACLE_SQL["bm25_topk_fixed"]
+
+
+def federated_bm25_batch_topk(spark, sf_dir):
+    """Federated twin of bm25_batch_topk (operators/federate.py): the
+    same three query bags scored across the two parity shards in ONE
+    pass per shard — union-term probes with each shard's own bucket
+    pruning, GLOBAL idf×multiplicity weights broadcast once, one
+    (query_id, doc_id) aggregation, per-query window rank. Oracle: the
+    UNMODIFIED monolithic batch SQL (ORACLE_SQL['bm25_batch_topk']) —
+    federation must be invisible in the eval workload too."""
+    from .operators.federate import (federated_idf,
+                                     federated_posting_rows,
+                                     federated_stats)
+    from .operators.search import batch_term_weights, bm25_score_rows_batch
+    shards = _fed_shards(spark, sf_dir)
+    union_terms = sorted({t for bag in _BATCH_BAGS.values() for t in bag})
+    gstats = federated_stats(shards)
+    idf = federated_idf(shards, union_terms, n_docs=gstats["n_docs"])
+    rows = federated_posting_rows(shards, union_terms)
+    scores = bm25_score_rows_batch(rows,
+                                   batch_term_weights(_BATCH_BAGS, idf),
+                                   gstats["avgdl"])
+    wnd = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                 F.asc("doc_id"))
+    return (scores.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "doc_id", _r(F.col("score"))
+                    .alias("score_r"), F.col("rank").cast("int")
+                    .alias("rank")))
+
+
+QUERIES["federated_bm25_batch_topk"] = federated_bm25_batch_topk
+ORACLE_SQL["federated_bm25_batch_topk"] = ORACLE_SQL["bm25_batch_topk"]

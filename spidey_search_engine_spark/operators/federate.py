@@ -58,7 +58,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .search import (bm25_score_rows, query_idf, query_term_postings)
+from .search import (batch_term_weights, bm25_score_rows,
+                     bm25_score_rows_batch, query_idf,
+                     query_term_postings)
 
 
 def federated_stats(indexes: list[dict]) -> dict:
@@ -139,6 +141,44 @@ def federated_bm25_topk_tokens(spark: SparkSession, indexes: list[dict],
     scores = bm25_score_rows(rows, iw, gstats["avgdl"],
                              important_weight=important_weight)
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def federated_bm25_topk_batch(spark: SparkSession, indexes: list[dict],
+                              queries: dict[str, str], k: int = 10,
+                              verify_disjoint: bool = False) -> DataFrame:
+    """Federated twin of search.bm25_topk_batch — the eval-workload
+    shape over a sharded corpus: ONE union-of-query-terms probe per
+    shard, global per-(query, term) weights broadcast once, one
+    (query_id, doc_id) aggregation, one per-query window rank. Shared
+    hot terms decode once per shard regardless of how many queries use
+    them. Same invariant as the single-query path: byte-identical to
+    bm25_topk_batch over the monolithic union index."""
+    from pyspark.sql import Window
+
+    from ..functions.analysis import analyze_query
+    if not indexes:
+        raise ValueError("federated query needs at least one shard")
+    bags: dict[str, list[str]] = {}
+    for qid, qtext in queries.items():
+        q_terms, phrases = analyze_query(qtext)
+        for p in phrases:
+            q_terms.extend(p)
+        if q_terms:
+            bags[qid] = q_terms
+    if not bags:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int")
+    union_terms = sorted({t for bag in bags.values() for t in bag})
+    gstats = federated_stats(indexes)
+    idf = federated_idf(indexes, union_terms, n_docs=gstats["n_docs"])
+    rows = federated_posting_rows(indexes, union_terms,
+                                  verify_disjoint=verify_disjoint)
+    scores = bm25_score_rows_batch(rows, batch_term_weights(bags, idf),
+                                   gstats["avgdl"])
+    wnd = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                 F.asc("doc_id"))
+    return (scores.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= k))
 
 
 def federated_bm25_topk(spark: SparkSession, indexes: list[dict],

@@ -326,11 +326,29 @@ def bm25_scores_batch(posting_rows: DataFrame, terms_df: DataFrame,
     (query_id, doc_id) scores everything."""
     union_terms = sorted({t for bag in term_bags.values() for t in bag})
     idf = query_idf(terms_df, union_terms, "idf_bm25", idf_cache)
+    return bm25_score_rows_batch(posting_rows,
+                                 batch_term_weights(term_bags, idf), avgdl)
+
+
+def batch_term_weights(term_bags: dict[str, list[str]],
+                       idf: dict[str, float]) -> list[tuple]:
+    """(query_id, term, idf×multiplicity) rows for a batch — bag
+    semantics per query; terms absent from `idf` (df=0) drop."""
     qrows = []
     for qid, bag in term_bags.items():
         for term, mult in pd.Series(bag).value_counts().items():
             if term in idf:
                 qrows.append((qid, term, float(idf[term]) * float(mult)))
+    return qrows
+
+
+def bm25_score_rows_batch(posting_rows: DataFrame, qrows: list[tuple],
+                          avgdl: float) -> DataFrame:
+    """The batch scoring tail with the per-(query, term) weights supplied
+    by the CALLER — single-index callers derive them from the shard
+    dictionary (bm25_scores_batch); the federated path derives them from
+    global df/N (operators/federate.py). One broadcast of the tiny
+    weights table, one (query_id, doc_id) aggregation."""
     spark = posting_rows.sparkSession
     if not qrows:
         return spark.createDataFrame(

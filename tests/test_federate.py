@@ -180,3 +180,24 @@ def test_federated_cli_roundtrip(spark, corpus_pdf, tmp_path, capsys):
         with _pytest.raises(SystemExit):
             main(argv)
     capsys.readouterr()
+
+
+def test_federated_batch_equals_monolithic(spark, fed):
+    """Batch eval over shards == bm25_topk_batch over the union index —
+    per-query ranks, scores, and empty-bag handling."""
+    from spidey_search_engine_spark.operators.federate import \
+        federated_bm25_topk_batch
+    from spidey_search_engine_spark.operators.search import bm25_topk_batch
+    queries = {"a": "merge sort", "b": "binary tree", "c": "merge",
+               "d": '"merge sort" fast'}
+    key = ["query_id", "rank"]
+    mono = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk_batch(spark, fed["all"], queries, k=7)
+            .orderBy(*key).collect()]
+    feder = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+             for r in federated_bm25_topk_batch(spark, fed["shards"],
+                                                queries, k=7)
+             .orderBy(*key).collect()]
+    assert feder == mono and feder
+    assert federated_bm25_topk_batch(spark, fed["shards"], {},
+                                     k=5).count() == 0
