@@ -123,6 +123,13 @@ def main(argv: list[str] | None = None) -> int:
                         "hits suggest themselves at dist 0, tokens with "
                         "no candidate print null); uses the SymSpell "
                         "index like --fuzzy but does not run the query")
+    q.add_argument("--explain", action="store_true",
+                   help="score explanation instead of plain results: one "
+                        "JSON line per (top-k doc, contributing term) "
+                        "with the idf*multiplicity weight, tf, dl, and "
+                        "that term's BM25 partial — partials sum to the "
+                        "doc's score exactly (default BM25 term path; "
+                        "composes with --boost-important)")
     q.add_argument("--boost-important", type=float, default=None,
                    metavar="W",
                    help="BM25F-lite: weight important (title/path-token) "
@@ -358,11 +365,18 @@ def main(argv: list[str] | None = None) -> int:
                     "the default BM25 path only")
         if len(args.index) > 1 and (
                 args.parity or args.pruned or args.fuzzy or args.facets
-                or args.suggest or args.more_like is not None
+                or args.suggest or args.explain
+                or args.more_like is not None
                 or args.exclude or has_wild or has_must):
             p.error("federated query (multiple --index) runs the "
                     "default BM25 term path only — drop the mode flags "
                     "/ operators, or query one shard")
+        if args.explain and (
+                args.parity or args.pruned or args.fuzzy or args.facets
+                or args.suggest or args.more_like is not None
+                or args.exclude or has_wild or has_must):
+            p.error("--explain explains the default BM25 term path "
+                    "only — drop the mode flags / operators")
         if args.verify_disjoint and len(args.index) < 2:
             p.error("--verify-disjoint only applies to a federated "
                     "query (multiple --index)")
@@ -527,6 +541,16 @@ def main(argv: list[str] | None = None) -> int:
                                 n_buckets=fz["n_buckets"],
                                 index_max_del=fz["max_del"]) \
                 .orderBy("q").collect()
+        elif args.explain:
+            from .functions.analysis import analyze_query
+            from .operators.search import bm25_explain_topk
+            q_terms, phrases = analyze_query(args.q)
+            for ph in phrases:
+                q_terms.extend(ph)
+            w_imp = (args.boost_important
+                     if args.boost_important is not None else 1.0)
+            rows = bm25_explain_topk(spark, index, q_terms, k=args.k,
+                                     important_weight=w_imp).collect()
         elif args.facets:
             from .operators.search import facet_counts
             from .functions.analysis import analyze_query

@@ -4468,3 +4468,52 @@ def federated_bm25_batch_topk(spark, sf_dir):
 
 QUERIES["federated_bm25_batch_topk"] = federated_bm25_batch_topk
 ORACLE_SQL["federated_bm25_batch_topk"] = ORACLE_SQL["bm25_batch_topk"]
+
+
+def bm25_explain_topk(spark, sf_dir):
+    """Score explanation (search.bm25_explain_topk — the Lucene
+    `explain` analog): one row per (top-20 doc, contributing term) with
+    the idf×multiplicity weight, tf, dl, and the term's BM25 partial;
+    partials per doc sum to the ranker's score EXACTLY because the
+    explanation is derived from the ranker's own decoded rows and the
+    same literal-map expression. Oracle: DuckDB replays the per-(doc,
+    term) partials, ranks docs, and emits the identical breakdown."""
+    idx = entry_index(spark, sf_dir)
+    out = S.bm25_explain_topk(spark, idx, QT, k=20)
+    return out.select("doc_id", _r(F.col("score")).alias("score_r"),
+                      F.col("rank").cast("int").alias("rank"), "term",
+                      _r(F.col("w")).alias("w_r"),
+                      F.col("tf").cast("long").alias("tf"),
+                      F.col("dl").cast("long").alias("dl"),
+                      _r(F.col("partial")).alias("partial_r"))
+
+
+QUERIES["bm25_explain_topk"] = bm25_explain_topk
+
+ORACLE_SQL["bm25_explain_topk"] = _BASE_CTES + f""",
+q(term) AS (VALUES {_QT_SQL}),
+parts AS (
+  SELECT tfc.doc_id, tfc.term,
+         ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) AS w,
+         tfc.tf, dl.dl,
+         ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tfc.tf * 2.2
+           / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+           AS partial
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+),
+scores AS (
+  SELECT doc_id, sum(partial) AS s FROM parts GROUP BY doc_id
+),
+topk AS (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20
+)
+SELECT p.doc_id, CAST(round(t.s, 6) AS DOUBLE) AS score_r,
+       t.rank::INT AS rank, p.term,
+       CAST(round(p.w, 6) AS DOUBLE) AS w_r,
+       p.tf::BIGINT AS tf, p.dl::BIGINT AS dl,
+       CAST(round(p.partial, 6) AS DOUBLE) AS partial_r
+FROM parts p JOIN topk t USING (doc_id)"""

@@ -1061,6 +1061,67 @@ def bm25f_topk_tokens(spark: SparkSession, index: dict,
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def bm25_explain_topk(spark: SparkSession, index: dict,
+                      q_terms: list[str], k: int = 10,
+                      important_weight: float = 1.0) -> DataFrame:
+    """Score explanation (the Lucene `explain` analog): one row per
+    (top-k doc, contributing query term) —
+
+        (doc_id, score, rank, term, w, tf, dl, partial)
+
+    where ``w`` = idf×bag-multiplicity (the literal-map weight the
+    ranker used), ``partial`` = that term's BM25 contribution, and
+    Σ partial over a doc's rows == its score EXACTLY (same expression,
+    same plan shape — explanation is derived from the ranker's own
+    decoded rows, never a parallel reimplementation that could drift).
+
+    Cost: TWO passes over the same pruned decode (the candidate top-k
+    pass, then the explanation join — the parity two-stage discipline,
+    with the k-row candidate set broadcast INTO the second pass); at any
+    corpus size the output is at most k×|q| rows. The reference has
+    no analog (its per-word relevances live transiently in the serving
+    SQL, QueryResultsFetcher.java:239-268) — this is the operational
+    "why is this doc ranked here" surface a relevance engineer needs."""
+    if not q_terms:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, rank int, term string, "
+                "w double, tf int, dl int, partial double")
+    weights = pd.Series(q_terms).value_counts()
+    idf = query_idf(index["terms"], q_terms, "idf_bm25",
+                    index.get("idf_cache"))
+    iw = {t: idf[t] * float(weights[t]) for t in idf}
+    if not iw:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, rank int, term string, "
+                "w double, tf int, dl int, partial double")
+    avgdl = float(index["stats"]["avgdl"])
+    rows = query_term_postings(index["postings"], q_terms,
+                               int(index["stats"]["n_buckets"]))
+    m = _term_weight_map(iw)
+    tf_eff = F.col("tf").cast("double")
+    if important_weight != 1.0:
+        tf_eff = F.when(F.col("important"),
+                        tf_eff * F.lit(float(important_weight))) \
+            .otherwise(tf_eff)
+    detailed = rows.withColumn(
+        "partial",
+        m[F.col("term")] * (tf_eff * (K1 + 1)) /
+        (tf_eff + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl)))
+    ).filter(F.col("partial").isNotNull()) \
+        .withColumn("w", m[F.col("term")])
+    topk = (detailed.groupBy("doc_id")
+            .agg(F.sum("partial").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))))
+            .select("doc_id", "score", "rank"))
+    # k rows broadcast INTO the detailed rows (two-stage discipline)
+    return (detailed.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "score", "rank", "term", "w", "tf", "dl",
+                    "partial")
+            .orderBy("rank", F.desc("partial"), "term"))
+
+
 def expand_wildcard(index: dict, prefix: str,
                     max_terms: int = 64) -> list[str]:
     """`prefix*` term expansion: the dictionary terms starting with

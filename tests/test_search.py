@@ -313,3 +313,39 @@ def test_bm25_batch_equals_per_query(spark, index):
              for r in bm25_topk(spark, index, queries["q1"], k=8).collect()]
     finally:
         s.close()
+
+
+def test_bm25_explain(spark, index):
+    """Explain rows: partials sum to the ranker's score per doc, ranks
+    and doc set equal the plain top-k, and the boosted variant explains
+    the boosted ranker."""
+    from spidey_search_engine_spark.operators.search import (
+        bm25_explain_topk, bm25_topk_tokens)
+    bag = ["merge", "sort", "merge"]  # bag multiplicity rides into w
+    plain = [(r["doc_id"], round(r["score"], 9)) for r in
+             bm25_topk_tokens(spark, index, bag, k=8).collect()]
+    rows = bm25_explain_topk(spark, index, bag, k=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, _ in plain}
+    for doc_id, score in plain:
+        grp = by_doc[doc_id]
+        assert round(sum(r["partial"] for r in grp), 9) == round(
+            grp[0]["score"], 9)
+        assert round(grp[0]["score"], 9) == score
+    ranks = {r["doc_id"]: r["rank"] for r in rows}
+    assert [ranks[d] for d, _ in plain] == list(range(1, len(plain) + 1))
+    # boosted explanation matches the boosted ranker's scores
+    boosted = {r["doc_id"]: round(r["score"], 9) for r in
+               bm25_topk_tokens(spark, index, bag, k=8,
+                                important_weight=3.0).collect()}
+    brows = bm25_explain_topk(spark, index, bag, k=8,
+                              important_weight=3.0).collect()
+    bsum = {}
+    for r in brows:
+        bsum[r["doc_id"]] = bsum.get(r["doc_id"], 0.0) + r["partial"]
+    assert {d: round(s, 9) for d, s in bsum.items()} == boosted
+    # empty / unknown-only bags explain to nothing
+    assert bm25_explain_topk(spark, index, [], k=5).count() == 0
+    assert bm25_explain_topk(spark, index, ["zz_nosuch"], k=5).count() == 0
