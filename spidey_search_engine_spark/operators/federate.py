@@ -44,6 +44,14 @@ checks exactly the violation that can corrupt THIS query ((term, doc_id)
 decoded from more than one shard) for one extra query-bounded
 aggregation; at known-disjoint layouts leave it off.
 
+Federation also gives near-real-time serving for free (the Lucene-NRT /
+main+delta pattern): a big immutable BASE index plus a small DELTA index
+built by the streaming append path (streaming/incremental.py) federate
+into one query surface — new docs serve seconds after arrival without
+touching the base, and the delta periodically compacts into a new base
+snapshot (plans/snapshot.py). Pinned end-to-end by
+test_federated_base_plus_streaming_delta.
+
 Reference parity: QueryResultsFetcher.java:239-268 (single-index BM25
 semantics, bag weights, tie-breaks) — unchanged here; sharding has no
 reference analog, invariant-tested against the monolithic build instead.

@@ -201,3 +201,63 @@ def test_federated_batch_equals_monolithic(spark, fed):
     assert feder == mono and feder
     assert federated_bm25_topk_batch(spark, fed["shards"], {},
                                      k=5).count() == 0
+
+
+def test_federated_base_plus_streaming_delta(spark, corpus_pdf, tmp_path):
+    """Near-real-time serving architecture: a big immutable BASE index
+    plus a small DELTA index built by the streaming append path, queried
+    as one federation — scores byte-identical to the monolithic index
+    over all docs. This is the Lucene-NRT / main+delta pattern: new docs
+    serve seconds after arrival without touching the base, and the delta
+    periodically compacts/merges into a new base snapshot."""
+    from spidey_search_engine_spark.operators.build import (
+        build_index, load_index, prepare_docs)
+    from spidey_search_engine_spark.operators.federate import \
+        federated_bm25_topk_tokens
+    from spidey_search_engine_spark.operators.search import \
+        bm25_topk_tokens
+    from spidey_search_engine_spark.plans.lineage import \
+        load_index_resumable
+    from spidey_search_engine_spark.streaming.incremental import (
+        append_index_stream, publish_index)
+
+    sub = corpus_pdf.head(200)
+    corpus = spark.createDataFrame(sub).repartition(4)
+    docs = prepare_docs(corpus).select(
+        "doc_id", "repo", "path", "commit", "lang", "content")
+
+    mono_dir = str(tmp_path / "mono")
+    build_index(spark, docs, mono_dir, profile="code", seg_bits=6,
+                n_buckets=8)
+    mono = load_index(spark, mono_dir)
+
+    base_dir = str(tmp_path / "base")
+    build_index(spark, docs.filter("doc_id < 150"), base_dir,
+                profile="code", seg_bits=6, n_buckets=8)
+
+    # the delta arrives as a stream (ids pre-assigned upstream — the
+    # streaming contract — and disjoint from the base by construction)
+    src = str(tmp_path / "arrivals")
+    docs.filter("doc_id >= 150").coalesce(1) \
+        .write.mode("append").parquet(src)
+    delta_dir = str(tmp_path / "delta")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = append_index_stream(spark, stream, delta_dir, profile="code",
+                            seg_bits=6, n_buckets=4,
+                            checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    publish_index(spark, delta_dir, profile="code", seg_bits=6,
+                  n_buckets=4)
+
+    shards = [load_index(spark, base_dir),
+              load_index_resumable(spark, delta_dir)]
+    bag = ["merge", "sort"]
+    mono_top = [(r["doc_id"], round(r["score"], 9)) for r in
+                bm25_topk_tokens(spark, mono, bag, k=12).collect()]
+    fed_top = [(r["doc_id"], round(r["score"], 9)) for r in
+               federated_bm25_topk_tokens(spark, shards, bag, k=12,
+                                          verify_disjoint=True).collect()]
+    assert fed_top == mono_top and fed_top
+    # the delta actually contributes (some top doc lives in it)
+    assert any(d >= 150 for d, _ in fed_top)
