@@ -130,17 +130,21 @@ def federated_posting_rows(indexes: list[dict], q_terms: list[str],
 def federated_bm25_topk_tokens(spark: SparkSession, indexes: list[dict],
                                q_terms: list[str], k: int = 10,
                                important_weight: float = 1.0,
-                               verify_disjoint: bool = False) -> DataFrame:
+                               verify_disjoint: bool = False,
+                               gstats: dict | None = None) -> DataFrame:
     """Federated twin of search.bm25_topk_tokens: global-stats BM25
     top-k over an analyzed term bag across shards. Bag semantics
     (duplicate terms weight by multiplicity) and tie-breaks (score DESC,
     doc_id ASC) match the single-index path exactly — they must, the
-    invariant test diffs the two byte-for-byte."""
+    invariant test diffs the two byte-for-byte. `gstats` lets a warm
+    serving tier (FederatedSearcher) pass the once-computed global stats
+    instead of re-deriving them per query."""
     if not indexes:
         raise ValueError("federated query needs at least one shard")
     if not q_terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    gstats = federated_stats(indexes)
+    if gstats is None:
+        gstats = federated_stats(indexes)
     idf = federated_idf(indexes, q_terms, n_docs=gstats["n_docs"])
     weights = pd.Series(q_terms).value_counts()
     iw = {t: idf[t] * float(weights[t]) for t in idf}
@@ -202,3 +206,69 @@ def federated_bm25_topk(spark: SparkSession, indexes: list[dict],
     return federated_bm25_topk_tokens(
         spark, indexes, q_terms, k=k, important_weight=important_weight,
         verify_disjoint=verify_disjoint)
+
+
+class FederatedSearcher:
+    """Warm federated serving tier: one search.Searcher per shard plus
+    the once-computed global stats.
+
+    What federation adds per query over a single warmed index is (a) the
+    global-stats derivation and (b) one df lookup per shard — this class
+    removes both from the steady state: global (N, total_tokens, avgdl)
+    are computed once at open, and each shard's Searcher preloads its
+    dictionary INCLUDING the df column into idf_cache, so
+    federated_idf's per-shard lookup is a dict hit (zero Spark jobs).
+    A warm federated query then plans exactly one job, the same as the
+    single-index Searcher.
+
+    Searcher kwargs pass through to every shard (cache_postings,
+    head_df_threshold auto-preload, codegen suppression — refcounted
+    session-wide, so nesting is safe). Construction is exception-safe:
+    a shard failing to warm closes the shards already opened."""
+
+    def __init__(self, spark: SparkSession, indexes: list[dict],
+                 **searcher_kwargs):
+        from .search import Searcher
+        if not indexes:
+            raise ValueError("FederatedSearcher needs at least one shard")
+        self.spark = spark
+        self._searchers: list = []
+        try:
+            for idx in indexes:
+                self._searchers.append(
+                    Searcher(spark, idx, **searcher_kwargs))
+        except BaseException:
+            self.close()
+            raise
+        self.shards = [s.index for s in self._searchers]
+        self.gstats = federated_stats(self.shards)
+
+    def bm25_tokens(self, q_terms: list[str], k: int = 10,
+                    important_weight: float = 1.0) -> DataFrame:
+        return federated_bm25_topk_tokens(
+            self.spark, self.shards, q_terms, k=k,
+            important_weight=important_weight, gstats=self.gstats)
+
+    def bm25(self, query: str, k: int = 10,
+             important_weight: float = 1.0) -> DataFrame:
+        from ..functions.analysis import analyze_query
+        q_terms, phrases = analyze_query(query)
+        for p in phrases:
+            q_terms.extend(p)
+        return self.bm25_tokens(q_terms, k=k,
+                                important_weight=important_weight)
+
+    def batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        return federated_bm25_topk_batch(self.spark, self.shards,
+                                         queries, k=k)
+
+    def close(self) -> None:
+        for s in self._searchers:
+            s.close()
+        self._searchers = []
+
+    def __enter__(self) -> "FederatedSearcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

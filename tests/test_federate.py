@@ -261,3 +261,43 @@ def test_federated_base_plus_streaming_delta(spark, corpus_pdf, tmp_path):
     assert fed_top == mono_top and fed_top
     # the delta actually contributes (some top doc lives in it)
     assert any(d >= 150 for d, _ in fed_top)
+
+
+def test_federated_searcher_warm_equals_cold(spark, fed):
+    """FederatedSearcher: warmed shards (dictionary df in idf_cache,
+    global stats cached at open) answer byte-identically to the cold
+    federated path and to the monolithic index; close() restores the
+    shards' usability."""
+    from spidey_search_engine_spark.operators.federate import (
+        FederatedSearcher, federated_bm25_topk_tokens)
+    from spidey_search_engine_spark.operators.search import \
+        bm25_topk_tokens
+    bag = ["merge", "sort", "merge"]
+    cold = [(r["doc_id"], round(r["score"], 9)) for r in
+            federated_bm25_topk_tokens(spark, fed["shards"], bag,
+                                       k=9).collect()]
+    mono = [(r["doc_id"], round(r["score"], 9)) for r in
+            bm25_topk_tokens(spark, fed["all"], bag, k=9).collect()]
+    with FederatedSearcher(spark, fed["shards"],
+                           cache_postings=False) as fs:
+        warm = [(r["doc_id"], round(r["score"], 9)) for r in
+                fs.bm25_tokens(bag, k=9).collect()]
+        assert warm == cold == mono and warm
+        # the query-string surface analyzes first (stems merge->merg)
+        # and must equal the token surface on the ANALYZED bag
+        from spidey_search_engine_spark.functions.analysis import \
+            analyze_query
+        abag, _ = analyze_query("merge sort merge")
+        warm_q = [(r["doc_id"], round(r["score"], 9)) for r in
+                  fs.bm25("merge sort merge", k=9).collect()]
+        warm_t = [(r["doc_id"], round(r["score"], 9)) for r in
+                  fs.bm25_tokens(abag, k=9).collect()]
+        assert warm_q == warm_t and warm_q
+        b = fs.batch({"a": "merge sort"}, k=5).orderBy("rank").collect()
+        assert [r["rank"] for r in b] == [1, 2, 3, 4, 5]
+        assert fs.gstats["n_docs"] == int(fed["all"]["stats"]["n_docs"])
+    # shards remain queryable after close (close unpersists, not drops)
+    again = [(r["doc_id"], round(r["score"], 9)) for r in
+             federated_bm25_topk_tokens(spark, fed["shards"], bag,
+                                        k=9).collect()]
+    assert again == cold
