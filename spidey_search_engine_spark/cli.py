@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--ngram-size", type=int, default=3,
                    help="gram width for --ngram-index (literal runs "
                         "shorter than this cannot be probed)")
+    b.add_argument("--shards", type=int, default=1,
+                   help="build N disjoint shard indexes under "
+                        "<output>/shard_<i> (doc_ids assigned once, "
+                        "sliced by pmod(doc_id, N)) — query them "
+                        "together with repeatable --index; scores are "
+                        "byte-identical to one index over the corpus")
 
     q = sub.add_parser("query", help="top-k search")
     q.add_argument("--index", required=True, action="append",
@@ -304,6 +310,13 @@ def main(argv: list[str] | None = None) -> int:
             p.error(f"--ngram-size must be >= 2 (got {args.ngram_size})")
         if args.ngram_index and args.no_wildcard_index:
             p.error("--ngram-index conflicts with --no-wildcard-index")
+        if args.shards < 1:
+            p.error(f"--shards must be >= 1 (got {args.shards})")
+        if args.shards > 1 and args.resumable:
+            p.error("--shards with --resumable is not supported (resume "
+                    "each shard individually: build --resumable "
+                    "--output <dir>/shard_<i> over the pre-sliced "
+                    "corpus)")
     if args.cmd == "query":
         # explicit --k 0 (or negative) is a user error, not "use default" —
         # resolve None-vs-given explicitly so 0 can't silently become 10/20
@@ -410,85 +423,123 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app=f"spidey-{args.cmd}")
 
     if args.cmd == "build":
-        corpus = spark.read.parquet(args.input)
-        # aux projections from a PREVIOUS build of this output dir that
-        # this invocation is going to delete or rewrite anyway come out
-        # BEFORE the build — otherwise build_index's refresh-in-place
-        # rewrites them from the fresh terms only for this code to
-        # delete or re-rewrite the result
         import os
         import shutil
-        stale_wildcard_removed = False
-        if "://" not in args.output:
-            from .operators.wildcard import (ngram_terms_dir,
-                                             prefix_terms_dir,
-                                             suffix_terms_dir)
-            doomed = ()
-            if args.no_wildcard_index:
-                doomed = (prefix_terms_dir(args.output),
-                          suffix_terms_dir(args.output),
-                          ngram_terms_dir(args.output))
-            elif args.ngram_index:
-                # will be rewritten below with args.ngram_size
-                doomed = (ngram_terms_dir(args.output),)
-            for adir in doomed:
-                pdir = os.path.dirname(adir)
-                if os.path.isdir(pdir):
-                    shutil.rmtree(pdir)
-                    if args.no_wildcard_index:
-                        stale_wildcard_removed = True
-        if args.resumable:
-            from .plans.lineage import build_index_resumable
-            stats = build_index_resumable(
-                spark, corpus, args.output, profile=args.profile,
-                seg_bits=args.seg_bits, chunk_segments=args.chunk_segments,
-                n_buckets=args.n_buckets)
+
+        def _build_one(corpus, out):
+            # aux projections from a PREVIOUS build of this output dir
+            # that this invocation is going to delete or rewrite anyway
+            # come out BEFORE the build — otherwise build_index's
+            # refresh-in-place rewrites them from the fresh terms only
+            # for this code to delete or re-rewrite the result
+            stale_wildcard_removed = False
+            if "://" not in out:
+                from .operators.wildcard import (ngram_terms_dir,
+                                                 prefix_terms_dir,
+                                                 suffix_terms_dir)
+                doomed = ()
+                if args.no_wildcard_index:
+                    doomed = (prefix_terms_dir(out),
+                              suffix_terms_dir(out),
+                              ngram_terms_dir(out))
+                elif args.ngram_index:
+                    # will be rewritten below with args.ngram_size
+                    doomed = (ngram_terms_dir(out),)
+                for adir in doomed:
+                    pdir = os.path.dirname(adir)
+                    if os.path.isdir(pdir):
+                        shutil.rmtree(pdir)
+                        if args.no_wildcard_index:
+                            stale_wildcard_removed = True
+            if args.resumable:
+                from .plans.lineage import build_index_resumable
+                stats = build_index_resumable(
+                    spark, corpus, out, profile=args.profile,
+                    seg_bits=args.seg_bits,
+                    chunk_segments=args.chunk_segments,
+                    n_buckets=args.n_buckets)
+            else:
+                from .operators.build import build_index
+                stats = build_index(spark, corpus, out,
+                                    profile=args.profile,
+                                    seg_bits=args.seg_bits,
+                                    n_buckets=args.n_buckets)
+            if not args.no_wildcard_index:
+                # vocabulary-bounded (one short row per term each):
+                # negligible, corpus-independent tail that makes every
+                # later `term*` / `*term` query a one-partition probe
+                # instead of a dictionary scan. Pre-existing projections
+                # were already refreshed in place by the build — only
+                # MISSING ones are created here. The n-gram projection
+                # (|V|·(len−n+1) rows, serves infix `*x*`) is opt-in
+                # like the fuzzy index.
+                from .operators.wildcard import (ngram_terms_dir,
+                                                 prefix_terms_dir,
+                                                 suffix_terms_dir,
+                                                 write_ngram_terms,
+                                                 write_prefix_terms,
+                                                 write_suffix_terms)
+                terms = spark.read.parquet(os.path.join(out, "terms"))
+                if not os.path.isdir(prefix_terms_dir(out)):
+                    write_prefix_terms(terms, out)
+                if not os.path.isdir(suffix_terms_dir(out)):
+                    write_suffix_terms(terms, out)
+                if args.ngram_index:
+                    write_ngram_terms(terms, out, n=args.ngram_size)
+                    stats["ngram_size"] = args.ngram_size
+            elif stale_wildcard_removed:
+                stats["stale_wildcard_index_removed"] = True
+            fuzzy_dir = os.path.join(out, "fuzzy")
+            if args.fuzzy_index:
+                from .operators.build import load_index
+                from .operators.fuzzy import write_deletion_index
+                write_deletion_index(load_index(spark, out)["terms"],
+                                     fuzzy_dir,
+                                     n_buckets=args.fuzzy_buckets)
+                stats["fuzzy_buckets"] = args.fuzzy_buckets
+            elif os.path.exists(os.path.join(fuzzy_dir, "meta.json")):
+                # a fuzzy index from a PREVIOUS build of this output dir
+                # is stale against the fresh dictionary — query --fuzzy
+                # would silently correct typos toward the old
+                # vocabulary. Remove it (re-run with --fuzzy-index to
+                # rebuild it).
+                shutil.rmtree(fuzzy_dir)
+                stats["stale_fuzzy_index_removed"] = True
+            return stats
+
+        corpus = spark.read.parquet(args.input)
+        if args.shards > 1:
+            # sharded build: doc_ids assigned ONCE (the federation
+            # disjointness contract — per-shard builds would each assign
+            # their own colliding 0..N ids), then one full build per
+            # pmod(doc_id, N) slice under <output>/shard_<i>. Query them
+            # together with repeatable --index (operators/federate.py:
+            # scores are byte-identical to one index over the corpus).
+            from pyspark.sql import functions as F
+
+            from .operators.build import assign_doc_ids
+            if "doc_id" not in corpus.columns:
+                # assign_doc_ids localCheckpoints its ordering pass, so
+                # the N filtered builds reuse one id assignment
+                corpus = assign_doc_ids(corpus)
+            per_shard = []
+            for i in range(args.shards):
+                out = os.path.join(args.output, f"shard_{i}")
+                s = _build_one(
+                    corpus.filter(F.pmod(F.col("doc_id"),
+                                         args.shards) == i), out)
+                s["shard"] = i
+                per_shard.append(s)
+            print(json.dumps({
+                "shards": args.shards,
+                "n_docs": sum(s["n_docs"] for s in per_shard),
+                "total_tokens": sum(s["total_tokens"]
+                                    for s in per_shard),
+                "per_shard": per_shard,
+                "query_with": [os.path.join(args.output, f"shard_{i}")
+                               for i in range(args.shards)]}))
         else:
-            from .operators.build import build_index
-            stats = build_index(spark, corpus, args.output,
-                                profile=args.profile, seg_bits=args.seg_bits,
-                                n_buckets=args.n_buckets)
-        if not args.no_wildcard_index:
-            # vocabulary-bounded (one short row per term each):
-            # negligible, corpus-independent tail that makes every later
-            # `term*` / `*term` query a one-partition probe instead of a
-            # dictionary scan. Pre-existing projections were already
-            # refreshed in place by the build — only MISSING ones are
-            # created here. The n-gram projection (|V|·(len−n+1) rows,
-            # serves infix `*x*`) is opt-in like the fuzzy index.
-            from .operators.wildcard import (ngram_terms_dir,
-                                             prefix_terms_dir,
-                                             suffix_terms_dir,
-                                             write_ngram_terms,
-                                             write_prefix_terms,
-                                             write_suffix_terms)
-            terms = spark.read.parquet(
-                os.path.join(args.output, "terms"))
-            if not os.path.isdir(prefix_terms_dir(args.output)):
-                write_prefix_terms(terms, args.output)
-            if not os.path.isdir(suffix_terms_dir(args.output)):
-                write_suffix_terms(terms, args.output)
-            if args.ngram_index:
-                write_ngram_terms(terms, args.output, n=args.ngram_size)
-                stats["ngram_size"] = args.ngram_size
-        elif stale_wildcard_removed:
-            stats["stale_wildcard_index_removed"] = True
-        fuzzy_dir = os.path.join(args.output, "fuzzy")
-        if args.fuzzy_index:
-            from .operators.build import load_index
-            from .operators.fuzzy import write_deletion_index
-            write_deletion_index(load_index(spark, args.output)["terms"],
-                                 fuzzy_dir, n_buckets=args.fuzzy_buckets)
-            stats["fuzzy_buckets"] = args.fuzzy_buckets
-        elif os.path.exists(os.path.join(fuzzy_dir, "meta.json")):
-            # a fuzzy index from a PREVIOUS build of this output dir is
-            # stale against the fresh dictionary — query --fuzzy would
-            # silently correct typos toward the old vocabulary. Remove it
-            # (re-run with --fuzzy-index to rebuild it).
-            import shutil
-            shutil.rmtree(fuzzy_dir)
-            stats["stale_fuzzy_index_removed"] = True
-        print(json.dumps(stats))
+            print(json.dumps(_build_one(corpus, args.output)))
     elif args.cmd == "query":
         from .operators.build import load_index
         if len(args.index) > 1:

@@ -301,3 +301,48 @@ def test_federated_searcher_warm_equals_cold(spark, fed):
              federated_bm25_topk_tokens(spark, fed["shards"], bag,
                                         k=9).collect()]
     assert again == cold
+
+
+def test_cli_sharded_build(spark, corpus_pdf, tmp_path, capsys):
+    """`build --shards 3` assigns ids once, writes <out>/shard_<i>, and
+    querying the shards together equals the monolithic build."""
+    import json
+
+    from spidey_search_engine_spark.cli import main
+
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(corpus_pdf).repartition(8).write.parquet(src)
+    mono_dir = str(tmp_path / "mono")
+    shard_base = str(tmp_path / "sharded")
+
+    def run(argv):
+        assert main(argv) == 0
+        return [json.loads(line) for line in
+                capsys.readouterr().out.strip().splitlines()
+                if line.startswith("{")]
+
+    mono_stats = run(["build", "--input", src, "--output", mono_dir,
+                      "--profile", "code", "--seg-bits", "4",
+                      "--n-buckets", "4"])[-1]
+    sh = run(["build", "--input", src, "--output", shard_base,
+              "--profile", "code", "--seg-bits", "4", "--n-buckets", "4",
+              "--shards", "3"])[-1]
+    assert sh["shards"] == 3 and len(sh["per_shard"]) == 3
+    assert sh["n_docs"] == mono_stats["n_docs"]
+    assert sh["total_tokens"] == mono_stats["total_tokens"]
+
+    mono = run(["query", "--index", mono_dir, "--q", "merge sort",
+                "--k", "6"])
+    feder = run(["query", *sum((["--index", d] for d in sh["query_with"]),
+                               []),
+                 "--q", "merge sort", "--k", "6", "--verify-disjoint"])
+    assert feder == mono and len(feder) == 6
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["build", "--input", src, "--output", shard_base,
+              "--shards", "0"])
+    with _pytest.raises(SystemExit):
+        main(["build", "--input", src, "--output", shard_base,
+              "--shards", "2", "--resumable"])
+    capsys.readouterr()
