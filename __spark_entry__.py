@@ -15,28 +15,23 @@ from pyspark.sql import DataFrame, SparkSession
 from spidey_search_engine_spark import entry_queries as EQ
 
 # Driver-side correctness gates verify the FIRST 50 entries of queries()
-# in dict order. These keys already hold green rows in CORRECTNESS_r03.json;
-# everything NOT in this set (the round-3 P20-P50 wave plus round-4
-# additions) is ordered first so it lands inside the driver's window.
-# The window holds 50; round 4 has 55 never-checked entries, so five
-# must wait for the round-5 rotation. The least informative deferrals are
-# compositions whose constituents ARE in a driver window: the batch-ANN
-# pair (ann_lsh_topk/ann_ivf_topk cover the probes, ann_batch_topk the
-# batch Arrow kernel), training_corpus + training_corpus_v2
-# (compositions of clean_corpus — in this window — with the
-# r03-checked sampling entries), and incremental_dedup_mh_pairs (the
-# MinHash sub-step of incremental_dedup_pairs, which is in this
-# window). All five stay pinned by the local gate + pytest.
-# ann_lsh_topk itself (green in r03; its round-4 Arrow-rescore change
-# shares the kernel with the r03-green ann_cosine_topk path) also stays
-# in the tail. _WINDOW_FRONT forces entries REGISTERED LATE (after the
-# rotation landed) to the head of the window — a late registration
-# would otherwise append BEHIND the 50-slot cut and silently miss its
-# first driver check.
-_WINDOW_FRONT = ('federated_bm25_topk',)
+# in dict order. _WINDOW_TAIL holds every key with a green row in some
+# prior round's CORRECTNESS_r0*.json (union of r01+r02+r03 — r02's window
+# covered nine keys r03's did not); everything NOT in this set — exactly
+# the 48 entries that have NEVER received a driver-side row — is ordered
+# first so all of them land inside the driver's 50-slot window, with two
+# slots of slack filled from the tail. _WINDOW_FRONT forces entries
+# REGISTERED LATE (after this rotation landed) to the head of the window —
+# a late registration would otherwise append BEHIND the 50-slot cut and
+# silently miss its first driver check.
+_WINDOW_FRONT = (
+    'federated_bm25_topk', 'federated_bm25_batch_topk', 'bm25_explain_topk',
+)
 _WINDOW_TAIL = frozenset({
-    'ann_lsh_topk', 'ann_batch_lsh_topk', 'ann_batch_ivf_topk',
-    'training_corpus', 'training_corpus_v2', 'incremental_dedup_mh_pairs',
+    'ann_lsh_topk',
+    'doc_fingerprint', 'a6_binary_postings', 'ann_ivf_topk',
+    'q14_user_create', 'serve_page', 'a8_requery_after_delete',
+    'crawl_frontier', 'emb_cosine_dedup', 'clean_corpus',
     'a1_term_freq', 'a2_positions', 'a3_important_flag', 'a5_doc_freq',
     'a8_df_after_delete', 'ann_batch_topk', 'ann_cosine_topk',
     'ann_ivfpq_topk', 'ann_pq_adc_topk',
