@@ -92,8 +92,8 @@ def _timed(fn, label: str, out: dict):
 
 def main() -> None:
     from spidey_search_engine_spark.operators.build import load_index
-    from spidey_search_engine_spark.operators.federate import \
-        federated_bm25_topk_tokens
+    from spidey_search_engine_spark.operators.federate import (
+        FederatedSearcher, federated_bm25_topk_tokens)
     from spidey_search_engine_spark.operators.search import (
         Searcher, bm25_topk_batch, bm25_topk_tokens)
     from spidey_search_engine_spark.session import get_spark
@@ -139,9 +139,13 @@ def main() -> None:
     if fed_top != mono_top:
         raise SystemExit(f"FEDERATED MISMATCH at {n_docs} docs: "
                          f"{fed_top[:3]} vs {mono_top[:3]}")
-    _timed(lambda: federated_bm25_topk_tokens(spark, shards, HOT,
-                                              k=10).collect(),
-           "federated_hot", results)
+    # warm tier on BOTH sides (bm25_hot ran inside Searcher with cached
+    # postings + dict-hit idf): federated_hot must go through
+    # FederatedSearcher or the ratio conflates caching with federation
+    # overhead
+    with FederatedSearcher(spark, shards) as fs:
+        _timed(lambda: fs.bm25_tokens(HOT, k=10).collect(),
+               "federated_hot", results)
 
     payload = {
         "n_docs": n_docs,

@@ -554,181 +554,183 @@ def main(argv: list[str] | None = None) -> int:
                 q_terms.extend(ph)
             w_imp = (args.boost_important
                      if args.boost_important is not None else 1.0)
-            rows = federated_bm25_topk_tokens(
-                spark, shards, q_terms, k=args.k,
-                important_weight=w_imp,
-                verify_disjoint=args.verify_disjoint).collect()
-            for r in rows:
-                print(json.dumps(r.asDict()))
-            if owns_session:
-                spark.stop()
-            return 0
-        index = load_index(spark, args.index[0])
-
-        def _fuzzy_idx():
-            import os
-
-            from .operators.fuzzy import (build_deletion_index,
-                                          load_deletion_index)
-            fuzzy_dir = os.path.join(args.index[0], "fuzzy")
-            if os.path.exists(os.path.join(fuzzy_dir, "meta.json")):
-                return load_deletion_index(spark, fuzzy_dir)
-            # inline fallback: correct but unpruned (no materialized
-            # bucket partitions) — `build --fuzzy-index` is the scale path
-            print("fuzzy index not materialized; deriving inline "
-                  "(run build --fuzzy-index)", file=sys.stderr)
-            return {"variants": build_deletion_index(
-                index["terms"], n_buckets=64), "max_del": 1,
-                "n_buckets": 64}
-
-        if args.suggest:
-            from .functions.analysis import analyze_query
-            from .operators.fuzzy import did_you_mean
-            q_terms, phrases = analyze_query(args.q)
-            for ph in phrases:
-                q_terms.extend(ph)
-            fz = _fuzzy_idx()
-            rows = did_you_mean(fz["variants"], q_terms,
-                                n_buckets=fz["n_buckets"],
-                                index_max_del=fz["max_del"]) \
-                .orderBy("q").collect()
-        elif args.explain:
-            from .functions.analysis import analyze_query
-            from .operators.search import bm25_explain_topk
-            q_terms, phrases = analyze_query(args.q)
-            for ph in phrases:
-                q_terms.extend(ph)
-            w_imp = (args.boost_important
-                     if args.boost_important is not None else 1.0)
-            rows = bm25_explain_topk(spark, index, q_terms, k=args.k,
-                                     important_weight=w_imp).collect()
-        elif args.facets:
-            from .operators.search import facet_counts
-            from .functions.analysis import analyze_query
-            q_terms, phrases = analyze_query(args.q)
-            for ph in phrases:
-                q_terms.extend(ph)
-            cols = [c.strip() for c in args.facets.split(",") if c.strip()]
-            rows = facet_counts(index, index["docs"], q_terms, cols,
-                                mode=args.facets_mode) \
-                .orderBy("facet", "value").collect()
-        elif args.more_like is not None:
-            from .operators.search import more_like_this
-            docs = spark.read.parquet(args.corpus)
-            if "doc_id" not in docs.columns:
-                # raw (repo,path,...,content) corpus: derive the same
-                # dense (repo,path)-ordered ids the build assigned, so
-                # --more-like N names the same document the index knows
-                from .operators.build import assign_doc_ids
-                docs = assign_doc_ids(docs)
-            rows = more_like_this(spark, index, docs, args.more_like,
-                                  k=args.k).collect()
-        elif args.parity:
-            from .operators.search import parity_search
-            rows = parity_search(spark, index, args.q,
-                                 page_size=args.k,
-                                 slop=args.slop).collect()
-        elif args.pruned:
-            from .operators.wand import bm25_topk_pruned
-            rows = bm25_topk_pruned(spark, index, args.q,
-                                    k=args.k).collect()
-        elif args.fuzzy:
-            from pyspark.sql import functions as F
-
-            from .functions.analysis import analyze_query
-            from .operators.fuzzy import correct_tokens
-            from .operators.search import bm25_topk_tokens
-            fz = _fuzzy_idx()
-            q_terms, phrases = analyze_query(args.q)
-            for ph in phrases:
-                q_terms.extend(ph)
-            known = {r["term"] for r in index["terms"].filter(
-                F.col("term").isin(list(set(q_terms))))
-                .select("term").collect()} if q_terms else set()
-            fixes = correct_tokens(fz["variants"], q_terms, known,
-                                   n_buckets=fz["n_buckets"],
-                                   index_max_del=fz["max_del"])
-            if fixes:
-                print(json.dumps({"corrected": fixes}))
-            q_terms = [fixes.get(t, t) for t in q_terms]
-            w_imp = (args.boost_important
-                     if args.boost_important is not None else 1.0)
-            rows = bm25_topk_tokens(spark, index, q_terms, k=args.k,
-                                    important_weight=w_imp).collect()
-        else:
-            from .functions.analysis import analyze_query
-            from .operators.search import (bm25_topk_boolean,
-                                           bm25_topk_tokens,
-                                           expand_wildcard)
-            raw = args.q.split()
-            # a lone trailing star is a pure prefix (historical form,
-            # star stripped); any other star placement is a glob passed
-            # verbatim (expand_wildcard prunes on the literal head and
-            # regex-verifies the tail)
-            wilds = [(w[:-1] if w.endswith("*") and "*" not in w[:-1]
-                      else w).lower()
-                     for w in raw if "*" in w and len(w) > 1]
-            # +term: strip the operator so the term still SCORES
-            # (Lucene MUST semantics), and analyze it separately for
-            # the filter list
-            q_terms, phrases = analyze_query(
-                " ".join(w.lstrip("+") for w in raw
-                         if "*" not in w))
-            for ph in phrases:
-                q_terms.extend(ph)
-            must_terms = [t for w in raw
-                          if w.startswith("+") and len(w) > 1
-                          for t in analyze_query(w[1:])[0]]
-            # exclusion wildcards EXPAND (previously the analyzer
-            # silently dropped the star, so `--not test*` excluded only
-            # 'test' — less than the user asked). Unlike scoring
-            # wildcards, a capped exclusion would silently NOT exclude
-            # the dropped tail — so an over-wide pattern fails fast
-            # instead of truncating.
-            EXCLUDE_CAP = 64
-            ex_terms = []
             try:
-                for e in args.exclude:
-                    if "*" not in e:
-                        ex_terms.extend(analyze_query(e)[0])
-                        continue
-                    pat = (e[:-1] if e.endswith("*") and "*" not in e[:-1]
-                           else e).lower()
-                    hits = expand_wildcard(index, pat, EXCLUDE_CAP + 1)
-                    if len(hits) > EXCLUDE_CAP:
-                        p.error(f"--not {e!r} matches more than "
-                                f"{EXCLUDE_CAP} dictionary terms; a "
-                                f"truncated exclusion would silently "
-                                f"keep docs you asked to drop — refine "
-                                f"the pattern")
-                    ex_terms.extend(hits)
+                rows = federated_bm25_topk_tokens(
+                    spark, shards, q_terms, k=args.k,
+                    important_weight=w_imp,
+                    verify_disjoint=args.verify_disjoint).collect()
             except ValueError as err:
+                # --verify-disjoint overlap (or an empty shard list) is a
+                # usage/data-contract violation, not a crash — same
+                # ValueError→p.error discipline as the wildcard path
                 p.error(str(err))
-            # expansions dedupe against the bag; base terms keep
-            # multiplicity (same contract as bm25_topk_wildcard).
-            # Unservable patterns (infix without the n-gram index, or a
-            # literal run shorter than its gram size) surface as clean
-            # usage errors, not tracebacks
-            seen = set(q_terms)
-            try:
-                for w in wilds:
-                    for t in expand_wildcard(index, w):
-                        if t not in seen:
-                            q_terms.append(t)
-                            seen.add(t)
-            except ValueError as e:
-                p.error(str(e))
-            w_imp = (args.boost_important
-                     if args.boost_important is not None else 1.0)
-            if must_terms or ex_terms:
-                rows = bm25_topk_boolean(
-                    spark, index, q_terms, must=must_terms,
-                    exclude=ex_terms, k=args.k,
-                    important_weight=w_imp).collect()
+        else:
+            index = load_index(spark, args.index[0])
+
+            def _fuzzy_idx():
+                import os
+
+                from .operators.fuzzy import (build_deletion_index,
+                                              load_deletion_index)
+                fuzzy_dir = os.path.join(args.index[0], "fuzzy")
+                if os.path.exists(os.path.join(fuzzy_dir, "meta.json")):
+                    return load_deletion_index(spark, fuzzy_dir)
+                # inline fallback: correct but unpruned (no materialized
+                # bucket partitions) — `build --fuzzy-index` is the scale path
+                print("fuzzy index not materialized; deriving inline "
+                      "(run build --fuzzy-index)", file=sys.stderr)
+                return {"variants": build_deletion_index(
+                    index["terms"], n_buckets=64), "max_del": 1,
+                    "n_buckets": 64}
+
+            if args.suggest:
+                from .functions.analysis import analyze_query
+                from .operators.fuzzy import did_you_mean
+                q_terms, phrases = analyze_query(args.q)
+                for ph in phrases:
+                    q_terms.extend(ph)
+                fz = _fuzzy_idx()
+                rows = did_you_mean(fz["variants"], q_terms,
+                                    n_buckets=fz["n_buckets"],
+                                    index_max_del=fz["max_del"]) \
+                    .orderBy("q").collect()
+            elif args.explain:
+                from .functions.analysis import analyze_query
+                from .operators.search import bm25_explain_topk
+                q_terms, phrases = analyze_query(args.q)
+                for ph in phrases:
+                    q_terms.extend(ph)
+                w_imp = (args.boost_important
+                         if args.boost_important is not None else 1.0)
+                rows = bm25_explain_topk(spark, index, q_terms, k=args.k,
+                                         important_weight=w_imp).collect()
+            elif args.facets:
+                from .operators.search import facet_counts
+                from .functions.analysis import analyze_query
+                q_terms, phrases = analyze_query(args.q)
+                for ph in phrases:
+                    q_terms.extend(ph)
+                cols = [c.strip() for c in args.facets.split(",") if c.strip()]
+                rows = facet_counts(index, index["docs"], q_terms, cols,
+                                    mode=args.facets_mode) \
+                    .orderBy("facet", "value").collect()
+            elif args.more_like is not None:
+                from .operators.search import more_like_this
+                docs = spark.read.parquet(args.corpus)
+                if "doc_id" not in docs.columns:
+                    # raw (repo,path,...,content) corpus: derive the same
+                    # dense (repo,path)-ordered ids the build assigned, so
+                    # --more-like N names the same document the index knows
+                    from .operators.build import assign_doc_ids
+                    docs = assign_doc_ids(docs)
+                rows = more_like_this(spark, index, docs, args.more_like,
+                                      k=args.k).collect()
+            elif args.parity:
+                from .operators.search import parity_search
+                rows = parity_search(spark, index, args.q,
+                                     page_size=args.k,
+                                     slop=args.slop).collect()
+            elif args.pruned:
+                from .operators.wand import bm25_topk_pruned
+                rows = bm25_topk_pruned(spark, index, args.q,
+                                        k=args.k).collect()
+            elif args.fuzzy:
+                from pyspark.sql import functions as F
+
+                from .functions.analysis import analyze_query
+                from .operators.fuzzy import correct_tokens
+                from .operators.search import bm25_topk_tokens
+                fz = _fuzzy_idx()
+                q_terms, phrases = analyze_query(args.q)
+                for ph in phrases:
+                    q_terms.extend(ph)
+                known = {r["term"] for r in index["terms"].filter(
+                    F.col("term").isin(list(set(q_terms))))
+                    .select("term").collect()} if q_terms else set()
+                fixes = correct_tokens(fz["variants"], q_terms, known,
+                                       n_buckets=fz["n_buckets"],
+                                       index_max_del=fz["max_del"])
+                if fixes:
+                    print(json.dumps({"corrected": fixes}))
+                q_terms = [fixes.get(t, t) for t in q_terms]
+                w_imp = (args.boost_important
+                         if args.boost_important is not None else 1.0)
+                rows = bm25_topk_tokens(spark, index, q_terms, k=args.k,
+                                        important_weight=w_imp).collect()
             else:
-                rows = bm25_topk_tokens(
-                    spark, index, q_terms, k=args.k,
-                    important_weight=w_imp).collect()
+                from .functions.analysis import analyze_query
+                from .operators.search import (bm25_topk_boolean,
+                                               bm25_topk_tokens,
+                                               expand_wildcard)
+                raw = args.q.split()
+                # a lone trailing star is a pure prefix (historical form,
+                # star stripped); any other star placement is a glob passed
+                # verbatim (expand_wildcard prunes on the literal head and
+                # regex-verifies the tail)
+                wilds = [(w[:-1] if w.endswith("*") and "*" not in w[:-1]
+                          else w).lower()
+                         for w in raw if "*" in w and len(w) > 1]
+                # +term: strip the operator so the term still SCORES
+                # (Lucene MUST semantics), and analyze it separately for
+                # the filter list
+                q_terms, phrases = analyze_query(
+                    " ".join(w.lstrip("+") for w in raw
+                             if "*" not in w))
+                for ph in phrases:
+                    q_terms.extend(ph)
+                must_terms = [t for w in raw
+                              if w.startswith("+") and len(w) > 1
+                              for t in analyze_query(w[1:])[0]]
+                # exclusion wildcards EXPAND (previously the analyzer
+                # silently dropped the star, so `--not test*` excluded only
+                # 'test' — less than the user asked). Unlike scoring
+                # wildcards, a capped exclusion would silently NOT exclude
+                # the dropped tail — so an over-wide pattern fails fast
+                # instead of truncating.
+                EXCLUDE_CAP = 64
+                ex_terms = []
+                try:
+                    for e in args.exclude:
+                        if "*" not in e:
+                            ex_terms.extend(analyze_query(e)[0])
+                            continue
+                        pat = (e[:-1] if e.endswith("*") and "*" not in e[:-1]
+                               else e).lower()
+                        hits = expand_wildcard(index, pat, EXCLUDE_CAP + 1)
+                        if len(hits) > EXCLUDE_CAP:
+                            p.error(f"--not {e!r} matches more than "
+                                    f"{EXCLUDE_CAP} dictionary terms; a "
+                                    f"truncated exclusion would silently "
+                                    f"keep docs you asked to drop — refine "
+                                    f"the pattern")
+                        ex_terms.extend(hits)
+                except ValueError as err:
+                    p.error(str(err))
+                # expansions dedupe against the bag; base terms keep
+                # multiplicity (same contract as bm25_topk_wildcard).
+                # Unservable patterns (infix without the n-gram index, or a
+                # literal run shorter than its gram size) surface as clean
+                # usage errors, not tracebacks
+                seen = set(q_terms)
+                try:
+                    for w in wilds:
+                        for t in expand_wildcard(index, w):
+                            if t not in seen:
+                                q_terms.append(t)
+                                seen.add(t)
+                except ValueError as e:
+                    p.error(str(e))
+                w_imp = (args.boost_important
+                         if args.boost_important is not None else 1.0)
+                if must_terms or ex_terms:
+                    rows = bm25_topk_boolean(
+                        spark, index, q_terms, must=must_terms,
+                        exclude=ex_terms, k=args.k,
+                        important_weight=w_imp).collect()
+                else:
+                    rows = bm25_topk_tokens(
+                        spark, index, q_terms, k=args.k,
+                        important_weight=w_imp).collect()
         for r in rows:
             print(json.dumps(r.asDict()))
     elif args.cmd == "bench":

@@ -4445,25 +4445,13 @@ def federated_bm25_batch_topk(spark, sf_dir):
     (query_id, doc_id) aggregation, per-query window rank. Oracle: the
     UNMODIFIED monolithic batch SQL (ORACLE_SQL['bm25_batch_topk']) —
     federation must be invisible in the eval workload too."""
-    from .operators.federate import (federated_idf,
-                                     federated_posting_rows,
-                                     federated_stats)
-    from .operators.search import batch_term_weights, bm25_score_rows_batch
+    from .operators.federate import federated_bm25_topk_batch_tokens
     shards = _fed_shards(spark, sf_dir)
-    union_terms = sorted({t for bag in _BATCH_BAGS.values() for t in bag})
-    gstats = federated_stats(shards)
-    idf = federated_idf(shards, union_terms, n_docs=gstats["n_docs"])
-    rows = federated_posting_rows(shards, union_terms)
-    scores = bm25_score_rows_batch(rows,
-                                   batch_term_weights(_BATCH_BAGS, idf),
-                                   gstats["avgdl"])
-    wnd = Window.partitionBy("query_id").orderBy(F.desc("score"),
-                                                 F.asc("doc_id"))
-    return (scores.withColumn("rank", F.row_number().over(wnd))
-            .filter(F.col("rank") <= 10)
-            .select("query_id", "doc_id", _r(F.col("score"))
-                    .alias("score_r"), F.col("rank").cast("int")
-                    .alias("rank")))
+    out = federated_bm25_topk_batch_tokens(spark, shards, _BATCH_BAGS,
+                                           k=10)
+    return out.select("query_id", "doc_id", _r(F.col("score"))
+                      .alias("score_r"), F.col("rank").cast("int")
+                      .alias("rank"))
 
 
 QUERIES["federated_bm25_batch_topk"] = federated_bm25_batch_topk
@@ -4484,6 +4472,7 @@ def bm25_explain_topk(spark, sf_dir):
                       F.col("rank").cast("int").alias("rank"), "term",
                       _r(F.col("w")).alias("w_r"),
                       F.col("tf").cast("long").alias("tf"),
+                      _r(F.col("tf_eff")).alias("tf_eff_r"),
                       F.col("dl").cast("long").alias("dl"),
                       _r(F.col("partial")).alias("partial_r"))
 
@@ -4514,6 +4503,8 @@ topk AS (
 SELECT p.doc_id, CAST(round(t.s, 6) AS DOUBLE) AS score_r,
        t.rank::INT AS rank, p.term,
        CAST(round(p.w, 6) AS DOUBLE) AS w_r,
-       p.tf::BIGINT AS tf, p.dl::BIGINT AS dl,
+       p.tf::BIGINT AS tf,
+       CAST(round(p.tf, 6) AS DOUBLE) AS tf_eff_r,
+       p.dl::BIGINT AS dl,
        CAST(round(p.partial, 6) AS DOUBLE) AS partial_r
 FROM parts p JOIN topk t USING (doc_id)"""

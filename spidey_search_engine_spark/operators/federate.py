@@ -155,33 +155,27 @@ def federated_bm25_topk_tokens(spark: SparkSession, indexes: list[dict],
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def federated_bm25_topk_batch(spark: SparkSession, indexes: list[dict],
-                              queries: dict[str, str], k: int = 10,
-                              verify_disjoint: bool = False) -> DataFrame:
-    """Federated twin of search.bm25_topk_batch — the eval-workload
-    shape over a sharded corpus: ONE union-of-query-terms probe per
-    shard, global per-(query, term) weights broadcast once, one
-    (query_id, doc_id) aggregation, one per-query window rank. Shared
-    hot terms decode once per shard regardless of how many queries use
-    them. Same invariant as the single-query path: byte-identical to
-    bm25_topk_batch over the monolithic union index."""
+def federated_bm25_topk_batch_tokens(
+        spark: SparkSession, indexes: list[dict],
+        bags: dict[str, list[str]], k: int = 10,
+        verify_disjoint: bool = False,
+        gstats: dict | None = None) -> DataFrame:
+    """Token-level federated batch scorer (the bm25_topk/bm25_topk_tokens
+    split, applied to the batch shape): ONE union-of-query-terms probe
+    per shard, global per-(query, term) weights broadcast once, one
+    (query_id, doc_id) aggregation, one per-query window rank. The
+    string wrapper and the oracle-paired entry both call THIS — one
+    pipeline, no copy to drift."""
     from pyspark.sql import Window
-
-    from ..functions.analysis import analyze_query
     if not indexes:
         raise ValueError("federated query needs at least one shard")
-    bags: dict[str, list[str]] = {}
-    for qid, qtext in queries.items():
-        q_terms, phrases = analyze_query(qtext)
-        for p in phrases:
-            q_terms.extend(p)
-        if q_terms:
-            bags[qid] = q_terms
+    bags = {qid: bag for qid, bag in bags.items() if bag}
     if not bags:
         return spark.createDataFrame(
             [], "query_id string, doc_id long, score double, rank int")
     union_terms = sorted({t for bag in bags.values() for t in bag})
-    gstats = federated_stats(indexes)
+    if gstats is None:
+        gstats = federated_stats(indexes)
     idf = federated_idf(indexes, union_terms, n_docs=gstats["n_docs"])
     rows = federated_posting_rows(indexes, union_terms,
                                   verify_disjoint=verify_disjoint)
@@ -191,6 +185,27 @@ def federated_bm25_topk_batch(spark: SparkSession, indexes: list[dict],
                                                  F.asc("doc_id"))
     return (scores.withColumn("rank", F.row_number().over(wnd))
             .filter(F.col("rank") <= k))
+
+
+def federated_bm25_topk_batch(spark: SparkSession, indexes: list[dict],
+                              queries: dict[str, str], k: int = 10,
+                              verify_disjoint: bool = False) -> DataFrame:
+    """Federated twin of search.bm25_topk_batch — the eval-workload
+    shape over a sharded corpus: analyze each query string to a term
+    bag, then one shared scoring pass (see ..._batch_tokens). Shared
+    hot terms decode once per shard regardless of how many queries use
+    them. Same invariant as the single-query path: byte-identical to
+    bm25_topk_batch over the monolithic union index."""
+    from ..functions.analysis import analyze_query
+    bags: dict[str, list[str]] = {}
+    for qid, qtext in queries.items():
+        q_terms, phrases = analyze_query(qtext)
+        for p in phrases:
+            q_terms.extend(p)
+        if q_terms:
+            bags[qid] = q_terms
+    return federated_bm25_topk_batch_tokens(
+        spark, indexes, bags, k=k, verify_disjoint=verify_disjoint)
 
 
 def federated_bm25_topk(spark: SparkSession, indexes: list[dict],
@@ -259,8 +274,16 @@ class FederatedSearcher:
                                 important_weight=important_weight)
 
     def batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:
-        return federated_bm25_topk_batch(self.spark, self.shards,
-                                         queries, k=k)
+        from ..functions.analysis import analyze_query
+        bags: dict[str, list[str]] = {}
+        for qid, qtext in queries.items():
+            q_terms, phrases = analyze_query(qtext)
+            for p in phrases:
+                q_terms.extend(p)
+            if q_terms:
+                bags[qid] = q_terms
+        return federated_bm25_topk_batch_tokens(
+            self.spark, self.shards, bags, k=k, gstats=self.gstats)
 
     def close(self) -> None:
         for s in self._searchers:

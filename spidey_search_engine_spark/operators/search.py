@@ -1067,13 +1067,16 @@ def bm25_explain_topk(spark: SparkSession, index: dict,
     """Score explanation (the Lucene `explain` analog): one row per
     (top-k doc, contributing query term) —
 
-        (doc_id, score, rank, term, w, tf, dl, partial)
+        (doc_id, score, rank, term, w, tf, important, tf_eff, dl, partial)
 
     where ``w`` = idf×bag-multiplicity (the literal-map weight the
-    ranker used), ``partial`` = that term's BM25 contribution, and
-    Σ partial over a doc's rows == its score EXACTLY (same expression,
-    same plan shape — explanation is derived from the ranker's own
-    decoded rows, never a parallel reimplementation that could drift).
+    ranker used), ``tf_eff`` = the EFFECTIVE tf the formula consumed
+    (tf·important_weight on important postings — without it a boosted
+    row's (w, tf, dl) could not reproduce its own partial), ``partial``
+    = that term's BM25 contribution, and Σ partial over a doc's rows ==
+    its score EXACTLY (same expression, same plan shape — explanation is
+    derived from the ranker's own decoded rows, never a parallel
+    reimplementation that could drift).
 
     Cost: TWO passes over the same pruned decode (the candidate top-k
     pass, then the explanation join — the parity two-stage discipline,
@@ -1082,18 +1085,17 @@ def bm25_explain_topk(spark: SparkSession, index: dict,
     no analog (its per-word relevances live transiently in the serving
     SQL, QueryResultsFetcher.java:239-268) — this is the operational
     "why is this doc ranked here" surface a relevance engineer needs."""
+    empty_schema = ("doc_id long, score double, rank int, term string, "
+                    "w double, tf int, important boolean, tf_eff double, "
+                    "dl int, partial double")
     if not q_terms:
-        return spark.createDataFrame(
-            [], "doc_id long, score double, rank int, term string, "
-                "w double, tf int, dl int, partial double")
+        return spark.createDataFrame([], empty_schema)
     weights = pd.Series(q_terms).value_counts()
     idf = query_idf(index["terms"], q_terms, "idf_bm25",
                     index.get("idf_cache"))
     iw = {t: idf[t] * float(weights[t]) for t in idf}
     if not iw:
-        return spark.createDataFrame(
-            [], "doc_id long, score double, rank int, term string, "
-                "w double, tf int, dl int, partial double")
+        return spark.createDataFrame([], empty_schema)
     avgdl = float(index["stats"]["avgdl"])
     rows = query_term_postings(index["postings"], q_terms,
                                int(index["stats"]["n_buckets"]))
@@ -1103,10 +1105,10 @@ def bm25_explain_topk(spark: SparkSession, index: dict,
         tf_eff = F.when(F.col("important"),
                         tf_eff * F.lit(float(important_weight))) \
             .otherwise(tf_eff)
-    detailed = rows.withColumn(
+    detailed = rows.withColumn("tf_eff", tf_eff).withColumn(
         "partial",
-        m[F.col("term")] * (tf_eff * (K1 + 1)) /
-        (tf_eff + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl)))
+        m[F.col("term")] * (F.col("tf_eff") * (K1 + 1)) /
+        (F.col("tf_eff") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl)))
     ).filter(F.col("partial").isNotNull()) \
         .withColumn("w", m[F.col("term")])
     topk = (detailed.groupBy("doc_id")
@@ -1117,8 +1119,8 @@ def bm25_explain_topk(spark: SparkSession, index: dict,
             .select("doc_id", "score", "rank"))
     # k rows broadcast INTO the detailed rows (two-stage discipline)
     return (detailed.join(F.broadcast(topk), "doc_id")
-            .select("doc_id", "score", "rank", "term", "w", "tf", "dl",
-                    "partial")
+            .select("doc_id", "score", "rank", "term", "w", "tf",
+                    "important", "tf_eff", "dl", "partial")
             .orderBy("rank", F.desc("partial"), "term"))
 
 

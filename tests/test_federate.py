@@ -1,8 +1,6 @@
 """Federated (sharded) search — the invariant is byte-identical scores
 vs the monolithic index over the union corpus (operators/federate.py)."""
 
-import math
-
 import pytest
 from pyspark.sql import functions as F
 

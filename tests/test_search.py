@@ -346,6 +346,16 @@ def test_bm25_explain(spark, index):
     for r in brows:
         bsum[r["doc_id"]] = bsum.get(r["doc_id"], 0.0) + r["partial"]
     assert {d: round(s, 9) for d, s in bsum.items()} == boosted
+    # each row is self-explanatory: partial recomputable from the
+    # emitted (w, tf_eff, dl) even under the boost (tf alone cannot)
+    from spidey_search_engine_spark.operators.search import B, K1
+    avgdl = float(index["stats"]["avgdl"])
+    for r in brows:
+        assert r["tf_eff"] == (r["tf"] * 3.0 if r["important"]
+                               else float(r["tf"]))
+        recomputed = (r["w"] * r["tf_eff"] * (K1 + 1)
+                      / (r["tf_eff"] + K1 * (1 - B + B * r["dl"] / avgdl)))
+        assert round(recomputed, 9) == round(r["partial"], 9)
     # empty / unknown-only bags explain to nothing
     assert bm25_explain_topk(spark, index, [], k=5).count() == 0
     assert bm25_explain_topk(spark, index, ["zz_nosuch"], k=5).count() == 0
