@@ -32,6 +32,43 @@ import json
 import sys
 
 
+def _read_batch_queries(path: str, p: argparse.ArgumentParser) \
+        -> dict[str, str]:
+    """Parse a --batch query file: one query per line, optional
+    'id<TAB>query' form, blank/# lines skipped. Fails fast (parser
+    error) on unreadable files, empty/duplicate ids, operator tokens
+    (+term / wildcards — the batch scorer runs the plain term path), or
+    a file with no queries at all — silently ranking nothing is worse
+    than refusing."""
+    try:
+        with open(path, encoding="utf-8") as f:
+            lines = f.read().splitlines()
+    except OSError as e:
+        p.error(f"--batch: cannot read {path}: {e}")
+    out: dict[str, str] = {}
+    for i, raw in enumerate(lines, 1):
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if "\t" in line:
+            qid, qtext = (s.strip() for s in line.split("\t", 1))
+        else:
+            qid, qtext = f"q{i}", line
+        if not qid or not qtext:
+            p.error(f"--batch: line {i}: empty id or query")
+        if qid in out:
+            p.error(f"--batch: duplicate query id {qid!r} (line {i})")
+        for t in qtext.split():
+            if "*" in t or (t.startswith("+") and len(t) > 1):
+                p.error(f"--batch: line {i}: operator tokens (+term, "
+                        f"wildcards) are not supported in batch mode — "
+                        f"run {t!r} as a single query")
+        out[qid] = qtext
+    if not out:
+        p.error(f"--batch: no queries in {path}")
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="spidey-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -136,6 +173,16 @@ def main(argv: list[str] | None = None) -> int:
                         "that term's BM25 partial — partials sum to the "
                         "doc's score exactly (default BM25 term path; "
                         "composes with --boost-important)")
+    q.add_argument("--batch", default=None, metavar="FILE",
+                   help="eval-workload mode: read queries from FILE (one "
+                        "per line; 'id<TAB>query' lines keep their id, "
+                        "bare lines get q<lineno>; blank lines and "
+                        "#comments skipped) and rank ALL of them in one "
+                        "pass — a single union-term pruned probe instead "
+                        "of one job per query; prints one JSON line per "
+                        "(query_id, doc_id, score, rank); works "
+                        "single-index and federated (multiple --index); "
+                        "plain terms/phrases only (no +term/wildcards)")
     q.add_argument("--boost-important", type=float, default=None,
                    metavar="W",
                    help="BM25F-lite: weight important (title/path-token) "
@@ -341,8 +388,18 @@ def main(argv: list[str] | None = None) -> int:
                 and (args.parity or args.pruned or args.fuzzy)):
             p.error("--facets/--more-like replace the ranking mode; "
                     "drop --parity/--pruned/--fuzzy")
-        if args.more_like is None and args.q is None:
-            p.error("--q is required (except with --more-like)")
+        if args.batch:
+            if args.q is not None:
+                p.error("--batch reads its queries from FILE; drop --q")
+            if (args.parity or args.pruned or args.fuzzy or args.facets
+                    or args.suggest or args.explain or args.exclude
+                    or args.more_like is not None
+                    or args.boost_important is not None):
+                p.error("--batch runs the default BM25 term path only "
+                        "— drop the mode flags / operators")
+        if (args.more_like is None and args.q is None
+                and args.batch is None):
+            p.error("--q is required (except with --more-like / --batch)")
         if args.q and any("*" in t and '"' in t
                           for t in args.q.split()):
             p.error("wildcards inside quoted phrases are not supported")
@@ -542,7 +599,28 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(_build_one(corpus, args.output)))
     elif args.cmd == "query":
         from .operators.build import load_index
-        if len(args.index) > 1:
+        if args.batch:
+            # eval-workload surface: every query in ONE pass (single
+            # union-term pruned probe; shared hot terms decode once) —
+            # the CLI face of bm25_topk_batch / federated_..._batch
+            queries = _read_batch_queries(args.batch, p)
+            try:
+                if len(args.index) > 1:
+                    from .operators.federate import \
+                        federated_bm25_topk_batch
+                    shards = [load_index(spark, d) for d in args.index]
+                    out = federated_bm25_topk_batch(
+                        spark, shards, queries, k=args.k,
+                        verify_disjoint=args.verify_disjoint)
+                else:
+                    from .operators.search import bm25_topk_batch
+                    out = bm25_topk_batch(
+                        spark, load_index(spark, args.index[0]),
+                        queries, k=args.k)
+                rows = out.orderBy("query_id", "rank").collect()
+            except ValueError as err:
+                p.error(str(err))
+        elif len(args.index) > 1:
             # federated path (operators/federate.py): global-stats BM25
             # over disjoint shards. Term bag only — every other mode is
             # single-index (rejected in the arg-contract block above).

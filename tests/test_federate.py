@@ -165,6 +165,20 @@ def test_federated_cli_roundtrip(spark, corpus_pdf, tmp_path, capsys):
                  "--q", "merge sort", "--k", "7", "--verify-disjoint"])
     assert feder == mono and len(feder) == 7
 
+    # --batch FILE: eval workload in one pass, single-index == federated,
+    # ids from TAB lines, q<lineno> otherwise, comments/blanks skipped
+    bf = tmp_path / "queries.txt"
+    bf.write_text("merge sort\n# comment\n\nhot\tbinary tree\n",
+                  encoding="utf-8")
+    mono_b = run(["query", "--index", dirs["all"],
+                  "--batch", str(bf), "--k", "5"])
+    fed_b = run(["query", "--index", dirs["a"], "--index", dirs["b"],
+                 "--batch", str(bf), "--k", "5", "--verify-disjoint"])
+    assert fed_b == mono_b and mono_b
+    assert {r["query_id"] for r in mono_b} == {"q1", "hot"}
+    assert all(set(r) == {"query_id", "doc_id", "score", "rank"}
+               for r in mono_b)
+
     # mode flags / operators reject cleanly on the federated path
     import pytest as _pytest
     for argv in (["query", "--index", dirs["a"], "--index", dirs["b"],
@@ -174,9 +188,25 @@ def test_federated_cli_roundtrip(spark, corpus_pdf, tmp_path, capsys):
                  ["query", "--index", dirs["a"], "--index", dirs["b"],
                   "--q", "merge", "--not", "scan"],
                  ["query", "--index", dirs["all"], "--q", "merge",
-                  "--verify-disjoint"]):
+                  "--verify-disjoint"],
+                 # --batch contract: no --q, no mode flags, no operator
+                 # tokens inside the file, no empty file
+                 ["query", "--index", dirs["all"], "--batch", str(bf),
+                  "--q", "merge"],
+                 ["query", "--index", dirs["all"], "--batch", str(bf),
+                  "--pruned"],
+                 ["query", "--index", dirs["all"], "--batch", str(bf),
+                  "--explain"]):
         with _pytest.raises(SystemExit):
             main(argv)
+    bad = tmp_path / "bad.txt"
+    bad.write_text("merge sor*\n", encoding="utf-8")
+    with _pytest.raises(SystemExit):
+        main(["query", "--index", dirs["all"], "--batch", str(bad)])
+    empty = tmp_path / "empty.txt"
+    empty.write_text("# nothing\n", encoding="utf-8")
+    with _pytest.raises(SystemExit):
+        main(["query", "--index", dirs["all"], "--batch", str(empty)])
     capsys.readouterr()
 
 
