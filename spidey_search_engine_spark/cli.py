@@ -193,6 +193,23 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("bench", help="run bench.py suite")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.1")
 
+    vf = sub.add_parser(
+        "verify", help="index↔source audit: per-row content-sha256 "
+        "equality of the index docs table against the source corpus "
+        "(ok / stale / missing / orphaned); prints one JSON summary "
+        "line; exit 0 only when every row is ok — the CI face of the "
+        "engine's per-row invariant")
+    vf.add_argument("--index", required=True)
+    vf.add_argument("--corpus", required=True,
+                    help="source corpus parquet dir (doc_id derived "
+                         "build-identically when absent)")
+    vf.add_argument("--text-col", default="content")
+    vf.add_argument("--dump", default=None, metavar="DIR",
+                    help="also write the non-ok (doc_id, status) rows "
+                         "as parquet — stale∪missing is reindex_docs' "
+                         "repair input, orphaned is "
+                         "delete_docs_postings'")
+
     r = sub.add_parser(
         "report", help="corpus statistics: per-group doc/char/token "
         "totals + token quantiles, repetition-signal summary, and "
@@ -478,6 +495,7 @@ def main(argv: list[str] | None = None) -> int:
     # (tests, notebooks) pass through getOrCreate and must keep theirs
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app=f"spidey-{args.cmd}")
+    rc = 0  # non-zero set by audit commands (verify) on findings
 
     if args.cmd == "build":
         import os
@@ -816,6 +834,32 @@ def main(argv: list[str] | None = None) -> int:
         os.environ["SPARK_GRAFT_SF_DIR"] = args.sf_dir
         import bench
         bench.main()
+    elif args.cmd == "verify":
+        from pyspark.sql import functions as F
+
+        from .operators.build import assign_doc_ids, load_index
+        from .operators.maintenance import (index_verify,
+                                            index_verify_summary)
+        index = load_index(spark, args.index)
+        src = spark.read.parquet(args.corpus)
+        if "doc_id" not in src.columns:
+            # raw (repo,path,...,content) corpus: derive the same dense
+            # (repo,path)-ordered ids the build assigned (--more-like
+            # discipline) so the audit joins on the index's own id space
+            src = assign_doc_ids(src)
+        counts = {r["status"]: int(r["n_docs"]) for r in
+                  index_verify_summary(index["docs"], src,
+                                       text_col=args.text_col).collect()}
+        summary = {s: counts.get(s, 0)
+                   for s in ("ok", "stale", "missing", "orphaned")}
+        bad = sum(v for s, v in summary.items() if s != "ok")
+        if args.dump and bad:
+            (index_verify(index["docs"], src, text_col=args.text_col)
+             .filter(F.col("status") != "ok")
+             .write.mode("overwrite").parquet(args.dump))
+            summary["dump"] = args.dump
+        print(json.dumps(summary))
+        rc = 0 if bad == 0 else 1
     elif args.cmd == "forks":
         import os
 
@@ -1148,7 +1192,7 @@ def main(argv: list[str] | None = None) -> int:
             "bpe_merges": n_merges}))
     if owns_session:
         spark.stop()
-    return 0
+    return rc
 
 
 if __name__ == "__main__":

@@ -259,3 +259,50 @@ def test_index_verify_clean_index_is_all_ok(spark, corpus_pdf, tmp_path):
     rows = index_verify_summary(idx["docs"], source).collect()
     assert [(r["status"], r["n_docs"]) for r in rows] == [
         ("ok", len(corpus_pdf))]
+
+
+def test_cli_verify_audit(spark, corpus_pdf, tmp_path, capsys):
+    """`verify --index --corpus`: all-ok ⇒ exit 0; a perturbed source
+    (changed / dropped / added rows) ⇒ exit 1, the right per-status
+    counts, and a --dump parquet holding exactly the non-ok rows."""
+    import json
+
+    from spidey_search_engine_spark.cli import main
+    from spidey_search_engine_spark.operators.build import build_index
+
+    src = str(tmp_path / "corpus")
+    corpus = spark.createDataFrame(corpus_pdf).repartition(4)
+    corpus.write.parquet(src)  # raw corpus: no doc_id column — the CLI
+    # derives the build-identical assignment itself
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.read.parquet(src), out, profile="code",
+                seg_bits=6, n_buckets=4)
+    assert main(["verify", "--index", out, "--corpus", src]) == 0
+    ok = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ok == {"ok": len(corpus_pdf), "stale": 0, "missing": 0,
+                  "orphaned": 0}
+
+    # perturb with doc_id present (explicit id space): 2 stale, 1
+    # orphaned (dropped), 1 missing (new id the index never saw)
+    from spidey_search_engine_spark.operators.build import prepare_docs
+    base = prepare_docs(spark.read.parquet(src)) \
+        .select("doc_id", "content")
+    pert = (base.filter(F.col("doc_id") != 0)
+            .withColumn("content",
+                        F.when(F.col("doc_id").isin(1, 2),
+                               F.concat(F.col("content"), F.lit(" X")))
+                        .otherwise(F.col("content"))))
+    extra = base.filter(F.col("doc_id") == 3) \
+        .withColumn("doc_id", F.lit(10 ** 9).cast("long"))
+    psrc = str(tmp_path / "corpus_pert")
+    pert.unionByName(extra).write.parquet(psrc)
+    dump = str(tmp_path / "bad")
+    assert main(["verify", "--index", out, "--corpus", psrc,
+                 "--dump", dump]) == 1
+    bad = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert bad == {"ok": len(corpus_pdf) - 3, "stale": 2, "missing": 1,
+                   "orphaned": 1, "dump": dump}
+    dumped = {(r["doc_id"], r["status"])
+              for r in spark.read.parquet(dump).collect()}
+    assert dumped == {(1, "stale"), (2, "stale"), (0, "orphaned"),
+                      (10 ** 9, "missing")}
