@@ -183,6 +183,13 @@ def main(argv: list[str] | None = None) -> int:
                         "(query_id, doc_id, score, rank); works "
                         "single-index and federated (multiple --index); "
                         "plain terms/phrases only (no +term/wildcards)")
+    q.add_argument("--snippets", action="store_true",
+                   help="attach the reference's F11 snippet to each "
+                        "result: the first 5 query-term match windows "
+                        "(±8 raw tokens, '... '-joined) cut from the "
+                        "source text of just the k result docs — needs "
+                        "--corpus; default BM25 path incl. federated "
+                        "and boolean/wildcard (other modes fail fast)")
     q.add_argument("--boost-important", type=float, default=None,
                    metavar="W",
                    help="BM25F-lite: weight important (title/path-token) "
@@ -396,8 +403,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.more_like is not None and not args.corpus:
             p.error("--more-like needs --corpus (source text lives "
                     "there, not in the index)")
-        if args.corpus and args.more_like is None:
-            p.error("--corpus only applies to --more-like")
+        if args.corpus and args.more_like is None and not args.snippets:
+            p.error("--corpus only applies to --more-like / --snippets")
         if args.facets and args.more_like is not None:
             p.error("--facets and --more-like are different queries; "
                     "pick one")
@@ -417,6 +424,15 @@ def main(argv: list[str] | None = None) -> int:
         if (args.more_like is None and args.q is None
                 and args.batch is None):
             p.error("--q is required (except with --more-like / --batch)")
+        if args.snippets:
+            if args.corpus is None:
+                p.error("--snippets needs --corpus (the source text to "
+                        "cut windows from)")
+            if (args.parity or args.pruned or args.fuzzy or args.facets
+                    or args.suggest or args.explain or args.batch
+                    or args.more_like is not None):
+                p.error("--snippets decorates the default BM25 result "
+                        "page only — drop the mode flags")
         if args.q and any("*" in t and '"' in t
                           for t in args.q.split()):
             p.error("wildcards inside quoted phrases are not supported")
@@ -617,6 +633,27 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(_build_one(corpus, args.output)))
     elif args.cmd == "query":
         from .operators.build import load_index
+
+        def _attach_snippets(df, q_terms, profile):
+            # F11 snippet windows from the raw token stream of the k
+            # result docs (with_snippets left-semi-joins the source scan
+            # down to the candidate set before tokenizing); the join
+            # drops ordering, so re-sort by the ranking keys
+            from pyspark.sql import functions as F
+
+            from .functions.analysis import PROFILES
+            from .operators.build import assign_doc_ids
+            from .operators.snippets import with_snippets
+            docs = spark.read.parquet(args.corpus)
+            if "doc_id" not in docs.columns:
+                docs = assign_doc_ids(docs)
+            raw = f"{profile}_raw"  # unstemmed twin when one exists
+            if raw not in PROFILES:
+                raw = profile
+            return with_snippets(df, docs.select("doc_id", "content"),
+                                 q_terms, profile=raw) \
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+
         if args.batch:
             # eval-workload surface: every query in ONE pass (single
             # union-term pruned probe; shared hot terms decode once) —
@@ -651,10 +688,15 @@ def main(argv: list[str] | None = None) -> int:
             w_imp = (args.boost_important
                      if args.boost_important is not None else 1.0)
             try:
-                rows = federated_bm25_topk_tokens(
+                out = federated_bm25_topk_tokens(
                     spark, shards, q_terms, k=args.k,
                     important_weight=w_imp,
-                    verify_disjoint=args.verify_disjoint).collect()
+                    verify_disjoint=args.verify_disjoint)
+                if args.snippets:
+                    out = _attach_snippets(
+                        out, q_terms,
+                        str(shards[0]["stats"].get("profile", "code")))
+                rows = out.collect()
             except ValueError as err:
                 # --verify-disjoint overlap (or an empty shard list) is a
                 # usage/data-contract violation, not a crash — same
@@ -819,14 +861,19 @@ def main(argv: list[str] | None = None) -> int:
                 w_imp = (args.boost_important
                          if args.boost_important is not None else 1.0)
                 if must_terms or ex_terms:
-                    rows = bm25_topk_boolean(
+                    out = bm25_topk_boolean(
                         spark, index, q_terms, must=must_terms,
                         exclude=ex_terms, k=args.k,
-                        important_weight=w_imp).collect()
+                        important_weight=w_imp)
                 else:
-                    rows = bm25_topk_tokens(
+                    out = bm25_topk_tokens(
                         spark, index, q_terms, k=args.k,
-                        important_weight=w_imp).collect()
+                        important_weight=w_imp)
+                if args.snippets:
+                    out = _attach_snippets(
+                        out, q_terms,
+                        str(index["stats"].get("profile", "code")))
+                rows = out.collect()
         for r in rows:
             print(json.dumps(r.asDict()))
     elif args.cmd == "bench":
