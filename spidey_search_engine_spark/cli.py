@@ -183,6 +183,13 @@ def main(argv: list[str] | None = None) -> int:
                         "(query_id, doc_id, score, rank); works "
                         "single-index and federated (multiple --index); "
                         "plain terms/phrases only (no +term/wildcards)")
+    q.add_argument("--proximity", type=float, default=None, metavar="W",
+                   help="proximity-boosted ranking: score = BM25 + "
+                        "W/(1+min_dist) where min_dist is the closest "
+                        "co-occurrence of two distinct query terms in "
+                        "the doc (adjacent 'binary search' outranks the "
+                        "same words far apart); plain-term default path "
+                        "only, composes with --snippets")
     q.add_argument("--snippets", action="store_true",
                    help="attach the reference's F11 snippet to each "
                         "result: the first 5 query-term match windows "
@@ -424,6 +431,21 @@ def main(argv: list[str] | None = None) -> int:
         if (args.more_like is None and args.q is None
                 and args.batch is None):
             p.error("--q is required (except with --more-like / --batch)")
+        if args.proximity is not None:
+            if args.proximity <= 0:
+                p.error(f"--proximity must be > 0 (got {args.proximity};"
+                        " W=0 is the plain ranker — drop the flag)")
+            if (args.parity or args.pruned or args.fuzzy or args.facets
+                    or args.suggest or args.explain or args.batch
+                    or args.exclude or args.more_like is not None
+                    or args.boost_important is not None
+                    or len(args.index) > 1):
+                p.error("--proximity runs the single-index default BM25 "
+                        "term path only — drop the mode flags / shards")
+            if args.q and any(("*" in t or t.startswith("+")) and
+                              len(t) > 1 for t in args.q.split()):
+                p.error("--proximity takes plain terms (no +term / "
+                        "wildcards)")
         if args.snippets:
             if args.corpus is None:
                 p.error("--snippets needs --corpus (the source text to "
@@ -860,7 +882,12 @@ def main(argv: list[str] | None = None) -> int:
                     p.error(str(e))
                 w_imp = (args.boost_important
                          if args.boost_important is not None else 1.0)
-                if must_terms or ex_terms:
+                if args.proximity is not None:
+                    from .operators.search import bm25_proximity_topk
+                    out = bm25_proximity_topk(
+                        spark, index, q_terms, k=args.k,
+                        prox_weight=args.proximity)
+                elif must_terms or ex_terms:
                     out = bm25_topk_boolean(
                         spark, index, q_terms, must=must_terms,
                         exclude=ex_terms, k=args.k,

@@ -4508,3 +4508,52 @@ SELECT p.doc_id, CAST(round(t.s, 6) AS DOUBLE) AS score_r,
        p.dl::BIGINT AS dl,
        CAST(round(p.partial, 6) AS DOUBLE) AS partial_r
 FROM parts p JOIN topk t USING (doc_id)"""
+
+
+def bm25_proximity_topk(spark, sf_dir):
+    """Proximity-boosted BM25 (search.bm25_proximity_topk): score =
+    BM25 + w/(1 + min_dist), min_dist = the closest co-occurrence of two
+    DISTINCT query terms in the doc, computed by the streaming positional
+    kernel over ONE pruned positions decode (the phrase path's cost
+    shape); docs without a cross-term pair keep their plain score.
+    Oracle: DuckDB recomputes min_dist as the pairwise min over the occ
+    positions self-join (quadratic — fine at sf0.01, exactly what the
+    O(P log P) merge kernel avoids at scale) and replays the boosted
+    formula + top-20."""
+    idx = entry_index(spark, sf_dir)
+    out = S.bm25_proximity_topk(spark, idx, QT, k=20, prox_weight=0.5)
+    return out.select("doc_id", _r(F.col("score")).alias("score_r"),
+                      F.col("min_dist").cast("long").alias("min_dist"))
+
+
+QUERIES["bm25_proximity_topk"] = bm25_proximity_topk
+
+ORACLE_SQL["bm25_proximity_topk"] = _BASE_CTES + f""",
+q(term) AS (VALUES {_QT_SQL}),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) )
+           AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfc.doc_id
+),
+md AS (
+  SELECT a.doc_id, min(abs(a.pos - b.pos))::BIGINT AS min_dist
+  FROM occ a JOIN occ b ON a.doc_id = b.doc_id AND a.term < b.term
+  WHERE a.term IN (SELECT term FROM q)
+    AND b.term IN (SELECT term FROM q)
+  GROUP BY a.doc_id
+)
+SELECT s.doc_id,
+       CAST(round(s.s + CASE WHEN m.min_dist IS NOT NULL
+                             THEN 0.5 / (1 + m.min_dist)
+                             ELSE 0 END, 6) AS DOUBLE) AS score_r,
+       m.min_dist AS min_dist
+FROM scores s LEFT JOIN md m USING (doc_id)
+ORDER BY s.s + CASE WHEN m.min_dist IS NOT NULL
+                    THEN 0.5 / (1 + m.min_dist) ELSE 0 END DESC,
+         s.doc_id ASC
+LIMIT 20"""

@@ -723,6 +723,123 @@ def phrase_match_counts(posting_rows_pos: DataFrame, phrase: list[str],
             .mapInPandas(match_stream, schema=out_schema))
 
 
+def proximity_min_dist(posting_rows_pos: DataFrame,
+                       q_terms: list[str]) -> DataFrame:
+    """(doc_id, min_dist): the minimum absolute position distance between
+    occurrences of two DISTINCT query terms in a doc — the proximity
+    signal bm25_proximity_topk boosts by. Docs containing fewer than two
+    distinct query terms emit no row (no cross-term pair exists).
+
+    Kernel shape = phrase_match_counts': repartition(doc_id) +
+    sortWithinPartitions + ONE streaming mapInPandas carrying the open
+    doc's arrays across Arrow batch boundaries (never
+    groupBy.applyInPandas — measured 4.5× worse on many tiny groups).
+    Per doc: merge the ascending per-term position arrays, diff adjacent
+    entries, min where the term ids differ — the minimum cross-term
+    distance is always realized by an adjacent pair of the sorted union
+    (any closer non-adjacent pair would straddle an occurrence forming a
+    closer-or-equal cross pair with one of its ends), so the cost is
+    O(P log P) in the doc's matched positions, never O(P²) pairs."""
+    terms = list(dict.fromkeys(q_terms))
+    tid_of = {t: i for i, t in enumerate(terms)}
+    sub = posting_rows_pos.filter(F.col("term").isin(terms)) \
+        .select("doc_id", "term", "positions")
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("min_dist", LongType()),
+    ])
+
+    def dist_stream(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        cur_doc = None
+        arrs: list[tuple[int, np.ndarray]] = []
+        out_doc: list[int] = []
+        out_d: list[int] = []
+
+        def flush():
+            if cur_doc is None or len(arrs) < 2:
+                return
+            pos = np.concatenate([a for _, a in arrs])
+            tid = np.concatenate([np.full(a.shape, t, dtype=np.int32)
+                                  for t, a in arrs])
+            order = np.argsort(pos, kind="stable")
+            p, t = pos[order], tid[order]
+            mask = t[1:] != t[:-1]  # ≥2 distinct tids ⇒ some boundary
+            out_doc.append(int(cur_doc))
+            out_d.append(int(np.diff(p)[mask].min()))
+
+        for pdf in batches:
+            for d, term, p in zip(pdf["doc_id"], pdf["term"],
+                                  pdf["positions"]):
+                if d != cur_doc:
+                    flush()
+                    cur_doc, arrs = d, []
+                arrs.append((tid_of[term], np.asarray(p, dtype=np.int64)))
+            if len(out_doc) >= 4096:
+                yield pd.DataFrame(
+                    {"doc_id": np.asarray(out_doc, np.int64),
+                     "min_dist": np.asarray(out_d, np.int64)})
+                out_doc, out_d = [], []
+        flush()
+        if out_doc:
+            yield pd.DataFrame({"doc_id": np.asarray(out_doc, np.int64),
+                                "min_dist": np.asarray(out_d, np.int64)})
+
+    return (sub.repartition("doc_id").sortWithinPartitions("doc_id")
+            .mapInPandas(dist_stream, schema=out_schema))
+
+
+def bm25_proximity_topk(spark: SparkSession, index: dict,
+                        q_terms: list[str], k: int = 10,
+                        prox_weight: float = 1.0) -> DataFrame:
+    """Proximity-boosted BM25 (the Lucene sloppy-proximity ranking idea
+    for code search): score = BM25(doc) + prox_weight / (1 + min_dist),
+    min_dist = closest co-occurrence of two DISTINCT query terms in the
+    doc (docs without a co-occurring pair keep their plain BM25 score).
+    `binary search` as adjacent tokens outranks a file that merely
+    mentions both words k lines apart; prox_weight=0 is byte-identical
+    to bm25_topk_tokens (pinned by test).
+
+    ONE pruned probe decoded WITH positions feeds both the shared
+    scoring tail (tf/dl/important ride the same rows) and the distance
+    kernel — two passes over the df-bounded decoded rows, the phrase
+    path's cost shape. Output: (doc_id, score, min_dist; min_dist NULL
+    when no pair). Reference: no analog — the reference stores positions
+    for phrase adjacency only (Indexer.java:385-415) and scores pure
+    tf·idf; this is the natural ranking use of the same stored data."""
+    if prox_weight < 0:
+        raise ValueError(
+            f"prox_weight must be >= 0, got {prox_weight}")
+    empty = "doc_id long, score double, min_dist long"
+    if not q_terms:
+        return spark.createDataFrame([], empty)
+    weights = pd.Series(q_terms).value_counts()
+    idf = query_idf(index["terms"], q_terms, "idf_bm25",
+                    index.get("idf_cache"))
+    iw = {t: idf[t] * float(weights[t]) for t in idf}
+    if not iw:
+        return spark.createDataFrame([], empty)
+    need_pos = prox_weight > 0 and len(set(q_terms)) >= 2
+    rows = query_term_postings(index["postings"], q_terms,
+                               int(index["stats"]["n_buckets"]),
+                               with_positions=need_pos)
+    scores = bm25_score_rows(rows, iw, float(index["stats"]["avgdl"]))
+    if not need_pos:
+        out = scores.withColumn("min_dist",
+                                F.lit(None).cast("long"))
+    else:
+        md = proximity_min_dist(rows, q_terms)
+        bonus = F.when(
+            F.col("min_dist").isNotNull(),
+            F.lit(float(prox_weight)) / (F.lit(1.0) + F.col("min_dist"))
+        ).otherwise(F.lit(0.0))
+        out = (scores.join(md, "doc_id", "left")
+               .withColumn("score", F.col("score") + bonus))
+    return (out.select("doc_id", "score", "min_dist")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
 def phrase_posting_rows(index: dict, phrase: list[str],
                         max_filter_docs: int = 1 << 16) -> DataFrame:
     """Two-pass positional decode for a phrase (round-2 verdict #3).

@@ -359,3 +359,70 @@ def test_bm25_explain(spark, index):
     # empty / unknown-only bags explain to nothing
     assert bm25_explain_topk(spark, index, [], k=5).count() == 0
     assert bm25_explain_topk(spark, index, ["zz_nosuch"], k=5).count() == 0
+
+def test_bm25_proximity(spark, index, tmp_path):
+    """Proximity-boosted BM25: w=0 is byte-identical to the plain ranker;
+    every boosted row's score = plain + w/(1+min_dist); a hand-built BM25
+    tie is reordered by adjacency; degenerate bags degrade gracefully."""
+    from spidey_search_engine_spark.operators.build import (build_index,
+                                                            load_index)
+    from spidey_search_engine_spark.operators.search import (
+        bm25_proximity_topk, bm25_topk_tokens)
+
+    bag = ["merg", "sort"]  # analyzed (stemmed) terms, like every
+    # token-level entry point
+    plain = [(r["doc_id"], round(r["score"], 9)) for r in
+             bm25_topk_tokens(spark, index, bag, k=10).collect()]
+    w0 = [(r["doc_id"], round(r["score"], 9)) for r in
+          bm25_proximity_topk(spark, index, bag, k=10,
+                              prox_weight=0.0).collect()]
+    assert w0 == plain
+
+    # boosted: per-row score identity vs the plain ranker
+    plain_all = {r["doc_id"]: r["score"] for r in
+                 bm25_topk_tokens(spark, index, bag, k=10 ** 6).collect()}
+    boosted = bm25_proximity_topk(spark, index, bag, k=10 ** 6,
+                                  prox_weight=0.5).collect()
+    assert {r["doc_id"] for r in boosted} == set(plain_all)
+    checked = 0
+    for r in boosted:
+        base = plain_all[r["doc_id"]]
+        if r["min_dist"] is None:
+            assert round(r["score"], 9) == round(base, 9)
+        else:
+            assert r["min_dist"] >= 1
+            assert round(r["score"], 9) == round(
+                base + 0.5 / (1 + r["min_dist"]), 9)
+            checked += 1
+    assert checked > 0  # the synthetic corpus co-locates these terms
+
+    # hand corpus: identical tf/dl so BM25 ties; adjacency must win
+    rows = [
+        ("r", "a/far.py", "c", "py",
+         "merge alpha beta gamma delta epsilon zeta sort"),
+        ("r", "b/near.py", "c", "py",
+         "merge sort alpha beta gamma delta epsilon zeta"),
+    ]
+    cdf = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    out = str(tmp_path / "prox_idx")
+    build_index(spark, cdf, out, profile="code", seg_bits=4, n_buckets=2)
+    idx2 = load_index(spark, out)
+    got = bm25_proximity_topk(spark, idx2, ["merg", "sort"], k=2,
+                              prox_weight=1.0).collect()
+    # doc_ids are (repo,path)-ordered: far=0, near=1
+    assert [r["doc_id"] for r in got] == [1, 0]
+    assert got[0]["min_dist"] == 1 and got[1]["min_dist"] == 7
+    plain2 = bm25_topk_tokens(spark, idx2, ["merg", "sort"],
+                              k=2).collect()
+    assert plain2[0]["score"] == plain2[1]["score"]  # the tie is real
+
+    # single-distinct-term and unknown-only bags degrade gracefully
+    one = bm25_proximity_topk(spark, idx2, ["merg", "merg"], k=2,
+                              prox_weight=1.0).collect()
+    assert one and all(r["min_dist"] is None for r in one)
+    assert bm25_proximity_topk(spark, idx2, ["zz_nope"], k=2).count() == 0
+    assert bm25_proximity_topk(spark, idx2, [], k=2).count() == 0
+    with pytest.raises(ValueError):
+        bm25_proximity_topk(spark, idx2, ["merg"], prox_weight=-1)
