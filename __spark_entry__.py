@@ -26,7 +26,7 @@ from spidey_search_engine_spark import entry_queries as EQ
 # silently miss its first driver check.
 _WINDOW_FRONT = (
     'federated_bm25_topk', 'federated_bm25_batch_topk', 'bm25_explain_topk',
-    'bm25_proximity_topk',
+    'bm25_proximity_topk', 'bm25_search_after',
 )
 _WINDOW_TAIL = frozenset({
     'ann_lsh_topk',

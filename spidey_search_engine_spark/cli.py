@@ -183,6 +183,14 @@ def main(argv: list[str] | None = None) -> int:
                         "(query_id, doc_id, score, rank); works "
                         "single-index and federated (multiple --index); "
                         "plain terms/phrases only (no +term/wildcards)")
+    q.add_argument("--after", default=None, metavar="SCORE:DOC_ID",
+                   help="stateless deep pagination (search_after): "
+                        "return the top-k strictly after the given "
+                        "cursor — the (score, doc_id) of the previous "
+                        "page's last row — in ranking order; every page "
+                        "costs one probe regardless of depth, unlike "
+                        "OFFSET. Plain-term default path; composes with "
+                        "--snippets")
     q.add_argument("--proximity", type=float, default=None, metavar="W",
                    help="proximity-boosted ranking: score = BM25 + "
                         "W/(1+min_dist) where min_dist is the closest "
@@ -431,6 +439,27 @@ def main(argv: list[str] | None = None) -> int:
         if (args.more_like is None and args.q is None
                 and args.batch is None):
             p.error("--q is required (except with --more-like / --batch)")
+        if args.after is not None:
+            parts = args.after.split(":")
+            if len(parts) != 2:
+                p.error("--after takes SCORE:DOC_ID (the last row of "
+                        "the previous page)")
+            try:
+                args.after = (float(parts[0]), int(parts[1]))
+            except ValueError:
+                p.error(f"--after: cannot parse {args.after!r} as "
+                        "SCORE:DOC_ID")
+            if (args.parity or args.pruned or args.fuzzy or args.facets
+                    or args.suggest or args.explain or args.batch
+                    or args.exclude or args.more_like is not None
+                    or args.proximity is not None
+                    or len(args.index) > 1):
+                p.error("--after paginates the single-index default "
+                        "BM25 term path only — drop the mode flags")
+            if args.q and any(("*" in t or t.startswith("+")) and
+                              len(t) > 1 for t in args.q.split()):
+                p.error("--after takes plain terms (no +term / "
+                        "wildcards)")
         if args.proximity is not None:
             if args.proximity <= 0:
                 p.error(f"--proximity must be > 0 (got {args.proximity};"
@@ -882,7 +911,12 @@ def main(argv: list[str] | None = None) -> int:
                     p.error(str(e))
                 w_imp = (args.boost_important
                          if args.boost_important is not None else 1.0)
-                if args.proximity is not None:
+                if args.after is not None:
+                    from .operators.search import bm25_topk_after
+                    out = bm25_topk_after(
+                        spark, index, q_terms, k=args.k,
+                        after=args.after, important_weight=w_imp)
+                elif args.proximity is not None:
                     from .operators.search import bm25_proximity_topk
                     out = bm25_proximity_topk(
                         spark, index, q_terms, k=args.k,

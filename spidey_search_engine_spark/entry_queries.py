@@ -4510,6 +4510,41 @@ SELECT p.doc_id, CAST(round(t.s, 6) AS DOUBLE) AS score_r,
 FROM parts p JOIN topk t USING (doc_id)"""
 
 
+def bm25_search_after(spark, sf_dir):
+    """Stateless deep pagination (search.bm25_topk_after — the
+    Elasticsearch search_after pattern): page 2 of the fixed query = the
+    top-20 rows strictly after page 1's last (score, doc_id) cursor in
+    (score DESC, doc_id ASC) order; every page costs one pruned probe +
+    one top-k regardless of depth, unlike the reference's LIMIT/OFFSET
+    (QueryResultsFetcher.java) whose cost grows linearly with the page
+    number. The cursor is derived the way a client would: from the last
+    row of the engine's own page 1. Oracle: DuckDB ranks ALL scored docs
+    once and emits rows 21-40 — the offset formulation it must equal."""
+    idx = entry_index(spark, sf_dir)
+    p1 = S.bm25_topk_tokens(spark, idx, QT, k=20).collect()
+    cur = (p1[-1]["score"], p1[-1]["doc_id"])
+    out = S.bm25_topk_after(spark, idx, QT, k=20, after=cur)
+    return out.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+QUERIES["bm25_search_after"] = bm25_search_after
+
+ORACLE_SQL["bm25_search_after"] = _BASE_CTES + f""",
+q(term) AS (VALUES {_QT_SQL}),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) )
+           AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfc.doc_id
+)
+SELECT doc_id, CAST(round(s, 6) AS DOUBLE) AS score_r
+FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20 OFFSET 20"""
+
+
 def bm25_proximity_topk(spark, sf_dir):
     """Proximity-boosted BM25 (search.bm25_proximity_topk): score =
     BM25 + w/(1 + min_dist), min_dist = the closest co-occurrence of two

@@ -304,6 +304,39 @@ def bm25_topk_tokens(spark: SparkSession, index: dict,
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def bm25_topk_after(spark: SparkSession, index: dict,
+                    q_terms: list[str], k: int = 10,
+                    after: tuple[float, int] | None = None,
+                    important_weight: float = 1.0) -> DataFrame:
+    """Stateless deep pagination (the Elasticsearch `search_after`
+    pattern): page N+1 = the top-k rows STRICTLY AFTER the cursor — the
+    (score, doc_id) of page N's last row — in the ranking order
+    (score DESC, doc_id ASC). after=None is page 1 and is byte-identical
+    to bm25_topk_tokens (pinned by test).
+
+    The reference paginates by OFFSET (Q8/Q9 two-stage top-k + LIMIT/
+    OFFSET in the serving SQL, QueryResultsFetcher.java) — fine at 10
+    results a page on one box, but offset-k at page P sorts and discards
+    P·k rows: page 1000 costs 1000× page 1 and the driver-side skip grows
+    without bound. search_after instead filters the scored rows to
+    (score, doc_id) beyond the cursor BEFORE the TakeOrderedAndProject,
+    so EVERY page costs exactly one pruned probe + one top-k, independent
+    of depth — the only pagination that survives a 10^12-doc corpus.
+    Scores are deterministic (same plan, same floats), so the cursor is
+    stable across pages; the strict (score <, or ==score and doc_id >)
+    composite comparison makes tied scores paginate without loss or
+    duplication."""
+    scores = _bm25_scored_tokens(spark, index, q_terms,
+                                 important_weight=important_weight)
+    if after is not None:
+        s0, d0 = float(after[0]), int(after[1])
+        scores = scores.filter(
+            (F.col("score") < F.lit(s0))
+            | ((F.col("score") == F.lit(s0))
+               & (F.col("doc_id") > F.lit(d0))))
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def bm25_topk(spark: SparkSession, index: dict, query: str, k: int = 10) -> DataFrame:
     """Analyze → prune → decode → score → TakeOrderedAndProject top-k.
     Ties break by doc_id ASC (documented deviation, SURVEY.md §7 risk 2)."""

@@ -426,3 +426,46 @@ def test_bm25_proximity(spark, index, tmp_path):
     assert bm25_proximity_topk(spark, idx2, [], k=2).count() == 0
     with pytest.raises(ValueError):
         bm25_proximity_topk(spark, idx2, ["merg"], prox_weight=-1)
+
+
+def test_bm25_search_after(spark, index, tmp_path):
+    """search_after pagination: page1=None-cursor is byte-identical to
+    the plain top-k; stitched pages equal the exact top-N with no loss or
+    duplication, including across a hand-built tie boundary."""
+    from spidey_search_engine_spark.operators.build import (build_index,
+                                                            load_index)
+    from spidey_search_engine_spark.operators.search import (
+        bm25_topk_after, bm25_topk_tokens)
+
+    bag = ["merg", "sort"]
+    exact = [(r["doc_id"], round(r["score"], 9)) for r in
+             bm25_topk_tokens(spark, index, bag, k=30).collect()]
+    p1 = bm25_topk_after(spark, index, bag, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in p1] == exact[:10]
+    pages = [(r["doc_id"], round(r["score"], 9)) for r in p1]
+    cur = (p1[-1]["score"], p1[-1]["doc_id"])
+    for _ in range(2):
+        pn = bm25_topk_after(spark, index, bag, k=10, after=cur).collect()
+        pages += [(r["doc_id"], round(r["score"], 9)) for r in pn]
+        cur = (pn[-1]["score"], pn[-1]["doc_id"])
+    assert pages == exact  # 3 stitched pages == exact top-30
+
+    # tie boundary: 4 docs with identical scores, page size 2 — the
+    # composite (score, doc_id) cursor must split the tie cleanly
+    rows = [("r", f"{c}/t.py", "c", "py", "merge alpha beta")
+            for c in "abcd"]
+    cdf = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    out = str(tmp_path / "after_idx")
+    build_index(spark, cdf, out, profile="code", seg_bits=4, n_buckets=2)
+    idx2 = load_index(spark, out)
+    a = bm25_topk_after(spark, idx2, ["merg"], k=2).collect()
+    assert [r["doc_id"] for r in a] == [0, 1]
+    b = bm25_topk_after(spark, idx2, ["merg"], k=2,
+                        after=(a[-1]["score"], a[-1]["doc_id"])).collect()
+    assert [r["doc_id"] for r in b] == [2, 3]
+    assert b[0]["score"] == a[0]["score"]  # the tie is real
+    assert bm25_topk_after(
+        spark, idx2, ["merg"], k=2,
+        after=(b[-1]["score"], b[-1]["doc_id"])).count() == 0
