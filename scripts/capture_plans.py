@@ -571,6 +571,40 @@ def main() -> None:
         "UNMODIFIED monolithic BM25 SQL).",
         capture(dfed)))
 
+    # Proximity-boosted BM25: one positional decode feeds both the
+    # scoring aggregation and the streaming distance kernel
+    dprox = S.bm25_proximity_topk(spark, idx, EQ.QT, k=10,
+                                  prox_weight=0.5)
+    sections.append((
+        "Proximity-boosted BM25 (bm25_proximity_topk): positional "
+        "decode → scoring agg + streaming min-distance kernel → boosted "
+        "top-k",
+        "Look for: the postings scans with PartitionFilters [bucket IN "
+        "(..)] + PushedFilters [In(term, ..)] (the same pruned probe, "
+        "decoded WITH positions); one HashAggregate pair for the BM25 "
+        "side; the MapInPandas distance kernel fed by a doc_id "
+        "round-robin Exchange + per-partition sort (the phrase path's "
+        "shape — state is one open doc's arrays, never a groupBy "
+        "materialization); a left SortMergeJoin/broadcast joining the "
+        "df-bounded min_dist rows back; TakeOrderedAndProject on the "
+        "boosted score. Both inputs are the SAME df-bounded decoded "
+        "rows — corpus size never enters.",
+        capture(dprox)))
+
+    # search_after pagination: the cursor filter sits UNDER the top-k
+    dafter = S.bm25_topk_after(spark, idx, EQ.QT, k=10,
+                               after=(0.25, 1000))
+    sections.append((
+        "search_after deep pagination (bm25_topk_after): cursor filter "
+        "below TakeOrderedAndProject",
+        "Look for: the same pruned probe + scoring plan as plain BM25 "
+        "with ONE extra Filter ((score < c) OR (score = c AND doc_id > "
+        "d)) directly beneath TakeOrderedAndProject — page depth never "
+        "appears in the plan, so page 1000 reads the same bytes and "
+        "sorts the same k rows as page 1; contrast with LIMIT/OFFSET, "
+        "whose sort must retain offset+k rows.",
+        capture(dafter)))
+
     out = ["# PLANS — physical-plan evidence (generated by "
            "scripts/capture_plans.py)", ""]
     for title, what, plan in sections:
