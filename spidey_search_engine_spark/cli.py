@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 
 
@@ -449,6 +450,12 @@ def main(argv: list[str] | None = None) -> int:
             except ValueError:
                 p.error(f"--after: cannot parse {args.after!r} as "
                         "SCORE:DOC_ID")
+            if not math.isfinite(args.after[0]):
+                # nan compares false to everything (silently empty
+                # pages); inf re-serves page 1 forever — fail fast like
+                # every other cursor-contract violation
+                p.error(f"--after: score must be finite, got "
+                        f"{parts[0]!r}")
             if (args.parity or args.pruned or args.fuzzy or args.facets
                     or args.suggest or args.explain or args.batch
                     or args.exclude or args.more_like is not None
@@ -955,16 +962,29 @@ def main(argv: list[str] | None = None) -> int:
             # (repo,path)-ordered ids the build assigned (--more-like
             # discipline) so the audit joins on the index's own id space
             src = assign_doc_ids(src)
-        counts = {r["status"]: int(r["n_docs"]) for r in
-                  index_verify_summary(index["docs"], src,
-                                       text_col=args.text_col).collect()}
+        if args.dump:
+            # one audit pass serves both outputs: persist the per-row
+            # result, derive the counts from it, and ALWAYS overwrite
+            # the dump (a clean run must not leave a previous run's
+            # findings for a repair job to re-apply) — the corpus scan +
+            # sha256 + full-outer join is the dominant cost and runs once
+            iv = index_verify(index["docs"], src,
+                              text_col=args.text_col).persist()
+            counts = {r["status"]: int(r["n_docs"]) for r in
+                      iv.groupBy("status")
+                      .agg(F.count("*").alias("n_docs")).collect()}
+            (iv.filter(F.col("status") != "ok")
+             .write.mode("overwrite").parquet(args.dump))
+            iv.unpersist()
+        else:
+            counts = {r["status"]: int(r["n_docs"]) for r in
+                      index_verify_summary(index["docs"], src,
+                                           text_col=args.text_col)
+                      .collect()}
         summary = {s: counts.get(s, 0)
                    for s in ("ok", "stale", "missing", "orphaned")}
         bad = sum(v for s, v in summary.items() if s != "ok")
-        if args.dump and bad:
-            (index_verify(index["docs"], src, text_col=args.text_col)
-             .filter(F.col("status") != "ok")
-             .write.mode("overwrite").parquet(args.dump))
+        if args.dump:
             summary["dump"] = args.dump
         print(json.dumps(summary))
         rc = 0 if bad == 0 else 1

@@ -220,10 +220,23 @@ def query_idf(terms_df: DataFrame, query_terms: list[str],
     return {r["term"]: float(r[col]) for r in rows}
 
 
+def query_term_weights(terms_df: DataFrame, query_terms: list[str],
+                       idf_cache: dict | None = None) -> dict[str, float]:
+    """term → idf×bag-multiplicity — THE per-term weight derivation every
+    single-index BM25 variant uses (plain/explain/proximity/pagination).
+    One copy so a change to the multiplicity rule or idf column can never
+    desync one ranker from the others; terms absent from the dictionary
+    (df=0) drop here, which is also each caller's OOV early-exit test."""
+    weights = pd.Series(query_terms).value_counts()
+    idf = query_idf(terms_df, query_terms, "idf_bm25", idf_cache)
+    return {t: idf[t] * float(weights[t]) for t in idf}
+
+
 def bm25_scores(posting_rows: DataFrame, terms_df: DataFrame, avgdl: float,
                 query_terms: list[str],
                 idf_cache: dict | None = None,
-                important_weight: float = 1.0) -> DataFrame:
+                important_weight: float = 1.0,
+                deterministic: bool = False) -> DataFrame:
     """Per-doc BM25 over decoded posting rows. Duplicate query terms weight
     by multiplicity (bag semantics, matching the reference's repeated
     OR-columns, QueryResultsFetcher.java:239-240).
@@ -241,21 +254,31 @@ def bm25_scores(posting_rows: DataFrame, terms_df: DataFrame, avgdl: float,
     Zaragoza 2009 §3.3). w=1.0 is byte-identical to unweighted BM25 (the
     expression is only added when w≠1, keeping the default plan
     unchanged)."""
-    weights = pd.Series(query_terms).value_counts()
-    idf = query_idf(terms_df, query_terms, "idf_bm25", idf_cache)
-    iw = {t: idf[t] * float(weights[t]) for t in idf}
+    iw = query_term_weights(terms_df, query_terms, idf_cache)
     return bm25_score_rows(posting_rows, iw, avgdl,
-                           important_weight=important_weight)
+                           important_weight=important_weight,
+                           deterministic=deterministic)
 
 
 def bm25_score_rows(posting_rows: DataFrame, iw: dict[str, float],
                     avgdl: float,
-                    important_weight: float = 1.0) -> DataFrame:
+                    important_weight: float = 1.0,
+                    deterministic: bool = False) -> DataFrame:
     """The scoring tail of bm25_scores with the per-term weights (idf ×
     bag multiplicity) supplied by the CALLER — the single-index path
     derives them from the shard's own dictionary; the federated path
     (operators/federate.py) derives them from GLOBAL df/N so shard-local
-    statistics never leak into the score."""
+    statistics never leak into the score.
+
+    ``deterministic=True`` folds each doc's per-term partials in TERM
+    order (array_sort over the collected (term, partial) structs) instead
+    of the plain hash-agg ``F.sum``, whose merge order follows shuffle
+    fetch order and can move a double sum by 1 ulp between jobs. Bitwise-
+    reproducible scores are what makes an exact-equality cursor sound —
+    the search_after path requires it; every other ranker keeps the plain
+    sum (one hash agg, no collect_list) because they never compare a
+    recomputed score against a stored float. Per-doc group size is
+    ≤ |query terms|, so the fold costs a few adds per doc either way."""
     if not iw:
         return (posting_rows.sparkSession
                 .createDataFrame([], "doc_id long, score double"))
@@ -270,12 +293,22 @@ def bm25_score_rows(posting_rows: DataFrame, iw: dict[str, float],
         m[F.col("term")] * (tf_eff * (K1 + 1)) /
         (tf_eff + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl)))
     ).filter(F.col("partial").isNotNull())
+    if deterministic:
+        # (term, doc) rows are unique post-merge, so term order is a
+        # total order and the left fold is bitwise reproducible.
+        return scored.groupBy("doc_id").agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"]).alias("score"))
     return scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
 
 
 def _bm25_scored_tokens(spark: SparkSession, index: dict,
                         q_terms: list[str],
-                        important_weight: float = 1.0) -> DataFrame:
+                        important_weight: float = 1.0,
+                        deterministic: bool = False) -> DataFrame:
     """Shared prune → decode → score prefix for every token-level BM25
     variant (plain, --fuzzy, --not, --must, wildcard, --boost-important) —
     one place for the idf-cache / bag-multiplicity behavior."""
@@ -286,7 +319,8 @@ def _bm25_scored_tokens(spark: SparkSession, index: dict,
     return bm25_scores(rows, index["terms"],
                        float(index["stats"]["avgdl"]), q_terms,
                        index.get("idf_cache"),
-                       important_weight=important_weight)
+                       important_weight=important_weight,
+                       deterministic=deterministic)
 
 
 def bm25_topk_tokens(spark: SparkSession, index: dict,
@@ -322,12 +356,21 @@ def bm25_topk_after(spark: SparkSession, index: dict,
     (score, doc_id) beyond the cursor BEFORE the TakeOrderedAndProject,
     so EVERY page costs exactly one pruned probe + one top-k, independent
     of depth — the only pagination that survives a 10^12-doc corpus.
-    Scores are deterministic (same plan, same floats), so the cursor is
-    stable across pages; the strict (score <, or ==score and doc_id >)
-    composite comparison makes tied scores paginate without loss or
-    duplication."""
+
+    The cursor compares a RECOMPUTED score against page N's stored float
+    with exact equality, so this path scores with deterministic=True
+    (term-ordered fold, bm25_score_rows): a plain hash-agg F.sum merges
+    per-term partials in shuffle-fetch order, and a 1-ulp drift between
+    the page-N and page-N+1 jobs would make a boundary-tied doc vanish
+    (recomputes above s0: fails both branches) or duplicate (recomputes
+    below: passes score<s0). With bitwise-reproducible scores the strict
+    (score <, or ==score and doc_id >) composite comparison paginates
+    ties without loss or duplication; page 1 stays rank-identical to
+    bm25_topk_tokens with scores equal up to summation order (pinned at
+    9 decimals by test)."""
     scores = _bm25_scored_tokens(spark, index, q_terms,
-                                 important_weight=important_weight)
+                                 important_weight=important_weight,
+                                 deterministic=True)
     if after is not None:
         s0, d0 = float(after[0]), int(after[1])
         scores = scores.filter(
@@ -847,10 +890,8 @@ def bm25_proximity_topk(spark: SparkSession, index: dict,
     empty = "doc_id long, score double, min_dist long"
     if not q_terms:
         return spark.createDataFrame([], empty)
-    weights = pd.Series(q_terms).value_counts()
-    idf = query_idf(index["terms"], q_terms, "idf_bm25",
-                    index.get("idf_cache"))
-    iw = {t: idf[t] * float(weights[t]) for t in idf}
+    iw = query_term_weights(index["terms"], q_terms,
+                            index.get("idf_cache"))
     if not iw:
         return spark.createDataFrame([], empty)
     need_pos = prox_weight > 0 and len(set(q_terms)) >= 2
@@ -1240,10 +1281,8 @@ def bm25_explain_topk(spark: SparkSession, index: dict,
                     "dl int, partial double")
     if not q_terms:
         return spark.createDataFrame([], empty_schema)
-    weights = pd.Series(q_terms).value_counts()
-    idf = query_idf(index["terms"], q_terms, "idf_bm25",
-                    index.get("idf_cache"))
-    iw = {t: idf[t] * float(weights[t]) for t in idf}
+    iw = query_term_weights(index["terms"], q_terms,
+                            index.get("idf_cache"))
     if not iw:
         return spark.createDataFrame([], empty_schema)
     avgdl = float(index["stats"]["avgdl"])

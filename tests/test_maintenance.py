@@ -306,3 +306,12 @@ def test_cli_verify_audit(spark, corpus_pdf, tmp_path, capsys):
               for r in spark.read.parquet(dump).collect()}
     assert dumped == {(1, "stale"), (2, "stale"), (0, "orphaned"),
                       (10 ** 9, "missing")}
+
+    # a subsequent CLEAN run with the same --dump must overwrite the
+    # previous findings (a repair job fed DIR on each CI cycle would
+    # otherwise re-apply last run's rows forever)
+    assert main(["verify", "--index", out, "--corpus", src,
+                 "--dump", dump]) == 0
+    clean = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert clean["ok"] == len(corpus_pdf) and clean["dump"] == dump
+    assert spark.read.parquet(dump).count() == 0

@@ -429,9 +429,13 @@ def test_bm25_proximity(spark, index, tmp_path):
 
 
 def test_bm25_search_after(spark, index, tmp_path):
-    """search_after pagination: page1=None-cursor is byte-identical to
-    the plain top-k; stitched pages equal the exact top-N with no loss or
-    duplication, including across a hand-built tie boundary."""
+    """search_after pagination: page1=None-cursor is rank-identical to
+    the plain top-k (scores equal at 9 decimals — the pagination path
+    sums in deterministic term order so its cursor is bitwise
+    reproducible; the plain ranker keeps the hash-agg sum); stitched
+    pages equal the exact top-N with no loss or duplication, including
+    across a hand-built tie boundary; non-finite CLI cursors are
+    rejected."""
     from spidey_search_engine_spark.operators.build import (build_index,
                                                             load_index)
     from spidey_search_engine_spark.operators.search import (
@@ -469,3 +473,13 @@ def test_bm25_search_after(spark, index, tmp_path):
     assert bm25_topk_after(
         spark, idx2, ["merg"], k=2,
         after=(b[-1]["score"], b[-1]["doc_id"])).count() == 0
+
+    # non-finite cursors fail fast at the CLI: nan compares false to
+    # everything (silently-empty pages), inf re-serves page 1 forever
+    import pytest as _pytest
+
+    from spidey_search_engine_spark.cli import main as cli_main
+    for cursor in ("nan:0", "inf:3", "-inf:1"):
+        with _pytest.raises(SystemExit):
+            cli_main(["query", "--index", out, "--q", "merge",
+                      "--after", cursor])
