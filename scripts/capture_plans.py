@@ -605,6 +605,57 @@ def main() -> None:
         "whose sort must retain offset+k rows.",
         capture(dafter)))
 
+    # Filtered search: the metadata predicate reaches the docs parquet
+    # scan; the candidates semi-join it, postings cost unchanged
+    docs_tbl = EQ.load_table(spark, sf_dir, "documents")
+    dfilt = S.bm25_filtered_topk(spark, idx, docs_tbl, EQ.QT,
+                                 {"lang": "es"}, k=10)
+    sections.append((
+        "Filtered search (bm25_filtered_topk): facets drill-down as a "
+        "semi-join of df-bounded candidates against a predicate-pushed "
+        "docs scan",
+        "Look for: the docs-side scan with PushedFilters "
+        "[IsNotNull(lang), EqualTo(lang,es)] and a two-column "
+        "ReadSchema (doc_id + lang — content never read); the postings "
+        "probe identical to plain BM25 (PartitionFilters bucket IN, "
+        "PushedFilters term IN); a LeftSemi join BEFORE "
+        "TakeOrderedAndProject so the page fills with survivors. The "
+        "filter never widens the decode — a half-corpus predicate "
+        "(lang='en') still only touches df(q) candidates.",
+        capture(dfilt)))
+
+    # Field collapsing: one window pass over candidates, not corpus
+    dcoll = S.bm25_collapse_topk(spark, idx, docs_tbl, EQ.QT,
+                                 "source", k=10)
+    sections.append((
+        "Field collapsing (bm25_collapse_topk): best-per-group window "
+        "over the df-bounded candidates",
+        "Look for: the scored candidates joining a two-column docs scan "
+        "(doc_id + source) for the collapse key, ONE Exchange "
+        "hashpartitioning(source) feeding BOTH window functions "
+        "(row_number for the representative, count for group_size — "
+        "same partition spec, one shuffle), then "
+        "TakeOrderedAndProject. Window input is the candidate set; "
+        "corpus size appears nowhere past the docs column scan.",
+        capture(dcoll)))
+
+    # Synonym-group BM25: term→group literal map, two df-bounded aggs
+    dsyn = S.bm25_synonym_topk(spark, idx,
+                               [["merge", "sort"], ["data"],
+                                ["fast", "scan"]], k=10)
+    sections.append((
+        "Synonym-group BM25 (bm25_synonym_topk): SynonymQuery blend as "
+        "a literal group map + two hash aggregates",
+        "Look for: ONE pruned probe of the UNION of group members "
+        "(PartitionFilters bucket IN, PushedFilters term IN — shared "
+        "members decode once); the term→gid and gid→weight literal "
+        "maps inside the project (no join, no broadcast exchange); "
+        "HashAggregate on (doc_id, gid) blending member tfs, then "
+        "HashAggregate on doc_id summing group partials; "
+        "TakeOrderedAndProject. Cost is the plain ranker's plus one "
+        "df-bounded agg — group count never multiplies the decode.",
+        capture(dsyn)))
+
     out = ["# PLANS — physical-plan evidence (generated by "
            "scripts/capture_plans.py)", ""]
     for title, what, plan in sections:

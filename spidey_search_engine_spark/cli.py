@@ -212,6 +212,27 @@ def main(argv: list[str] | None = None) -> int:
                         "postings tf' = tf*W in the BM25 formula "
                         "(default BM25 path only; W=1 is the plain "
                         "ranker)")
+    q.add_argument("--filter", action="append", default=[],
+                   metavar="COL=VALUE",
+                   help="facets drill-down: restrict results to docs "
+                        "whose metadata column equals VALUE (repeatable "
+                        "= AND; columns come from the index docs table: "
+                        "repo/path/commit/lang); applies BEFORE the "
+                        "top-k so the page fills with survivors "
+                        "(default BM25 term path only)")
+    q.add_argument("--collapse", default=None, metavar="COL",
+                   help="field collapsing: one best-scoring result per "
+                        "COL value (e.g. repo) plus its group_size — "
+                        "composes with --filter (default BM25 term "
+                        "path only)")
+    q.add_argument("--syn", action="append", default=[],
+                   metavar="TERM=ALT[,ALT...]",
+                   help="synonym group (repeatable): query tokens "
+                        "matching TERM score blended with the ALTs as "
+                        "ONE pseudo-term (tf summed, max-df idf — "
+                        "Lucene SynonymQuery), never as inflated "
+                        "independent terms (default BM25 term path "
+                        "only; plain terms, no wildcards/+term)")
 
     s = sub.add_parser("bench", help="run bench.py suite")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -482,6 +503,49 @@ def main(argv: list[str] | None = None) -> int:
                               len(t) > 1 for t in args.q.split()):
                 p.error("--proximity takes plain terms (no +term / "
                         "wildcards)")
+        if args.filter or args.collapse or args.syn:
+            if (args.parity or args.pruned or args.fuzzy or args.facets
+                    or args.suggest or args.explain or args.batch
+                    or args.exclude or args.more_like is not None
+                    or args.after is not None
+                    or args.proximity is not None or args.snippets
+                    or len(args.index) > 1):
+                p.error("--filter/--collapse/--syn run on the "
+                        "single-index default BM25 term path only — "
+                        "drop the mode flags / shards")
+            flt = {}
+            for spec in args.filter:
+                col, eq, val = spec.partition("=")
+                if not eq or not col or not val:
+                    p.error(f"--filter takes COL=VALUE, got {spec!r}")
+                if col in flt and flt[col] != val:
+                    p.error(f"--filter {col} given twice with different "
+                            "values — an AND of two values on one "
+                            "column matches nothing")
+                flt[col] = val
+            args.filter = flt
+            syn = {}
+            for spec in args.syn:
+                term, eq, alts = spec.partition("=")
+                if not eq or not term or not alts.strip(","):
+                    p.error(f"--syn takes TERM=ALT[,ALT...], got "
+                            f"{spec!r}")
+                if any("*" in x or x.startswith("+")
+                       for x in [term] + alts.split(",")):
+                    p.error("--syn takes plain terms (no +term / "
+                            "wildcards)")
+                syn[term] = [a for a in alts.split(",") if a]
+            args.syn = syn
+            if args.syn and (args.filter or args.collapse):
+                p.error("--syn does not compose with --filter/"
+                        "--collapse yet — run them separately")
+            if args.syn and args.boost_important is not None:
+                p.error("--syn scores blended pseudo-terms — "
+                        "--boost-important does not apply")
+            if args.q and any(("*" in t or t.startswith("+")) and
+                              len(t) > 1 for t in args.q.split()):
+                p.error("--filter/--collapse/--syn take plain terms "
+                        "(no +term / wildcards)")
         if args.snippets:
             if args.corpus is None:
                 p.error("--snippets needs --corpus (the source text to "
@@ -928,6 +992,52 @@ def main(argv: list[str] | None = None) -> int:
                     out = bm25_proximity_topk(
                         spark, index, q_terms, k=args.k,
                         prox_weight=args.proximity)
+                elif args.syn:
+                    from .operators.search import bm25_synonym_topk
+                    # thesaurus entries analyze through the SAME
+                    # pipeline as the query (stemming included) so
+                    # 'sorting=merging' blends the stored stems
+                    syn_map: dict[str, list[str]] = {}
+                    for term, alts in args.syn.items():
+                        key = analyze_query(term)[0]
+                        if len(key) != 1:
+                            p.error(f"--syn {term!r} must analyze to "
+                                    "exactly one index term")
+                        syn_map[key[0]] = [t for a in alts
+                                           for t in analyze_query(a)[0]]
+                    groups, claimed = [], set()
+                    for t in q_terms:
+                        if t in claimed:
+                            continue
+                        g = [x for x in
+                             dict.fromkeys([t] + syn_map.get(t, []))
+                             if x not in claimed]
+                        claimed.update(g)
+                        groups.append(g)
+                    out = bm25_synonym_topk(spark, index, groups,
+                                            k=args.k)
+                elif args.filter or args.collapse:
+                    from .operators.search import (bm25_collapse_topk,
+                                                   bm25_filtered_topk)
+                    dcols = index["docs"].columns
+                    for c in (list(args.filter)
+                              + ([args.collapse] if args.collapse
+                                 else [])):
+                        if c not in dcols:
+                            p.error(f"column {c!r} is not in the index "
+                                    "docs table (have: "
+                                    f"{', '.join(dcols)})")
+                    if args.collapse:
+                        out = bm25_collapse_topk(
+                            spark, index, index["docs"], q_terms,
+                            args.collapse, k=args.k,
+                            important_weight=w_imp,
+                            filters=args.filter or None)
+                    else:
+                        out = bm25_filtered_topk(
+                            spark, index, index["docs"], q_terms,
+                            args.filter, k=args.k,
+                            important_weight=w_imp)
                 elif must_terms or ex_terms:
                     out = bm25_topk_boolean(
                         spark, index, q_terms, must=must_terms,

@@ -4592,3 +4592,124 @@ ORDER BY s.s + CASE WHEN m.min_dist IS NOT NULL
                     THEN 0.5 / (1 + m.min_dist) ELSE 0 END DESC,
          s.doc_id ASC
 LIMIT 20"""
+
+
+def bm25_filtered_topk(spark, sf_dir):
+    """Filtered search (operators/search.bm25_filtered_topk): the facets
+    drill-down — BM25 over the fixed terms restricted to lang='es'
+    documents, filter applied as a LEFT SEMI join of the df-bounded
+    candidates against the predicate-pushed docs scan BEFORE the top-k
+    so the page fills with true survivors. Oracle: DuckDB replays the
+    scoring CTE with the metadata predicate joined in."""
+    idx = entry_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    out = S.bm25_filtered_topk(spark, idx, d, QT, {"lang": "es"}, k=20)
+    return out.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+QUERIES["bm25_filtered_topk"] = bm25_filtered_topk
+
+ORACLE_SQL["bm25_filtered_topk"] = _BASE_CTES + f""",
+q(term) AS (VALUES {_QT_SQL}),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfc.doc_id
+)
+SELECT s.doc_id, CAST(round(s.s, 6) AS DOUBLE) AS score_r
+FROM scores s JOIN documents d USING (doc_id)
+WHERE d.lang = 'es'
+ORDER BY s.s DESC, s.doc_id ASC
+LIMIT 20"""
+
+
+def bm25_collapse_topk(spark, sf_dir):
+    """Field collapsing (operators/search.bm25_collapse_topk): the best-
+    scoring document per `source` plus its group size — one window pass
+    over the df-bounded candidates, never the corpus. Oracle: DuckDB
+    replays the scoring CTE + row_number/count windows."""
+    idx = entry_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    out = S.bm25_collapse_topk(spark, idx, d, QT, "source", k=10)
+    return out.select("doc_id", _r(F.col("score")).alias("score_r"),
+                      "source",
+                      F.col("group_size").cast("long").alias("group_size"))
+
+
+QUERIES["bm25_collapse_topk"] = bm25_collapse_topk
+
+ORACLE_SQL["bm25_collapse_topk"] = _BASE_CTES + f""",
+q(term) AS (VALUES {_QT_SQL}),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfc.doc_id
+),
+grouped AS (
+  SELECT s.doc_id, s.s, d.source,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.s DESC, s.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY d.source) AS gs
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, CAST(round(s, 6) AS DOUBLE) AS score_r, source,
+       gs::BIGINT AS group_size
+FROM grouped WHERE rn = 1
+ORDER BY s DESC, doc_id ASC
+LIMIT 10"""
+
+
+# synonym thesaurus for the fixed query: merge/sort blend as one
+# pseudo-term (two ranking verbs), fast/scan as another; data stays alone
+_SYN_GROUPS = [["merge", "sort"], ["data"], ["fast", "scan"]]
+_SYN_GMAP_SQL = ",".join(
+    f"('{t}',{gid})" for gid, g in enumerate(_SYN_GROUPS) for t in g)
+
+
+def bm25_synonym_topk(spark, sf_dir):
+    """Synonym-group BM25 (operators/search.bm25_synonym_topk — Lucene
+    SynonymQuery semantics): each group scores as ONE pseudo-term, per-
+    doc tf summed over members, idf of the max-df member (= min idf).
+    Oracle: DuckDB replays the blend — gmap → per-(doc, gid) tf sum →
+    min-idf group weights → one BM25 saturation per group."""
+    idx = entry_index(spark, sf_dir)
+    out = S.bm25_synonym_topk(spark, idx, _SYN_GROUPS, k=20)
+    return out.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+QUERIES["bm25_synonym_topk"] = bm25_synonym_topk
+
+ORACLE_SQL["bm25_synonym_topk"] = _BASE_CTES + f""",
+gmap(term, gid) AS (VALUES {_SYN_GMAP_SQL}),
+gw AS (
+  SELECT gid,
+         min(ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)) AS w
+  FROM gmap JOIN dfreq USING (term) CROSS JOIN st
+  GROUP BY gid
+),
+gtf AS (
+  SELECT tfc.doc_id, gmap.gid, sum(tfc.tf)::DOUBLE AS tf,
+         max(dl.dl) AS dl
+  FROM tfc JOIN gmap USING (term) JOIN dl USING (doc_id)
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT gtf.doc_id,
+         sum( gw.w * gtf.tf * 2.2
+              / (gtf.tf + 1.2 * (1 - 0.75 + 0.75 * gtf.dl / st.avgdl)) )
+           AS s
+  FROM gtf JOIN gw USING (gid) CROSS JOIN st
+  GROUP BY gtf.doc_id
+)
+SELECT doc_id, CAST(round(s, 6) AS DOUBLE) AS score_r
+FROM scores
+ORDER BY s DESC, doc_id ASC
+LIMIT 20"""

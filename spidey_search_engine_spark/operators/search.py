@@ -1252,6 +1252,151 @@ def bm25f_topk_tokens(spark: SparkSession, index: dict,
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def filter_doc_ids(docs: DataFrame, filters: dict[str, object]) -> DataFrame:
+    """doc_ids of documents matching EVERY equality predicate — the
+    metadata side of filtered search. The predicates land in the docs
+    parquet scan (PushedFilters + two-column ReadSchema), so the cost is
+    one pruned scan of the docs table regardless of index size."""
+    if not filters:
+        raise ValueError("filters must name at least one column=value")
+    keep = docs
+    for c, v in filters.items():
+        keep = keep.filter(F.col(c) == F.lit(v))
+    return keep.select("doc_id")
+
+
+def bm25_filtered_topk(spark: SparkSession, index: dict, docs: DataFrame,
+                       q_terms: list[str], filters: dict[str, object],
+                       k: int = 10,
+                       important_weight: float = 1.0) -> DataFrame:
+    """Filtered search (the facets drill-down): BM25 over `q_terms`
+    restricted to documents whose metadata matches EVERY `filters`
+    equality predicate (lang='py', source='s1', …) — the standard
+    "search within a facet value" the sidebar counts (facet_counts)
+    invite, and the reference's per-site search lacks entirely.
+
+    Scale shape: the filter applies AFTER scoring as a LEFT SEMI join of
+    the df-bounded candidate set against the predicate-pushed docs scan —
+    no extra postings decode, and the docs side never carries content
+    (two-column ReadSchema). Filtering before the top-k means the limit
+    always fills with true survivors (the bm25_topk_boolean discipline);
+    filtering the CANDIDATES rather than pre-restricting the postings is
+    the right order because a metadata predicate can match half the
+    corpus (lang='en') while the query terms bound the candidates to
+    df(q) docs. Scoring semantics (ties, bag multiplicity, empty query)
+    are bm25_topk_tokens' own; an impossible filter returns 0 rows."""
+    scores = _bm25_scored_tokens(spark, index, q_terms,
+                                 important_weight=important_weight)
+    scores = scores.join(filter_doc_ids(docs, filters), "doc_id",
+                         "left_semi")
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_collapse_topk(spark: SparkSession, index: dict, docs: DataFrame,
+                       q_terms: list[str], collapse_col: str,
+                       k: int = 10,
+                       important_weight: float = 1.0,
+                       filters: dict[str, object] | None = None
+                       ) -> DataFrame:
+    """Field collapsing (the Lucene/Elasticsearch `collapse` feature):
+    top-k over the BEST-scoring document per `collapse_col` value — one
+    hit per repo instead of ten files from the same repo filling the
+    page. Output: (doc_id, score, <collapse_col>, group_size) where
+    group_size counts the doc's collapsed-away siblings in the match set
+    (the "+12 more from this repo" affordance).
+
+    Scale shape: the df-bounded scored candidates join the docs table on
+    doc_id for the collapse key (column-pruned two-column scan), then ONE
+    window per key picks the representative (row_number) and sizes the
+    group (count) in the same pass — window functions share a single
+    (collapse_col) shuffle. Candidates, not corpus, flow through the
+    window. NULL keys collapse into one group (SQL window semantics);
+    ties inside a group break by doc_id ASC like every ranker here.
+    `filters` (optional) composes the bm25_filtered_topk drill-down
+    BEFORE the collapse — group sizes then count the FILTERED match
+    set, which is what the sidebar shows after a facet click."""
+    if not collapse_col:
+        raise ValueError("collapse_col must name a docs column")
+    scores = _bm25_scored_tokens(spark, index, q_terms,
+                                 important_weight=important_weight)
+    if filters:
+        scores = scores.join(filter_doc_ids(docs, filters), "doc_id",
+                             "left_semi")
+    j = scores.join(docs.select("doc_id", collapse_col), "doc_id")
+    w = Window.partitionBy(collapse_col).orderBy(F.desc("score"),
+                                                 F.asc("doc_id"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .withColumn("group_size",
+                        F.count("*").over(
+                            Window.partitionBy(collapse_col)))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "score", collapse_col, "group_size")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def bm25_synonym_topk(spark: SparkSession, index: dict,
+                      groups: list[list[str]], k: int = 10) -> DataFrame:
+    """Synonym-group BM25 (Lucene SynonymQuery semantics): each group of
+    terms scores as ONE pseudo-term — per doc tf = Σ member tf, and the
+    group's idf is that of its most frequent member (df = max member df,
+    so idf = min member idf; SynonymQuery.java uses exactly max docFreq).
+    A document mentioning `fetch` twice and `get` once under the group
+    [fetch, get, retrieve] scores tf=3 once — NOT three inflated
+    independent terms, which is what naive bag expansion does and why
+    Lucene added the blended query. Singleton groups reproduce plain
+    BM25 exactly (pinned by test).
+
+    Scale shape: one partition-pruned probe + decode of the UNION of all
+    members, a term→group literal map (no join), then two df-bounded
+    hash aggs — (doc_id, gid) to blend member tfs, (doc_id) to sum group
+    scores. Groups with no dictionary member drop (df=0 discipline);
+    partially-known groups blend over the known members. A term may
+    appear in only one group — overlapping groups would make the blend
+    ambiguous, so they raise."""
+    groups = [list(dict.fromkeys(t for t in g if t)) for g in groups]
+    groups = [g for g in groups if g]
+    if not groups:
+        return spark.createDataFrame([], "doc_id long, score double")
+    term_gid: dict[str, int] = {}
+    for gid, g in enumerate(groups):
+        for t in g:
+            if t in term_gid and term_gid[t] != gid:
+                raise ValueError(
+                    f"term {t!r} appears in more than one synonym group")
+            term_gid[t] = gid
+    all_terms = list(term_gid)
+    idf = query_idf(index["terms"], all_terms, "idf_bm25",
+                    index.get("idf_cache"))
+    gw = {}
+    for gid, g in enumerate(groups):
+        known = [idf[t] for t in g if t in idf]
+        if known:
+            gw[gid] = min(known)  # max-df member's idf
+    if not gw:
+        return spark.createDataFrame([], "doc_id long, score double")
+    avgdl = float(index["stats"]["avgdl"])
+    rows = query_term_postings(
+        index["postings"],
+        [t for t in all_terms if term_gid[t] in gw],
+        int(index["stats"]["n_buckets"]))
+    from itertools import chain
+    gmap = F.create_map(*chain.from_iterable(
+        (F.lit(t), F.lit(g)) for t, g in term_gid.items()))
+    wmap = F.create_map(*chain.from_iterable(
+        (F.lit(g), F.lit(float(w))) for g, w in gw.items()))
+    blended = (rows.withColumn("gid", gmap[F.col("term")])
+               .groupBy("doc_id", "gid")
+               .agg(F.sum("tf").cast("double").alias("tf"),
+                    F.max("dl").alias("dl")))
+    scored = blended.withColumn(
+        "partial",
+        wmap[F.col("gid")] * (F.col("tf") * (K1 + 1)) /
+        (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl))))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("partial").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
 def bm25_explain_topk(spark: SparkSession, index: dict,
                       q_terms: list[str], k: int = 10,
                       important_weight: float = 1.0) -> DataFrame:

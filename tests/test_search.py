@@ -483,3 +483,205 @@ def test_bm25_search_after(spark, index, tmp_path):
         with _pytest.raises(SystemExit):
             cli_main(["query", "--index", out, "--q", "merge",
                       "--after", cursor])
+
+
+def _full_scores(spark, index, bag):
+    from spidey_search_engine_spark.operators.search import \
+        _bm25_scored_tokens
+    return {r["doc_id"]: r["score"]
+            for r in _bm25_scored_tokens(spark, index, bag).collect()}
+
+
+def test_bm25_filtered_topk(spark, index):
+    """Filtered search == plain scoring restricted to the metadata
+    predicate, recomputed independently from the full score set + the
+    docs table; impossible filters return 0 rows; empty filters raise."""
+    from spidey_search_engine_spark.operators.search import \
+        bm25_filtered_topk
+
+    bag = ["merg", "sort"]
+    full = _full_scores(spark, index, bag)
+    meta = {r["doc_id"]: (r["lang"], r["repo"])
+            for r in index["docs"].select("doc_id", "lang",
+                                          "repo").collect()}
+    want = sorted(((d, s) for d, s in full.items()
+                   if meta[d][0] == "py"),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_filtered_topk(spark, index, index["docs"], bag,
+                              {"lang": "py"}, k=10).collect()]
+    assert got == want and len(got) > 0
+    assert all(meta[d][0] == "py" for d, _ in got)
+
+    # conjunctive: lang AND repo of the top filtered hit
+    repo0 = meta[got[0][0]][1]
+    want2 = sorted(((d, s) for d, s in full.items()
+                    if meta[d] == ("py", repo0)),
+                   key=lambda x: (-x[1], x[0]))[:10]
+    got2 = [(r["doc_id"], r["score"]) for r in
+            bm25_filtered_topk(spark, index, index["docs"], bag,
+                               {"lang": "py", "repo": repo0},
+                               k=10).collect()]
+    assert got2 == want2 and len(got2) > 0
+
+    assert bm25_filtered_topk(spark, index, index["docs"], bag,
+                              {"lang": "no_such_lang"}, k=10).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bm25_filtered_topk(spark, index, index["docs"], bag, {}, k=10)
+
+
+def test_bm25_collapse_topk(spark, index):
+    """Field collapsing: best doc per repo with the group size,
+    recomputed independently; collapsing on a unique column is the
+    plain top-k with group_size 1."""
+    from spidey_search_engine_spark.operators.search import (
+        bm25_collapse_topk, bm25_topk_tokens)
+
+    bag = ["merg", "sort"]
+    full = _full_scores(spark, index, bag)
+    meta = {r["doc_id"]: r["repo"]
+            for r in index["docs"].select("doc_id", "repo").collect()}
+    groups: dict[str, list[tuple[int, float]]] = {}
+    for d, s in full.items():
+        groups.setdefault(meta[d], []).append((d, s))
+    best = []
+    for repo, members in groups.items():
+        members.sort(key=lambda x: (-x[1], x[0]))
+        best.append((members[0][0], members[0][1], repo, len(members)))
+    best.sort(key=lambda x: (-x[1], x[0]))
+    want = best[:10]
+    got = [(r["doc_id"], r["score"], r["repo"], r["group_size"])
+           for r in bm25_collapse_topk(spark, index, index["docs"], bag,
+                                       "repo", k=10).collect()]
+    assert got == want
+    assert len({r for _, _, r, _ in got}) == len(got)  # one per repo
+
+    # unique collapse key (path) == the plain ranker, every group size 1
+    plain = [(r["doc_id"], r["score"]) for r in
+             bm25_topk_tokens(spark, index, bag, k=10).collect()]
+    by_path = [(r["doc_id"], r["score"], r["group_size"]) for r in
+               bm25_collapse_topk(spark, index, index["docs"], bag,
+                                  "path", k=10).collect()]
+    assert [(d, s) for d, s, _ in by_path] == plain
+    assert all(g == 1 for _, _, g in by_path)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bm25_collapse_topk(spark, index, index["docs"], bag, "", k=10)
+
+
+def test_bm25_synonym_topk(spark, index):
+    """Synonym groups score as ONE blended pseudo-term (tf summed,
+    max-df member's idf — Lucene SynonymQuery): verified against an
+    independent pandas recompute from decoded postings; singleton
+    groups reproduce plain BM25; overlapping groups raise."""
+    from pyspark.sql import functions as F
+
+    from spidey_search_engine_spark.operators.build import K1, B
+    from spidey_search_engine_spark.operators.search import (
+        bm25_synonym_topk, bm25_topk_tokens, query_term_postings)
+
+    # singleton groups == the plain ranker (scores at 1e-9)
+    bag = ["merg", "sort"]
+    plain = [(r["doc_id"], round(r["score"], 9)) for r in
+             bm25_topk_tokens(spark, index, bag, k=10).collect()]
+    single = [(r["doc_id"], round(r["score"], 9)) for r in
+              bm25_synonym_topk(spark, index, [["merg"], ["sort"]],
+                                k=10).collect()]
+    assert single == plain
+
+    # blended group: recompute independently
+    groups = [["merg", "sort"], ["binari"]]
+    idf = {r["term"]: r["idf_bm25"] for r in
+           index["terms"].filter(
+               F.col("term").isin("merg", "sort", "binari")).collect()}
+    rows = query_term_postings(index["postings"],
+                               ["merg", "sort", "binari"],
+                               int(index["stats"]["n_buckets"])).collect()
+    avgdl = float(index["stats"]["avgdl"])
+    agg: dict[tuple[int, int], list] = {}
+    for r in rows:
+        gid = 0 if r["term"] in ("merg", "sort") else 1
+        cur = agg.setdefault((r["doc_id"], gid), [0, r["dl"]])
+        cur[0] += r["tf"]
+    gw = {0: min(idf["merg"], idf["sort"]), 1: idf["binari"]}
+    docsc: dict[int, float] = {}
+    for (d, gid), (tf, dl) in agg.items():
+        p = gw[gid] * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl))
+        docsc[d] = docsc.get(d, 0.0) + p
+    want = sorted(docsc.items(), key=lambda x: (-x[1], x[0]))[:10]
+    got = bm25_synonym_topk(spark, index, groups, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+        [(d, round(s, 9)) for d, s in want]
+
+    # unknown members blend over the known ones; all-unknown groups drop
+    with_unk = bm25_synonym_topk(
+        spark, index, [["merg", "zz_nope", "sort"], ["binari"]],
+        k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in with_unk] == \
+        [(d, round(s, 9)) for d, s in want]
+    assert bm25_synonym_topk(spark, index, [["zz_nope"]], k=5).count() == 0
+    assert bm25_synonym_topk(spark, index, [], k=5).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bm25_synonym_topk(spark, index, [["merg", "sort"], ["sort"]])
+
+
+def test_cli_filter_collapse_syn(spark, corpus_pdf, tmp_path, capsys):
+    """CLI drill-down surface: --filter restricts to the predicate,
+    --collapse returns one hit per group (composing with --filter),
+    --syn blends synonym groups; contract violations fail fast."""
+    import json
+
+    from spidey_search_engine_spark.cli import main
+    from spidey_search_engine_spark.operators.build import build_index
+
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(corpus_pdf.head(150)).repartition(4) \
+        .write.parquet(src)
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.read.parquet(src), out, profile="code",
+                seg_bits=6, n_buckets=4)
+
+    def run(argv):
+        assert main(argv) == 0
+        return [json.loads(l) for l in
+                capsys.readouterr().out.strip().splitlines()
+                if l.startswith("{")]
+
+    base = ["query", "--index", out, "--q", "merge sort", "--k", "5"]
+    langs = dict(zip(corpus_pdf.head(150).sort_values(["repo", "path"])
+                     .reset_index(drop=True).index,
+                     corpus_pdf.head(150).sort_values(["repo", "path"])
+                     ["lang"]))
+    rows = run(base + ["--filter", "lang=py"])
+    assert rows and all(langs[r["doc_id"]] == "py" for r in rows)
+
+    rows = run(base + ["--collapse", "repo"])
+    assert rows and all(r["group_size"] >= 1 for r in rows)
+    assert len({r["repo"] for r in rows}) == len(rows)
+
+    both = run(base + ["--filter", "lang=py", "--collapse", "repo"])
+    assert both and all(langs[r["doc_id"]] == "py" for r in both)
+
+    # --syn: a group whose alt shares the canonical's stem is a no-op
+    plain = run(base)
+    syn_noop = run(base + ["--syn", "merge=merging"])
+    assert [(r["doc_id"], r["score"]) for r in syn_noop] == \
+        [(r["doc_id"], r["score"]) for r in plain]
+
+    import pytest as _pytest
+    for bad in (base + ["--filter", "lang"],
+                base + ["--filter", "lang=py", "--filter", "lang=go"],
+                base + ["--filter", "nosuch=x"],
+                base + ["--syn", "a=b", "--pruned"],
+                base + ["--syn", "a=b", "--filter", "lang=py"],
+                base + ["--syn", "a=b*"],
+                base + ["--collapse", "repo", "--explain"],
+                ["query", "--index", out, "--q", "mer*e sort",
+                 "--filter", "lang=py"]):
+        with _pytest.raises(SystemExit):
+            main(bad)
+    capsys.readouterr()
