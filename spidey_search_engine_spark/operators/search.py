@@ -659,6 +659,33 @@ class Searcher:
                                  must=list(must), exclude=list(exclude),
                                  k=k, important_weight=important_weight)
 
+    def filtered(self, q_terms: list[str], filters: dict[str, object],
+                 k: int = 10, important_weight: float = 1.0) -> DataFrame:
+        """Filtered search over the warmed index — the drill-down after a
+        facet click, served by the same cached dictionary/postings; the
+        docs-side predicate scan stays cold (it is one pruned two-column
+        read, and caching the docs table would evict hotter postings)."""
+        return bm25_filtered_topk(self.spark, self.index,
+                                  self.index["docs"], q_terms, filters,
+                                  k=k, important_weight=important_weight)
+
+    def collapse(self, q_terms: list[str], collapse_col: str,
+                 k: int = 10, important_weight: float = 1.0,
+                 filters: dict[str, object] | None = None) -> DataFrame:
+        """Field collapsing over the warmed index (optionally composed
+        with a metadata filter) — same semantics as bm25_collapse_topk."""
+        return bm25_collapse_topk(self.spark, self.index,
+                                  self.index["docs"], q_terms,
+                                  collapse_col, k=k,
+                                  important_weight=important_weight,
+                                  filters=filters)
+
+    def synonym(self, groups: list[list[str]], k: int = 10) -> DataFrame:
+        """Synonym-group scoring over the warmed index — the cached
+        dictionary serves the per-group min-idf lookup (one driver dict
+        hit per member instead of a parquet probe)."""
+        return bm25_synonym_topk(self.spark, self.index, groups, k=k)
+
     def close(self) -> None:
         # unpersist ONLY what this instance cached — never a postings
         # DataFrame it left untouched (cache_postings=False), whose cache

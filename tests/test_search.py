@@ -164,6 +164,30 @@ def test_searcher_matches_cold_paths(spark, index):
                    s.boolean(q_terms, must=["merg"], exclude=["scan"],
                              wildcards=["HA*"], k=8).collect()]
         assert warm_uc == warm_b
+        # the round-4 results-page algebra over the warmed index == cold
+        from spidey_search_engine_spark.operators.search import (
+            bm25_collapse_topk, bm25_filtered_topk, bm25_synonym_topk)
+        cold_f = [(r["doc_id"], round(r["score"], 10)) for r in
+                  bm25_filtered_topk(spark, index, index["docs"],
+                                     q_terms, {"lang": "py"},
+                                     k=8).collect()]
+        warm_f = [(r["doc_id"], round(r["score"], 10)) for r in
+                  s.filtered(q_terms, {"lang": "py"}, k=8).collect()]
+        assert warm_f == cold_f and warm_f
+        cold_c = [(r["doc_id"], round(r["score"], 10), r["repo"],
+                   r["group_size"]) for r in
+                  bm25_collapse_topk(spark, index, index["docs"],
+                                     q_terms, "repo", k=8).collect()]
+        warm_c = [(r["doc_id"], round(r["score"], 10), r["repo"],
+                   r["group_size"]) for r in
+                  s.collapse(q_terms, "repo", k=8).collect()]
+        assert warm_c == cold_c and warm_c
+        cold_s = [(r["doc_id"], round(r["score"], 10)) for r in
+                  bm25_synonym_topk(spark, index,
+                                    [["merg", "sort"]], k=8).collect()]
+        warm_s = [(r["doc_id"], round(r["score"], 10)) for r in
+                  s.synonym([["merg", "sort"]], k=8).collect()]
+        assert warm_s == cold_s and warm_s
     finally:
         s.close()
     # the caller's index DataFrames still work after close
