@@ -508,11 +508,13 @@ def main(argv: list[str] | None = None) -> int:
                     or args.suggest or args.explain or args.batch
                     or args.exclude or args.more_like is not None
                     or args.after is not None
-                    or args.proximity is not None or args.snippets
-                    or len(args.index) > 1):
+                    or args.proximity is not None or args.snippets):
                 p.error("--filter/--collapse/--syn run on the "
-                        "single-index default BM25 term path only — "
-                        "drop the mode flags / shards")
+                        "default BM25 term path only — drop the "
+                        "mode flags")
+            if (args.collapse or args.syn) and len(args.index) > 1:
+                p.error("--collapse/--syn are single-index — --filter "
+                        "is the only drill-down that federates")
             flt = {}
             for spec in args.filter:
                 col, eq, val = spec.partition("=")
@@ -809,11 +811,18 @@ def main(argv: list[str] | None = None) -> int:
                 q_terms.extend(ph)
             w_imp = (args.boost_important
                      if args.boost_important is not None else 1.0)
+            if args.filter:
+                dcols = shards[0]["docs"].columns
+                for c in args.filter:
+                    if c not in dcols:
+                        p.error(f"column {c!r} is not in the index "
+                                f"docs table (have: {', '.join(dcols)})")
             try:
                 out = federated_bm25_topk_tokens(
                     spark, shards, q_terms, k=args.k,
                     important_weight=w_imp,
-                    verify_disjoint=args.verify_disjoint)
+                    verify_disjoint=args.verify_disjoint,
+                    filters=args.filter or None)
                 if args.snippets:
                     out = _attach_snippets(
                         out, q_terms,

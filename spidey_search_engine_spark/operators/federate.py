@@ -131,14 +131,20 @@ def federated_bm25_topk_tokens(spark: SparkSession, indexes: list[dict],
                                q_terms: list[str], k: int = 10,
                                important_weight: float = 1.0,
                                verify_disjoint: bool = False,
-                               gstats: dict | None = None) -> DataFrame:
+                               gstats: dict | None = None,
+                               filters: dict | None = None) -> DataFrame:
     """Federated twin of search.bm25_topk_tokens: global-stats BM25
     top-k over an analyzed term bag across shards. Bag semantics
     (duplicate terms weight by multiplicity) and tie-breaks (score DESC,
     doc_id ASC) match the single-index path exactly — they must, the
     invariant test diffs the two byte-for-byte. `gstats` lets a warm
     serving tier (FederatedSearcher) pass the once-computed global stats
-    instead of re-deriving them per query."""
+    instead of re-deriving them per query. `filters` is the facets
+    drill-down across shards: each shard's docs table gets the SAME
+    predicate-pushed two-column scan the single-index path uses
+    (search.filter_doc_ids), unioned plan-level and applied LEFT SEMI
+    before the top-k — per-shard pruning, one semi-join, no extra
+    postings decode."""
     if not indexes:
         raise ValueError("federated query needs at least one shard")
     if not q_terms:
@@ -152,6 +158,12 @@ def federated_bm25_topk_tokens(spark: SparkSession, indexes: list[dict],
                                   verify_disjoint=verify_disjoint)
     scores = bm25_score_rows(rows, iw, gstats["avgdl"],
                              important_weight=important_weight)
+    if filters:
+        from .search import filter_doc_ids
+        keep = reduce(DataFrame.unionByName,
+                      [filter_doc_ids(idx["docs"], filters)
+                       for idx in indexes])
+        scores = scores.join(keep, "doc_id", "left_semi")
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -263,6 +275,16 @@ class FederatedSearcher:
         return federated_bm25_topk_tokens(
             self.spark, self.shards, q_terms, k=k,
             important_weight=important_weight, gstats=self.gstats)
+
+    def filtered(self, q_terms: list[str], filters: dict,
+                 k: int = 10,
+                 important_weight: float = 1.0) -> DataFrame:
+        """Facets drill-down across the warmed shards — same global-
+        stats scoring, each shard's docs scan predicate-pushed."""
+        return federated_bm25_topk_tokens(
+            self.spark, self.shards, q_terms, k=k,
+            important_weight=important_weight, gstats=self.gstats,
+            filters=filters)
 
     def bm25(self, query: str, k: int = 10,
              important_weight: float = 1.0) -> DataFrame:

@@ -165,6 +165,14 @@ def test_federated_cli_roundtrip(spark, corpus_pdf, tmp_path, capsys):
                  "--q", "merge sort", "--k", "7", "--verify-disjoint"])
     assert feder == mono and len(feder) == 7
 
+    # --filter federates: sharded drill-down == monolithic drill-down
+    mono_f = run(["query", "--index", dirs["all"], "--q", "merge sort",
+                  "--k", "7", "--filter", "lang=py"])
+    fed_f = run(["query", "--index", dirs["a"], "--index", dirs["b"],
+                 "--q", "merge sort", "--k", "7", "--filter",
+                 "lang=py"])
+    assert fed_f == mono_f and mono_f
+
     # --batch FILE: eval workload in one pass, single-index == federated,
     # ids from TAB lines, q<lineno> otherwise, comments/blanks skipped
     bf = tmp_path / "queries.txt"
@@ -182,6 +190,10 @@ def test_federated_cli_roundtrip(spark, corpus_pdf, tmp_path, capsys):
     # mode flags / operators reject cleanly on the federated path
     import pytest as _pytest
     for argv in (["query", "--index", dirs["a"], "--index", dirs["b"],
+                  "--q", "merge sort", "--collapse", "repo"],
+                 ["query", "--index", dirs["a"], "--index", dirs["b"],
+                  "--q", "merge sort", "--syn", "merge=combine"],
+                 ["query", "--index", dirs["a"], "--index", dirs["b"],
                   "--q", "merge sort", "--pruned"],
                  ["query", "--index", dirs["a"], "--index", dirs["b"],
                   "--q", "merge sor*"],
