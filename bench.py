@@ -121,6 +121,18 @@ def main() -> None:
     # gap-first intersection skips position bytes for most candidate docs
     timed("phrase_hot",
           lambda: searcher.parity('"order key"').collect(), repeats=2)
+    # round-4 results-page algebra on the warm tier: the drill-down
+    # (semi-join vs the predicate-pushed docs scan) and the per-group
+    # collapse (one window shuffle over candidates) should cost within
+    # ~2x a plain warm query — candidate-bounded, never corpus-bounded
+    from spidey_search_engine_spark.functions.analysis import analyze_query
+    bag_q1 = analyze_query(bm25_queries["bm25_q1"])[0]
+    timed("bm25_q1_filtered",
+          lambda: searcher.filtered(bag_q1, {"lang": "en"},
+                                    k=10).collect(), repeats=2)
+    timed("bm25_q1_collapse",
+          lambda: searcher.collapse(bag_q1, "lang", k=10).collect(),
+          repeats=2)
 
     timed("tpch_q1", lambda: EQ.tpch_q1(spark, sf_dir).collect(),
           repeats=2)
