@@ -618,10 +618,15 @@ def main() -> None:
         "[IsNotNull(lang), EqualTo(lang,es)] and a two-column "
         "ReadSchema (doc_id + lang — content never read); the postings "
         "probe identical to plain BM25 (PartitionFilters bucket IN, "
-        "PushedFilters term IN); a LeftSemi join BEFORE "
-        "TakeOrderedAndProject so the page fills with survivors. The "
-        "filter never widens the decode — a half-corpus predicate "
-        "(lang='en') still only touches df(q) candidates.",
+        "PushedFilters term IN); and the join DIRECTION: the scored "
+        "candidates sit under a BroadcastExchange while the docs scan "
+        "STREAMS (BroadcastHashJoin Inner BuildRight, join applied "
+        "before TakeOrderedAndProject so the page fills with "
+        "survivors). The predicate side is corpus-bounded (lang='en' "
+        "can match half of 10^12 docs) — broadcasting the df-bounded "
+        "candidates into it means the corpus side never shuffles; the "
+        "Σdf dictionary bound picks this plan driver-side, falling "
+        "back to a left-semi join past the 2M-candidate budget.",
         capture(dfilt)))
 
     # Field collapsing: one window pass over candidates, not corpus

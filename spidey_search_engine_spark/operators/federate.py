@@ -159,11 +159,22 @@ def federated_bm25_topk_tokens(spark: SparkSession, indexes: list[dict],
     scores = bm25_score_rows(rows, iw, gstats["avgdl"],
                              important_weight=important_weight)
     if filters:
-        from .search import filter_doc_ids
+        from .search import (MAX_BROADCAST_CANDIDATES, _candidate_bound,
+                             filter_doc_ids)
         keep = reduce(DataFrame.unionByName,
                       [filter_doc_ids(idx["docs"], filters)
                        for idx in indexes])
-        scores = scores.join(keep, "doc_id", "left_semi")
+        # global candidate bound = Σ per-shard df sums (each a cached
+        # dictionary lookup); under the budget, stream the unioned
+        # predicate-pushed docs scans and broadcast the candidates into
+        # them so the corpus-bounded side never shuffles (the
+        # _metadata_filtered plan, across shards)
+        bound = sum(_candidate_bound(idx, q_terms) for idx in indexes)
+        if bound <= MAX_BROADCAST_CANDIDATES:
+            scores = (keep.join(F.broadcast(scores), "doc_id")
+                      .select(*scores.columns))
+        else:
+            scores = scores.join(keep, "doc_id", "left_semi")
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

@@ -1292,6 +1292,37 @@ def filter_doc_ids(docs: DataFrame, filters: dict[str, object]) -> DataFrame:
     return keep.select("doc_id")
 
 
+# scored-candidate broadcast budget for the metadata drill-down: 2M
+# (doc_id, score) rows ≈ 32 MB — comfortably under executor broadcast
+# memory, far above any sane per-query candidate set
+MAX_BROADCAST_CANDIDATES = 2_000_000
+
+
+def _metadata_filtered(scores: DataFrame, docs: DataFrame,
+                       filters: dict[str, object],
+                       candidate_bound: int | None) -> DataFrame:
+    """Apply the metadata drill-down to scored candidates, picking the
+    join direction by which side is bounded.
+
+    The predicate side is CORPUS-bounded (lang='en' can match half of
+    10^12 docs) while the scored candidates are df(q)-bounded, so a
+    plain left-semi join would shuffle the corpus-bounded side — the one
+    shuffle a web-scale drill-down cannot afford. When the caller's
+    candidate bound (Σ df over the query terms, a free driver-side
+    dictionary lookup — never an extra job) fits the broadcast budget,
+    the plan flips: stream the predicate-pushed docs scan and broadcast
+    the candidates INTO it (inner join ≡ semi join because doc_id is
+    unique in docs) — the corpus side never shuffles. Past the budget
+    (or with no bound) it falls back to the semi-join and lets AQE
+    choose the strategy from runtime sizes."""
+    keep = filter_doc_ids(docs, filters)
+    if (candidate_bound is not None
+            and candidate_bound <= MAX_BROADCAST_CANDIDATES):
+        return (keep.join(F.broadcast(scores), "doc_id")
+                .select(*scores.columns))
+    return scores.join(keep, "doc_id", "left_semi")
+
+
 def bm25_filtered_topk(spark: SparkSession, index: dict, docs: DataFrame,
                        q_terms: list[str], filters: dict[str, object],
                        k: int = 10,
@@ -1310,13 +1341,28 @@ def bm25_filtered_topk(spark: SparkSession, index: dict, docs: DataFrame,
     filtering the CANDIDATES rather than pre-restricting the postings is
     the right order because a metadata predicate can match half the
     corpus (lang='en') while the query terms bound the candidates to
-    df(q) docs. Scoring semantics (ties, bag multiplicity, empty query)
-    are bm25_topk_tokens' own; an impossible filter returns 0 rows."""
+    df(q) docs. When Σ df over the query terms (a free dictionary
+    lookup) fits the broadcast budget, the join flips so the corpus
+    side never shuffles — see _metadata_filtered. Scoring semantics
+    (ties, bag multiplicity, empty query) are bm25_topk_tokens' own; an
+    impossible filter returns 0 rows."""
     scores = _bm25_scored_tokens(spark, index, q_terms,
                                  important_weight=important_weight)
-    scores = scores.join(filter_doc_ids(docs, filters), "doc_id",
-                         "left_semi")
+    scores = _metadata_filtered(scores, docs, filters,
+                                _candidate_bound(index, q_terms))
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _candidate_bound(index: dict, q_terms: list[str]) -> int | None:
+    """Σ df over the unique query terms — an upper bound on the scored
+    candidate count, read from the dictionary (the same k-term lookup
+    idf uses, served by the Searcher's cache when warm; never a job
+    over the postings)."""
+    if not q_terms:
+        return 0
+    dfm = query_idf(index["terms"], q_terms, "df",
+                    index.get("idf_cache"))
+    return int(sum(dfm.values()))
 
 
 def bm25_collapse_topk(spark: SparkSession, index: dict, docs: DataFrame,
@@ -1347,8 +1393,8 @@ def bm25_collapse_topk(spark: SparkSession, index: dict, docs: DataFrame,
     scores = _bm25_scored_tokens(spark, index, q_terms,
                                  important_weight=important_weight)
     if filters:
-        scores = scores.join(filter_doc_ids(docs, filters), "doc_id",
-                             "left_semi")
+        scores = _metadata_filtered(scores, docs, filters,
+                                    _candidate_bound(index, q_terms))
     j = scores.join(docs.select("doc_id", collapse_col), "doc_id")
     w = Window.partitionBy(collapse_col).orderBy(F.desc("score"),
                                                  F.asc("doc_id"))

@@ -554,6 +554,22 @@ def test_bm25_filtered_topk(spark, index):
     with _pytest.raises(ValueError):
         bm25_filtered_topk(spark, index, index["docs"], bag, {}, k=10)
 
+    # both join directions agree: the broadcast-candidates plan (bound
+    # under budget — streams the docs scan) and the semi-join fallback
+    # (bound=None) return identical rows; the captured plan shows which
+    from spidey_search_engine_spark.operators.search import (
+        _bm25_scored_tokens, _metadata_filtered)
+    sc = _bm25_scored_tokens(spark, index, bag)
+    bc = _metadata_filtered(sc, index["docs"], {"lang": "py"}, 100)
+    semi = _metadata_filtered(sc, index["docs"], {"lang": "py"}, None)
+    assert "BroadcastExchange" in bc._jdf.queryExecution().executedPlan() \
+        .toString() or "broadcast" in bc._jdf.queryExecution() \
+        .toString().lower()
+    assert sorted((r["doc_id"], round(r["score"], 9))
+                  for r in bc.collect()) == \
+        sorted((r["doc_id"], round(r["score"], 9))
+               for r in semi.collect())
+
 
 def test_bm25_collapse_topk(spark, index):
     """Field collapsing: best doc per repo with the group size,
