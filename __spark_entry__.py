@@ -25,8 +25,19 @@ from spidey_search_engine_spark import entry_queries as EQ
 # a late registration would otherwise append BEHIND the 50-slot cut and
 # silently miss its first driver check.
 _WINDOW_FRONT = (
+    'bm25_filtered_topk', 'bm25_collapse_topk', 'bm25_synonym_topk',
     'federated_bm25_topk', 'federated_bm25_batch_topk', 'bm25_explain_topk',
     'bm25_proximity_topk', 'bm25_search_after',
+)
+# 53 entries have never received a driver row but the window holds 50.
+# _WINDOW_DEFER picks which three wait: the mid/suffix/infix wildcard
+# variants share the expansion machinery with the in-window
+# bm25_wildcard_topk (prefix path) and each is pinned by the local gate
+# and pytest — they are ordered first-after-the-cut so the next round's
+# window picks them up before anything already driver-checked.
+_WINDOW_DEFER = (
+    'bm25_wildcard_mid_topk', 'bm25_wildcard_suffix_topk',
+    'bm25_wildcard_infix_topk',
 )
 _WINDOW_TAIL = frozenset({
     'ann_lsh_topk',
@@ -55,11 +66,12 @@ _WINDOW_TAIL = frozenset({
 
 def _window_ordered(d: dict) -> dict:
     front = {k: d[k] for k in _WINDOW_FRONT if k in d}
+    defer = {k: d[k] for k in _WINDOW_DEFER if k in d}
     fresh = {k: v for k, v in d.items()
-             if k not in _WINDOW_TAIL and k not in front}
+             if k not in _WINDOW_TAIL and k not in front and k not in defer}
     seen = {k: v for k, v in d.items()
-            if k in _WINDOW_TAIL and k not in front}
-    return {**front, **fresh, **seen}
+            if k in _WINDOW_TAIL and k not in front and k not in defer}
+    return {**front, **fresh, **defer, **seen}
 
 
 def entry(spark: SparkSession) -> DataFrame:
