@@ -188,10 +188,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="stateless deep pagination (search_after): "
                         "return the top-k strictly after the given "
                         "cursor — the (score, doc_id) of the previous "
-                        "page's last row — in ranking order; every page "
-                        "costs one probe regardless of depth, unlike "
-                        "OFFSET. Plain-term default path; composes with "
-                        "--snippets")
+                        "--after page's last row — in ranking order; "
+                        "every page costs one probe regardless of "
+                        "depth, unlike OFFSET. Start with '--after "
+                        "start' (page 1): cursors are only valid from "
+                        "pages this path served — the after-filter "
+                        "recomputes scores and compares the cursor "
+                        "with exact equality, and the plain ranker's "
+                        "hash-agg sum can sit 1 ulp off the pagination "
+                        "path's deterministic fold, re-serving or "
+                        "skipping the boundary row. Plain-term default "
+                        "path; composes with --snippets")
     q.add_argument("--proximity", type=float, default=None, metavar="W",
                    help="proximity-boosted ranking: score = BM25 + "
                         "W/(1+min_dist) where min_dist is the closest "
@@ -462,21 +469,23 @@ def main(argv: list[str] | None = None) -> int:
                 and args.batch is None):
             p.error("--q is required (except with --more-like / --batch)")
         if args.after is not None:
-            parts = args.after.split(":")
-            if len(parts) != 2:
-                p.error("--after takes SCORE:DOC_ID (the last row of "
-                        "the previous page)")
-            try:
-                args.after = (float(parts[0]), int(parts[1]))
-            except ValueError:
-                p.error(f"--after: cannot parse {args.after!r} as "
-                        "SCORE:DOC_ID")
-            if not math.isfinite(args.after[0]):
-                # nan compares false to everything (silently empty
-                # pages); inf re-serves page 1 forever — fail fast like
-                # every other cursor-contract violation
-                p.error(f"--after: score must be finite, got "
-                        f"{parts[0]!r}")
+            if args.after != "start":
+                parts = args.after.split(":")
+                if len(parts) != 2:
+                    p.error("--after takes SCORE:DOC_ID (the last row "
+                            "of the previous --after page) or 'start' "
+                            "for page 1")
+                try:
+                    args.after = (float(parts[0]), int(parts[1]))
+                except ValueError:
+                    p.error(f"--after: cannot parse {args.after!r} as "
+                            "SCORE:DOC_ID")
+                if not math.isfinite(args.after[0]):
+                    # nan compares false to everything (silently empty
+                    # pages); inf re-serves page 1 forever — fail fast
+                    # like every other cursor-contract violation
+                    p.error(f"--after: score must be finite, got "
+                            f"{parts[0]!r}")
             if (args.parity or args.pruned or args.fuzzy or args.facets
                     or args.suggest or args.explain or args.batch
                     or args.exclude or args.more_like is not None
@@ -995,7 +1004,9 @@ def main(argv: list[str] | None = None) -> int:
                     from .operators.search import bm25_topk_after
                     out = bm25_topk_after(
                         spark, index, q_terms, k=args.k,
-                        after=args.after, important_weight=w_imp)
+                        after=(None if args.after == "start"
+                               else args.after),
+                        important_weight=w_imp)
                 elif args.proximity is not None:
                     from .operators.search import bm25_proximity_topk
                     out = bm25_proximity_topk(

@@ -4518,10 +4518,18 @@ def bm25_search_after(spark, sf_dir):
     one top-k regardless of depth, unlike the reference's LIMIT/OFFSET
     (QueryResultsFetcher.java) whose cost grows linearly with the page
     number. The cursor is derived the way a client would: from the last
-    row of the engine's own page 1. Oracle: DuckDB ranks ALL scored docs
-    once and emits rows 21-40 — the offset formulation it must equal."""
+    row of page 1 SERVED BY THE PAGINATION PATH (after=None — the CLI's
+    `--after start`). That is the search_after contract (Elasticsearch's
+    too: cursors are the sort values a previous page OF THE SAME PATH
+    returned): the after-filter recomputes scores with the deterministic
+    term-ordered fold and compares the cursor float with exact equality,
+    so a cursor taken from the plain hash-agg ranker can sit 1 ulp off
+    and re-serve or skip the boundary row — this entry caught exactly
+    that before the page-1 source was corrected. Oracle: DuckDB ranks
+    ALL scored docs once and emits rows 21-40 — the offset formulation
+    it must equal."""
     idx = entry_index(spark, sf_dir)
-    p1 = S.bm25_topk_tokens(spark, idx, QT, k=20).collect()
+    p1 = S.bm25_topk_after(spark, idx, QT, k=20).collect()
     cur = (p1[-1]["score"], p1[-1]["doc_id"])
     out = S.bm25_topk_after(spark, idx, QT, k=20, after=cur)
     return out.select("doc_id", _r(F.col("score")).alias("score_r"))

@@ -21,10 +21,17 @@ def corpus_pdf():
 
 
 @pytest.fixture(scope="session")
-def index(spark, corpus_pdf, tmp_path_factory):
-    """Built index over the 400-doc synthetic corpus (code profile)."""
-    from spidey_search_engine_spark.operators.build import build_index, load_index
+def index_dir(spark, corpus_pdf, tmp_path_factory):
+    """Path of the built index over the 400-doc synthetic corpus."""
+    from spidey_search_engine_spark.operators.build import build_index
     out = str(tmp_path_factory.mktemp("idx"))
     corpus = spark.createDataFrame(corpus_pdf).repartition(8)
     build_index(spark, corpus, out, profile="code", seg_bits=8, n_buckets=8)
-    return load_index(spark, out)
+    return out
+
+
+@pytest.fixture(scope="session")
+def index(spark, index_dir):
+    """Built index over the 400-doc synthetic corpus (code profile)."""
+    from spidey_search_engine_spark.operators.build import load_index
+    return load_index(spark, index_dir)

@@ -509,6 +509,38 @@ def test_bm25_search_after(spark, index, tmp_path):
                       "--after", cursor])
 
 
+def test_cli_after_start_stitch(spark, index, index_dir, capsys):
+    """The CLI pagination contract end-to-end: page 1 comes from
+    `--after start` (the pagination path, deterministic fold), its
+    printed cursor feeds page 2, and the stitch equals the operator's
+    exact top-N. Cursors from the PLAIN ranker's output are not part of
+    the contract — its hash-agg sum can sit 1 ulp off the fold's
+    recompute and re-serve or skip the boundary row (the sf0.01 oracle
+    gate caught exactly that drift before `start` existed)."""
+    import json
+
+    from spidey_search_engine_spark.cli import main as cli_main
+    from spidey_search_engine_spark.operators.search import \
+        bm25_topk_after
+
+    def run(argv):
+        assert cli_main(argv) == 0
+        return [json.loads(line) for line in
+                capsys.readouterr().out.strip().splitlines()
+                if line.startswith("{")]
+
+    p1 = run(["query", "--index", index_dir, "--q", "merge sort",
+              "--k", "10", "--after", "start"])
+    cur = f"{p1[-1]['score']!r}:{p1[-1]['doc_id']}"
+    p2 = run(["query", "--index", index_dir, "--q", "merge sort",
+              "--after", cur, "--k", "10"])
+    got = [(r["doc_id"], r["score"]) for r in p1 + p2]
+    bag = ["merg", "sort"]
+    exact = [(r["doc_id"], r["score"]) for r in
+             bm25_topk_after(spark, index, bag, k=20).collect()]
+    assert got == exact  # json float repr round-trips: stitch is exact
+
+
 def _full_scores(spark, index, bag):
     from spidey_search_engine_spark.operators.search import \
         _bm25_scored_tokens
