@@ -686,6 +686,21 @@ class Searcher:
         hit per member instead of a parquet probe)."""
         return bm25_synonym_topk(self.spark, self.index, groups, k=k)
 
+    def after(self, q_terms: list[str], k: int = 10,
+              after: tuple[float, int] | None = None,
+              important_weight: float = 1.0) -> DataFrame:
+        """search_after pagination over the warmed index — after=None is
+        page 1 (serve pagination sessions from HERE, not from bm25():
+        the cursor filter recomputes the deterministic fold score and
+        compares the cursor with exact equality, and the plain ranker's
+        hash-agg sum can sit 1 ulp off). Same operator the CLI's
+        `--after start`/`--after SCORE:DOC_ID` path runs; the warmed
+        dictionary and postings caches serve every page, so deep pages
+        cost exactly what page 1 costs."""
+        return bm25_topk_after(self.spark, self.index, q_terms, k=k,
+                               after=after,
+                               important_weight=important_weight)
+
     def close(self) -> None:
         # unpersist ONLY what this instance cached — never a postings
         # DataFrame it left untouched (cache_postings=False), whose cache

@@ -188,6 +188,19 @@ def test_searcher_matches_cold_paths(spark, index):
         warm_s = [(r["doc_id"], round(r["score"], 10)) for r in
                   s.synonym([["merg", "sort"]], k=8).collect()]
         assert warm_s == cold_s and warm_s
+        # warm pagination: Searcher.after page 1 + cursor page 2 stitch
+        # to exactly the cold pagination path (bitwise — the fold makes
+        # the cursor handoff reproducible across the warm/cold caches)
+        from spidey_search_engine_spark.operators.search import \
+            bm25_topk_after
+        cold_a = [(r["doc_id"], r["score"]) for r in
+                  bm25_topk_after(spark, index, q_terms,
+                                  k=16).collect()]
+        wp1 = s.after(q_terms, k=8).collect()
+        wcur = (wp1[-1]["score"], wp1[-1]["doc_id"])
+        wp2 = s.after(q_terms, k=8, after=wcur).collect()
+        assert [(r["doc_id"], r["score"])
+                for r in wp1 + wp2] == cold_a
     finally:
         s.close()
     # the caller's index DataFrames still work after close
