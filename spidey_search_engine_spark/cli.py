@@ -489,10 +489,10 @@ def main(argv: list[str] | None = None) -> int:
             if (args.parity or args.pruned or args.fuzzy or args.facets
                     or args.suggest or args.explain or args.batch
                     or args.exclude or args.more_like is not None
-                    or args.proximity is not None
-                    or len(args.index) > 1):
-                p.error("--after paginates the single-index default "
-                        "BM25 term path only — drop the mode flags")
+                    or args.proximity is not None):
+                p.error("--after paginates the default BM25 term path "
+                        "only (single-index or federated) — drop the "
+                        "mode flags")
             if args.q and any(("*" in t or t.startswith("+")) and
                               len(t) > 1 for t in args.q.split()):
                 p.error("--after takes plain terms (no +term / "
@@ -827,11 +827,21 @@ def main(argv: list[str] | None = None) -> int:
                         p.error(f"column {c!r} is not in the index "
                                 f"docs table (have: {', '.join(dcols)})")
             try:
-                out = federated_bm25_topk_tokens(
-                    spark, shards, q_terms, k=args.k,
-                    important_weight=w_imp,
-                    verify_disjoint=args.verify_disjoint,
-                    filters=args.filter or None)
+                if args.after is not None:
+                    from .operators.federate import \
+                        federated_bm25_topk_after
+                    out = federated_bm25_topk_after(
+                        spark, shards, q_terms, k=args.k,
+                        after=(None if args.after == "start"
+                               else args.after),
+                        important_weight=w_imp,
+                        verify_disjoint=args.verify_disjoint)
+                else:
+                    out = federated_bm25_topk_tokens(
+                        spark, shards, q_terms, k=args.k,
+                        important_weight=w_imp,
+                        verify_disjoint=args.verify_disjoint,
+                        filters=args.filter or None)
                 if args.snippets:
                     out = _attach_snippets(
                         out, q_terms,

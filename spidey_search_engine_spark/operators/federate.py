@@ -246,6 +246,53 @@ def federated_bm25_topk(spark: SparkSession, indexes: list[dict],
         verify_disjoint=verify_disjoint)
 
 
+def federated_bm25_topk_after(spark: SparkSession, indexes: list[dict],
+                              q_terms: list[str], k: int = 10,
+                              after: tuple[float, int] | None = None,
+                              important_weight: float = 1.0,
+                              verify_disjoint: bool = False,
+                              gstats: dict | None = None) -> DataFrame:
+    """Federated twin of search.bm25_topk_after — search_after deep
+    pagination across shards. Page N+1 = the top-k rows strictly after
+    the (score, doc_id) cursor of page N's last row in ranking order;
+    every page costs Σ per-shard probe bytes regardless of depth, where
+    an OFFSET over the federated result would sort and discard P·k rows
+    re-merged from every shard.
+
+    Scores fold per-doc partials in TERM order (bm25_score_rows
+    deterministic=True — the same fold the single-index pagination path
+    uses), which makes the cursor sound twice over: (a) the page-N+1
+    recompute is bitwise equal to the page-N score the cursor carries,
+    and (b) federation stays invisible BITWISE — the monolithic fold
+    sorts the same (term, partial) structs, partials are bitwise equal
+    (global idf/avgdl, the FED invariant), so a cursor from a federated
+    page is valid against the monolithic index and vice versa (pinned
+    by test). after=None is page 1 — pagination sessions start HERE
+    (the CLI's `--after start`), never from the plain hash-agg ranker
+    whose sum can sit 1 ulp off the fold."""
+    if not indexes:
+        raise ValueError("federated query needs at least one shard")
+    if not q_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    if gstats is None:
+        gstats = federated_stats(indexes)
+    idf = federated_idf(indexes, q_terms, n_docs=gstats["n_docs"])
+    weights = pd.Series(q_terms).value_counts()
+    iw = {t: idf[t] * float(weights[t]) for t in idf}
+    rows = federated_posting_rows(indexes, q_terms,
+                                  verify_disjoint=verify_disjoint)
+    scores = bm25_score_rows(rows, iw, gstats["avgdl"],
+                             important_weight=important_weight,
+                             deterministic=True)
+    if after is not None:
+        s0, d0 = float(after[0]), int(after[1])
+        scores = scores.filter(
+            (F.col("score") < F.lit(s0))
+            | ((F.col("score") == F.lit(s0))
+               & (F.col("doc_id") > F.lit(d0))))
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 class FederatedSearcher:
     """Warm federated serving tier: one search.Searcher per shard plus
     the once-computed global stats.
@@ -305,6 +352,18 @@ class FederatedSearcher:
             q_terms.extend(p)
         return self.bm25_tokens(q_terms, k=k,
                                 important_weight=important_weight)
+
+    def after(self, q_terms: list[str], k: int = 10,
+              after: tuple[float, int] | None = None,
+              important_weight: float = 1.0) -> DataFrame:
+        """search_after pagination across the warmed shards — after=None
+        is page 1 (serve pagination sessions from here, not bm25_tokens:
+        the cursor recompute is exact-equality against the deterministic
+        fold). Cached global stats + per-shard idf_cache keep a warm
+        deep page at one planned job, same as page 1."""
+        return federated_bm25_topk_after(
+            self.spark, self.shards, q_terms, k=k, after=after,
+            important_weight=important_weight, gstats=self.gstats)
 
     def batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         from ..functions.analysis import analyze_query

@@ -173,6 +173,23 @@ def test_federated_cli_roundtrip(spark, corpus_pdf, tmp_path, capsys):
                  "lang=py"])
     assert fed_f == mono_f and mono_f
 
+    # --after federates: page 1 from '--after start', its cursor feeds
+    # page 2, and both pages equal the monolithic pagination CLI
+    mono_p1 = run(["query", "--index", dirs["all"], "--q", "merge sort",
+                   "--k", "4", "--after", "start"])
+    fed_p1 = run(["query", "--index", dirs["a"], "--index", dirs["b"],
+                  "--q", "merge sort", "--k", "4", "--after", "start",
+                  "--verify-disjoint"])
+    assert fed_p1 == mono_p1 and len(fed_p1) == 4
+    cur = f"{fed_p1[-1]['score']!r}:{fed_p1[-1]['doc_id']}"
+    mono_p2 = run(["query", "--index", dirs["all"], "--q", "merge sort",
+                   "--k", "4", "--after", cur])
+    fed_p2 = run(["query", "--index", dirs["a"], "--index", dirs["b"],
+                  "--q", "merge sort", "--k", "4", "--after", cur])
+    assert fed_p2 == mono_p2 and len(fed_p2) == 4
+    assert not ({r["doc_id"] for r in fed_p1}
+                & {r["doc_id"] for r in fed_p2})
+
     # --batch FILE: eval workload in one pass, single-index == federated,
     # ids from TAB lines, q<lineno> otherwise, comments/blanks skipped
     bf = tmp_path / "queries.txt"
@@ -301,6 +318,48 @@ def test_federated_base_plus_streaming_delta(spark, corpus_pdf, tmp_path):
     assert fed_top == mono_top and fed_top
     # the delta actually contributes (some top doc lives in it)
     assert any(d >= 150 for d, _ in fed_top)
+
+
+def test_federated_search_after(spark, fed):
+    """search_after federates: stitched federated pages equal the
+    monolithic pagination path BITWISE (both fold partials in term
+    order over bitwise-equal global-stats partials), so a cursor from a
+    federated page is valid against the monolithic index and vice
+    versa — the sharding can change between a user's page 1 and page 2
+    (a compaction publishing delta into base) without breaking their
+    cursor. 3-term bag so summation ORDER actually matters; exact
+    floats, no rounding."""
+    from spidey_search_engine_spark.operators.federate import (
+        FederatedSearcher, federated_bm25_topk_after)
+    from spidey_search_engine_spark.operators.search import \
+        bm25_topk_after
+    bag = ["merge", "sort", "hash"]
+    exact = [(r["doc_id"], r["score"]) for r in
+             bm25_topk_after(spark, fed["all"], bag, k=18).collect()]
+    fp1 = federated_bm25_topk_after(spark, fed["shards"], bag,
+                                    k=6).collect()
+    pages = [(r["doc_id"], r["score"]) for r in fp1]
+    cur = (fp1[-1]["score"], fp1[-1]["doc_id"])
+    # page 2 from the MONOLITHIC path with the FEDERATED cursor — the
+    # cross-path validity the bitwise invariant buys
+    mp2 = bm25_topk_after(spark, fed["all"], bag, k=6,
+                          after=cur).collect()
+    pages += [(r["doc_id"], r["score"]) for r in mp2]
+    # page 3 federated again, cursor from the monolithic page
+    fp3 = federated_bm25_topk_after(
+        spark, fed["shards"], bag, k=6,
+        after=(mp2[-1]["score"], mp2[-1]["doc_id"])).collect()
+    pages += [(r["doc_id"], r["score"]) for r in fp3]
+    assert pages == exact  # 3 stitched cross-path pages == exact top-18
+
+    # warm tier: FederatedSearcher.after == the cold federated path
+    with FederatedSearcher(spark, fed["shards"],
+                           cache_postings=False) as fs:
+        wp1 = fs.after(bag, k=6).collect()
+        wcur = (wp1[-1]["score"], wp1[-1]["doc_id"])
+        wp2 = fs.after(bag, k=6, after=wcur).collect()
+        assert [(r["doc_id"], r["score"])
+                for r in wp1 + wp2] == exact[:12]
 
 
 def test_federated_searcher_warm_equals_cold(spark, fed):
