@@ -36,6 +36,7 @@ _WINDOW_FRONT = (
 # and pytest — they are ordered first-after-the-cut so the next round's
 # window picks them up before anything already driver-checked.
 _WINDOW_DEFER = (
+    'federated_bm25_after_topk',
     'bm25_wildcard_mid_topk', 'bm25_wildcard_suffix_topk',
     'bm25_wildcard_infix_topk',
 )

@@ -133,6 +133,14 @@ def main() -> None:
     timed("bm25_q1_collapse",
           lambda: searcher.collapse(bag_q1, "lang", k=10).collect(),
           repeats=2)
+    # search_after: a deep page must cost what page 1 costs (the cursor
+    # filter runs under the top-k — no OFFSET sort-and-discard). Cursor
+    # minted once from the pagination path's own page 1, outside timing.
+    _p1 = searcher.after(bag_q1, k=10).collect()
+    _cur = (_p1[-1]["score"], _p1[-1]["doc_id"])
+    timed("bm25_q1_after_page2",
+          lambda: searcher.after(bag_q1, k=10, after=_cur).collect(),
+          repeats=2)
 
     timed("tpch_q1", lambda: EQ.tpch_q1(spark, sf_dir).collect(),
           repeats=2)

@@ -4553,6 +4553,28 @@ SELECT doc_id, CAST(round(s, 6) AS DOUBLE) AS score_r
 FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20 OFFSET 20"""
 
 
+def federated_bm25_after_topk(spark, sf_dir):
+    """Federated search_after (operators/federate.py
+    federated_bm25_topk_after): page 2 of the fixed query ACROSS the two
+    parity shards — page 1 served by the federated pagination path, its
+    (score, doc_id) cursor feeding the page-2 probe. The deterministic
+    term-ordered fold makes the cursor recompute bitwise AND keeps
+    federation invisible bitwise, so the oracle is the UNMODIFIED
+    monolithic OFFSET SQL (ORACLE_SQL['bm25_search_after']): a pass
+    proves sharded deep pagination returns exactly the single-index
+    pages — resharding between a user's pages cannot break a cursor."""
+    from .operators.federate import federated_bm25_topk_after
+    shards = _fed_shards(spark, sf_dir)
+    p1 = federated_bm25_topk_after(spark, shards, QT, k=20).collect()
+    cur = (p1[-1]["score"], p1[-1]["doc_id"])
+    out = federated_bm25_topk_after(spark, shards, QT, k=20, after=cur)
+    return out.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+QUERIES["federated_bm25_after_topk"] = federated_bm25_after_topk
+ORACLE_SQL["federated_bm25_after_topk"] = ORACLE_SQL["bm25_search_after"]
+
+
 def bm25_proximity_topk(spark, sf_dir):
     """Proximity-boosted BM25 (search.bm25_proximity_topk): score =
     BM25 + w/(1 + min_dist), min_dist = the closest co-occurrence of two
