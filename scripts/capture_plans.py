@@ -571,6 +571,30 @@ def main() -> None:
         "UNMODIFIED monolithic BM25 SQL).",
         capture(dfed)))
 
+    # Federated search_after: the same two-shard union plan with the
+    # deterministic fold aggregation and the cursor filter under the
+    # top-k — page depth appears nowhere
+    from spidey_search_engine_spark.operators.federate import \
+        federated_bm25_topk_after
+    dfeda = federated_bm25_topk_after(
+        spark, EQ._fed_shards(spark, sf_dir), EQ.QT, k=10,
+        after=(0.25, 1000))
+    sections.append((
+        "Federated search_after (federated_bm25_topk_after): per-shard "
+        "pruned scans + deterministic fold + cursor filter under the "
+        "top-k",
+        "Look for: the SAME two per-shard pruned scans and plan-level "
+        "Union as the federated top-k; ObjectHashAggregate instead of "
+        "HashAggregate (collect_list of (term, partial) structs — the "
+        "term-ordered fold that makes the recomputed score bitwise "
+        "equal to the cursor, and equal to the monolithic fold, so "
+        "cursors are valid cross-path); ONE Filter ((score < c) OR "
+        "(score = c AND doc_id > d)) directly beneath "
+        "TakeOrderedAndProject. Page depth never appears in the plan: "
+        "page 1000 reads Σ per-shard probe bytes and sorts k rows, "
+        "same as page 1.",
+        capture(dfeda)))
+
     # Proximity-boosted BM25: one positional decode feeds both the
     # scoring aggregation and the streaming distance kernel
     dprox = S.bm25_proximity_topk(spark, idx, EQ.QT, k=10,
