@@ -856,20 +856,21 @@ def main(argv: list[str] | None = None) -> int:
             index = load_index(spark, args.index[0])
 
             def _fuzzy_idx():
+                """The materialized SymSpell index dict, or None — a
+                missing index routes to the brute dictionary scan
+                (fuzzy_lookup_brute), which strictly beats probing an
+                UNMATERIALIZED (unpruned) inline deletion frame at any
+                vocabulary size. `build --fuzzy-index` is the scale path."""
                 import os
 
-                from .operators.fuzzy import (build_deletion_index,
-                                              load_deletion_index)
+                from .operators.fuzzy import load_deletion_index
                 fuzzy_dir = os.path.join(args.index[0], "fuzzy")
                 if os.path.exists(os.path.join(fuzzy_dir, "meta.json")):
                     return load_deletion_index(spark, fuzzy_dir)
-                # inline fallback: correct but unpruned (no materialized
-                # bucket partitions) — `build --fuzzy-index` is the scale path
-                print("fuzzy index not materialized; deriving inline "
-                      "(run build --fuzzy-index)", file=sys.stderr)
-                return {"variants": build_deletion_index(
-                    index["terms"], n_buckets=64), "max_del": 1,
-                    "n_buckets": 64}
+                print("fuzzy index not materialized; using the brute "
+                      "dictionary scan (run build --fuzzy-index)",
+                      file=sys.stderr)
+                return None
 
             if args.suggest:
                 from .functions.analysis import analyze_query
@@ -878,9 +879,12 @@ def main(argv: list[str] | None = None) -> int:
                 for ph in phrases:
                     q_terms.extend(ph)
                 fz = _fuzzy_idx()
-                rows = did_you_mean(fz["variants"], q_terms,
-                                    n_buckets=fz["n_buckets"],
-                                    index_max_del=fz["max_del"]) \
+                rows = did_you_mean(
+                    fz["variants"] if fz else None, q_terms,
+                    n_buckets=fz["n_buckets"] if fz else 0,
+                    index_max_del=fz["max_del"] if fz else 1,
+                    terms_df=index["terms"],
+                    n_terms=(fz or {}).get("n_terms")) \
                     .orderBy("q").collect()
             elif args.explain:
                 from .functions.analysis import analyze_query
@@ -935,9 +939,12 @@ def main(argv: list[str] | None = None) -> int:
                 known = {r["term"] for r in index["terms"].filter(
                     F.col("term").isin(list(set(q_terms))))
                     .select("term").collect()} if q_terms else set()
-                fixes = correct_tokens(fz["variants"], q_terms, known,
-                                       n_buckets=fz["n_buckets"],
-                                       index_max_del=fz["max_del"])
+                fixes = correct_tokens(
+                    fz["variants"] if fz else None, q_terms, known,
+                    n_buckets=fz["n_buckets"] if fz else 0,
+                    index_max_del=fz["max_del"] if fz else 1,
+                    terms_df=index["terms"],
+                    n_terms=(fz or {}).get("n_terms"))
                 if fixes:
                     print(json.dumps({"corrected": fixes}))
                 q_terms = [fixes.get(t, t) for t in q_terms]

@@ -41,7 +41,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -128,7 +128,11 @@ def write_deletion_index(terms_df: DataFrame, out_dir: str,
      .sortWithinPartitions("vbucket", "variant")
      .write.mode("overwrite").partitionBy("vbucket")
      .parquet(os.path.join(out_dir, "variants")))
-    meta = {"max_del": int(max_del), "n_buckets": int(n_buckets)}
+    # n_terms feeds probe-vs-brute routing (route_fuzzy) without a count
+    # job at query time; the count here reads the dictionary the caller
+    # already has in hand (vocabulary-bounded, build-time only)
+    meta = {"max_del": int(max_del), "n_buckets": int(n_buckets),
+            "n_terms": terms_df.count()}
     with open(os.path.join(out_dir, "meta.json"), "w",
               encoding="utf-8") as fh:
         json.dump(meta, fh)
@@ -141,65 +145,195 @@ def load_deletion_index(spark: SparkSession, out_dir: str) -> dict:
         os.path.join(out_dir, "variants")), **meta}
 
 
+_FUZZY_SCHEMA = "q string, term string, dist int, df long, rk int"
+
+
+def _topk_per_token(cand: DataFrame, k: int) -> DataFrame:
+    """The shared (q, term, dist, df) → top-k tail: dedup + rank + slice
+    in ONE aggregation. Ranking (dist ASC, df DESC, term ASC) is encoded
+    as lexicographic struct order (dist, -df, term); `array_distinct`
+    drops the duplicate (q, term) rows the probe produces when a query
+    and a term share several deletion variants (identical structs). One
+    exchange on q, candidate-bounded groups — replaces the round-4
+    distinct-shuffle + window-shuffle pair whose per-stage fixed cost was
+    the measured probe floor (BENCH_FUZZY layout ablation)."""
+    top = cand.groupBy("q").agg(
+        F.slice(F.array_sort(F.array_distinct(F.collect_list(
+            F.struct(F.col("dist"), (-F.col("df")).alias("ndf"),
+                     F.col("term"), F.col("df"))))),
+                1, k).alias("top"))
+    return (top.select("q", F.posexplode("top").alias("pos", "s"))
+            .select("q", F.col("s.term").alias("term"),
+                    F.col("s.dist").cast("int").alias("dist"),
+                    F.col("s.df").alias("df"),
+                    (F.col("pos") + 1).cast("int").alias("rk")))
+
+
 def fuzzy_lookup(del_index: DataFrame, tokens: list[str], *,
                  n_buckets: int, index_max_del: int = 1, max_d: int = 1,
                  k: int = 5) -> DataFrame:
     """Top-k fuzzy dictionary matches per query token.
 
-    (q, term, dist, df, rk) with rk = row_number per q over
+    (q, term, dist, df, rk) with rk = rank per q over
     (dist ASC, df DESC, term ASC). ``max_d`` must be <= the max_del the
     index was built with — SymSpell's completeness guarantee needs
     deletes up to d on BOTH sides.
+
+    ONE job, two stages: the pruned scan tags each candidate row with its
+    query token(s) through a LITERAL variant→tokens map folded into the
+    projection (query tokens are driver-bounded metadata — no
+    createDataFrame, no broadcast join, no distinct shuffle), verifies
+    the true distance JVM-side, and the single `_topk_per_token`
+    aggregation dedups and ranks. Round 4 measured the previous
+    4-stage shape's fixed overhead at ~0.55-0.86 s regardless of |V|;
+    this is the "fold the probe's fixed overhead" fix.
     """
     if max_d > index_max_del:
         raise ValueError(f"max_d={max_d} exceeds the index's "
                          f"max_del={index_max_del}; matches beyond "
                          f"{index_max_del} would be silently incomplete")
     spark = SparkSession.getActiveSession()
-    qvars = [(q, v) for q in sorted(set(tokens))
-             for v in py_deletion_variants(q, max_d)]
-    if not qvars:
-        return spark.createDataFrame(
-            [], "q string, term string, dist int, df long, rk int")
+    var_to_qs: dict[str, list[str]] = {}
+    for q in sorted(set(tokens)):
+        for v in py_deletion_variants(q, max_d):
+            var_to_qs.setdefault(v, []).append(q)
+    if not var_to_qs:
+        return spark.createDataFrame([], _FUZZY_SCHEMA)
     from .search import _buckets_of  # JVM xxhash64, cached per string
-    vset = sorted({v for _, v in qvars})
+    vset = sorted(var_to_qs)
     buckets = sorted(set(_buckets_of(vset, n_buckets).values()))
-    probe = del_index.filter(F.col("vbucket").isin(buckets)
-                             & F.col("variant").isin(vset))
-    qv = spark.createDataFrame(qvars, "q string, variant string")
-    cand = (probe.join(F.broadcast(qv), "variant")
-            .select("q", "term", "df").distinct())
-    scored = (cand
-              .withColumn("dist", F.levenshtein("q", "term"))
-              .filter(F.col("dist") <= max_d))
-    w = Window.partitionBy("q").orderBy(F.asc("dist"), F.desc("df"),
-                                        F.asc("term"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .select("q", "term", F.col("dist").cast("int").alias("dist"),
-                    "df", F.col("rk").cast("int").alias("rk")))
+    pairs: list[Column] = []
+    for v in vset:
+        pairs.append(F.lit(v))
+        pairs.append(F.array(*[F.lit(q) for q in var_to_qs[v]]))
+    vmap = F.create_map(*pairs)
+    cand = (del_index
+            .filter(F.col("vbucket").isin(buckets)
+                    & F.col("variant").isin(vset))
+            .select(F.explode(F.element_at(vmap, F.col("variant")))
+                    .alias("q"), "term", "df")
+            .withColumn("dist", F.levenshtein("q", "term"))
+            .filter(F.col("dist") <= max_d))
+    return _topk_per_token(cand, k)
 
 
-def correct_tokens(del_index: DataFrame, tokens: list[str],
+def fuzzy_lookup_brute(terms_df: DataFrame, tokens: list[str], *,
+                       max_d: int = 1, k: int = 5) -> DataFrame:
+    """Full-vocabulary levenshtein scan — same output contract as
+    `fuzzy_lookup`, no deletion index required.
+
+    Linear in |V| where the probe is ~flat, but with near-zero fixed
+    overhead — so it WINS below the measured crossover (BENCH_FUZZY:
+    brute 2.2× faster at 2.4M terms, probe 1.7× faster at 9.6M). The
+    distance to every query token is computed in one projection with the
+    THRESHOLDED levenshtein (early-exits the DP past max_d) and filtered
+    inside the array before the explode, so the scan stays |V| rows and
+    only in-distance candidates materialize."""
+    spark = terms_df.sparkSession
+    toks = sorted(set(tokens))
+    if not toks:
+        return spark.createDataFrame([], _FUZZY_SCHEMA)
+    arr = F.filter(
+        F.array(*[F.struct(
+            F.lit(q).alias("q"),
+            F.levenshtein(F.lit(q), F.col("term"), max_d).alias("dist"))
+            for q in toks]),
+        lambda s: s["dist"] >= 0)  # thresholded form returns -1 past max_d
+    cand = (terms_df
+            .select("term", "df", F.explode(arr).alias("s"))
+            .select(F.col("s.q").alias("q"), "term",
+                    F.col("s.dist").alias("dist"), "df"))
+    return _topk_per_token(cand, k)
+
+
+# Routing: the probe's latency is ~flat in |V| (bucket-pruned, fixed
+# multi-stage floor) while the brute scan is linear with near-zero floor;
+# BENCH_FUZZY.json pins the crossover between 2.4M (brute 2.2× faster)
+# and 9.6M terms (probe 1.7× faster) on this host. Same fallback
+# discipline as wand.py's surviving-fraction and wildcard.route_glob:
+# decide from ONE cached metadata number, never a measurement job.
+DEFAULT_ROUTE_MIN_TERMS = 5_000_000
+_ROUTE_ENV = "SPARK_GRAFT_FUZZY_ROUTE_MIN_TERMS"
+
+
+def route_fuzzy(n_terms: int, min_terms: int | None = None) -> str:
+    """'probe' when the vocabulary is large enough that the materialized
+    delete-neighborhood index beats a linear dictionary scan, else
+    'brute'. `min_terms` overrides the default crossover (env
+    SPARK_GRAFT_FUZZY_ROUTE_MIN_TERMS, default 5M — the midpoint of the
+    measured bracket)."""
+    if min_terms is None:
+        min_terms = int(os.environ.get(_ROUTE_ENV, DEFAULT_ROUTE_MIN_TERMS))
+    return "probe" if int(n_terms) >= min_terms else "brute"
+
+
+def fuzzy_lookup_auto(fz: dict | None, terms_df: DataFrame,
+                      tokens: list[str], *, max_d: int = 1,
+                      k: int = 5) -> DataFrame:
+    """Route between the SymSpell probe and the brute scan by vocabulary
+    size. `fz` is the `load_deletion_index` dict (or None when no index
+    is materialized — forces brute); `terms_df` is the dictionary. The
+    term count comes from the index's meta.json (recorded at build time);
+    a pre-n_terms index counts the dictionary ONCE and memoizes it on the
+    dict. Candidate sets are identical on both paths (SymSpell
+    completeness, pinned by test)."""
+    n_terms = (fz or {}).get("n_terms")
+    if n_terms is None:
+        n_terms = terms_df.count()
+        if fz is not None:
+            fz["n_terms"] = n_terms
+    if fz is None or route_fuzzy(n_terms) == "brute":
+        return fuzzy_lookup_brute(terms_df, tokens, max_d=max_d, k=k)
+    return fuzzy_lookup(fz["variants"], tokens,
+                        n_buckets=fz["n_buckets"],
+                        index_max_del=fz["max_del"], max_d=max_d, k=k)
+
+
+def _lookup_routed(del_index: DataFrame | None, tokens: list[str], *,
+                   n_buckets: int, index_max_del: int, max_d: int, k: int,
+                   terms_df: DataFrame | None,
+                   n_terms: int | None) -> DataFrame:
+    """fuzzy_lookup with the probe-vs-brute route applied when the caller
+    supplies the dictionary (`terms_df`); without it, probe-only (the
+    pre-routing behavior). `del_index=None` + terms_df forces brute."""
+    if terms_df is not None:
+        if n_terms is None:
+            n_terms = terms_df.count()
+        if del_index is None or route_fuzzy(n_terms) == "brute":
+            return fuzzy_lookup_brute(terms_df, tokens, max_d=max_d, k=k)
+    if del_index is None:
+        raise ValueError("no deletion index and no terms_df — nothing "
+                         "to look fuzzy matches up in")
+    return fuzzy_lookup(del_index, tokens, n_buckets=n_buckets,
+                        index_max_del=index_max_del, max_d=max_d, k=k)
+
+
+def correct_tokens(del_index: DataFrame | None, tokens: list[str],
                    known: set[str] | None = None, *, n_buckets: int,
-                   index_max_del: int = 1, max_d: int = 1) -> dict[str, str]:
+                   index_max_del: int = 1, max_d: int = 1,
+                   terms_df: DataFrame | None = None,
+                   n_terms: int | None = None) -> dict[str, str]:
     """token -> best correction for tokens NOT in `known` (the exact
     dictionary hits stay untouched); tokens with no in-distance candidate
     are absent from the result. `known` defaults to {} so every token is
-    checked; pass the dictionary-hit set to skip exact matches."""
+    checked; pass the dictionary-hit set to skip exact matches.
+    `terms_df`/`n_terms` opt into vocabulary-size routing (route_fuzzy):
+    below the crossover the brute dictionary scan answers instead of the
+    probe — same candidates, cheaper job."""
     known = known or set()
     oov = [t for t in set(tokens) if t not in known]
     if not oov:
         return {}
-    best = fuzzy_lookup(del_index, oov, n_buckets=n_buckets,
-                        index_max_del=index_max_del, max_d=max_d,
-                        k=1).collect()
+    best = _lookup_routed(del_index, oov, n_buckets=n_buckets,
+                          index_max_del=index_max_del, max_d=max_d,
+                          k=1, terms_df=terms_df, n_terms=n_terms).collect()
     return {r["q"]: r["term"] for r in best if r["term"] != r["q"]}
 
 
-def did_you_mean(del_index: DataFrame, tokens: list[str], *,
+def did_you_mean(del_index: DataFrame | None, tokens: list[str], *,
                  n_buckets: int, index_max_del: int = 1,
-                 max_d: int = 1) -> DataFrame:
+                 max_d: int = 1, terms_df: DataFrame | None = None,
+                 n_terms: int | None = None) -> DataFrame:
     """The "Did you mean:" report — one row PER DISTINCT query token:
 
         (q, suggestion, dist, df)
@@ -224,8 +358,9 @@ def did_you_mean(del_index: DataFrame, tokens: list[str], *,
         return spark.createDataFrame(
             [], "q string, suggestion string, dist int, df long")
     tok_df = spark.createDataFrame([(t,) for t in toks], "q string")
-    best = fuzzy_lookup(del_index, toks, n_buckets=n_buckets,
-                        index_max_del=index_max_del, max_d=max_d, k=1) \
+    best = _lookup_routed(del_index, toks, n_buckets=n_buckets,
+                          index_max_del=index_max_del, max_d=max_d, k=1,
+                          terms_df=terms_df, n_terms=n_terms) \
         .select("q", F.col("term").alias("suggestion"), "dist", "df")
     # both sides are query-token-bounded; broadcast the suggestions so
     # the miss-preserving left join never shuffles (the docstring's

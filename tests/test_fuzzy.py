@@ -293,3 +293,76 @@ def test_cli_rebuild_clears_stale_fuzzy_index(spark, tmp_path, capsys):
     lines = [json.loads(ln) for ln in
              capsys.readouterr().out.strip().splitlines()]
     assert lines[0] == {"corrected": {"streem": "stream"}}
+
+
+def test_brute_equals_probe(spark, del_idx):
+    """Candidate-set identity across the route: the brute dictionary scan
+    and the SymSpell probe return the same (q, term, dist, df, rk) rows
+    for every query shape (typo / exact / miss / short token)."""
+    from spidey_search_engine_spark.operators.fuzzy import fuzzy_lookup_brute
+    tokens = ["merg", "sortt", "dsta", "scan", "spam", "zzz", "b"]
+    terms = spark.createDataFrame(VOCAB, "term string, df long")
+    key = lambda r: (r["q"], r["rk"])  # noqa: E731
+    probe = sorted(([r["q"], r["term"], r["dist"], r["df"], r["rk"]]
+                    for r in fuzzy_lookup(del_idx, tokens, n_buckets=8,
+                                          max_d=1, k=3).collect()))
+    brute = sorted(([r["q"], r["term"], r["dist"], r["df"], r["rk"]]
+                    for r in fuzzy_lookup_brute(terms, tokens, max_d=1,
+                                                k=3).collect()))
+    assert probe == brute and probe
+
+
+def test_route_fuzzy_boundary(monkeypatch):
+    """probe at/above the crossover, brute below; env override wins."""
+    from spidey_search_engine_spark.operators import fuzzy as fz
+    assert fz.route_fuzzy(fz.DEFAULT_ROUTE_MIN_TERMS) == "probe"
+    assert fz.route_fuzzy(fz.DEFAULT_ROUTE_MIN_TERMS - 1) == "brute"
+    assert fz.route_fuzzy(10, min_terms=5) == "probe"
+    assert fz.route_fuzzy(10, min_terms=11) == "brute"
+    monkeypatch.setenv("SPARK_GRAFT_FUZZY_ROUTE_MIN_TERMS", "3")
+    assert fz.route_fuzzy(3) == "probe"
+    assert fz.route_fuzzy(2) == "brute"
+
+
+def test_fuzzy_lookup_auto_routes(spark, tmp_path, monkeypatch):
+    """auto picks brute below the threshold and probe above — visible in
+    the physical plan (the probe prunes on the MATERIALIZED index's
+    vbucket partition column; brute never mentions it) — with identical
+    rows either way. No index dict forces brute."""
+    from spidey_search_engine_spark.operators.fuzzy import (
+        fuzzy_lookup_auto, load_deletion_index, write_deletion_index)
+    terms = spark.createDataFrame(VOCAB, "term string, df long")
+    out = str(tmp_path / "fz")
+    write_deletion_index(terms, out, max_del=1, n_buckets=8)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    fzd = load_deletion_index(spark, out)
+    assert fzd["n_terms"] == len(VOCAB)  # recorded at build time
+    monkeypatch.setenv("SPARK_GRAFT_FUZZY_ROUTE_MIN_TERMS",
+                       str(len(VOCAB) + 1))
+    lo = fuzzy_lookup_auto(fzd, terms, ["merg"], k=2)
+    assert "vbucket" not in plan(lo)  # routed brute
+    monkeypatch.setenv("SPARK_GRAFT_FUZZY_ROUTE_MIN_TERMS",
+                       str(len(VOCAB)))
+    hi = fuzzy_lookup_auto(fzd, terms, ["merg"], k=2)
+    assert "vbucket" in plan(hi)  # routed probe
+    assert sorted(map(tuple, lo.collect())) == \
+        sorted(map(tuple, hi.collect()))
+    # a missing index can only brute — and must not crash on the route
+    none_rows = fuzzy_lookup_auto(None, terms, ["merg"], k=2).collect()
+    assert sorted(map(tuple, none_rows)) == sorted(map(tuple, lo.collect()))
+
+
+def test_correct_tokens_routes_brute(spark, del_idx, monkeypatch):
+    """correct_tokens with terms_df routes below the crossover (brute) and
+    returns the same fixes as the probe-only call."""
+    from spidey_search_engine_spark.operators.fuzzy import correct_tokens
+    terms = spark.createDataFrame(VOCAB, "term string, df long")
+    known = {t for t, _ in VOCAB}
+    monkeypatch.setenv("SPARK_GRAFT_FUZZY_ROUTE_MIN_TERMS", "1000000")
+    got = correct_tokens(None, ["merg", "sort", "zzz"], known,
+                         n_buckets=0, terms_df=terms,
+                         n_terms=len(VOCAB))
+    assert got == {"merg": "merge"}
