@@ -4743,3 +4743,28 @@ SELECT doc_id, CAST(round(s, 6) AS DOUBLE) AS score_r
 FROM scores
 ORDER BY s DESC, doc_id ASC
 LIMIT 20"""
+
+
+def bm25_batch_colocated_topk(spark, sf_dir):
+    """Segment-colocated batch BM25 (operators/search.
+    bm25_scores_batch_colocated — the round-5 batch plan): the union
+    terms' COMPRESSED segment rows repartition once on `segment`
+    (doc-range co-location, bytes-only shuffle), an Arrow kernel decodes
+    and accumulates every query's per-doc partials in numpy (term-ordered
+    fold), and only n_segments × |Q| × k candidate rows reach the global
+    per-query window. Same _BATCH_BAGS and the same oracle as
+    bm25_batch_topk — the two plans must be row-identical; this entry
+    pins the kernel against DuckDB independently of the row-join plan."""
+    idx = entry_index(spark, sf_dir)
+    cand = S.bm25_scores_batch_colocated(idx, _BATCH_BAGS, k=10)
+    wnd = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                 F.asc("doc_id"))
+    return (cand.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "doc_id", _r(F.col("score"))
+                    .alias("score_r"), F.col("rank").cast("int")
+                    .alias("rank")))
+
+
+QUERIES["bm25_batch_colocated_topk"] = bm25_batch_colocated_topk
+ORACLE_SQL["bm25_batch_colocated_topk"] = ORACLE_SQL["bm25_batch_topk"]

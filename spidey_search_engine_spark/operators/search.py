@@ -440,15 +440,7 @@ def bm25_score_rows_batch(posting_rows: DataFrame, qrows: list[tuple],
             .agg(F.sum("partial").alias("score")))
 
 
-def bm25_topk_batch(spark: SparkSession, index: dict,
-                    queries: dict[str, str], k: int = 10) -> DataFrame:
-    """(query_id, doc_id, score, rank) — top-k for a BATCH of queries in
-    ONE job: one partition-pruned probe + decode of the union of query
-    terms, one broadcast of the per-query weights, one (query_id, doc_id)
-    aggregation, one per-query window rank. The eval-workload shape — at
-    10⁴ queries the per-job fixed cost amortizes to ~0 and shared hot
-    terms decode once instead of once per query. Ties break by doc_id ASC
-    per query (same discipline as bm25_topk)."""
+def _analyze_bags(queries: dict[str, str]) -> dict[str, list[str]]:
     bags: dict[str, list[str]] = {}
     for qid, qtext in queries.items():
         q_terms, phrases = analyze_query(qtext)
@@ -456,6 +448,19 @@ def bm25_topk_batch(spark: SparkSession, index: dict,
             q_terms.extend(p)
         if q_terms:
             bags[qid] = q_terms
+    return bags
+
+
+def bm25_topk_batch_rowjoin(spark: SparkSession, index: dict,
+                            queries: dict[str, str], k: int = 10) -> DataFrame:
+    """The round-3 batch plan, kept for rank-identity tests and as the
+    shape reference: one decode of the union terms, broadcast of the
+    per-query weights fanned onto every decoded row, one
+    (query_id, doc_id) aggregation, one per-query window rank. Correct at
+    any scale, but the fan-out rows flow through TWO full exchanges —
+    measured 1.06 s/q at 2.4M docs (BENCH_SERVE r4), only 1.6× better
+    than solo. `bm25_topk_batch` (colocated kernel) replaces it."""
+    bags = _analyze_bags(queries)
     if not bags:
         return spark.createDataFrame(
             [], "query_id string, doc_id long, score double, rank int")
@@ -468,6 +473,171 @@ def bm25_topk_batch(spark: SparkSession, index: dict,
     wnd = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                  F.asc("doc_id"))
     return (scores.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= k))
+
+
+# driver-side cap on queries scored per colocated job: the kernel's dense
+# accumulator is n_queries × 2^seg_bits doubles per in-flight segment
+# (~134 MB at 256 queries × seg_bits 16) — bigger batches split into
+# unioned chunk plans instead of growing executor memory without bound
+BATCH_CHUNK_QUERIES = 256
+
+
+def bm25_scores_batch_colocated(index: dict, bags: dict[str, list[str]],
+                                k: int = 10,
+                                important_weight: float = 1.0) -> DataFrame:
+    """(query_id, doc_id, score) top-k-per-segment candidates for a batch
+    of term bags, scored SEGMENT-AT-A-TIME in one Arrow kernel.
+
+    Plan: prune the union terms' segment rows (bucket PartitionFilters +
+    term pushdown) → ONE repartition on `segment` (doc-range co-location;
+    the shuffle moves the COMPRESSED segment binaries — a few bytes per
+    posting — never decoded rows) → kernel: decode each term's segment,
+    accumulate every query's per-doc partials into a dense
+    (n_queries, 2^seg_bits) array, emit the per-query top-k of the
+    segment. The caller reduces n_segments × |Q| × k candidate rows to
+    the global per-query top-k (tiny).
+
+    Versus the row-join plan this removes BOTH full-row exchanges (the
+    (query_id, doc_id) aggregation of the weight-fanned decode and the
+    per-query window): per-doc accumulation happens in numpy inside the
+    partition that already holds ALL of the doc's query-term postings —
+    segments are doc-id-range aligned (build.py: segment = doc_id >>
+    seg_bits), so a doc's postings for every term co-locate after the one
+    bytes-shuffle. Accumulation iterates rows sorted (segment, term), so
+    each doc's partial sum is a TERM-ORDERED fold — bitwise reproducible
+    across runs and partitionings (same contract as the pagination
+    fold)."""
+    stats = index["stats"]
+    avgdl = float(stats["avgdl"])
+    seg_bits = int(stats["seg_bits"])
+    n_buckets = int(stats["n_buckets"])
+    union_terms = sorted({t for bag in bags.values() for t in bag})
+    idf = query_idf(index["terms"], union_terms, "idf_bm25",
+                    index.get("idf_cache"))
+    qrows = batch_term_weights(bags, idf)
+    spark = index["postings"].sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double")
+    qids = sorted({q for q, _, _ in qrows})
+    qidx = {q: i for i, q in enumerate(qids)}
+    term_subs: dict[str, list[tuple[int, float]]] = {}
+    for q, t, w in qrows:
+        term_subs.setdefault(t, []).append((qidx[q], w))
+    n_q = len(qids)
+    seg_size = 1 << seg_bits
+    kk = int(k)
+    w_imp = float(important_weight)
+
+    pruned = (_pruned_postings(index["postings"], union_terms, n_buckets)
+              .select("term", "segment", "bin")
+              .repartition("segment")
+              .sortWithinPartitions("segment", "term"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_seg = -1
+        acc = None
+
+        def flush():
+            if acc is None:
+                return None
+            base = cur_seg << seg_bits
+            out_q, out_d, out_s = [], [], []
+            for i in range(n_q):
+                row = acc[i]
+                nz = np.flatnonzero(row)
+                if nz.size == 0:
+                    continue
+                # (score DESC, doc_id ASC): lexsort's last key is primary
+                order = np.lexsort((nz, -row[nz]))[:kk]
+                sel = nz[order]
+                out_q.append(np.repeat(qids[i], sel.size))
+                out_d.append(base + sel.astype(np.int64))
+                out_s.append(row[sel])
+            if not out_q:
+                return None
+            return pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s)})
+
+        for pdf in batches:
+            for term, seg, buf in zip(pdf["term"], pdf["segment"],
+                                      pdf["bin"]):
+                subs = term_subs.get(term)
+                if not subs:
+                    continue
+                seg = int(seg)
+                if seg != cur_seg:
+                    res = flush()
+                    if res is not None:
+                        yield res
+                    cur_seg = seg
+                    acc = np.zeros((n_q, seg_size), dtype=np.float64)
+                doc_ids, tfs, imp, dls = decode_segment_nopos(bytes(buf))
+                off = doc_ids - (seg << seg_bits)
+                tf = tfs.astype(np.float64)
+                if w_imp != 1.0:  # BM25F-lite: tf' enters num AND denom
+                    tf = np.where(imp, tf * w_imp, tf)
+                impact = (tf * (K1 + 1)) / (
+                    tf + K1 * (1 - B + B * dls.astype(np.float64) / avgdl))
+                for qi, w in subs:
+                    acc[qi, off] += w * impact
+        res = flush()
+        if res is not None:
+            yield res
+
+    return pruned.mapInPandas(
+        kernel, schema="query_id string, doc_id long, score double")
+
+
+def bm25_topk_colocated_tokens(spark: SparkSession, index: dict,
+                               q_terms: list[str], k: int = 10,
+                               important_weight: float = 1.0) -> DataFrame:
+    """Single-query face of the segment-colocated kernel: same ranking
+    contract as bm25_topk_tokens (score DESC, doc_id ASC, k rows) with
+    the per-doc aggregation folded into the decode partition — no
+    decoded-row exchange at all. The candidate set entering the final
+    TakeOrderedAndProject is n_segments × k rows. Scores match
+    bm25_topk_tokens up to summation order (term-ordered numpy fold vs
+    hash-agg; pinned at 9 decimals by test)."""
+    if not q_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cand = bm25_scores_batch_colocated(index, {"q": list(q_terms)}, k,
+                                       important_weight=important_weight)
+    return (cand.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def bm25_topk_batch(spark: SparkSession, index: dict,
+                    queries: dict[str, str], k: int = 10) -> DataFrame:
+    """(query_id, doc_id, score, rank) — top-k for a BATCH of queries via
+    the segment-colocated kernel (bm25_scores_batch_colocated): one
+    bytes-only shuffle + kernel scoring + a per-query window over
+    n_segments × |Q| × k CANDIDATE rows (thousands, not millions — the
+    WindowGroupLimit input is already segment-top-k bounded). The eval-
+    workload shape: shared hot terms decode once, per-query weights ride
+    into the kernel as a closure, and per-doc aggregation never leaves
+    numpy. Batches past BATCH_CHUNK_QUERIES split into unioned chunk
+    plans to bound the kernel's dense accumulator. Ties break by doc_id
+    ASC per query (same discipline as bm25_topk); rank-identity with the
+    row-join plan is pinned by test."""
+    bags = _analyze_bags(queries)
+    if not bags:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int")
+    qids = sorted(bags)
+    chunks = [dict((q, bags[q]) for q in qids[i:i + BATCH_CHUNK_QUERIES])
+              for i in range(0, len(qids), BATCH_CHUNK_QUERIES)]
+    parts = [bm25_scores_batch_colocated(index, chunk, k)
+             for chunk in chunks]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    wnd = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                 F.asc("doc_id"))
+    return (cand.withColumn("rank", F.row_number().over(wnd))
             .filter(F.col("rank") <= k))
 
 
@@ -626,6 +796,15 @@ class Searcher:
 
     def bm25_batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         return bm25_topk_batch(self.spark, self.index, queries, k)
+
+    def bm25_colocated(self, query: str, k: int = 10) -> DataFrame:
+        """Segment-colocated solo ranker (bm25_topk_colocated_tokens):
+        same ranking contract as bm25(); no decoded-row exchange."""
+        q_terms, phrases = analyze_query(query)
+        for p in phrases:
+            q_terms.extend(p)
+        return bm25_topk_colocated_tokens(self.spark, self.index,
+                                          q_terms, k)
 
     def bm25_pruned(self, query: str, k: int = 10, **kw) -> DataFrame:
         from .wand import bm25_topk_pruned

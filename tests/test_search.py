@@ -770,3 +770,52 @@ def test_cli_filter_collapse_syn(spark, corpus_pdf, tmp_path, capsys):
         with _pytest.raises(SystemExit):
             main(bad)
     capsys.readouterr()
+
+
+def test_bm25_batch_colocated_equals_rowjoin(spark, index, monkeypatch):
+    """The segment-colocated batch kernel and the round-3 row-join plan
+    must be row-identical (ids, 10-decimal scores, ranks) — including
+    when the batch splits into unioned chunk plans (chunk cap forced to
+    2 so 4 queries exercise the union path)."""
+    from spidey_search_engine_spark.operators import search as S
+    queries = {
+        "q1": "merge sort",
+        "q2": "hash join scan",
+        "q3": "merge merge data",
+        "q4": "fast heap",
+    }
+
+    def rows(df):
+        return sorted((r["query_id"], r["doc_id"], round(r["score"], 10),
+                       r["rank"]) for r in df.collect())
+
+    monkeypatch.setattr(S, "BATCH_CHUNK_QUERIES", 2)
+    got = rows(S.bm25_topk_batch(spark, index, queries, k=8))
+    want = rows(S.bm25_topk_batch_rowjoin(spark, index, queries, k=8))
+    assert got == want and got
+
+
+def test_bm25_colocated_solo_equals_plain(spark, index):
+    """Solo colocated ranker: rank-identical to bm25_topk_tokens with
+    scores equal at 9 decimals (term-ordered numpy fold vs hash-agg),
+    including the BM25F important-field boost and the empty-query /
+    unknown-term edges; via Searcher too."""
+    from spidey_search_engine_spark.operators.search import (
+        Searcher, bm25_topk_colocated_tokens, bm25_topk_tokens)
+
+    def rows(df):
+        return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+    for bag in (["merg", "sort"], ["merg", "merg", "data"], ["fast"]):
+        assert rows(bm25_topk_colocated_tokens(spark, index, bag, k=8)) \
+            == rows(bm25_topk_tokens(spark, index, bag, k=8)), bag
+    assert rows(bm25_topk_colocated_tokens(
+        spark, index, ["merg", "sort"], k=8, important_weight=2.5)) == \
+        rows(bm25_topk_tokens(spark, index, ["merg", "sort"], k=8,
+                              important_weight=2.5))
+    assert bm25_topk_colocated_tokens(spark, index, [], k=8).count() == 0
+    assert bm25_topk_colocated_tokens(
+        spark, index, ["zzz_unknown_term"], k=8).count() == 0
+    with Searcher(spark, index, cache_postings=False) as s:
+        assert rows(s.bm25_colocated("merge sort", k=8)) == \
+            rows(s.bm25("merge sort", k=8))
