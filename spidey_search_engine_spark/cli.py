@@ -86,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="also materialize the SymSpell delete-neighborhood "
                         "index under <output>/fuzzy for `query --fuzzy`")
     b.add_argument("--fuzzy-buckets", type=int, default=64)
+    b.add_argument("--impact-index", action="store_true",
+                   help="also materialize the impact-ordered posting "
+                        "bands under <output>/impact for `query "
+                        "--impact` (early-terminated exact BM25)")
     b.add_argument("--no-wildcard-index", action="store_true",
                    help="skip the prefix-/reversed-term dictionary "
                         "projections (<output>/prefix, <output>/suffix) "
@@ -128,6 +132,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="reference-parity ranker instead of BM25")
     q.add_argument("--pruned", action="store_true",
                    help="block-max pruned BM25 path")
+    q.add_argument("--impact", action="store_true",
+                   help="impact-ordered early-terminated BM25 path "
+                        "(needs build --impact-index; identical top-k, "
+                        "wins on tf-skewed hot-term queries where the "
+                        "block-max fraction fallback punts)")
     q.add_argument("--fuzzy", action="store_true",
                    help="correct out-of-dictionary query terms via the "
                         "SymSpell index (<index>/fuzzy if materialized, "
@@ -440,6 +449,13 @@ def main(argv: list[str] | None = None) -> int:
         args.k = args.k if args.k is not None else (20 if args.parity else 10)
         if args.fuzzy and (args.parity or args.pruned):
             p.error("--fuzzy is supported on the default BM25 path only")
+        if args.impact and (args.parity or args.pruned or args.fuzzy
+                            or args.facets or args.suggest or args.explain
+                            or args.batch or args.exclude
+                            or args.more_like is not None
+                            or args.boost_important is not None):
+            p.error("--impact is a ranking mode for the default BM25 "
+                    "term path; drop the other mode flags")
         if args.slop and not args.parity:
             p.error("--slop applies to quoted phrases in --parity mode")
         if args.slop < 0:
@@ -459,7 +475,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.batch:
             if args.q is not None:
                 p.error("--batch reads its queries from FILE; drop --q")
-            if (args.parity or args.pruned or args.fuzzy or args.facets
+            if (args.parity or args.pruned or args.impact or args.fuzzy or args.facets
                     or args.suggest or args.explain or args.exclude
                     or args.more_like is not None
                     or args.boost_important is not None):
@@ -486,7 +502,7 @@ def main(argv: list[str] | None = None) -> int:
                     # like every other cursor-contract violation
                     p.error(f"--after: score must be finite, got "
                             f"{parts[0]!r}")
-            if (args.parity or args.pruned or args.fuzzy or args.facets
+            if (args.parity or args.pruned or args.impact or args.fuzzy or args.facets
                     or args.suggest or args.explain or args.batch
                     or args.exclude or args.more_like is not None
                     or args.proximity is not None):
@@ -501,7 +517,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.proximity <= 0:
                 p.error(f"--proximity must be > 0 (got {args.proximity};"
                         " W=0 is the plain ranker — drop the flag)")
-            if (args.parity or args.pruned or args.fuzzy or args.facets
+            if (args.parity or args.pruned or args.impact or args.fuzzy or args.facets
                     or args.suggest or args.explain or args.batch
                     or args.exclude or args.more_like is not None
                     or args.boost_important is not None
@@ -513,7 +529,7 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--proximity takes plain terms (no +term / "
                         "wildcards)")
         if args.filter or args.collapse or args.syn:
-            if (args.parity or args.pruned or args.fuzzy or args.facets
+            if (args.parity or args.pruned or args.impact or args.fuzzy or args.facets
                     or args.suggest or args.explain or args.batch
                     or args.exclude or args.more_like is not None
                     or args.after is not None
@@ -561,7 +577,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.corpus is None:
                 p.error("--snippets needs --corpus (the source text to "
                         "cut windows from)")
-            if (args.parity or args.pruned or args.fuzzy or args.facets
+            if (args.parity or args.pruned or args.impact or args.fuzzy or args.facets
                     or args.suggest or args.explain or args.batch
                     or args.more_like is not None):
                 p.error("--snippets decorates the default BM25 result "
@@ -600,7 +616,7 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--not / +term / wildcard terms are supported on "
                     "the default BM25 path only")
         if len(args.index) > 1 and (
-                args.parity or args.pruned or args.fuzzy or args.facets
+                args.parity or args.pruned or args.impact or args.fuzzy or args.facets
                 or args.suggest or args.explain
                 or args.more_like is not None
                 or args.exclude or has_wild or has_must):
@@ -608,7 +624,7 @@ def main(argv: list[str] | None = None) -> int:
                     "default BM25 term path only — drop the mode flags "
                     "/ operators, or query one shard")
         if args.explain and (
-                args.parity or args.pruned or args.fuzzy or args.facets
+                args.parity or args.pruned or args.impact or args.fuzzy or args.facets
                 or args.suggest or args.more_like is not None
                 or args.exclude or has_wild or has_must):
             p.error("--explain explains the default BM25 term path "
@@ -617,7 +633,7 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--verify-disjoint only applies to a federated "
                     "query (multiple --index)")
         if args.suggest:
-            if (args.parity or args.pruned or args.fuzzy or args.facets
+            if (args.parity or args.pruned or args.impact or args.fuzzy or args.facets
                     or args.more_like is not None):
                 p.error("--suggest replaces the search; drop the "
                         "ranking/mode flags")
@@ -729,6 +745,20 @@ def main(argv: list[str] | None = None) -> int:
                 # rebuild it).
                 shutil.rmtree(fuzzy_dir)
                 stats["stale_fuzzy_index_removed"] = True
+            impact_dir = os.path.join(out, "impact")
+            if args.impact_index:
+                from .operators.build import load_index
+                from .operators.impact import write_impact_index
+                write_impact_index(spark, load_index(spark, out),
+                                   impact_dir)
+                stats["impact_index"] = True
+            elif os.path.exists(os.path.join(impact_dir, "meta.json")):
+                # same staleness discipline as the fuzzy index: bands
+                # from a previous build would silently bound the WRONG
+                # postings (bm25_impact_topk_tokens guards per query, but
+                # a stale dir also wastes every probe's metadata read)
+                shutil.rmtree(impact_dir)
+                stats["stale_impact_index_removed"] = True
             return stats
 
         corpus = spark.read.parquet(args.input)
@@ -926,6 +956,25 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.wand import bm25_topk_pruned
                 rows = bm25_topk_pruned(spark, index, args.q,
                                         k=args.k).collect()
+            elif args.impact:
+                import os
+
+                from .operators.impact import (bm25_impact_topk,
+                                               load_impact_index)
+                impact_dir = os.path.join(args.index[0], "impact")
+                if os.path.exists(os.path.join(impact_dir, "meta.json")):
+                    imp = load_impact_index(spark, impact_dir)
+                    rows = bm25_impact_topk(spark, index, imp, args.q,
+                                            k=args.k).collect()
+                else:
+                    # identical result either way — the bands are an
+                    # accelerator, not a semantic switch
+                    print("impact index not materialized; answering "
+                          "exhaustively (run build --impact-index)",
+                          file=sys.stderr)
+                    from .operators.search import bm25_topk
+                    rows = bm25_topk(spark, index, args.q,
+                                     k=args.k).collect()
             elif args.fuzzy:
                 from pyspark.sql import functions as F
 

@@ -4768,3 +4768,31 @@ def bm25_batch_colocated_topk(spark, sf_dir):
 
 QUERIES["bm25_batch_colocated_topk"] = bm25_batch_colocated_topk
 ORACLE_SQL["bm25_batch_colocated_topk"] = ORACLE_SQL["bm25_batch_topk"]
+
+
+def bm25_impact_topk(spark, sf_dir):
+    """Impact-ordered early-terminated BM25 (operators/impact.py — the
+    round-5 answer to the score shapes block-max range pruning is blind
+    to): postings re-partitioned into tf-saturation bands, the high-
+    impact prefix scored first, termination proven by the tail bound
+    from each band's avgdl-independent (max_tf, min_dl) meta, and ONLY
+    the surviving candidates exactly rescored. Same oracle as
+    bm25_topk_fixed — the operator's contract is exact top-k identity.
+    prune_frac=1.1 disables the coverage fallback so the oracle checks
+    the GENUINE band machinery (θ / tail bound / candidate rescore, or
+    the all-bands exact route on this flat corpus), never a silent
+    exhaustive detour."""
+    from .operators.impact import (bm25_impact_topk_tokens,
+                                   load_impact_index, write_impact_index)
+    idx = entry_index(spark, sf_dir)
+    out = entry_index_dir(sf_dir) + "_impact"
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        write_impact_index(spark, idx, out)
+    imp = load_impact_index(spark, out)
+    got = bm25_impact_topk_tokens(spark, idx, imp, QT, k=20,
+                                  prune_frac=1.1, max_rounds=8)
+    return got.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+QUERIES["bm25_impact_topk"] = bm25_impact_topk
+ORACLE_SQL["bm25_impact_topk"] = ORACLE_SQL["bm25_topk_fixed"]
