@@ -101,3 +101,52 @@ def test_algebraic_solve_subset_nodes_matches_iterative(spark):
     assert set(it) == set(alg)
     for d in it:
         assert abs(it[d] - alg[d]) < 1e-9, d
+
+
+def test_pagerank_incremental_warm_start(spark):
+    """Warm-starting from the previous ranks reaches the SAME fixed
+    point (the iteration is a d-contraction — unique fixed point, start
+    vector only changes iteration count): after a small graph delta the
+    incremental ranks match a from-scratch run at tolerance, in strictly
+    fewer iterations; on an UNCHANGED graph the warm start certifies
+    convergence immediately."""
+    from spidey_search_engine_spark.operators.pagerank import (
+        pagerank, pagerank_incremental)
+    import random
+    rng = random.Random(11)
+    n = 60
+    edges0 = sorted({(rng.randrange(n), rng.randrange(n))
+                     for _ in range(240)})
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    e0 = spark.createDataFrame(edges0, "src_doc_id long, dst_doc_id long")
+    tol = 1e-6
+    base = pagerank(spark, e0, n, tol=tol, all_doc_ids=nodes)
+
+    # delta: rewire a handful of edges + one new node with links
+    edges1 = edges0[:-5] + [(n, 3), (3, n), (7, 12)]
+    n1 = n + 1
+    nodes1 = spark.createDataFrame([(i,) for i in range(n1)],
+                                   "doc_id long")
+    e1 = spark.createDataFrame(edges1, "src_doc_id long, dst_doc_id long")
+    cold_info, warm_info = {}, {}
+    cold = {r["doc_id"]: r["page_rank"] for r in
+            pagerank(spark, e1, n1, tol=tol, all_doc_ids=nodes1,
+                     iter_info=cold_info).collect()}
+    warm = {r["doc_id"]: r["page_rank"] for r in
+            pagerank_incremental(spark, e1, n1, base, tol=tol,
+                                 all_doc_ids=nodes1,
+                                 iter_info=warm_info).collect()}
+    assert set(cold) == set(warm)
+    assert max(abs(cold[d] - warm[d]) for d in cold) < 1e-4
+    assert warm_info["iterations"] < cold_info["iterations"], \
+        (warm_info, cold_info)
+
+    # unchanged graph: one iteration certifies the fixed point
+    noop_info = {}
+    again = {r["doc_id"]: r["page_rank"] for r in
+             pagerank_incremental(spark, e0, n, base, tol=tol,
+                                  all_doc_ids=nodes,
+                                  iter_info=noop_info).collect()}
+    base_d = {r["doc_id"]: r["page_rank"] for r in base.collect()}
+    assert noop_info["iterations"] <= 2
+    assert max(abs(again[d] - base_d[d]) for d in base_d) < 1e-5
