@@ -87,6 +87,9 @@ def main() -> None:
     fz = load_deletion_index(spark, FUZZY_DIR)
     n_variants = fz["variants"].count()
 
+    from spidey_search_engine_spark.operators.fuzzy import (
+        fuzzy_lookup_brute, route_fuzzy)
+
     identical = True
     probe_times, brute_times = [], []
     for q in typos:
@@ -99,14 +102,14 @@ def main() -> None:
             took.append(time.monotonic() - t0)
         probe_times.append(min(took))
 
+        # the brute side IS the production brute path (the router's
+        # below-crossover choice), not an ad-hoc scan — so these numbers
+        # are exactly the two routes fuzzy_lookup_auto picks between
         want, took = None, []
         for _ in range(2):
             t0 = time.monotonic()
-            want = {(r["term"], r["dist"]) for r in terms
-                    .withColumn("dist", F.levenshtein(F.lit(q), "term"))
-                    .filter(F.col("dist") <= 1)
-                    .select("term", F.col("dist").cast("int").alias("dist"))
-                    .collect()}
+            want = {(r["term"], r["dist"]) for r in fuzzy_lookup_brute(
+                terms, [q], max_d=1, k=1_000_000).collect()}
             took.append(time.monotonic() - t0)
         brute_times.append(min(took))
         if got != want:
@@ -118,12 +121,17 @@ def main() -> None:
     brute_times.sort()
     p50_probe = probe_times[len(probe_times) // 2]
     p50_brute = brute_times[len(brute_times) // 2]
+    routed = route_fuzzy(n_terms)
+    routed_won = ((routed == "probe" and p50_probe <= p50_brute)
+                  or (routed == "brute" and p50_brute <= p50_probe))
     print(json.dumps({
         "n_terms": n_terms, "n_variants": n_variants,
         "n_queries": len(typos), "build_sec": build_sec,
         "probe_p50_sec": round(p50_probe, 4),
         "brute_p50_sec": round(p50_brute, 4),
         "speedup": round(p50_brute / p50_probe, 2),
+        "routed": routed,
+        "routed_path_was_faster": routed_won,
         "identical_results": identical,
     }))
     spark.stop()

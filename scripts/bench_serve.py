@@ -130,6 +130,21 @@ def main() -> None:
         _timed(lambda: bm25_topk_batch(spark, s.index, BATCH,
                                        k=10).collect(),
                "batch10", results)
+        # round-5 segment-colocated SOLO ranker: per-doc aggregation
+        # folded into the decode partition — must be rank-identical to
+        # bm25_hot/bm25_mid (asserted) and is expected to undercut them
+        # (no decoded-row exchange)
+        hot_plain = [(r["doc_id"], round(r["score"], 9)) for r in
+                     s.bm25(" ".join(HOT), k=10).collect()]
+        hot_colo = [(r["doc_id"], round(r["score"], 9)) for r in
+                    s.bm25_colocated(" ".join(HOT), k=10).collect()]
+        if hot_colo != hot_plain:
+            raise SystemExit(f"COLOCATED MISMATCH: {hot_colo[:3]} "
+                             f"vs {hot_plain[:3]}")
+        _timed(lambda: s.bm25_colocated(" ".join(HOT), k=10).collect(),
+               "bm25_hot_colocated", results)
+        _timed(lambda: s.bm25_colocated(" ".join(MID), k=10).collect(),
+               "bm25_mid_colocated", results)
         mono_top = [(r["doc_id"], round(r["score"], 9)) for r in
                     bm25_topk_tokens(spark, mono, HOT, k=20).collect()]
 
