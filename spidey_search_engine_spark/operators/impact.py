@@ -159,21 +159,43 @@ def load_impact_index(spark: SparkSession, out_dir: str) -> dict:
 def _colocated_partials(rows_df: DataFrame, iw: dict[str, float],
                         avgdl: float, seg_bits: int, *,
                         topk: int | None = None,
-                        threshold: float | None = None) -> DataFrame:
+                        candidates: dict | None = None) -> DataFrame:
     """(doc_id, partial) over impact-band rows, scored segment-at-a-time
     (the bm25_scores_batch_colocated pattern for ONE query): repartition
     on `segment` co-locates every selected band row of a doc range, and
     per-doc accumulation folds rows in (segment, term, band) order —
     bitwise-identical partials between the θ job and the candidate job.
-    ``topk``: emit the per-segment top-k partials (θ discovery);
-    ``threshold``: emit every doc with partial >= threshold (candidate
-    collection). Exactly one mode must be set."""
-    if (topk is None) == (threshold is None):
-        raise ValueError("set exactly one of topk / threshold")
+
+    ``topk``: emit the per-segment top-k partials (θ discovery).
+    ``candidates``: ``{"theta": θ, "tails": {term: tail_t}}`` — emit
+    every doc whose PER-DOC upper bound clears θ:
+    ``partial + Σ_{t NOT seen for this doc} tail_t >= θ``. The kernel
+    tracks a per-doc term bitmask, so a doc already seen in the prefix
+    for EVERY query term competes on its exact partial alone — the
+    candidate set collapses to the genuine θ contenders instead of
+    everything above the doc-agnostic ``θ − Σ tails`` floor (round-5
+    first cut measured 23k candidates where ~k survive). Past 16 query
+    terms the mask degrades to the doc-agnostic bound (a SUPERSET —
+    correctness unaffected). Exactly one mode must be set."""
+    if (topk is None) == (candidates is None):
+        raise ValueError("set exactly one of topk / candidates")
     seg_size = 1 << seg_bits
     wmap = dict(iw)
     kk = int(topk) if topk is not None else 0
-    thv = float(threshold) if threshold is not None else 0.0
+    terms_sorted = sorted(wmap)
+    tidx = {t: i for i, t in enumerate(terms_sorted)}
+    use_mask = candidates is not None and len(terms_sorted) <= 16
+    if candidates is not None:
+        theta = float(candidates["theta"])
+        tails_arr = np.array([float(candidates["tails"].get(t, 0.0))
+                              for t in terms_sorted])
+        t_total = float(tails_arr.sum())
+        if use_mask:
+            n_t = len(terms_sorted)
+            mask_tail = np.zeros(1 << n_t)
+            for m in range(1 << n_t):
+                mask_tail[m] = tails_arr[[i for i in range(n_t)
+                                          if m >> i & 1]].sum()
 
     pruned = (rows_df.select("term", "segment", "band", "bin")
               .repartition("segment")
@@ -183,6 +205,7 @@ def _colocated_partials(rows_df: DataFrame, iw: dict[str, float],
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cur_seg = -1
         acc = None
+        msk = None
 
         def flush():
             if acc is None:
@@ -196,7 +219,12 @@ def _colocated_partials(rows_df: DataFrame, iw: dict[str, float],
                 order = np.lexsort((nz, -vals))[:kk]
                 sel = nz[order]
             else:
-                sel = nz[vals >= thv]
+                # per-doc bound: exact prefix partial + the tail of the
+                # terms this doc was NOT seen for (1e-12 slack so a float
+                # rounding of the BOUND can only ADD candidates)
+                unseen = (t_total - mask_tail[msk[nz]]) if use_mask \
+                    else t_total
+                sel = nz[vals + unseen >= theta - 1e-12]
             if sel.size == 0:
                 return None
             return pd.DataFrame({"doc_id": base + sel.astype(np.int64),
@@ -215,11 +243,16 @@ def _colocated_partials(rows_df: DataFrame, iw: dict[str, float],
                         yield res
                     cur_seg = seg
                     acc = np.zeros(seg_size, dtype=np.float64)
+                    if use_mask:
+                        msk = np.zeros(seg_size, dtype=np.int32)
                 doc_ids, tfs, _imp, dls = decode_segment_nopos(bytes(buf))
+                off = doc_ids - (seg << seg_bits)
                 tf = tfs.astype(np.float64)
                 impact = (tf * (K1 + 1)) / (
                     tf + K1 * (1 - B + B * dls.astype(np.float64) / avgdl))
-                acc[doc_ids - (seg << seg_bits)] += w * impact
+                acc[off] += w * impact
+                if use_mask:
+                    msk[off] |= 1 << tidx[term]
         res = flush()
         if res is not None:
             yield res
@@ -259,14 +292,33 @@ def bm25_impact_topk_tokens(spark: SparkSession, index: dict, impact: dict,
     # band meta for the query terms: ≤ |q|·n_bands rows, term pushdown
     meta = (impact["meta"].filter(F.col("term").isin(terms))
             .collect())
+    # two valid band bounds, take the min:
+    #  * f(max_tf, min_dl) at QUERY avgdl — valid at any avgdl drift;
+    #  * the band's own saturation threshold, transported to query avgdl:
+    #    every posting in band b satisfied s < thr_hi at BUILD avgdl, so
+    #    its dl obeys x > max_tf·(1−thr)/thr − k1(1−b_c) and the query-
+    #    avgdl saturation is ≤ max_tf/(max_tf + k1(1−b_c) + ρ·x_min)
+    #    with ρ = avgdl_build/avgdl_query — applied only when ρ ≤ 1
+    #    (g is increasing in tf there; at ρ=1 it is exactly thr_hi).
+    #    This is what makes the tail bound TIGHT: f(max_tf, min_dl)
+    #    pairs the band's heaviest tf with its globally shortest doc, a
+    #    combination the saturation banding itself rules out.
+    thr_asc = [float(t) for t in impact.get("thresholds", [])]
+    nb1 = len(thr_asc)
+    avgdl_build = float(impact.get("avgdl_at_build", avgdl))
+    rho = avgdl_build / avgdl
     per_term: dict[str, list[tuple[int, float, int]]] = {}
     for r in meta:
-        f_ub = (float(r["max_tf"]) /
-                (float(r["max_tf"])
-                 + K1 * (1 - B + B * float(r["min_dl"]) / avgdl)))
+        mt = float(r["max_tf"])
+        band = int(r["band"])
+        f_ub = mt / (mt + K1 * (1 - B + B * float(r["min_dl"]) / avgdl))
+        if thr_asc and 1 <= band <= nb1 and rho <= 1.0:
+            th = thr_asc[nb1 - band]
+            x_min = mt * (1 - th) / th - K1 * (1 - B)
+            if x_min >= 0:
+                f_ub = min(f_ub, mt / (mt + K1 * (1 - B) + rho * x_min))
         per_term.setdefault(r["term"], []).append(
-            (int(r["band"]), iw[r["term"]] * (K1 + 1) * f_ub,
-             int(r["n_docs"])))
+            (band, iw[r["term"]] * (K1 + 1) * f_ub, int(r["n_docs"])))
     if set(per_term) != set(terms):
         # a query term the impact projection doesn't know (stale aux
         # index): its tail bound would silently be wrong — never guess
@@ -276,12 +328,11 @@ def bm25_impact_topk_tokens(spark: SparkSession, index: dict, impact: dict,
     total = sum(nd for bands in per_term.values() for _, _, nd in bands)
     cuts = {t: 1 for t in terms}  # prefix = first `cuts[t]` present bands
 
-    def tail_bound() -> float:
-        out = 0.0
+    def term_tails() -> dict[str, float]:
+        out = {}
         for t in terms:
             rest = per_term[t][cuts[t]:]
-            if rest:
-                out += max(ub for _, ub, _ in rest)
+            out[t] = max((ub for _, ub, _ in rest), default=0.0)
         return out
 
     buckets = sorted(set(_buckets_of(terms, n_buckets).values()))
@@ -302,7 +353,8 @@ def bm25_impact_topk_tokens(spark: SparkSession, index: dict, impact: dict,
                .orderBy(F.desc("partial"), F.asc("doc_id")).limit(k)
                .collect())
         theta = top[-1]["partial"] if len(top) >= k else float("-inf")
-        t_bound = tail_bound()
+        tails = term_tails()
+        t_bound = sum(tails.values())
         if not any(per_term[t][cuts[t]:] for t in terms):
             # prefix covers every band: the partials ARE the full scores
             # and `top` already holds the global top-k of them
@@ -311,17 +363,25 @@ def bm25_impact_topk_tokens(spark: SparkSession, index: dict, impact: dict,
                 [(int(r["doc_id"]), float(r["partial"])) for r in top],
                 "doc_id long, score double")
         if theta > t_bound:
-            cand = (_colocated_partials(prefix, iw, avgdl, seg_bits,
-                                        threshold=theta - t_bound)
-                    .limit(cand_cap + 1).collect())
+            cand = (_colocated_partials(
+                prefix, iw, avgdl, seg_bits,
+                candidates={"theta": theta, "tails": tails})
+                .limit(cand_cap + 1).collect())
             if len(cand) <= cand_cap:
                 info["route"] = "impact"
                 info["candidates"] = len(cand)
                 c_ids = np.array(sorted(int(r["doc_id"]) for r in cand),
                                  dtype=np.int64)
-                rows = _decode_posting_rows(
-                    _pruned_postings(index["postings"], terms, n_buckets),
-                    doc_filter=c_ids)
+                # rescore reads ONLY the segments that hold a candidate:
+                # the candidate set is driver-bounded (cand_cap), so the
+                # segment list is a literal pushdown filter and every
+                # other (term, segment) binary is skipped undecoded
+                c_segs = sorted({int(d) >> seg_bits for d in c_ids})
+                pruned_main = (_pruned_postings(index["postings"], terms,
+                                                n_buckets)
+                               .filter(F.col("segment").isin(c_segs)))
+                rows = _decode_posting_rows(pruned_main,
+                                            doc_filter=c_ids)
                 return (bm25_score_rows(rows, iw, avgdl)
                         .orderBy(F.desc("score"), F.asc("doc_id"))
                         .limit(k))
