@@ -68,7 +68,11 @@ def main() -> None:
         terms = EQ.entry_index(
             spark, os.environ.get("SPARK_GRAFT_SF_DIR",
                                   "/root/testdata/sf0.1"))["terms"]
-    terms = terms.select("term", "df")
+    # pin the vocabulary (a production dictionary is a materialized
+    # parquet table) — without this every brute probe re-pays the
+    # synthetic generator's dropDuplicates shuffle, measuring corpus
+    # generation instead of the dictionary scan
+    terms = terms.select("term", "df").localCheckpoint()
     n_terms = terms.count()
 
     # deterministic query typos: hash-sample long terms, delete char 3

@@ -117,13 +117,12 @@ def write_deletion_index(terms_df: DataFrame, out_dir: str,
     # sortWithinPartitions leads with the partition column (required — the
     # writer re-sorts by it anyway) THEN variant, so each parquet file is
     # variant-ordered and the probe's `variant IN (...)` pushdown skips on
-    # min/max stats. Measured effect is modest at 2.4M terms (probe p50
-    # 0.66s unsorted → 0.58s sorted; smaller row groups add nothing) —
-    # probe latency there is multi-stage fixed overhead, not IO. The
-    # design claim that matters is probe ≈ flat in |V| vs brute-force
-    # levenshtein linear in |V|: measured 2.4M→9.6M synth vocabulary the
-    # probe goes 0.70→0.86s while brute goes 0.49→1.49s (probe wins 1.73x
-    # at 9.6M and the gap widens; scripts/bench_fuzzy.py, BENCH_FUZZY.json)
+    # min/max stats (round-4 layout ablation; kept). The design claim
+    # that matters is probe ≈ flat in |V| vs brute-force levenshtein
+    # linear in |V|: round-5 re-measure (one-job probe + thresholded
+    # brute) 2.4M→38.4M synth vocabulary has the probe at 0.29→0.48s
+    # while brute goes 0.20→0.63s — crossover ~16M terms, probe ahead by
+    # the widening gap past it (scripts/bench_fuzzy.py, BENCH_FUZZY.json)
     (idx.repartition("vbucket")
      .sortWithinPartitions("vbucket", "variant")
      .write.mode("overwrite").partitionBy("vbucket")
@@ -223,36 +222,38 @@ def fuzzy_lookup_brute(terms_df: DataFrame, tokens: list[str], *,
     `fuzzy_lookup`, no deletion index required.
 
     Linear in |V| where the probe is ~flat, but with near-zero fixed
-    overhead — so it WINS below the measured crossover (BENCH_FUZZY:
-    brute 2.2× faster at 2.4M terms, probe 1.7× faster at 9.6M). The
-    distance to every query token is computed in one projection with the
-    THRESHOLDED levenshtein (early-exits the DP past max_d) and filtered
-    inside the array before the explode, so the scan stays |V| rows and
-    only in-distance candidates materialize."""
+    overhead — so it WINS below the measured crossover (BENCH_FUZZY).
+    Shape matters: explode the (tiny) token list FIRST and keep the
+    distance a plain column expression — the thresholded levenshtein
+    (early-exits the DP past max_d, returns -1) inside whole-stage
+    codegen. A higher-order-function array-filter formulation measured
+    ~2× slower at 2.4M terms (interpreted lambda per row)."""
     spark = terms_df.sparkSession
     toks = sorted(set(tokens))
     if not toks:
         return spark.createDataFrame([], _FUZZY_SCHEMA)
-    arr = F.filter(
-        F.array(*[F.struct(
-            F.lit(q).alias("q"),
-            F.levenshtein(F.lit(q), F.col("term"), max_d).alias("dist"))
-            for q in toks]),
-        lambda s: s["dist"] >= 0)  # thresholded form returns -1 past max_d
     cand = (terms_df
-            .select("term", "df", F.explode(arr).alias("s"))
-            .select(F.col("s.q").alias("q"), "term",
-                    F.col("s.dist").alias("dist"), "df"))
+            .select("term", "df",
+                    F.explode(F.array(*[F.lit(q) for q in toks]))
+                    .alias("q"))
+            .withColumn("dist", F.levenshtein(F.col("q"), F.col("term"),
+                                              max_d))
+            .filter(F.col("dist") >= 0)
+            .select("q", "term", "dist", "df"))
     return _topk_per_token(cand, k)
 
 
 # Routing: the probe's latency is ~flat in |V| (bucket-pruned, fixed
-# multi-stage floor) while the brute scan is linear with near-zero floor;
-# BENCH_FUZZY.json pins the crossover between 2.4M (brute 2.2× faster)
-# and 9.6M terms (probe 1.7× faster) on this host. Same fallback
-# discipline as wand.py's surviving-fraction and wildcard.route_glob:
-# decide from ONE cached metadata number, never a measurement job.
-DEFAULT_ROUTE_MIN_TERMS = 5_000_000
+# job floor: 0.29 s @2.4M → 0.48 s @38.4M terms) while the brute scan is
+# linear with near-zero floor (0.17 → 0.63 s over the same range, the
+# thresholded-levenshtein DP early-exit keeping the constant small);
+# BENCH_FUZZY.json brackets the crossover between 9.6M (brute 1.33×
+# faster) and 38.4M terms (probe 1.31× faster) on this host. Same
+# fallback discipline as wand.py's surviving-fraction and
+# wildcard.route_glob: decide from ONE cached metadata number, never a
+# measurement job. At the 10^8-term web-vocabulary target the probe wins
+# by the widening flat-vs-linear gap.
+DEFAULT_ROUTE_MIN_TERMS = 16_000_000
 _ROUTE_ENV = "SPARK_GRAFT_FUZZY_ROUTE_MIN_TERMS"
 
 
@@ -260,8 +261,8 @@ def route_fuzzy(n_terms: int, min_terms: int | None = None) -> str:
     """'probe' when the vocabulary is large enough that the materialized
     delete-neighborhood index beats a linear dictionary scan, else
     'brute'. `min_terms` overrides the default crossover (env
-    SPARK_GRAFT_FUZZY_ROUTE_MIN_TERMS, default 5M — the midpoint of the
-    measured bracket)."""
+    SPARK_GRAFT_FUZZY_ROUTE_MIN_TERMS, default 16M — the midpoint of
+    the measured bracket)."""
     if min_terms is None:
         min_terms = int(os.environ.get(_ROUTE_ENV, DEFAULT_ROUTE_MIN_TERMS))
     return "probe" if int(n_terms) >= min_terms else "brute"
