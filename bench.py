@@ -142,6 +142,27 @@ def main() -> None:
         timed("bm25_q1_after_page2",
               lambda: searcher.after(bag_q1, k=10, after=_cur).collect(),
               repeats=2)
+    # round-5 segment-colocated solo ranker (rank-identical; no decoded-
+    # row exchange) — at 2.4M docs it undercuts the plain warm path 3.6x
+    # (BENCH_SERVE); measured here at sf scale for the round record
+    timed("bm25_q1_colocated",
+          lambda: searcher.bm25_colocated(bm25_queries["bm25_q1"],
+                                          k=10).collect(), repeats=2)
+    # round-5 impact-ordered early termination (exact top-k): projection
+    # built untimed (an opt-in aux index, like the Searcher warm); the
+    # probe is the serving-path metric. Guarded — bench must never crash.
+    try:
+        from spidey_search_engine_spark.operators.impact import (
+            bm25_impact_topk, load_impact_index, write_impact_index)
+        imp_dir = os.path.join(idx_dir, "impact")
+        write_impact_index(spark, searcher.index, imp_dir)
+        _imp = load_impact_index(spark, imp_dir)
+        timed("bm25_q1_impact",
+              lambda: bm25_impact_topk(spark, searcher.index, _imp,
+                                       bm25_queries["bm25_q1"],
+                                       k=10).collect(), repeats=2)
+    except Exception as e:  # pragma: no cover - defensive bench guard
+        print(f"impact probe skipped: {e}", file=sys.stderr)
 
     timed("tpch_q1", lambda: EQ.tpch_q1(spark, sf_dir).collect(),
           repeats=2)
