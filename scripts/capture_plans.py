@@ -685,6 +685,58 @@ def main() -> None:
         "df-bounded agg — group count never multiplies the decode.",
         capture(dsyn)))
 
+    # Segment-colocated batch BM25: bytes-only shuffle + kernel scoring
+    dbatch = S.bm25_scores_batch_colocated(
+        idx, {"b1": ["merge", "sort"], "b2": ["data", "fast"]}, k=10)
+    sections.append((
+        "Segment-colocated batch BM25 (bm25_scores_batch_colocated): "
+        "one bytes-only exchange, per-doc aggregation inside the kernel",
+        "Look for: the pruned segment scan (PartitionFilters bucket IN, "
+        "PushedFilters term IN) feeding ONE Exchange "
+        "hashpartitioning(segment) whose rows are (term, segment, bin) — "
+        "the COMPRESSED binaries, never decoded posting rows; a local "
+        "Sort (segment, term, band-free) so the kernel's fold order is "
+        "deterministic; then a single MapInPandas producing the "
+        "per-segment top-k candidates. No (query_id, doc_id) hash "
+        "aggregate and no per-query window appear below the kernel — "
+        "the two full-row exchanges the round-3 batch plan paid are "
+        "gone; the caller's window sees n_segments × |Q| × k rows.",
+        capture(dbatch)))
+
+    # Impact-ordered prefix probe: (band, bucket) partition pruning
+    from spidey_search_engine_spark.operators.impact import (
+        load_impact_index, write_impact_index)
+    imp_dir = EQ.entry_index_dir(sf_dir) + "_impact"
+    if not os.path.exists(os.path.join(imp_dir, "meta.json")):
+        write_impact_index(spark, idx, imp_dir)
+    imp = load_impact_index(spark, imp_dir)
+    from spidey_search_engine_spark.operators.impact import (
+        _colocated_partials)
+    from spidey_search_engine_spark.operators.search import (
+        query_term_weights)
+    iw = query_term_weights(idx["terms"], EQ.QT)
+    mcut = S._term_weight_map({t: 1.0 for t in iw})
+    prefix = (imp["rows"].filter(F.col("band") <= 1)
+              .filter(F.col("term").isin(sorted(iw)))
+              .filter(F.col("band") <= mcut[F.col("term")]))
+    dimp = _colocated_partials(prefix, iw,
+                               float(idx["stats"]["avgdl"]),
+                               int(idx["stats"]["seg_bits"]), topk=10)
+    sections.append((
+        "Impact-ordered prefix probe (impact._colocated_partials): the "
+        "θ-discovery job reads only the high-impact bands",
+        "Look for: PartitionFilters carrying BOTH band and bucket "
+        "membership (the impact rows are partitioned (band, bucket) — "
+        "the low-impact mass is pruned unread at the file level), "
+        "PushedFilters term IN, the per-term band cut as a literal map "
+        "in the Filter, one Exchange hashpartitioning(segment) of the "
+        "compressed band binaries, and the MapInPandas accumulation "
+        "kernel. Candidate collection re-uses this exact shape with the "
+        "per-doc mask threshold; the exact rescore afterwards adds "
+        "`segment IN (...)` of the candidate segments to the MAIN "
+        "postings scan so non-candidate segments never decode.",
+        capture(dimp)))
+
     out = ["# PLANS — physical-plan evidence (generated by "
            "scripts/capture_plans.py)", ""]
     for title, what, plan in sections:

@@ -67,7 +67,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .search import (batch_term_weights, bm25_score_rows,
-                     bm25_score_rows_batch, query_idf,
+                     query_idf,
                      query_term_postings)
 
 
@@ -184,12 +184,25 @@ def federated_bm25_topk_batch_tokens(
         verify_disjoint: bool = False,
         gstats: dict | None = None) -> DataFrame:
     """Token-level federated batch scorer (the bm25_topk/bm25_topk_tokens
-    split, applied to the batch shape): ONE union-of-query-terms probe
-    per shard, global per-(query, term) weights broadcast once, one
-    (query_id, doc_id) aggregation, one per-query window rank. The
+    split, applied to the batch shape), on the SEGMENT-COLOCATED kernel:
+    each shard runs search.bm25_scores_batch_colocated with the GLOBAL
+    per-(query, term) weights and global avgdl (shard-local statistics
+    never touch a score), the per-shard candidate sets union plan-level,
+    and one per-query window ranks n_shards × n_segments × |Q| × k
+    candidate rows. Byte-identical to bm25_topk_batch over the
+    monolithic union index BY CONSTRUCTION: a doc's postings live
+    wholly in its shard, the kernel folds them in the same term order
+    with the same weights/avgdl, so every partial sum is bitwise equal —
+    the CLI round-trip test diffs raw floats. Batches past
+    BATCH_CHUNK_QUERIES chunk exactly like the single-index path. The
     string wrapper and the oracle-paired entry both call THIS — one
     pipeline, no copy to drift."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import DataFrame as _DF
     from pyspark.sql import Window
+
+    from .search import BATCH_CHUNK_QUERIES, bm25_scores_batch_colocated
     if not indexes:
         raise ValueError("federated query needs at least one shard")
     bags = {qid: bag for qid, bag in bags.items() if bag}
@@ -200,13 +213,22 @@ def federated_bm25_topk_batch_tokens(
     if gstats is None:
         gstats = federated_stats(indexes)
     idf = federated_idf(indexes, union_terms, n_docs=gstats["n_docs"])
-    rows = federated_posting_rows(indexes, union_terms,
-                                  verify_disjoint=verify_disjoint)
-    scores = bm25_score_rows_batch(rows, batch_term_weights(bags, idf),
-                                   gstats["avgdl"])
+    qrows = batch_term_weights(bags, idf)
+    if verify_disjoint:
+        # the overlap check is a standalone query-bounded job over the
+        # decoded union rows (the colocated kernel never materializes
+        # per-(term, doc) rows to check against)
+        federated_posting_rows(indexes, union_terms, verify_disjoint=True)
+    qids = sorted(bags)
+    chunks = [dict((q, bags[q]) for q in qids[i:i + BATCH_CHUNK_QUERIES])
+              for i in range(0, len(qids), BATCH_CHUNK_QUERIES)]
+    parts = [bm25_scores_batch_colocated(idx, chunk, k, qrows=qrows,
+                                         avgdl=float(gstats["avgdl"]))
+             for chunk in chunks for idx in indexes]
+    cand = _reduce(_DF.unionByName, parts)
     wnd = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                  F.asc("doc_id"))
-    return (scores.withColumn("rank", F.row_number().over(wnd))
+    return (cand.withColumn("rank", F.row_number().over(wnd))
             .filter(F.col("rank") <= k))
 
 

@@ -485,7 +485,9 @@ BATCH_CHUNK_QUERIES = 256
 
 def bm25_scores_batch_colocated(index: dict, bags: dict[str, list[str]],
                                 k: int = 10,
-                                important_weight: float = 1.0) -> DataFrame:
+                                important_weight: float = 1.0,
+                                qrows: list[tuple] | None = None,
+                                avgdl: float | None = None) -> DataFrame:
     """(query_id, doc_id, score) top-k-per-segment candidates for a batch
     of term bags, scored SEGMENT-AT-A-TIME in one Arrow kernel.
 
@@ -509,13 +511,21 @@ def bm25_scores_batch_colocated(index: dict, bags: dict[str, list[str]],
     across runs and partitionings (same contract as the pagination
     fold)."""
     stats = index["stats"]
-    avgdl = float(stats["avgdl"])
+    if avgdl is None:
+        avgdl = float(stats["avgdl"])
     seg_bits = int(stats["seg_bits"])
     n_buckets = int(stats["n_buckets"])
     union_terms = sorted({t for bag in bags.values() for t in bag})
-    idf = query_idf(index["terms"], union_terms, "idf_bm25",
-                    index.get("idf_cache"))
-    qrows = batch_term_weights(bags, idf)
+    if qrows is None:
+        # single-index default: weights from THIS index's dictionary.
+        # The federated path passes GLOBAL-stats qrows/avgdl instead —
+        # same kernel, shard-local statistics never leak into scores.
+        idf = query_idf(index["terms"], union_terms, "idf_bm25",
+                        index.get("idf_cache"))
+        qrows = batch_term_weights(bags, idf)
+    else:
+        qrows = [r for r in qrows
+                 if r[0] in bags and r[1] in set(union_terms)]
     spark = index["postings"].sparkSession
     if not qrows:
         return spark.createDataFrame(
