@@ -716,8 +716,11 @@ def main() -> None:
         query_term_weights)
     iw = query_term_weights(idx["terms"], EQ.QT)
     mcut = S._term_weight_map({t: 1.0 for t in iw})
+    _buckets = sorted(set(S._buckets_of(
+        sorted(iw), int(idx["stats"]["n_buckets"])).values()))
     prefix = (imp["rows"].filter(F.col("band") <= 1)
-              .filter(F.col("term").isin(sorted(iw)))
+              .filter(F.col("bucket").isin(_buckets)
+                      & F.col("term").isin(sorted(iw)))
               .filter(F.col("band") <= mcut[F.col("term")]))
     dimp = _colocated_partials(prefix, iw,
                                float(idx["stats"]["avgdl"]),
