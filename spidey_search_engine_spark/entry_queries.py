@@ -4796,3 +4796,103 @@ def bm25_impact_topk(spark, sf_dir):
 
 QUERIES["bm25_impact_topk"] = bm25_impact_topk
 ORACLE_SQL["bm25_impact_topk"] = ORACLE_SQL["bm25_topk_fixed"]
+
+
+# --- round-5 analytics wave: significant terms / histogram facets / term
+# vectors (operators/aggregations.py) ---------------------------------------
+
+def significant_terms_docs(spark, sf_dir):
+    """SIG significant-terms aggregation (operators/aggregations.
+    significant_terms — the ES JLH heuristic): terms overrepresented in
+    the fixed query's BM25 top-20 versus the corpus. Foreground = the
+    engine's own ranked page (same tie-break as bm25_topk_fixed), fg_df
+    from the k fetched docs under the index analyzer, background df from
+    the dictionary's pushdown/warm lookup. Oracle: DuckDB replays the
+    BM25 top-20, the per-term foreground doc counts, and the JLH
+    arithmetic term-for-term."""
+    idx = entry_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    from .operators.aggregations import significant_terms
+    return significant_terms(spark, idx, d, QT, k_docs=20, top_terms=10,
+                             id_col="doc_id", text_col="text")
+
+
+QUERIES["significant_terms_docs"] = significant_terms_docs
+
+ORACLE_SQL["significant_terms_docs"] = _BASE_CTES + f""",
+q(term) AS (VALUES {_QT_SQL}),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfc.doc_id
+),
+fg AS (
+  SELECT doc_id FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20
+),
+nfg AS (SELECT count(*)::BIGINT AS n_fg FROM fg),
+fgt AS (
+  SELECT term, count(DISTINCT tfc.doc_id)::BIGINT AS fg_df
+  FROM tfc JOIN fg USING (doc_id)
+  WHERE term NOT IN (VALUES {_QT_SQL})
+  GROUP BY term
+),
+sig AS (
+  SELECT fgt.term, fgt.fg_df, dfreq.df,
+         ((fgt.fg_df::DOUBLE / nfg.n_fg) - (dfreq.df::DOUBLE / st.n))
+         * ((fgt.fg_df::DOUBLE / nfg.n_fg) / (dfreq.df::DOUBLE / st.n))
+           AS s
+  FROM fgt JOIN dfreq USING (term) CROSS JOIN nfg CROSS JOIN st
+  WHERE (fgt.fg_df::DOUBLE / nfg.n_fg) > (dfreq.df::DOUBLE / st.n)
+)
+SELECT term, fg_df, df, CAST(round(s, 6) AS DOUBLE) AS score_r
+FROM sig ORDER BY s DESC, term ASC LIMIT 10"""
+
+
+def facet_histogram_docs(spark, sf_dir):
+    """HIST histogram facet (operators/aggregations.facet_histogram —
+    the ES histogram aggregation): the fixed query's OR-match set
+    bucketed by n_chars in width-100 bins. Integer bin arithmetic on
+    both sides; empty bins absent (min_doc_count=1 semantics). Oracle:
+    DuckDB recomputes the match set and the integer-division binning."""
+    idx = entry_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    from .operators.aggregations import facet_histogram
+    fh = facet_histogram(idx, d, QT, "n_chars", 100, mode="any")
+    return fh.select(F.col("bin_lo").cast("long").alias("bin_lo"),
+                     F.col("n_docs").cast("long").alias("n_docs"))
+
+
+QUERIES["facet_histogram_docs"] = facet_histogram_docs
+
+ORACLE_SQL["facet_histogram_docs"] = _BASE_CTES + f""",
+matches AS (
+  SELECT DISTINCT doc_id FROM tfc WHERE term IN (VALUES {_QT_SQL})
+)
+SELECT ((d.n_chars // 100) * 100)::BIGINT AS bin_lo,
+       count(*)::BIGINT AS n_docs
+FROM matches JOIN documents d USING (doc_id)
+GROUP BY 1"""
+
+
+def term_vector_doc(spark, sf_dir):
+    """TVEC on-the-fly term vector (operators/aggregations.term_vector —
+    the Lucene TermVectors API shape): doc 7's (term, tf, first_pos)
+    under the simple profile, from ONE doc_id-pushdown point lookup (the
+    postings table is term-partitioned — a by-doc probe there would scan
+    every bucket). Oracle: DuckDB's positional token stream for the same
+    doc."""
+    d = load_table(spark, sf_dir, "documents")
+    from .operators.aggregations import term_vector
+    return term_vector(spark, d, 7, profile="simple",
+                       id_col="doc_id", text_col="text")
+
+
+QUERIES["term_vector_doc"] = term_vector_doc
+
+ORACLE_SQL["term_vector_doc"] = _BASE_CTES + """
+SELECT term, count(*)::BIGINT AS tf, min(pos)::BIGINT AS first_pos
+FROM occ WHERE doc_id = 7 GROUP BY term"""
