@@ -249,6 +249,24 @@ def main(argv: list[str] | None = None) -> int:
                         "Lucene SynonymQuery), never as inflated "
                         "independent terms (default BM25 term path "
                         "only; plain terms, no wildcards/+term)")
+    q.add_argument("--sig-terms", type=int, default=None, metavar="N",
+                   help="significant-terms analytics: the N terms most "
+                        "overrepresented (ES JLH) in the query's top "
+                        "page versus the corpus background (needs "
+                        "--corpus — document text lives there, not in "
+                        "the index; replaces the ranked output)")
+    q.add_argument("--histogram", default=None, metavar="COL:WIDTH",
+                   help="histogram facet: match-set doc counts bucketed "
+                        "by integer-width bins over a numeric column "
+                        "(e.g. n_chars:100) of the --corpus table, or "
+                        "of the index docs table when --corpus is "
+                        "omitted (replaces the ranked output)")
+    q.add_argument("--term-vector", type=int, default=None,
+                   metavar="DOC_ID",
+                   help="per-doc (term, tf, first_pos) under the "
+                        "index's analyzer — the Lucene TermVectors "
+                        "shape, recomputed from the source doc (needs "
+                        "--corpus; replaces ranking, no --q)")
 
     s = sub.add_parser("bench", help="run bench.py suite")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -313,6 +331,28 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--sha-col", default=None,
                     help="precomputed sha256 column present on BOTH "
                          "sides (skips in-scan hashing)")
+
+    rs = sub.add_parser(
+        "reshard", help="re-layout built index(es) across N shards "
+        "WITHOUT rebuild (the ES split/shrink analog): postings route by "
+        "segment as compressed bytes through the build's own merge, "
+        "boundary segments consolidate byte-identically, per-shard "
+        "dictionaries/stats recompute; federated scores over the new "
+        "topology are byte-identical to the old (that is the test)")
+    rs.add_argument("--input", required=True, action="append",
+                    help="built index dir (repeat to consolidate many)")
+    rs.add_argument("--output", required=True,
+                    help="writes <output>/shard_<k> (the build --shards "
+                         "layout; query with repeatable --index)")
+    rs.add_argument("--shards", type=int, required=True,
+                    help="output shard count (1 = consolidate)")
+    rs.add_argument("--n-buckets", type=int, default=None,
+                    help="dictionary buckets per output shard "
+                         "(default: max over inputs)")
+    rs.add_argument("--assign", choices=["mod", "range"], default="mod",
+                    help="segment->shard policy: mod balances hot doc "
+                         "ranges round-robin; range keeps contiguous "
+                         "doc-id stripes together")
 
     c = sub.add_parser(
         "clean", help="training-corpus cleaning pipeline: unicode "
@@ -463,8 +503,56 @@ def main(argv: list[str] | None = None) -> int:
         if args.more_like is not None and not args.corpus:
             p.error("--more-like needs --corpus (source text lives "
                     "there, not in the index)")
-        if args.corpus and args.more_like is None and not args.snippets:
-            p.error("--corpus only applies to --more-like / --snippets")
+        n_analytics = sum([args.sig_terms is not None,
+                           args.histogram is not None,
+                           args.term_vector is not None])
+        if n_analytics > 1:
+            p.error("--sig-terms / --histogram / --term-vector are "
+                    "different analytics queries; pick one")
+        if n_analytics:
+            if (args.parity or args.pruned or args.impact or args.fuzzy
+                    or args.facets or args.suggest or args.explain
+                    or args.batch or args.exclude
+                    or args.more_like is not None
+                    or args.after is not None
+                    or args.proximity is not None
+                    or args.collapse or args.filter or args.syn
+                    or args.snippets or args.boost_important is not None
+                    or len(args.index) > 1):
+                p.error("--sig-terms/--histogram/--term-vector are "
+                        "single-index analytics on the default term "
+                        "path; drop the other mode flags")
+        if args.sig_terms is not None:
+            if args.sig_terms <= 0:
+                p.error(f"--sig-terms must be positive "
+                        f"(got {args.sig_terms})")
+            if not args.corpus:
+                p.error("--sig-terms needs --corpus (document text "
+                        "lives there, not in the index)")
+        if args.term_vector is not None:
+            if not args.corpus:
+                p.error("--term-vector needs --corpus (document text "
+                        "lives there, not in the index)")
+            if args.q is not None:
+                p.error("--term-vector is a per-document lookup; "
+                        "drop --q")
+        if args.histogram is not None:
+            raw_h = args.histogram
+            parts = raw_h.rsplit(":", 1)
+            try:
+                args.histogram = (parts[0], int(parts[1]))
+            except (IndexError, ValueError):
+                p.error(f"--histogram takes COL:WIDTH (integer width), "
+                        f"got {raw_h!r}")
+            if not args.histogram[0] or args.histogram[1] <= 0:
+                p.error(f"--histogram takes COL:WIDTH with a non-empty "
+                        f"column and positive integer width, got "
+                        f"{raw_h!r}")
+        if (args.corpus and args.more_like is None and not args.snippets
+                and args.sig_terms is None and args.histogram is None
+                and args.term_vector is None):
+            p.error("--corpus only applies to --more-like / --snippets "
+                    "/ --sig-terms / --histogram / --term-vector")
         if args.facets and args.more_like is not None:
             p.error("--facets and --more-like are different queries; "
                     "pick one")
@@ -482,8 +570,9 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--batch runs the default BM25 term path only "
                         "— drop the mode flags / operators")
         if (args.more_like is None and args.q is None
-                and args.batch is None):
-            p.error("--q is required (except with --more-like / --batch)")
+                and args.batch is None and args.term_vector is None):
+            p.error("--q is required (except with --more-like / --batch "
+                    "/ --term-vector)")
         if args.after is not None:
             if args.after != "start":
                 parts = args.after.split(":")
@@ -936,6 +1025,60 @@ def main(argv: list[str] | None = None) -> int:
                 rows = facet_counts(index, index["docs"], q_terms, cols,
                                     mode=args.facets_mode) \
                     .orderBy("facet", "value").collect()
+            elif args.sig_terms is not None:
+                from .functions.analysis import analyze_query
+                from .operators.aggregations import significant_terms
+                from .operators.build import assign_doc_ids
+                q_terms, phrases = analyze_query(args.q)
+                for ph in phrases:
+                    q_terms.extend(ph)
+                docs = spark.read.parquet(args.corpus)
+                if "doc_id" not in docs.columns:
+                    docs = assign_doc_ids(docs)
+                rows = significant_terms(spark, index, docs, q_terms,
+                                         k_docs=args.k,
+                                         top_terms=args.sig_terms) \
+                    .collect()
+            elif args.histogram is not None:
+                from .functions.analysis import analyze_query
+                from .operators.aggregations import facet_histogram
+                from .operators.build import assign_doc_ids
+                q_terms, phrases = analyze_query(args.q)
+                for ph in phrases:
+                    q_terms.extend(ph)
+                hcol, width = args.histogram
+                if args.corpus:
+                    docs = spark.read.parquet(args.corpus)
+                    if "doc_id" not in docs.columns:
+                        docs = assign_doc_ids(docs)
+                else:
+                    docs = index["docs"]
+                if (hcol == "length" and hcol not in docs.columns
+                        and "content" in docs.columns):
+                    # raw code corpora carry no numeric column — derive
+                    # the one histogram every results page wants (doc
+                    # size in chars) instead of failing
+                    from pyspark.sql import functions as F
+                    docs = docs.withColumn("length",
+                                           F.length("content"))
+                if hcol not in docs.columns:
+                    p.error(f"--histogram column {hcol!r} is not in the "
+                            f"{'corpus' if args.corpus else 'index docs'}"
+                            f" table (have: {', '.join(docs.columns)}; "
+                            f"'length' derives from content)")
+                rows = facet_histogram(index, docs, q_terms, hcol,
+                                       width, mode=args.facets_mode) \
+                    .orderBy("bin_lo").collect()
+            elif args.term_vector is not None:
+                from .operators.aggregations import term_vector
+                from .operators.build import assign_doc_ids
+                docs = spark.read.parquet(args.corpus)
+                if "doc_id" not in docs.columns:
+                    docs = assign_doc_ids(docs)
+                rows = term_vector(
+                    spark, docs, args.term_vector,
+                    profile=str(index["stats"].get("profile",
+                                                   "simple"))).collect()
             elif args.more_like is not None:
                 from .operators.search import more_like_this
                 docs = spark.read.parquet(args.corpus)
@@ -1212,6 +1355,16 @@ def main(argv: list[str] | None = None) -> int:
             "forks_dropped": int(n_repos - n_canon),
             "threshold": args.threshold,
             "mode": "exact" if args.exact else "lsh"}))
+    elif args.cmd == "reshard":
+        from .operators.reshard import reshard_index
+        try:
+            stats = reshard_index(spark, args.input, args.output,
+                                  args.shards, n_buckets=args.n_buckets,
+                                  assign=args.assign)
+        except ValueError as e:
+            p.error(str(e))
+        for k, s in enumerate(stats):
+            print(json.dumps(dict(s, shard=k)))
     elif args.cmd == "diff":
         from pyspark.sql import functions as F
 

@@ -4896,3 +4896,26 @@ QUERIES["term_vector_doc"] = term_vector_doc
 ORACLE_SQL["term_vector_doc"] = _BASE_CTES + """
 SELECT term, count(*)::BIGINT AS tf, min(pos)::BIGINT AS first_pos
 FROM occ WHERE doc_id = 7 GROUP BY term"""
+
+
+def reshard_bm25_topk(spark, sf_dir):
+    """RESHARD re-layout without rebuild (operators/reshard.py — the ES
+    split/shrink analog): the entry index resharded into 2 shards (mod
+    assignment, consolidated bucket count), queried federated with
+    global statistics. Oracle: the UNMODIFIED monolithic BM25 SQL —
+    resharding must be invisible, exactly like federation."""
+    from .operators.build import load_index
+    from .operators.federate import federated_bm25_topk_tokens
+    from .operators.reshard import reshard_index
+    idx = entry_index(spark, sf_dir)
+    out = entry_index_dir(sf_dir) + "_resharded"
+    if not os.path.exists(os.path.join(out, "shard_1", "stats")):
+        reshard_index(spark, [entry_index_dir(sf_dir)], out, 2)
+    shards = [load_index(spark, os.path.join(out, f"shard_{k}"))
+              for k in range(2)]
+    got = federated_bm25_topk_tokens(spark, shards, QT, k=20)
+    return got.select("doc_id", _r(F.col("score")).alias("score_r"))
+
+
+QUERIES["reshard_bm25_topk"] = reshard_bm25_topk
+ORACLE_SQL["reshard_bm25_topk"] = ORACLE_SQL["bm25_topk_fixed"]

@@ -801,7 +801,34 @@ class Searcher:
         else:
             self.index["terms"].count()
 
-    def bm25(self, query: str, k: int = 10) -> DataFrame:
+    # Warm solo-query routing (the ROUTE discipline: one cached metadata
+    # number, never a measurement job). The segment-colocated kernel beat
+    # the row-join plan at EVERY corpus size measured (BENCH_SERVE +
+    # the round-5 sweep: 5k docs 1.3 vs 1.9 s, 60k 0.40 vs 0.50 s,
+    # 2.4M 0.39 vs 1.41 s — the gap WIDENS with corpus size because the
+    # plan it removes is the decoded-row exchange), so the threshold only
+    # guards the degenerate tiny-index case where the extra bytes-shuffle
+    # stage is the whole cost. Env-overridable like the fuzzy crossover.
+    SOLO_COLOCATED_MIN_DOCS = 1000
+
+    def _solo_route(self) -> str:
+        import os
+        env = os.environ.get("SPIDEY_SOLO_ROUTE")
+        if env in ("plain", "colocated"):
+            return env
+        floor = int(os.environ.get("SPIDEY_COLO_MIN_DOCS",
+                                   self.SOLO_COLOCATED_MIN_DOCS))
+        n_docs = int(self.index["stats"]["n_docs"])
+        return "colocated" if n_docs >= floor else "plain"
+
+    def bm25(self, query: str, k: int = 10,
+             route: str | None = None) -> DataFrame:
+        """Warm solo BM25 — rank-identical on either route (pinned at 9
+        decimals by test); `route` forces "plain"/"colocated", None
+        auto-selects from the index's stored doc count."""
+        r = route or self._solo_route()
+        if r == "colocated":
+            return self.bm25_colocated(query, k)
         return bm25_topk(self.spark, self.index, query, k)
 
     def bm25_batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:

@@ -139,3 +139,74 @@ def test_term_vector(spark, agg_setup):
     assert got2 == {"a": (3, 0), "b": (2, 1)}
     # missing doc → empty
     assert term_vector(spark, docs, 12345, profile="simple").count() == 0
+
+
+def test_cli_analytics_roundtrip(spark, tmp_path, capsys):
+    """CLI faces: --sig-terms / --histogram (incl. the derived `length`
+    pseudo-column) / --term-vector produce the operators' rows; the
+    analytics flags are mode-exclusive and corpus-requiring."""
+    import json
+
+    import pytest
+
+    from spidey_search_engine_spark.cli import main
+
+    rows = [("r", f"{i:02d}/f.py", "c", "py",
+             ("merge sort quicksort " if i < 4 else "hash table ")
+             + f"filler{i}")
+            for i in range(10)]
+    src = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string").coalesce(2).write.parquet(src)
+    # code profile: the CLI's query analyzer stems (`merge` → `merg`),
+    # so a simple-profile index would miss the dictionary entirely
+    assert main(["build", "--input", src, "--output", idx,
+                 "--profile", "code", "--seg-bits", "4",
+                 "--n-buckets", "4"]) == 0
+    capsys.readouterr()
+
+    assert main(["query", "--index", idx, "--q", "merge",
+                 "--sig-terms", "3", "--corpus", src]) == 0
+    sig = [json.loads(ln) for ln in
+           capsys.readouterr().out.strip().splitlines()]
+    assert sig and sig[0]["term"] == "quicksort"
+    assert sig[0]["fg_df"] == 4 and sig[0]["df"] == 4
+
+    assert main(["query", "--index", idx, "--q", "merge",
+                 "--histogram", "length:10", "--corpus", src]) == 0
+    hist = {json.loads(ln)["bin_lo"]: json.loads(ln)["n_docs"]
+            for ln in capsys.readouterr().out.strip().splitlines()}
+    exp = {}
+    for i in range(4):  # the 4 merge docs
+        b = (len(rows[i][4]) // 10) * 10
+        exp[b] = exp.get(b, 0) + 1
+    assert hist == exp
+
+    assert main(["query", "--index", idx, "--term-vector", "0",
+                 "--corpus", src]) == 0
+    tv = {json.loads(ln)["term"]: json.loads(ln)["tf"]
+          for ln in capsys.readouterr().out.strip().splitlines()}
+    from spidey_search_engine_spark.functions.analysis import PROFILES
+    exp_tv = {}
+    for t in PROFILES["code"](rows[0][4]):  # the index's own analyzer
+        exp_tv[t] = exp_tv.get(t, 0) + 1
+    assert tv == exp_tv and "quicksort" in tv
+
+    # contract violations fail fast
+    for bad in (
+        ["query", "--index", idx, "--q", "merge", "--sig-terms", "3"],
+        ["query", "--index", idx, "--term-vector", "0"],
+        ["query", "--index", idx, "--q", "m", "--histogram", "length",
+         "--corpus", src],
+        ["query", "--index", idx, "--q", "m", "--histogram", "length:0",
+         "--corpus", src],
+        ["query", "--index", idx, "--q", "m", "--sig-terms", "2",
+         "--corpus", src, "--histogram", "length:10"],
+        ["query", "--index", idx, "--q", "m", "--sig-terms", "2",
+         "--corpus", src, "--pruned"],
+    ):
+        with pytest.raises(SystemExit):
+            main(bad)
+        capsys.readouterr()
