@@ -117,10 +117,18 @@ def main() -> None:
 
     results: dict = {}
     with Searcher(spark, mono) as s:
-        _timed(lambda: s.bm25(" ".join(HOT), k=10).collect(),
+        # route="plain" pins the row-join baseline rows (round-3/4
+        # continuity); the auto row below is what Searcher.bm25 now
+        # serves by default at this scale (colocated, routed by the
+        # stored doc count)
+        _timed(lambda: s.bm25(" ".join(HOT), k=10,
+                              route="plain").collect(),
                "bm25_hot", results)
-        _timed(lambda: s.bm25(" ".join(MID), k=10).collect(),
+        _timed(lambda: s.bm25(" ".join(MID), k=10,
+                              route="plain").collect(),
                "bm25_mid", results)
+        _timed(lambda: s.bm25(" ".join(HOT), k=10).collect(),
+               "bm25_hot_auto", results)
         _timed(lambda: s.boolean(HOT, must=["tree"], exclude=["heap"],
                                  wildcards=["mer*"], k=10).collect(),
                "boolean_full", results)
@@ -135,7 +143,8 @@ def main() -> None:
         # bm25_hot/bm25_mid (asserted) and is expected to undercut them
         # (no decoded-row exchange)
         hot_plain = [(r["doc_id"], round(r["score"], 9)) for r in
-                     s.bm25(" ".join(HOT), k=10).collect()]
+                     s.bm25(" ".join(HOT), k=10,
+                            route="plain").collect()]
         hot_colo = [(r["doc_id"], round(r["score"], 9)) for r in
                     s.bm25_colocated(" ".join(HOT), k=10).collect()]
         if hot_colo != hot_plain:
