@@ -190,6 +190,26 @@ def run(spark, workdir: str, n_docs: int, n_delta: int) -> dict:
     assert ex, ex
     checks["explain"] = True
 
+    # 6c. ops + analytics: reshard the monolithic rebuild (CLI) — must
+    # be invisible to ranking; then the analytics faces over the same
+    # corpus (significant terms + length histogram)
+    rs_dir = os.path.join(workdir, "resharded")
+    _cli(["reshard", "--input", mono_dir, "--output", rs_dir,
+          "--shards", "3"])
+    rs = [x for k in range(3)
+          for x in ("--index", os.path.join(rs_dir, f"shard_{k}"))]
+    rr = _ranks(_cli(["query", *rs, "--q", "merge sort", "--k", "10"]))
+    assert rr == plain, ("reshard", rr[:3], plain[:3])
+    checks["reshard"] = True
+    st = _cli(["query", *mono, "--q", "merge sort", "--sig-terms", "5",
+               "--corpus", union_src])
+    assert st and all("term" in r and "score_r" in r for r in st), st
+    checks["sig_terms"] = True
+    hg = _cli(["query", *mono, "--q", "merge sort",
+               "--histogram", "length:200", "--corpus", union_src])
+    assert hg and sum(r["n_docs"] for r in hg) > 0, hg
+    checks["histogram"] = True
+
     return {"n_docs": n_docs, "n_delta": n_delta,
             "wall_sec": round(time.monotonic() - t_start, 1),
             "checks": checks, "all_green": all(checks.values())}

@@ -20,4 +20,5 @@ def test_composed_scenario_small(spark, tmp_path):
     assert set(out["checks"]) >= {
         "plain", "boolean_must_not", "filtered", "after_page1",
         "after_page2", "batch", "wildcard", "pruned", "impact", "fuzzy",
-        "suggest", "collapse", "synonym", "facets", "explain"}, out
+        "suggest", "collapse", "synonym", "facets", "explain",
+        "reshard", "sig_terms", "histogram"}, out
