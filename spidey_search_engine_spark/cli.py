@@ -353,6 +353,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="segment->shard policy: mod balances hot doc "
                          "ranges round-robin; range keeps contiguous "
                          "doc-id stripes together")
+    rs.add_argument("--no-wildcard-index", action="store_true",
+                    help="skip the per-shard prefix/reversed-term "
+                         "dictionary projections (created by default, "
+                         "same as build)")
+    rs.add_argument("--ngram-index", action="store_true",
+                    help="also write each shard's n-gram projection "
+                         "(serves infix wildcards)")
+    rs.add_argument("--ngram-size", type=int, default=3)
+    rs.add_argument("--fuzzy-index", action="store_true",
+                    help="also write each shard's SymSpell deletion "
+                         "index")
+    rs.add_argument("--fuzzy-buckets", type=int, default=64)
+    rs.add_argument("--impact-index", action="store_true",
+                    help="also write each shard's impact-ordered bands")
 
     c = sub.add_parser(
         "clean", help="training-corpus cleaning pipeline: unicode "
@@ -1356,6 +1370,8 @@ def main(argv: list[str] | None = None) -> int:
             "threshold": args.threshold,
             "mode": "exact" if args.exact else "lsh"}))
     elif args.cmd == "reshard":
+        import os
+
         from .operators.reshard import reshard_index
         try:
             stats = reshard_index(spark, args.input, args.output,
@@ -1363,6 +1379,35 @@ def main(argv: list[str] | None = None) -> int:
                                   assign=args.assign)
         except ValueError as e:
             p.error(str(e))
+        # aux-index parity with `build`: wildcard projections by default,
+        # ngram/fuzzy/impact opt-in — the resharded shards serve the same
+        # query surface the inputs did (output dirs are fresh; no
+        # staleness dance needed)
+        for k, s in enumerate(stats):
+            sdir = os.path.join(args.output, f"shard_{k}")
+            if not args.no_wildcard_index:
+                from .operators.wildcard import (write_ngram_terms,
+                                                 write_prefix_terms,
+                                                 write_suffix_terms)
+                terms = spark.read.parquet(os.path.join(sdir, "terms"))
+                write_prefix_terms(terms, sdir)
+                write_suffix_terms(terms, sdir)
+                if args.ngram_index:
+                    write_ngram_terms(terms, sdir, n=args.ngram_size)
+                    s["ngram_size"] = args.ngram_size
+            if args.fuzzy_index:
+                from .operators.build import load_index
+                from .operators.fuzzy import write_deletion_index
+                write_deletion_index(load_index(spark, sdir)["terms"],
+                                     os.path.join(sdir, "fuzzy"),
+                                     n_buckets=args.fuzzy_buckets)
+                s["fuzzy_buckets"] = args.fuzzy_buckets
+            if args.impact_index:
+                from .operators.build import load_index
+                from .operators.impact import write_impact_index
+                write_impact_index(spark, load_index(spark, sdir),
+                                   os.path.join(sdir, "impact"))
+                s["impact_index"] = True
         for k, s in enumerate(stats):
             print(json.dumps(dict(s, shard=k)))
     elif args.cmd == "diff":
