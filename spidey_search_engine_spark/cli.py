@@ -332,6 +332,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="precomputed sha256 column present on BOTH "
                          "sides (skips in-scan hashing)")
 
+    ix = sub.add_parser(
+        "stats", help="index introspection (the _cat/indices ops "
+        "surface): stored build stats, dictionary size, postings "
+        "row/byte totals and per-bucket balance, segment span, which "
+        "aux projections are materialized — one JSON line per index")
+    ix.add_argument("--index", required=True, action="append",
+                    help="built index dir (repeatable)")
+    ix.add_argument("--buckets", action="store_true",
+                    help="also emit per-bucket postings rows/bytes "
+                         "(hot-bucket skew check)")
+
     rs = sub.add_parser(
         "reshard", help="re-layout built index(es) across N shards "
         "WITHOUT rebuild (the ES split/shrink analog): postings route by "
@@ -1369,6 +1380,54 @@ def main(argv: list[str] | None = None) -> int:
             "forks_dropped": int(n_repos - n_canon),
             "threshold": args.threshold,
             "mode": "exact" if args.exact else "lsh"}))
+    elif args.cmd == "stats":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from .operators.build import load_index
+        for d in args.index:
+            idx = load_index(spark, d)
+            st = dict(idx["stats"])
+            nb = int(st.get("n_buckets", 0))
+            # one metadata-cheap aggregation over the postings tree:
+            # rows/bytes/segment span (bin length is a column read, the
+            # positions bytes are never decoded)
+            agg = idx["postings"].agg(
+                F.count("*").alias("rows"),
+                F.sum(F.length("bin")).alias("bin_bytes"),
+                F.min("segment").alias("seg_min"),
+                F.max("segment").alias("seg_max")).collect()[0]
+            out = {
+                "index": d,
+                **{k: st[k] for k in ("n_docs", "avgdl", "total_tokens",
+                                      "profile", "seg_bits", "n_buckets")
+                   if k in st},
+                "n_terms": idx["terms"].count(),
+                "posting_rows": int(agg["rows"] or 0),
+                "posting_bin_bytes": int(agg["bin_bytes"] or 0),
+                "segments": ([int(agg["seg_min"]), int(agg["seg_max"])]
+                             if agg["seg_min"] is not None else None),
+                "aux": sorted(
+                    name for name, probe in (
+                        ("prefix_terms", "prefix_terms" in idx),
+                        ("suffix_terms", "suffix_terms" in idx),
+                        ("ngram_terms", "ngram_terms" in idx),
+                        ("fuzzy", os.path.exists(
+                            os.path.join(d, "fuzzy", "meta.json"))),
+                        ("impact", os.path.exists(
+                            os.path.join(d, "impact", "meta.json"))),
+                    ) if probe),
+            }
+            if args.buckets and nb:
+                rows = (idx["postings"].groupBy("bucket")
+                        .agg(F.count("*").alias("rows"),
+                             F.sum(F.length("bin")).alias("bytes"))
+                        .orderBy("bucket").collect())
+                out["buckets"] = {int(r["bucket"]): [int(r["rows"]),
+                                                     int(r["bytes"])]
+                                  for r in rows}
+            print(json.dumps(out))
     elif args.cmd == "reshard":
         import os
 
