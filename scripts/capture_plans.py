@@ -740,6 +740,29 @@ def main() -> None:
         "postings scan so non-candidate segments never decode.",
         capture(dimp)))
 
+    from spidey_search_engine_spark.operators.build import merge_partials
+    pdirs = os.path.join(EQ.entry_index_dir(sf_dir), "postings")
+    full = (spark.read.option("basePath", pdirs).parquet(pdirs)
+            .select("term", "segment", "bin"))
+    nbk = int(idx["stats"]["n_buckets"])
+    resharded = (merge_partials(full, n_buckets=nbk, doclen_bucket=nbk)
+                 .withColumn("shard",
+                             F.pmod(F.col("segment"), F.lit(2))
+                             .cast("int")))
+    sections.append((
+        "Reshard single-pass re-layout (reshard.reshard_index): every "
+        "output shard from ONE merge exchange of compressed binaries",
+        "Look for: ReadSchema carrying only term+segment+bin (the "
+        "position bytes ride inside `bin`, never decoded), ONE Exchange "
+        "hashpartitioning(bucket, _salt) — the build's own merge "
+        "shuffle, moving compressed bytes only — the MapInPandas merge "
+        "kernel (consolidates duplicate (term, segment) rows from "
+        "boundary segments of multiple inputs byte-identically), and "
+        "the segment->shard projection that feeds the "
+        "partitionBy(shard, bucket) write. No corpus scan, no "
+        "tokenization, no per-shard pass.",
+        capture(resharded)))
+
     out = ["# PLANS — physical-plan evidence (generated by "
            "scripts/capture_plans.py)", ""]
     for title, what, plan in sections:
