@@ -332,6 +332,35 @@ def main(argv: list[str] | None = None) -> int:
                     help="precomputed sha256 column present on BOTH "
                          "sides (skips in-scan hashing)")
 
+    pc = sub.add_parser(
+        "percolate", help="reverse search (the ES percolator): evaluate "
+        "stored queries against every document — the alerting shape; "
+        "prints (doc_id, query_id) matches or writes them as parquet")
+    pc.add_argument("--corpus", required=True,
+                    help="documents parquet dir (doc_id optional; "
+                         "content or text column)")
+    pc.add_argument("--queries", required=True,
+                    help="stored queries: JSONL file with "
+                         "{query_id, terms: [...], mode: any|all} rows, "
+                         "or a parquet dir of the same shape")
+    pc.add_argument("--profile", default="simple",
+                    help="analyzer for the documents (store query terms "
+                         "pre-analyzed with the same profile)")
+    pc.add_argument("--output", default=None,
+                    help="write matches parquet here instead of "
+                         "printing")
+
+    re_ = sub.add_parser(
+        "rank-eval", help="ranking-quality evaluation (the ES "
+        "_rank_eval shape): nDCG@k / MRR@k / P@k per query from a "
+        "results table (query_id, doc_id, rank) and a graded judgments "
+        "table (query_id, doc_id, grade)")
+    re_.add_argument("--results", required=True,
+                     help="parquet dir with (query_id, doc_id, rank)")
+    re_.add_argument("--judgments", required=True,
+                     help="parquet dir with (query_id, doc_id, grade)")
+    re_.add_argument("--k", type=int, default=10)
+
     ix = sub.add_parser(
         "stats", help="index introspection (the _cat/indices ops "
         "surface): stored build stats, dictionary size, postings "
@@ -1380,6 +1409,66 @@ def main(argv: list[str] | None = None) -> int:
             "forks_dropped": int(n_repos - n_canon),
             "threshold": args.threshold,
             "mode": "exact" if args.exact else "lsh"}))
+    elif args.cmd == "percolate":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from .operators.percolate import percolate, validate_stored_queries
+        docs = spark.read.parquet(args.corpus)
+        text_col = "content" if "content" in docs.columns else "text"
+        if text_col not in docs.columns:
+            p.error(f"--corpus has neither a content nor a text column "
+                    f"(have: {', '.join(docs.columns)})")
+        if "doc_id" not in docs.columns:
+            from .operators.build import assign_doc_ids
+            docs = assign_doc_ids(docs)
+        if os.path.isdir(args.queries):
+            q = spark.read.parquet(args.queries)
+        else:
+            q = spark.read.schema(
+                "query_id string, terms array<string>, mode string") \
+                .json(args.queries)
+        missing = {"query_id", "terms", "mode"} - set(q.columns)
+        if missing:
+            p.error(f"--queries is missing column(s) "
+                    f"{', '.join(sorted(missing))}")
+        try:
+            validate_stored_queries(q)
+        except ValueError as e:
+            p.error(str(e))
+        out = percolate(docs, q, profile=args.profile, text_col=text_col)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(json.dumps({"matches": n, "output": args.output}))
+        else:
+            for r in out.orderBy("doc_id", "query_id").collect():
+                print(json.dumps(r.asDict()))
+    elif args.cmd == "rank-eval":
+        from pyspark.sql import functions as F
+
+        from .operators.rankeval import ranking_eval
+        try:
+            out = ranking_eval(spark.read.parquet(args.results),
+                               spark.read.parquet(args.judgments),
+                               k=args.k)
+        except ValueError as e:
+            p.error(str(e))
+        rows = out.orderBy("query_id").collect()
+        for r in rows:
+            d = r.asDict()
+            print(json.dumps({k: (round(v, 6) if isinstance(v, float)
+                                  else v) for k, v in d.items()}))
+        if rows:
+            print(json.dumps({
+                "queries": len(rows),
+                "mean_ndcg": round(sum(r["ndcg"] for r in rows)
+                                   / len(rows), 6),
+                "mean_mrr": round(sum(r["mrr"] for r in rows)
+                                  / len(rows), 6),
+                "mean_precision": round(sum(r["precision"] for r in rows)
+                                        / len(rows), 6)}))
     elif args.cmd == "stats":
         import os
 

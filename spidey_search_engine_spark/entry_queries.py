@@ -4919,3 +4919,132 @@ def reshard_bm25_topk(spark, sf_dir):
 
 QUERIES["reshard_bm25_topk"] = reshard_bm25_topk
 ORACLE_SQL["reshard_bm25_topk"] = ORACLE_SQL["bm25_topk_fixed"]
+
+
+# --- round-5 alerting + eval wave: percolation / ranking quality ----------
+
+_PERC_QUERIES = [("p_ms", ["merge", "sort"], "all"),
+                 ("p_or", ["merge", "scan"], "any"),
+                 ("p_dup", ["fast", "fast"], "all")]
+
+
+def percolate_docs(spark, sf_dir):
+    """PERC reverse search (operators/percolate.py — the ES percolator):
+    which stored queries match each document; `all` = distinct-term
+    conjunction (duplicates fold), `any` = OR. Oracle: DuckDB replays
+    the distinct-hit counting over the token stream."""
+    from .operators.percolate import percolate
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_PERC_QUERIES,
+                              "query_id string, terms array<string>, "
+                              "mode string")
+    return percolate(d, q, profile="simple", text_col="text")
+
+
+QUERIES["percolate_docs"] = percolate_docs
+
+_PERC_ROWS_SQL = ",".join(
+    f"('{qid}','{t}','{mode}',{len(set(ts))})"
+    for qid, ts, mode in _PERC_QUERIES for t in sorted(set(ts)))
+
+ORACLE_SQL["percolate_docs"] = _BASE_CTES + f""",
+pq(query_id, term, mode, n_req) AS (VALUES {_PERC_ROWS_SQL}),
+dterm AS (SELECT DISTINCT doc_id, term FROM tfc),
+hits AS (
+  SELECT d.doc_id, pq.query_id, pq.mode, pq.n_req,
+         count(DISTINCT d.term) AS n_hit
+  FROM dterm d JOIN pq USING (term)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, query_id FROM hits
+WHERE mode = 'any' OR n_hit = n_req"""
+
+
+def rank_eval_docs(spark, sf_dir):
+    """REVAL ranking-quality evaluation (operators/rankeval.py — the ES
+    _rank_eval shape): the engine's own BM25 top-10 for the fixed query
+    scored as nDCG@10 / MRR@10 / P@10 against a derived judgment table
+    (grade 2 = doc contains both 'merge' and 'sort'; grade 1 = contains
+    'merge' only). Oracle: DuckDB replays the page, the judgments, and
+    the metric arithmetic."""
+    from .functions.analysis import spark_udfs
+    from .operators.rankeval import ranking_eval
+    idx = entry_index(spark, sf_dir)
+    rows = S.query_term_postings(idx["postings"], QT,
+                                 int(idx["stats"]["n_buckets"]))
+    scores = S.bm25_scores(rows, idx["terms"],
+                           float(idx["stats"]["avgdl"]), QT)
+    results = (scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+               .withColumn("query_id", F.lit("q1"))
+               .withColumn("rank", F.row_number().over(
+                   Window.orderBy(F.desc("score"), F.asc("doc_id"))))
+               .select("query_id", "doc_id", "rank"))
+    tok = spark_udfs()["simple"]
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.array_distinct(tok("text")).alias("t"))
+    judgments = (terms.select(
+        "doc_id",
+        (F.when(F.array_contains("t", "merge")
+                & F.array_contains("t", "sort"), 2)
+         .when(F.array_contains("t", "merge"), 1)).alias("grade"))
+        .filter(F.col("grade").isNotNull())
+        .withColumn("query_id", F.lit("q1"))
+        .select("query_id", "doc_id", "grade"))
+    out = ranking_eval(results, judgments, k=10)
+    return out.select("query_id", _r(F.col("ndcg")).alias("ndcg_r"),
+                      _r(F.col("mrr")).alias("mrr_r"),
+                      _r(F.col("precision")).alias("precision_r"))
+
+
+QUERIES["rank_eval_docs"] = rank_eval_docs
+
+ORACLE_SQL["rank_eval_docs"] = _BASE_CTES + f""",
+q(term) AS (VALUES {_QT_SQL}),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tfc.tf * 2.2
+              / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tfc JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfc.doc_id
+),
+page AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM scores ORDER BY s DESC, doc_id ASC LIMIT 10
+),
+dterm AS (SELECT DISTINCT doc_id, term FROM tfc),
+jd AS (
+  SELECT doc_id,
+         CASE WHEN bool_or(term = 'merge') AND bool_or(term = 'sort')
+              THEN 2.0
+              WHEN bool_or(term = 'merge') THEN 1.0 END AS grade
+  FROM dterm GROUP BY doc_id
+),
+j AS (SELECT doc_id, grade FROM jd WHERE grade IS NOT NULL),
+served AS (
+  SELECT page.rank, coalesce(j.grade, 0.0) AS grade
+  FROM page LEFT JOIN j USING (doc_id)
+),
+dcg AS (
+  SELECT sum((pow(2.0, grade) - 1.0) / log2(rank + 1.0)) AS dcg,
+         min(CASE WHEN grade > 0 THEN rank END) AS first_rel,
+         sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS n_rel
+  FROM served
+),
+ideal AS (
+  SELECT sum((pow(2.0, grade) - 1.0) / log2(irank + 1.0)) AS idcg
+  FROM (SELECT grade,
+               row_number() OVER (ORDER BY grade DESC, doc_id ASC)
+                 AS irank
+        FROM j) x
+  WHERE irank <= 10
+)
+SELECT 'q1' AS query_id,
+       CAST(round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6)
+            AS DOUBLE) AS ndcg_r,
+       CAST(round(CASE WHEN first_rel IS NOT NULL
+                       THEN 1.0 / first_rel ELSE 0.0 END, 6)
+            AS DOUBLE) AS mrr_r,
+       CAST(round(n_rel / 10.0, 6) AS DOUBLE) AS precision_r
+FROM dcg CROSS JOIN ideal"""
