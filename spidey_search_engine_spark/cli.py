@@ -1327,9 +1327,20 @@ def main(argv: list[str] | None = None) -> int:
                         exclude=ex_terms, k=args.k,
                         important_weight=w_imp)
                 else:
-                    out = bm25_topk_tokens(
-                        spark, index, q_terms, k=args.k,
-                        important_weight=w_imp)
+                    # plain solo query: same metadata route as the warm
+                    # Searcher — the colocated kernel also wins COLD
+                    # (measured at 2.4M: 0.7-1.0 s vs 1.3-4.7 s), both
+                    # routes rank-identical
+                    from .operators.search import (
+                        bm25_topk_colocated_tokens, route_solo)
+                    if route_solo(index["stats"]) == "colocated":
+                        out = bm25_topk_colocated_tokens(
+                            spark, index, q_terms, k=args.k,
+                            important_weight=w_imp)
+                    else:
+                        out = bm25_topk_tokens(
+                            spark, index, q_terms, k=args.k,
+                            important_weight=w_imp)
                 if args.snippets:
                     out = _attach_snippets(
                         out, q_terms,

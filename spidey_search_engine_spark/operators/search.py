@@ -678,6 +678,31 @@ def _ws_release(spark: SparkSession) -> None:
         del _ws_holds[id(spark)]
 
 
+# Solo-query routing (the ROUTE discipline: one cached metadata number,
+# never a measurement job). The segment-colocated kernel beat the
+# row-join plan at EVERY corpus size measured, warm AND cold
+# (BENCH_SOLO_ROUTE warm sweep: 5k 1.3 vs 1.9 s … 2.4M 0.39 vs 1.41 s;
+# cold at 2.4M: 0.7-1.0 vs 1.3-4.7 s) — the plan it removes is the
+# decoded-row exchange, which grows with df — so the floor only guards
+# the degenerate tiny-index case where the extra bytes-shuffle stage is
+# the whole cost. Env-overridable like the fuzzy crossover.
+SOLO_COLOCATED_MIN_DOCS = 1000
+
+
+def route_solo(stats: dict) -> str:
+    """'plain' or 'colocated' for a solo BM25 query, from the index's
+    STORED doc count (shared by the warm Searcher and the cold CLI
+    default path; SPIDEY_SOLO_ROUTE forces, SPIDEY_COLO_MIN_DOCS moves
+    the floor). Both routes are rank-identical (pinned by test)."""
+    import os
+    env = os.environ.get("SPIDEY_SOLO_ROUTE")
+    if env in ("plain", "colocated"):
+        return env
+    floor = int(os.environ.get("SPIDEY_COLO_MIN_DOCS",
+                               SOLO_COLOCATED_MIN_DOCS))
+    return "colocated" if int(stats["n_docs"]) >= floor else "plain"
+
+
 class Searcher:
     """Warm serving wrapper — amortizes per-query fixed costs across a query
     stream, the shape a real serving tier runs (the reference serves from a
@@ -801,25 +826,8 @@ class Searcher:
         else:
             self.index["terms"].count()
 
-    # Warm solo-query routing (the ROUTE discipline: one cached metadata
-    # number, never a measurement job). The segment-colocated kernel beat
-    # the row-join plan at EVERY corpus size measured (BENCH_SERVE +
-    # the round-5 sweep: 5k docs 1.3 vs 1.9 s, 60k 0.40 vs 0.50 s,
-    # 2.4M 0.39 vs 1.41 s — the gap WIDENS with corpus size because the
-    # plan it removes is the decoded-row exchange), so the threshold only
-    # guards the degenerate tiny-index case where the extra bytes-shuffle
-    # stage is the whole cost. Env-overridable like the fuzzy crossover.
-    SOLO_COLOCATED_MIN_DOCS = 1000
-
     def _solo_route(self) -> str:
-        import os
-        env = os.environ.get("SPIDEY_SOLO_ROUTE")
-        if env in ("plain", "colocated"):
-            return env
-        floor = int(os.environ.get("SPIDEY_COLO_MIN_DOCS",
-                                   self.SOLO_COLOCATED_MIN_DOCS))
-        n_docs = int(self.index["stats"]["n_docs"])
-        return "colocated" if n_docs >= floor else "plain"
+        return route_solo(self.index["stats"])
 
     def bm25(self, query: str, k: int = 10,
              route: str | None = None) -> DataFrame:

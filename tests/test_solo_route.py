@@ -37,3 +37,34 @@ def test_routes_rank_identical(spark, searcher):
             for r in searcher.bm25(q, k=10).collect()]
     assert plain == colo == auto
     assert len(plain) == 10
+
+
+def test_cli_default_path_routes_identically(spark, index_dir, capsys,
+                                             monkeypatch):
+    """The CLI default query path routes by the same metadata floor;
+    forced plain and forced colocated print identical rows (the 400-doc
+    test index sits below the floor, so auto == plain there)."""
+    import json
+
+    from spidey_search_engine_spark.cli import main
+
+    def rows():
+        # the two kernels sum partials in different orders (hash agg vs
+        # term-ordered fold): scores agree at 9 decimals, not bitwise —
+        # the same contract the operator-level identity tests pin
+        return [(d["doc_id"], round(d["score"], 9)) for d in
+                (json.loads(ln) for ln in
+                 capsys.readouterr().out.strip().splitlines())]
+
+    assert main(["query", "--index", index_dir, "--q", "merge sort",
+                 "--k", "8"]) == 0
+    auto = rows()
+    monkeypatch.setenv("SPIDEY_SOLO_ROUTE", "plain")
+    assert main(["query", "--index", index_dir, "--q", "merge sort",
+                 "--k", "8"]) == 0
+    plain = rows()
+    monkeypatch.setenv("SPIDEY_SOLO_ROUTE", "colocated")
+    assert main(["query", "--index", index_dir, "--q", "merge sort",
+                 "--k", "8"]) == 0
+    colo = rows()
+    assert auto == plain == colo and len(plain) == 8
