@@ -126,8 +126,16 @@ def reshard_index(spark: SparkSession, in_dirs: list[str], out_dir: str,
     (merged.withColumn("shard", shard_of_seg)
      .write.mode("overwrite").partitionBy("shard", "bucket").parquet(tmp))
 
+    # docs tables may differ in auxiliary columns across builders (e.g. a
+    # streaming-published delta carries chunk metadata) — union on the
+    # COMMON columns, in the first input's order
+    common = [c for c in idxs[0]["docs"].columns
+              if all(c in ix["docs"].columns for ix in idxs)]
+    if "doc_id" not in common or "n_tokens" not in common:
+        raise ValueError("input docs tables must share doc_id and "
+                         f"n_tokens columns (common: {common})")
     docs_all = reduce(DataFrame.unionByName,
-                      [ix["docs"] for ix in idxs])
+                      [ix["docs"].select(*common) for ix in idxs])
     out_stats: list[dict] = []
     for k in range(n_shards):
         sdir = os.path.join(out_dir, f"shard_{k}")

@@ -110,3 +110,60 @@ def test_reshard_guards(spark, tmp_path, mono):
     with pytest.raises(ValueError, match="no segments"):
         # 60 docs at seg_bits=3 → 8 segments; 64 shards can't all fill
         reshard_index(spark, [mono_dir], str(tmp_path / "z"), 64)
+
+
+def test_reshard_consolidates_streamed_nrt_delta(spark, corpus_pdf,
+                                                 tmp_path):
+    """The NRT maintenance story closes with reshard: a base index plus a
+    STREAMING-built delta (different bucket layout, doc range splitting a
+    segment) consolidate into ONE index whose ranking equals the
+    monolithic rebuild — the 'delta compacts into base' step is the same
+    bytes-only re-layout as any other topology change."""
+    from spidey_search_engine_spark.operators.build import (build_index,
+                                                            load_index,
+                                                            prepare_docs)
+    from spidey_search_engine_spark.operators.reshard import reshard_index
+    from spidey_search_engine_spark.operators.search import \
+        bm25_topk_tokens
+    from spidey_search_engine_spark.streaming.incremental import (
+        append_index_stream, publish_index)
+
+    sub = corpus_pdf.head(200)
+    docs = prepare_docs(spark.createDataFrame(sub).repartition(4)).select(
+        "doc_id", "repo", "path", "commit", "lang", "content")
+    mono_dir = str(tmp_path / "mono")
+    build_index(spark, docs, mono_dir, profile="code", seg_bits=6,
+                n_buckets=8)
+    base_dir = str(tmp_path / "base")
+    build_index(spark, docs.filter("doc_id < 150"), base_dir,
+                profile="code", seg_bits=6, n_buckets=8)
+    src = str(tmp_path / "arrivals")
+    docs.filter("doc_id >= 150").coalesce(1) \
+        .write.mode("append").parquet(src)
+    delta_dir = str(tmp_path / "delta")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = append_index_stream(spark, stream, delta_dir, profile="code",
+                            seg_bits=6, n_buckets=4,
+                            checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    publish_index(spark, delta_dir, profile="code", seg_bits=6,
+                  n_buckets=4)
+
+    out = str(tmp_path / "consolidated")
+    stats = reshard_index(spark, [base_dir, delta_dir], out, 1,
+                          n_buckets=8)
+    assert stats[0]["n_docs"] == 200
+    got = load_index(spark, f"{out}/shard_0")
+    mono = load_index(spark, mono_dir)
+    bag = ["merge", "sort"]
+    g = [(r["doc_id"], round(r["score"], 9)) for r in
+         bm25_topk_tokens(spark, got, bag, k=12).collect()]
+    m = [(r["doc_id"], round(r["score"], 9)) for r in
+         bm25_topk_tokens(spark, mono, bag, k=12).collect()]
+    assert g == m and g
+    assert any(d >= 150 for d, _ in g)  # the delta contributes
+    # dictionary equal to the rebuild's
+    t = lambda df: {r["term"]: (r["df"], r["cf"])
+                    for r in df.select("term", "df", "cf").collect()}
+    assert t(got["terms"]) == t(mono["terms"])
