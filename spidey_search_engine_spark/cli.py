@@ -361,6 +361,15 @@ def main(argv: list[str] | None = None) -> int:
                      help="parquet dir with (query_id, doc_id, grade)")
     re_.add_argument("--k", type=int, default=10)
 
+    cmp_ = sub.add_parser(
+        "compare", help="semantic index-equivalence check (the "
+        "validation counterpart of reshard/compaction/NRT "
+        "consolidation): stats + dictionary + per-(term, segment) "
+        "posting-byte hashes; prints one JSON line, exits non-zero on "
+        "any difference")
+    cmp_.add_argument("--a", required=True, help="built index dir")
+    cmp_.add_argument("--b", required=True, help="built index dir")
+
     ix = sub.add_parser(
         "stats", help="index introspection (the _cat/indices ops "
         "surface): stored build stats, dictionary size, postings "
@@ -1480,6 +1489,13 @@ def main(argv: list[str] | None = None) -> int:
                                   / len(rows), 6),
                 "mean_precision": round(sum(r["precision"] for r in rows)
                                         / len(rows), 6)}))
+    elif args.cmd == "compare":
+        from .operators.build import load_index
+        from .operators.diffing import index_diff
+        res = index_diff(load_index(spark, args.a),
+                         load_index(spark, args.b))
+        print(json.dumps(res))
+        rc = 0 if res["equal"] else 1
     elif args.cmd == "stats":
         import os
 

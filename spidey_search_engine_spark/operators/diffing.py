@@ -78,3 +78,58 @@ def changed_ids(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     d = corpus_diff(old, new, id_col, text_col, sha_col)
     return d.filter(F.col("status").isin("added", "changed")) \
         .select(id_col)
+
+
+def index_diff(a: dict, b: dict) -> dict:
+    """Semantic index-equivalence check — the validation counterpart of
+    every migration this engine performs (reshard, compaction, NRT
+    consolidation, a rebuilt snapshot): are two indexes the SAME index?
+
+    Compares, cheapest first:
+    * stats     — n_docs / avgdl / seg_bits (seg_bits must match for the
+                  postings comparison to be meaningful: segments are
+                  doc-range aligned only at equal seg_bits),
+    * dictionary — (term, df, cf) full-outer join; any row present on
+                  one side only, or disagreeing on df/cf, counts,
+    * postings  — (term, segment) -> sha2(bin) full-outer join; the
+                  compressed bytes themselves must agree (reshard and
+                  compaction preserve them; a fresh build reproduces
+                  them — pinned by the reshard tests).
+
+    Returns {"equal": bool, "stats_equal": bool, "term_mismatches": int,
+    "posting_mismatches": int, ...}. Cost: one dictionary join + one
+    postings-metadata join (term/segment/bin-hash — position bytes ride
+    inside `bin` and are hashed in-scan, never decoded). Bucket layout
+    and file layout are deliberately IGNORED: n_buckets is a physical
+    routing choice, not index content."""
+    sa, sb = a["stats"], b["stats"]
+    stats_equal = (int(sa["n_docs"]) == int(sb["n_docs"])
+                   and float(sa["avgdl"]) == float(sb["avgdl"])
+                   and int(sa["seg_bits"]) == int(sb["seg_bits"]))
+    out = {"stats_equal": stats_equal,
+           "n_docs": [int(sa["n_docs"]), int(sb["n_docs"])],
+           "seg_bits": [int(sa["seg_bits"]), int(sb["seg_bits"])]}
+    ta = a["terms"].select("term", "df", "cf")
+    tb = b["terms"].select("term", F.col("df").alias("df_b"),
+                           F.col("cf").alias("cf_b"))
+    tm = (ta.join(tb, "term", "full_outer")
+          .filter(F.col("df").isNull() | F.col("df_b").isNull()
+                  | (F.col("df") != F.col("df_b"))
+                  | (F.col("cf") != F.col("cf_b")))
+          .count())
+    out["term_mismatches"] = int(tm)
+    if int(sa["seg_bits"]) == int(sb["seg_bits"]):
+        pa = a["postings"].select("term", "segment",
+                                 F.sha2("bin", 256).alias("h"))
+        pb = b["postings"].select("term", "segment",
+                                 F.sha2("bin", 256).alias("h_b"))
+        pm = (pa.join(pb, ["term", "segment"], "full_outer")
+              .filter(F.col("h").isNull() | F.col("h_b").isNull()
+                      | (F.col("h") != F.col("h_b")))
+              .count())
+        out["posting_mismatches"] = int(pm)
+    else:
+        out["posting_mismatches"] = None  # incomparable layouts
+    out["equal"] = bool(stats_equal and tm == 0
+                        and out["posting_mismatches"] == 0)
+    return out

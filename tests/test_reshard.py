@@ -167,3 +167,38 @@ def test_reshard_consolidates_streamed_nrt_delta(spark, corpus_pdf,
     t = lambda df: {r["term"]: (r["df"], r["cf"])
                     for r in df.select("term", "df", "cf").collect()}
     assert t(got["terms"]) == t(mono["terms"])
+
+
+def test_index_diff_and_cli_compare(spark, tmp_path, mono, capsys):
+    """index_diff: a reshard-consolidated index compares EQUAL to the
+    fresh build (stats + dictionary + posting bytes); a different corpus
+    does not; the CLI `compare` face exits 0/1 accordingly."""
+    import json
+
+    from spidey_search_engine_spark.cli import main
+    from spidey_search_engine_spark.operators.build import (build_index,
+                                                            load_index)
+    from spidey_search_engine_spark.operators.diffing import index_diff
+    from spidey_search_engine_spark.operators.reshard import reshard_index
+
+    mono_dir, mono_idx = mono
+    out = str(tmp_path / "rs")
+    reshard_index(spark, [mono_dir], out, 2)
+    # consolidate the 2 shards back into one — must equal the original
+    back = str(tmp_path / "back")
+    reshard_index(spark, [f"{out}/shard_0", f"{out}/shard_1"], back, 1)
+    res = index_diff(mono_idx, load_index(spark, f"{back}/shard_0"))
+    assert res["equal"], res
+
+    other_dir = str(tmp_path / "other")
+    build_index(spark, _corpus(spark, 50), other_dir, profile="code",
+                seg_bits=3, n_buckets=4)
+    res2 = index_diff(mono_idx, load_index(spark, other_dir))
+    assert not res2["equal"]
+    assert not res2["stats_equal"] or res2["term_mismatches"] > 0
+
+    assert main(["compare", "--a", mono_dir,
+                 "--b", f"{back}/shard_0"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()
+                      .splitlines()[-1])["equal"] is True
+    assert main(["compare", "--a", mono_dir, "--b", other_dir]) == 1
